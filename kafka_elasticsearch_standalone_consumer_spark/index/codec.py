@@ -1,0 +1,225 @@
+"""Posting-list compression: delta + varint + fixed-size blocks.
+
+This owns the storage format the reference delegated to Lucene segments
+(implied by ES 1.5.1 at reference ``pom.xml:22`` and the bulk-index calls
+at ``MessageHandler.java:135-139``): sorted doc_ids are delta-encoded and
+varint-packed in blocks of ``BLOCK_SIZE`` docs; term frequencies are
+varint-packed per block. Delta encoding RESTARTS at each block boundary
+(first doc of a block is stored raw) so a block can be decoded without
+decoding its predecessors — that is what makes block-max skipping
+(Ding & Suel, "Faster top-k document retrieval using block-max indexes",
+SIGIR'11) possible at query time.
+
+All encode/decode paths are vectorized NumPy — no per-element Python
+loops — because they run inside Arrow-batched pandas UDF kernels on
+executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafka_elasticsearch_standalone_consumer_spark import BLOCK_SIZE
+
+# thresholds for exact varint byte-length computation (no float log2)
+_VARINT_THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint pack of a non-negative int array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _VARINT_THRESHOLDS:
+        nbytes += v >= t
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    seven = np.uint64(7)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> (seven * np.uint64(j))) & np.uint64(0x7F)
+        cont = np.where(nbytes[mask] - 1 > j, 0x80, 0).astype(np.uint8)
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`varint_encode`; returns uint64 array (vectorized)."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (data & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    pos = np.arange(data.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (data & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def pack_run(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray | None = None,
+    avgdl: float | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Pack one (term, shard) posting run.
+
+    ``doc_ids`` must be sorted ascending and unique; ``tfs`` aligned.
+    ``dls`` (per-posting document length) is packed alongside so the query
+    path never joins doc_stats — the per-doc norm travels with the posting,
+    the same trick as Lucene norms/impacts. When ``avgdl`` is given, the
+    exact per-block max BM25 impact ``max tf/(tf+k1*(1-b+b*dl/avgdl))`` is
+    precomputed (tight block-max bound for WAND); otherwise the dl→0 upper
+    bound from block_max_tf is used at query time.
+
+    Returns the columns of one ``postings`` row:
+      docs/tfs/dls: bytes  delta+varint doc ids (delta restarts per block),
+                           varint tfs, varint dls
+      n_docs: int
+      block_offs_docs / block_offs_tfs / block_offs_dls: int32 byte offsets
+      block_max_doc: int64 last (max) doc id per block
+      block_max_tf:  int32 max tf per block
+      block_max_impact: float32 exact max BM25 tf-impact per block
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    n_blocks = (n + block_size - 1) // block_size
+    block_starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    block_ends = np.minimum(block_starts + block_size, n)
+
+    # delta encode with restart at block boundaries: element at a block
+    # start keeps its raw value, others store (doc - prev_doc)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    if n:
+        deltas[0] = np.uint64(doc_ids[0])
+        deltas[block_starts[1:]] = doc_ids[block_starts[1:]].astype(np.uint64)
+
+    dls = None if dls is None else np.ascontiguousarray(dls, dtype=np.int64)
+    doc_bufs, tf_bufs, dl_bufs = [], [], []
+    offs_d = np.zeros(n_blocks, dtype=np.int32)
+    offs_t = np.zeros(n_blocks, dtype=np.int32)
+    offs_l = np.zeros(n_blocks, dtype=np.int32)
+    pos_d = pos_t = pos_l = 0
+    for i in range(n_blocks):
+        s, e = int(block_starts[i]), int(block_ends[i])
+        offs_d[i], offs_t[i], offs_l[i] = pos_d, pos_t, pos_l
+        db = varint_encode(deltas[s:e])
+        tb = varint_encode(tfs[s:e].astype(np.uint64))
+        doc_bufs.append(db)
+        tf_bufs.append(tb)
+        pos_d += len(db)
+        pos_t += len(tb)
+        if dls is not None:
+            lb = varint_encode(dls[s:e].astype(np.uint64))
+            dl_bufs.append(lb)
+            pos_l += len(lb)
+
+    block_max_doc = doc_ids[block_ends - 1] if n else np.empty(0, dtype=np.int64)
+    block_max_tf = (
+        np.maximum.reduceat(tfs, block_starts) if n else np.empty(0, dtype=np.int64)
+    )
+    if dls is not None and avgdl is not None and n:
+        tf_f = tfs.astype(np.float64)
+        impact = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-9)))
+        block_max_impact = np.maximum.reduceat(impact, block_starts)
+    else:
+        block_max_impact = np.zeros(n_blocks, dtype=np.float64)
+    return {
+        "docs": b"".join(doc_bufs),
+        "tfs": b"".join(tf_bufs),
+        "dls": b"".join(dl_bufs) if dls is not None else b"",
+        "n_docs": int(n),
+        "block_offs_docs": offs_d.tolist(),
+        "block_offs_tfs": offs_t.tolist(),
+        "block_offs_dls": offs_l.tolist(),
+        "block_max_doc": block_max_doc.astype(np.int64).tolist(),
+        "block_max_tf": block_max_tf.astype(np.int32).tolist(),
+        "block_max_impact": np.asarray(block_max_impact, dtype=np.float32).tolist(),
+    }
+
+
+def unpack_run(
+    docs_buf: bytes,
+    tfs_buf: bytes,
+    n_docs: int,
+    dls_buf: bytes | None = None,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode a full run → (doc_ids, tfs[, dls]) int64 arrays."""
+    deltas = varint_decode(docs_buf).astype(np.int64)
+    tfs = varint_decode(tfs_buf).astype(np.int64)
+    doc_ids = _undelta_blocked(deltas, block_size)
+    assert doc_ids.size == n_docs
+    if dls_buf is None:
+        return doc_ids, tfs
+    return doc_ids, tfs, varint_decode(dls_buf).astype(np.int64)
+
+
+def decode_value_blocks(buf: bytes, offs: np.ndarray, block_idx) -> list[np.ndarray]:
+    """Decode selected blocks of a varint value stream (tfs or dls)."""
+    offs = np.asarray(offs, dtype=np.int64)
+    ends = np.empty_like(offs)
+    ends[:-1] = offs[1:]
+    ends[-1] = len(buf)
+    return [varint_decode(buf[offs[i] : ends[i]]).astype(np.int64) for i in block_idx]
+
+
+def decode_doc_blocks(buf: bytes, offs: np.ndarray, block_idx) -> list[np.ndarray]:
+    """Decode selected doc-id blocks (delta restarts per block → cumsum)."""
+    out = []
+    for d in decode_value_blocks(buf, offs, block_idx):
+        np.cumsum(d, out=d)
+        out.append(d)
+    return out
+
+
+def _undelta_blocked(deltas: np.ndarray, block_size: int) -> np.ndarray:
+    """Prefix-sum deltas where each block of ``block_size`` restarts raw."""
+    n = deltas.size
+    if n == 0:
+        return deltas
+    out = np.cumsum(deltas.astype(np.int64))
+    n_blocks = (n + block_size - 1) // block_size
+    if n_blocks > 1:
+        starts = np.arange(1, n_blocks, dtype=np.int64) * block_size
+        # block b's start holds a RAW doc id, so every element of block b
+        # carries the spurious prefix sum accumulated before the block —
+        # subtract that prefix (out[start-1]) from the whole block segment
+        correction = np.concatenate([[np.int64(0)], out[starts - 1]])
+        seg_lengths = np.diff(np.concatenate([[np.int64(0)], starts, [np.int64(n)]]))
+        out = out - np.repeat(correction, seg_lengths)
+    return out
+
+
+def unpack_blocks(
+    docs_buf: bytes,
+    tfs_buf: bytes,
+    offs_d: np.ndarray,
+    offs_t: np.ndarray,
+    block_idx: np.ndarray,
+    n_docs: int,
+    block_size: int = BLOCK_SIZE,
+):
+    """Decode only the selected blocks (for block-max skipping).
+
+    Returns (doc_ids, tfs) concatenated over ``block_idx`` in ascending
+    block order.
+    """
+    block_idx = sorted(set(int(i) for i in block_idx))
+    if not block_idx:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    docs_out = decode_doc_blocks(docs_buf, offs_d, block_idx)
+    tfs_out = decode_value_blocks(tfs_buf, offs_t, block_idx)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)

@@ -1,0 +1,153 @@
+"""Index build orchestration: transcripts table → index warehouse.
+
+The Spark-native replacement for the reference's whole daemon
+(``KafkaIndexerDriver.main`` → ``IndexerJobManager.startAll`` → per-
+partition ``IndexerJob.processBatch``; reference
+``jobs/IndexerJobManager.java:39-58``, ``jobs/IndexerJob.java:284-426``).
+Each step is a declarative DataFrame job whose output is an idempotent
+table overwrite; a checkpoint row is appended only after the write
+succeeds (at-least-once ordering, see checkpoint.py).
+
+Steps (each resumable):
+  docs       transcripts + dense doc_id (one range-shuffle; the document
+             store — what ES kept as _source)
+  tokens     tokenize → (doc_id, term, tf)   [forward index]
+  doc_stats  per-doc length (+shard)         [norms]
+  term_stats per-term df, max_tf             [term dictionary stats]
+  meta       corpus scalars + index params   [segment metadata]
+  doc_map    (conv_id, turn_idx) → doc_id, dl  [identity/invariant table]
+  postings   sharded compressed posting runs [the inverted index]
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark import B, BLOCK_SIZE, K1
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
+from kafka_elasticsearch_standalone_consumer_spark.index.build import (
+    DEFAULT_DOCS_PER_SHARD,
+    DEFAULT_TERM_BUCKETS,
+    build_postings,
+    with_shard,
+)
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.checkpoint import (
+    CheckpointLog,
+    StepRunner,
+)
+from kafka_elasticsearch_standalone_consumer_spark.stats import (
+    build_corpus_stats,
+    build_doc_stats,
+    build_term_stats,
+)
+from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse_path: str,
+    docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+    tokenizer: str = "sql",
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+    fail_after: str | None = None,
+    dry_run: bool = False,
+) -> "StepRunner":
+    """Build (or resume building) the full index under ``warehouse_path``.
+
+    ``dry_run=True`` mirrors the reference's isDryRun flag
+    (``jobs/IndexerJob.java:371-374``): execute the transform plan and
+    count rows, but write neither tables nor checkpoints.
+    """
+    wh = Warehouse(warehouse_path)
+    log = CheckpointLog(spark, wh, run_id)
+    runner = StepRunner(log, fail_after=fail_after)
+
+    if dry_run:
+        docs = assign_dense_ids(transcripts, num_partitions=num_partitions)
+        runner.dry_run_rows = tokens_from(docs, method=tokenizer).count()
+        spark.catalog.clearCache()
+        return runner
+
+    def step_docs():
+        docs = assign_dense_ids(transcripts, num_partitions=num_partitions)
+        wh.write(docs, "docs")
+        spark.catalog.clearCache()  # release the range-sort cache from id assignment
+        return wh.read(spark, "docs").count()
+
+    def step_tokens():
+        docs = wh.read(spark, "docs")
+        toks = tokens_from(docs, method=tokenizer)
+        wh.write(toks, "tokens")
+        return wh.read(spark, "tokens").count()
+
+    def step_doc_stats():
+        docs = wh.read(spark, "docs")
+        toks = wh.read(spark, "tokens")
+        ds = with_shard(build_doc_stats(docs, toks), docs_per_shard)
+        wh.write(ds, "doc_stats")
+        return wh.read(spark, "doc_stats").count()
+
+    def step_term_stats():
+        ts = build_term_stats(wh.read(spark, "tokens"))
+        wh.write(ts, "term_stats")
+        return wh.read(spark, "term_stats").count()
+
+    def step_meta():
+        ds = wh.read(spark, "doc_stats")
+        row = build_corpus_stats(ds).collect()[0]
+        meta = {
+            "n_docs": row["n_docs"],
+            "avgdl": row["avgdl"] or 0.0,
+            "docs_per_shard": docs_per_shard,
+            "n_buckets": n_buckets,
+            "block_size": BLOCK_SIZE,
+            "k1": K1,
+            "b": B,
+            "tokenizer": tokenizer,
+        }
+        wh.write(
+            spark.createDataFrame([(json.dumps(meta),)], "meta string"), "sys_meta"
+        )
+        return 1
+
+    def step_doc_map():
+        docs = wh.read(spark, "docs").select("conv_id", "turn_idx", "doc_id")
+        ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
+        wh.write(docs.join(ds, "doc_id"), "doc_map")
+        return wh.read(spark, "doc_map").count()
+
+    def step_postings():
+        meta = read_meta(spark, wh)
+        toks = wh.read(spark, "tokens")
+        ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
+        tokens_with_dl = toks.join(ds, "doc_id")
+        postings = build_postings(
+            tokens_with_dl,
+            avgdl=meta["avgdl"],
+            docs_per_shard=docs_per_shard,
+            n_buckets=n_buckets,
+            num_partitions=num_partitions,
+        )
+        wh.write(postings, "postings", partition_by=("term_bucket",))
+        return wh.read(spark, "postings").count()
+
+    runner.step("docs", step_docs)
+    runner.step("tokens", step_tokens)
+    runner.step("doc_stats", step_doc_stats)
+    runner.step("term_stats", step_term_stats)
+    runner.step("meta", step_meta)
+    runner.step("doc_map", step_doc_map)
+    runner.step("postings", step_postings)
+    log.mark("ALL", "ok", 0, 0)
+    return runner
+
+
+def read_meta(spark: SparkSession, wh: Warehouse) -> dict:
+    return json.loads(wh.read(spark, "sys_meta").collect()[0]["meta"])

@@ -1,0 +1,121 @@
+"""Search engine facade: the query lifecycle of SURVEY §3.3.
+
+    query(text, k)
+      ├─ analyze: same tokenizer as the index path (driver-side, tiny)
+      ├─ plan: term_stats rows for the query terms → idf weights (collect;
+      │        few rows — the "broadcast" of SURVEY §3.3)
+      ├─ scan postings WHERE term_bucket IN (...) AND term IN (...)
+      │        → partition-pruned by the term_bucket directory column,
+      │          row-group-pruned by the term predicate (both visible as
+      │          PartitionFilters / PushedFilters in .explain)
+      ├─ applyInPandas per shard: decode → block-max WAND → bounded top-k
+      └─ global merge: orderBy(score desc, doc_id) limit k   [1 shuffle]
+
+The per-shard kernel sees ONLY the query terms' posting runs (with doc
+lengths packed inline), so query cost is independent of corpus width —
+the scan reads ~|q| × n_shards rows regardless of N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.index.build import term_bucket_col
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import read_meta
+from kafka_elasticsearch_standalone_consumer_spark.query import bm25, kernels
+from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+class Index:
+    def __init__(self, spark: SparkSession, warehouse_path: str):
+        self.spark = spark
+        self.wh = Warehouse(warehouse_path)
+        self.meta = read_meta(spark, self.wh)
+        self.postings = self.wh.read(spark, "postings")
+        self.term_stats = self.wh.read(spark, "term_stats")
+
+    # -- planning ---------------------------------------------------------
+    def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
+        """Query analysis + idf·weight per present term + bucket list."""
+        weights = bm25.query_term_weights(query_text)
+        if not weights:
+            return {}, []
+        qdf = self.spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())], "term string, w double"
+        )
+        rows = (
+            self.term_stats.join(F.broadcast(qdf), "term")
+            .withColumn("idfw", bm25.idf_expr(self.meta["n_docs"]) * F.col("w"))
+            .withColumn("bucket", term_bucket_col("term", self.meta["n_buckets"]))
+            .select("term", "idfw", "bucket")
+            .collect()
+        )
+        idfw = {r["term"]: r["idfw"] for r in rows}
+        buckets = sorted({r["bucket"] for r in rows})
+        return idfw, buckets
+
+    # -- execution --------------------------------------------------------
+    def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
+        """Top-k BM25 (OR semantics). mode: bmw | exact | intersect."""
+        idfw, buckets = self._plan_terms(query_text)
+        if not idfw:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if mode == "intersect" and len(idfw) < len(bm25.query_term_weights(query_text)):
+            # a query term is absent from the corpus → conjunction is empty
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        meta = self.meta
+        hits = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idfw))
+        )
+
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            shard_lo = shard * docs_per_shard
+            runs = [
+                kernels._Run(row, idfw[row.term], shard_lo)
+                for row in pdf.itertuples(index=False)
+            ]
+            if mode == "exact":
+                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b)
+            elif mode == "intersect":
+                by_term: dict[str, list] = {}
+                for row, r in zip(pdf.itertuples(index=False), runs):
+                    by_term.setdefault(row.term, []).append(r)
+                if len(by_term) < len(idfw):
+                    return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                        {"doc_id": np.int64, "score": np.float64}
+                    )
+                d, s = kernels.shard_topk_intersect(by_term, k, avgdl, k1, b)
+            else:
+                d, s = kernels.shard_topk_bmw(
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b
+                )
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        partials = hits.groupBy("shard").applyInPandas(per_shard, schema=TOPK_SCHEMA)
+        return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_oracle(self, query_text: str, k: int = 10) -> DataFrame:
+        """Verification path: pure DataFrame BM25 over the tokens table."""
+        tokens = self.wh.read(self.spark, "tokens")
+        doc_stats = self.wh.read(self.spark, "doc_stats").select("doc_id", "dl")
+        scores = bm25.bm25_scores_oracle(
+            tokens,
+            self.term_stats,
+            doc_stats,
+            query_text,
+            n_docs=self.meta["n_docs"],
+            avgdl=self.meta["avgdl"] or 1e-9,
+            k1=self.meta["k1"],
+            b=self.meta["b"],
+        )
+        return bm25.topk(scores, k)

@@ -1,0 +1,207 @@
+"""Per-shard top-k scoring kernels over compressed posting runs.
+
+These NumPy kernels run inside ``applyInPandas`` on executors — each shard
+(a contiguous doc_id range, the ES-shard analogue) is scored independently
+and emits at most k candidates; the driver-side plan unions the partials
+and takes the global top-k (SURVEY §3.3 "coordinator merge").
+
+Three modes:
+  * ``exact``  — decode every posting of every query term, term-at-a-time
+                 accumulation (verification path for the codec plumbing);
+  * ``bmw``    — block-max pruning (Broder et al. WAND, CIKM'03; Ding &
+                 Suel block-max, SIGIR'11, windowed variant): doc space is
+                 cut into fixed windows, each window's score upper bound is
+                 the sum over terms of the max block impact overlapping it,
+                 windows are visited in descending bound order with a
+                 bounded top-k candidate set, and the loop STOPS as soon as
+                 the next window's bound falls below the running k-th score
+                 θ — blocks in skipped windows are never decoded;
+  * ``intersect`` — conjunctive (AND) semantics: only docs containing all
+                 query terms, scored exactly.
+
+All three produce identical ranks for the docs they retrieve (same float64
+contributions, ties broken by ascending doc_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafka_elasticsearch_standalone_consumer_spark import B, K1
+from kafka_elasticsearch_standalone_consumer_spark.index import codec
+
+DEFAULT_WINDOW = 8192
+
+
+class _Run:
+    """One posting run with lazy, cached per-block decoding."""
+
+    __slots__ = ("idfw", "docs", "tfs", "dls", "offs_d", "offs_t", "offs_l",
+                 "bmd", "blo", "impact", "n_docs", "_cache")
+
+    def __init__(self, row, idfw: float, shard_lo: int):
+        self.idfw = idfw
+        self.docs = bytes(row.docs)
+        self.tfs = bytes(row.tfs)
+        self.dls = bytes(row.dls)
+        self.offs_d = np.asarray(row.block_offs_docs, dtype=np.int64)
+        self.offs_t = np.asarray(row.block_offs_tfs, dtype=np.int64)
+        self.offs_l = np.asarray(row.block_offs_dls, dtype=np.int64)
+        self.bmd = np.asarray(row.block_max_doc, dtype=np.int64)
+        self.impact = np.asarray(row.block_max_impact, dtype=np.float64)
+        self.n_docs = int(row.n_docs)
+        # lower bound of each block's doc range: previous block's max + 1
+        blo = np.empty_like(self.bmd)
+        if blo.size:
+            blo[0] = shard_lo
+            blo[1:] = self.bmd[:-1] + 1
+        self.blo = blo
+        self._cache: dict[int, tuple] = {}
+
+    def decode_block(self, i: int):
+        got = self._cache.get(i)
+        if got is None:
+            d = codec.decode_doc_blocks(self.docs, self.offs_d, [i])[0]
+            t = codec.decode_value_blocks(self.tfs, self.offs_t, [i])[0]
+            l = codec.decode_value_blocks(self.dls, self.offs_l, [i])[0]
+            got = (d, t, l)
+            self._cache[i] = got
+        return got
+
+    def decode_all(self):
+        d, t, l = codec.unpack_run(self.docs, self.tfs, self.n_docs, self.dls)
+        return d, t, l
+
+
+def _contrib(idfw, tfs, dls, avgdl, k1, b):
+    tf = tfs.astype(np.float64)
+    return idfw * tf / (tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+
+
+def _select_topk(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Exact deterministic top-k: score desc, doc_id asc (ties kept exact)."""
+    n = docs.size
+    if n == 0:
+        return docs, scores
+    if n > max(k * 4, 4096):
+        thr = np.partition(scores, n - k)[n - k]
+        keep = scores >= thr
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def shard_topk_exact(runs: list[_Run], k: int, avgdl: float, k1: float = K1, b: float = B):
+    all_docs, all_contrib = [], []
+    for r in runs:
+        d, t, l = r.decode_all()
+        all_docs.append(d)
+        all_contrib.append(_contrib(r.idfw, t, l, avgdl, k1, b))
+    if not all_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.concatenate(all_docs)
+    contrib = np.concatenate(all_contrib)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    scores = np.bincount(inv, weights=contrib)
+    return _select_topk(uniq, scores, k)
+
+
+def shard_topk_bmw(
+    runs: list[_Run],
+    k: int,
+    avgdl: float,
+    shard_lo: int,
+    shard_size: int,
+    k1: float = K1,
+    b: float = B,
+    window: int = DEFAULT_WINDOW,
+):
+    """Windowed block-max WAND: prune windows whose bound < running θ."""
+    if not runs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    n_w = (shard_size + window - 1) // window
+    total_ub = np.zeros(n_w, dtype=np.float64)
+    run_block_windows = []
+    for r in runs:
+        if r.bmd.size == 0:
+            run_block_windows.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+            continue
+        w_lo = (r.blo - shard_lo) // window
+        w_hi = (r.bmd - shard_lo) // window
+        counts = (w_hi - w_lo + 1).astype(np.int64)
+        idx = np.repeat(w_lo, counts) + (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        ub_t = np.zeros(n_w, dtype=np.float64)
+        np.maximum.at(ub_t, idx, np.repeat(r.impact * r.idfw, counts))
+        total_ub += ub_t
+        run_block_windows.append((w_lo, w_hi))
+
+    order = np.argsort(-total_ub, kind="stable")
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    scores_buf = np.zeros(window, dtype=np.float64)
+    for w in order:
+        ub = total_ub[w]
+        if ub <= 0.0:
+            break
+        if best_docs.size >= k and ub < theta:
+            break  # no remaining window can beat the k-th candidate
+        lo_doc = shard_lo + int(w) * window
+        hi_doc = lo_doc + window
+        scores_buf[:] = 0.0
+        touched = False
+        for r, (w_lo, w_hi) in zip(runs, run_block_windows):
+            if w_lo.size == 0:
+                continue
+            bsel = np.flatnonzero((w_lo <= w) & (w_hi >= w))
+            for bi in bsel:
+                d, t, l = r.decode_block(int(bi))
+                m = (d >= lo_doc) & (d < hi_doc)
+                if not m.any():
+                    continue
+                scores_buf[d[m] - lo_doc] += _contrib(r.idfw, t[m], l[m], avgdl, k1, b)
+                touched = True
+        if not touched:
+            continue
+        nz = np.flatnonzero(scores_buf)
+        best_docs = np.concatenate([best_docs, nz + lo_doc])
+        best_scores = np.concatenate([best_scores, scores_buf[nz]])
+        if best_docs.size >= k:
+            # tighten θ; keep candidates ≥ θ (preserve exact ties)
+            theta = np.partition(best_scores, best_docs.size - k)[best_docs.size - k]
+            if best_docs.size > max(4 * k, 4096):
+                keep = best_scores >= theta
+                best_docs, best_scores = best_docs[keep], best_scores[keep]
+    return _select_topk(best_docs, best_scores, k)
+
+
+def shard_topk_intersect(
+    runs_by_term: dict[str, list[_Run]], k: int, avgdl: float, k1: float = K1, b: float = B
+):
+    """AND semantics: docs containing every query term, scored exactly."""
+    per_term = []
+    for term, runs in runs_by_term.items():
+        parts = [r.decode_all() for r in runs]
+        d = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        c = (
+            np.concatenate([_contrib(r.idfw, p[1], p[2], avgdl, k1, b) for r, p in zip(runs, parts)])
+            if parts
+            else np.empty(0, np.float64)
+        )
+        o = np.argsort(d, kind="stable")
+        per_term.append((d[o], c[o]))
+    if not per_term or any(d.size == 0 for d, _ in per_term):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    per_term.sort(key=lambda p: p[0].size)  # start from the rarest term
+    cand = per_term[0][0]
+    for d, _ in per_term[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for d, c in per_term:
+        scores += c[np.searchsorted(d, cand)]
+    return _select_topk(cand, scores, k)

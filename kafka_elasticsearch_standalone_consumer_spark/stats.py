@@ -1,0 +1,44 @@
+"""Corpus statistics the scorer needs (SURVEY §2.4 E3).
+
+These are what Lucene kept as per-segment norms/term dictionaries for the
+reference's Elasticsearch (behind ``MessageHandler.java:135-139``):
+
+* ``term_stats(term, df, max_tf)`` — document frequency per term,
+* ``doc_stats(doc_id, dl)``        — document length in tokens (0 for
+                                     empty docs — they must still exist),
+* ``corpus(n_docs, avgdl)``        — global scalars.
+
+All pure DataFrame aggregations: map-side partial aggregation + one
+shuffle each; Catalyst prunes to exactly the needed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_term_stats(tokens: DataFrame) -> DataFrame:
+    """tokens(doc_id, term, tf) → term_stats(term, df, max_tf)."""
+    return tokens.groupBy("term").agg(
+        F.count("*").alias("df"),  # tokens has one row per (doc, term)
+        F.max("tf").cast("int").alias("max_tf"),
+    )
+
+
+def build_doc_stats(docs: DataFrame, tokens: DataFrame) -> DataFrame:
+    """doc_stats(doc_id, dl); docs with no tokens get dl=0 via left join."""
+    dl = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return (
+        docs.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("int").alias("dl"))
+    )
+
+
+def build_corpus_stats(doc_stats: DataFrame) -> DataFrame:
+    """corpus(n_docs, avgdl) — single row."""
+    return doc_stats.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
