@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship path: build an ephemeral
+inverted index over the sf0.001 ``documents`` corpus and answer a BM25
+top-k query through the block-max WAND fast path.
+
+``queries()``/``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 (tokenize/stats/BM25/top-k/routing/quarantine/transform
+pack) plus the training-data-pipeline ops (dedup exact/Jaccard/MinHash-
+LSH/SimHash, cosine/LSH similarity search, text quality/lang-ID/token
+counting/fingerprinting). Every SQL-expressible operator has a DuckDB
+oracle; kernel-only ops (MinHash, SimHash, LSH probing, rolling-hash
+fingerprints, transcripts invariant) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +18,545 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# pinned flagship inputs — common corpus terms (see documents.parquet vocab)
+BM25_QUERY = "join hash filter"
+BM25_AND_QUERY = "vector stream"
+K = 10
+
+# shared SQL fragments (DuckDB dialect) — same tokenizer as analysis.py
+SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_STOP = (
+    "the of and to in a is that it for on as are with be this was at by an "
+    "or from has had have not but they you his her its we our their"
+).split()
+SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rank(df: DataFrame, score: str, asc_id: str) -> DataFrame:
+    w = Window.orderBy(F.desc(score), F.asc(asc_id))
+    return df.withColumn("rank", F.row_number().over(w))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ephemeral index + block-max WAND BM25 top-k on sf0.001."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = _docs(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    idx = Index.ephemeral(docs, docs_per_shard=64, n_buckets=8)
+    return idx.search(BM25_QUERY, K, mode="bmw")
+
+
+# ---------------------------------------------------------------- queries --
+
+def q_tok_term_counts(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokenize_col(F.col("text"))).cast("long").alias("dl")
+    )
+
+
+def q_term_df_stats(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+    from kafka_elasticsearch_standalone_consumer_spark.stats import build_term_stats
+
+    toks = tokens_from(_docs(spark, sf_dir), id_cols=("doc_id",))
+    return build_term_stats(toks).select(
+        "term", F.col("df").cast("long").alias("df"), F.col("max_tf").cast("long").alias("max_tf")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.size(tokenize_col(F.col("text"))).cast("long").alias("dl"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+
+
+_IDX_CACHE: dict[str, object] = {}
+
+
+def _bm25_fixed(spark, sf_dir, query, mode):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = _IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[sf_dir] = idx
+    if mode == "oracle":
+        out = idx.search_oracle(query, K)
+    else:
+        out = idx.search(query, K, mode=mode)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_bm25_topk_oracle(spark, sf_dir):
+    return _bm25_fixed(spark, sf_dir, BM25_QUERY, "oracle")
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    return _bm25_fixed(spark, sf_dir, BM25_QUERY, "bmw")
+
+
+def q_bm25_topk_exact(spark, sf_dir):
+    return _bm25_fixed(spark, sf_dir, BM25_QUERY, "exact")
+
+
+def q_bm25_topk_intersect(spark, sf_dir):
+    return _bm25_fixed(spark, sf_dir, BM25_AND_QUERY, "intersect")
+
+
+def _raw_lines(spark, sf_dir):
+    """Synthesize access-log lines from events (deterministic); rows where
+    event_id % 97 == 0 get a corrupted response_code (quarantine bait)."""
+    e = _events(spark, sf_dir)
+    code = F.when(F.col("event_id") % 97 == 0, F.lit("XX")).otherwise(
+        (F.lit(200) + (F.col("event_id") % 3) * 100).cast("string")
+    )
+    raw = F.concat_ws(
+        "|",
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit("."), (F.col("event_id") % 256).cast("string")),
+        F.lit("HTTP/1.1"),
+        F.concat(F.lit("sess-"), F.col("user_id").cast("string")),
+        F.concat(F.lit("["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit("]")),
+        F.concat(
+            F.when(F.col("event_id") % 2 == 0, F.lit("GET /api/")).otherwise(F.lit("POST /api/")),
+            F.col("event_type"),
+        ),
+        code,
+        F.round(F.abs(F.col("value")) * 10).cast("int").cast("string"),
+        F.concat(F.lit("web"), (F.col("event_id") % 4).cast("string"), F.lit(".inst"), (F.col("user_id") % 8).cast("string"), F.lit("-x")),
+        F.col("props"),
+    )
+    return e.select(F.col("event_id"), raw.alias("raw"))
+
+
+def q_access_log_parse(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import (
+        parse_access_log,
+        split_quarantine,
+    )
+
+    lines = _raw_lines(spark, sf_dir)
+    parsed = parse_access_log(lines, "raw", keep=("event_id",))
+    good, _bad = split_quarantine(parsed)
+    return good.select(
+        "event_id", "ip", "protocol", "session_id", "time_stamp", "method",
+        "url", "response_code", "response_time", "server_name", "instance",
+        "server_and_instance",
+    )
+
+
+def q_quarantine_counts(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import (
+        parse_access_log,
+        split_quarantine,
+    )
+
+    lines = _raw_lines(spark, sf_dir)
+    parsed = parse_access_log(lines, "raw")
+    good, bad = split_quarantine(parsed)
+    return spark.createDataFrame(
+        [(good.count(), bad.count())], "n_good long, n_quarantined long"
+    )
+
+
+def q_index_routing(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import route_index
+
+    routed = route_index(_docs(spark, sf_dir), F.col("lang"), prefix="docs")
+    return routed.groupBy("index_name").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_json_doc(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    doc = F.to_json(F.struct("doc_id", "lang", "source"))
+    return d.select(
+        "doc_id", F.get_json_object(doc, "$.lang").alias("lang_rt"),
+        F.get_json_object(doc, "$.source").alias("source_rt"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("keep_id").cast("long").alias("keep_id"), F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = cosine_topk(emb, qv, K)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = lsh_topk(emb, qv, K, bits=8)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_quality_features(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        "stopword_ratio", "punct_ratio", "alpha_ratio", "mean_token_len", "quality",
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
+
+    return lang_guess(_docs(spark, sf_dir)).groupBy("lang_guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_events_rollup(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+def q_transcripts_invariant(spark, sf_dir):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering:
+    rebuild text via the doc_map join and count mismatches (must be 0)."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
+
+    tr = generate_transcripts(spark, n_convs=60, seed=42, partitions=4)
+    docs = assign_dense_ids(tr)
+    rebuilt = docs.select("conv_id", "turn_idx", "doc_id").join(
+        docs.select("doc_id", F.col("text").alias("text_rebuilt")), "doc_id"
+    )
+    joined = tr.join(rebuilt, ["conv_id", "turn_idx"]).persist()
+    n_bad = joined.filter(F.col("text") != F.col("text_rebuilt")).count()
+    n = joined.count()
+    spark.catalog.clearCache()
+    return spark.createDataFrame([(n, n_bad)], "n_turns long, n_mismatch long")
+
+
+def q_media_features(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48, partitions=4)
+    return extract_features(media, decoder="fake").select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tok_term_counts": q_tok_term_counts,
+        "doc_lengths": q_doc_lengths,
+        "term_df_stats": q_term_df_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk_oracle": q_bm25_topk_oracle,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_exact": q_bm25_topk_exact,
+        "bm25_topk_intersect": q_bm25_topk_intersect,
+        "access_log_parse": q_access_log_parse,
+        "quarantine_counts": q_quarantine_counts,
+        "index_routing": q_index_routing,
+        "json_doc": q_json_doc,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "quality_features": q_quality_features,
+        "lang_guess": q_lang_guess,
+        "fingerprints": q_fingerprints,
+        "events_rollup": q_events_rollup,
+        "transcripts_invariant": q_transcripts_invariant,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL --
+
+_BM25_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, len({toks}) ::DOUBLE AS dl FROM documents
+),
+corpus AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+q(term, w) AS (VALUES {qvals}),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _bm25_sql(query: str, k: int = K, conjunctive: bool = False) -> str:
+    import re
+    from collections import Counter
+
+    terms = Counter(re.findall(r"[a-z0-9]+", query.lower()))
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
+    return _BM25_SQL_TEMPLATE.format(toks=SQL_TOKS, qvals=qvals, having=having, k=k)
+
+
+_ACCESS_LOG_SQL = """
+SELECT event_id,
+       '10.0.' || (user_id % 256)::VARCHAR || '.' || (event_id % 256)::VARCHAR AS ip,
+       'HTTP/1.1' AS protocol,
+       'sess-' || user_id::VARCHAR AS session_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_stamp,
+       CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+       upper('/api/' || event_type) AS url,
+       (200 + (event_id % 3) * 100)::INT AS response_code,
+       round(abs(value) * 10)::INT AS response_time,
+       'web' || (event_id % 4)::VARCHAR AS server_name,
+       'inst' || (user_id % 8)::VARCHAR AS instance,
+       'web' || (event_id % 4)::VARCHAR || '_inst' || (user_id % 8)::VARCHAR AS server_and_instance
+FROM events
+WHERE event_id % 97 <> 0
+"""
+
+_QUARANTINE_SQL = """
+SELECT sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+       sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined
+FROM events
+"""
+
+_JACCARD_SQL_TEMPLATE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({toks}) - 2, 0)),
+           i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))) AS shingle
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard_r
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+"""
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS n1,
+         sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) AS n2
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id,
+       row_number() OVER (ORDER BY dot / (n1 * n2) DESC, vec_id) AS rank,
+       round(dot / (n1 * n2), 4) AS cosine_r
+FROM s
+ORDER BY dot / (n1 * n2) DESC, vec_id
+LIMIT 10
+"""
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS s,
+         {SQL_TOKS} AS toks,
+         regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS bpe
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(s)::BIGINT AS n_chars,
+         len(regexp_extract_all(s, '\\S+'))::BIGINT AS n_tokens_ws,
+         len(bpe)::BIGINT AS n_tokens_bpe,
+         round(len(list_filter(toks, x -> list_contains({SQL_STOPLIST}, x)))
+               * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round((length(s) - length(regexp_replace(s, '[^\\w\\s]', '', 'g')))
+               * 1.0 / greatest(length(s), 1), 6) AS punct_ratio,
+         round(length(regexp_replace(s, '[^A-Za-z]', '', 'g'))
+               * 1.0 / greatest(length(s), 1), 6) AS alpha_ratio,
+         round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
+               / greatest(len(toks), 1), 6) AS mean_token_len
+  FROM t
+)
+SELECT *,
+       round((CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 0.25 ELSE 0 END)::DOUBLE
+           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN alpha_ratio >= 0.5 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS quality
+FROM f
+"""
+
+_LANG_SQL = f"""
+WITH t AS (
+  SELECT {SQL_TOKS} AS toks FROM documents
+)
+SELECT CASE WHEN len(list_filter(toks, x -> list_contains({SQL_STOPLIST}, x)))
+                 * 1.0 / greatest(len(toks), 1) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess,
+       count(*)::BIGINT AS n
+FROM t
+GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tok_term_counts": (
+            f"SELECT term, count(*)::BIGINT AS n FROM (SELECT unnest({SQL_TOKS}) AS term "
+            "FROM documents) GROUP BY term"
+        ),
+        "doc_lengths": f"SELECT doc_id, len({SQL_TOKS})::BIGINT AS dl FROM documents",
+        "term_df_stats": (
+            f"SELECT term, count(*)::BIGINT AS df, max(tf)::BIGINT AS max_tf FROM ("
+            f"SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
+            "FROM documents) GROUP BY doc_id, term) GROUP BY term"
+        ),
+        "corpus_stats": (
+            f"SELECT count(*)::BIGINT AS n_docs, round(avg(len({SQL_TOKS})), 6) AS avgdl "
+            "FROM documents"
+        ),
+        "bm25_topk_oracle": _bm25_sql(BM25_QUERY),
+        "bm25_topk_wand": _bm25_sql(BM25_QUERY),
+        "bm25_topk_exact": _bm25_sql(BM25_QUERY),
+        "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
+        "access_log_parse": _ACCESS_LOG_SQL,
+        "quarantine_counts": _QUARANTINE_SQL,
+        "index_routing": (
+            "SELECT 'docs_' || lang AS index_name, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1"
+        ),
+        "json_doc": "SELECT doc_id, lang AS lang_rt, source AS source_rt FROM documents",
+        "dedup_exact": (
+            "SELECT sha256(text) AS text_hash, min(doc_id)::BIGINT AS keep_id, "
+            "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
+        ),
+        "dedup_jaccard": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        "cosine_topk": _COSINE_SQL,
+        "quality_features": _QUALITY_SQL,
+        "lang_guess": _LANG_SQL,
+        "events_rollup": (
+            "SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value, "
+            "round(max(value), 6) AS max_value FROM events GROUP BY event_type"
+        ),
+        # rows-only (kernel semantics not expressible in ANSI SQL):
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, fingerprints,
+        # transcripts_invariant, media_features
+    }

@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all declarative-first so Catalyst owns the physical plan:
+
+* **exact**    — hash-groupBy on the normalized text (one shuffle);
+* **n-gram Jaccard** — shingle-explode + self-join on shared shingles
+  (never a cross join: candidate generation only touches pairs that share
+  at least one shingle, which is also how it survives 100 TB);
+* **MinHash + LSH** — per-doc signatures as pure Column aggregates
+  (k multiply-shift permutations over ``xxhash64(shingle)``), banded into
+  buckets, candidate pairs from a bucket self-join, verified with exact
+  Jaccard. No Python in the signature path at all.
+* **SimHash** — 64-bit tf-weighted sign fingerprint via one Arrow-batched
+  ``applyInPandas`` over collected (hash, tf) pairs; near-dup candidates by
+  banding the fingerprint into 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal).
+
+The reference has no dedup (its pipeline is a pure per-row map), but any
+engine replacing its ES sink at 10^12-doc scale needs these before
+indexing; they reuse the same tokenizer as the index path (analysis.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keep the min id per distinct text.
+
+    One hash shuffle on the (long) text; at scale hash the text first
+    (``sha2``) so the shuffle key is 32 bytes, not the document.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document.
+
+    Token n-grams via a zero-copy arrays_zip of shifted slices (no UDF).
+    Documents with < n tokens produce no shingles.
+    """
+    toks = tokenize_col(F.col(text_col))
+    df = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    m = F.size(F.col("toks")) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(m, F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Candidate pairs come from a self-join on shared shingles (docs with no
+    common shingle are never paired — linear in total postings, not |D|²);
+    intersection size is a count per pair; set sizes join in to finish
+    |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingle_df(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — k-permutation MinHash, pure Column algebra.
+
+    Permutation i is min over shingles of ``xxhash64(i, shingle)`` (a fresh
+    salted 64-bit hash per permutation — no arithmetic that could overflow
+    under ANSI mode). One groupBy shuffle produces all k mins as parallel
+    aggregates; map-side partial aggregation keeps the shuffle at k longs
+    per doc.
+    """
+    sh = shingle_df(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}") for i in range(k)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash→LSH candidate pairs, verified by exact Jaccard ≥ threshold.
+
+    bands×rows = k; a pair lands in a bucket iff one band of the signature
+    matches exactly (standard S-curve). Candidates are then verified, so
+    the output has no false positives; false negatives follow the S-curve
+    (with k=32, b=8: P(candidate) ≈ 1-(1-j⁴)⁸ — >99% at j≥0.7).
+    """
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.col("sig")[bi * rows + j] for j in range(rows)]).alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (shingle intersection join)
+    sh = shingle_df(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "id1"), "id1")
+        .withColumnRenamed("shingle", "s1")
+        .join(
+            sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("shingle", "s2"),
+            "id2",
+        )
+        .filter(F.col("s1") == F.col("s2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return j
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 64-bit tf-weighted sign fingerprint.
+
+    Term hashes and tfs are computed JVM-side; only the 64-lane weighted
+    bit-sum runs in an Arrow-batched grouped kernel (vectorized NumPy over
+    all terms of a batch of docs at once — no per-row Python).
+    """
+    th = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_col(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .select("doc_id", F.xxhash64("term").alias("h"), "tf")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        tf = pdf["tf"].to_numpy().astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, h, tf = ids[order], h[order], tf[order]
+        uniq, starts = np.unique(ids, return_index=True)
+        # bits: (n_terms, 64) ±tf contributions, segment-summed per doc
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.float64)
+        contrib = (2.0 * bits - 1.0) * tf[:, None]
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        fp = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.DataFrame({"doc_id": uniq, "simhash": fp.astype(np.int64)})
+
+    return th.groupBy("doc_id").applyInPandas(
+        lambda pdf: kernel(pdf), schema=SIMHASH_SCHEMA
+    )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: band the 64-bit fingerprint into 4×16-bit chunks —
+    any pair within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole), so a
+    4-way chunk self-join finds all of them without a cross join.
+    """
+    fp = simhash(df, text_col, id_col)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

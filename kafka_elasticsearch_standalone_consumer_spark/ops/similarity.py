@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, mirroring the index engine's oracle/fast split:
+
+* **brute-force cosine top-k** — pure Column algebra (``zip_with`` dot
+  product + ``aggregate`` reduce), one full scan, one final top-k sort of
+  partial per-partition top-k. The verification baseline.
+* **LSH-bucketed** (random hyperplanes) — deterministic sign signature as
+  Column algebra; at query time only the query's bucket (plus Hamming-1
+  neighbor buckets for recall) is scanned. This is the 100 TB scale path:
+  the scan prunes to ~|buckets|/2^bits of the table when the signature
+  column is a partition/bucket key.
+
+No Python in either scoring path — NumPy shows up only in the optional
+IVF coarse quantizer (centroid assignment), which is an Arrow-batched
+``mapInPandas`` kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PLANE_SEED = 0xC0FFEE
+
+
+def _cosine(vec_col: Column, q: list[float]) -> Column:
+    """Cosine similarity of an array<float> column against a literal query
+    vector — float64 accumulation JVM-side (zip_with + aggregate)."""
+    qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64))) or 1e-30
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm * F.lit(qn))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (id, cosine) — deterministic tie-break on id.
+
+    Catalyst plans this as scan → project → TakeOrderedAndProject: each
+    partition keeps k rows, the driver merges k×P — no full sort, no big
+    shuffle, which is exactly the distributed brute-force baseline shape.
+    """
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"), _cosine(F.col(vec_col), query_vec).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = _PLANE_SEED) -> np.ndarray:
+    """Deterministic Gaussian-ish hyperplanes from a counter-based hash."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-of-projection signature (int): bit i = 1 iff plane_i · v > 0."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec_col, plit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: scan only buckets within Hamming ≤ probe_hamming of the
+    query signature, then exact cosine inside the candidate set.
+
+    At scale ``sig`` is a partition column of the embeddings table, so the
+    bucket predicate becomes partition pruning (~(1+bits)/2^bits of data
+    read at probe_hamming=1); here it is a pushed-down scan filter.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(bits)}
+    cand = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes)).filter(
+        F.col("sig").isin(sorted(probe))
+    )
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"), _cosine(F.col(vec_col), query_vec).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (dot-product argmax) — the write-side of an IVF index. Vectorized
+    mapInPandas: one matmul per Arrow batch."""
+    cent = centroids.astype(np.float64)
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            pdf = pdf[[id_col]].copy()
+            pdf["list_id"] = (m @ cent_n.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    return emb.mapInPandas(kernel, schema=f"{id_col} long, list_id int")

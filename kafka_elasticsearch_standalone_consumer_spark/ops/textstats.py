@@ -1,0 +1,139 @@
+"""Text analysis for training-data curation — all Column algebra except the
+rolling-hash fingerprint (one Arrow-batched kernel).
+
+* language-ID: stopword-hit-ratio heuristic (English stopword list);
+* quality scoring: length / punctuation / stopword / alpha ratios;
+* token counting: whitespace and BPE-ish regex counts;
+* document fingerprinting: 64-bit polynomial rolling hash of the token
+  stream (content-defined identity that survives re-serialization).
+
+These run before the index build in a curation pipeline; they share the
+index tokenizer (analysis.py) so "tokens" means the same thing everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+EN_STOPWORDS = (
+    "the of and to in a is that it for on as are with be this was at by an "
+    "or from has had have not but they you his her its we our their"
+).split()
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count (0 for empty/blank) — count of \\S+ runs."""
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"\S+"), F.lit(0)))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + individual symbols."""
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(c: Column) -> Column:
+    toks = tokenize_col(c)
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(c: Column) -> Column:
+    s = F.coalesce(c, F.lit(""))
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(s), F.lit(1))
+
+
+def alpha_ratio(c: Column) -> Column:
+    s = F.coalesce(c, F.lit(""))
+    return (
+        F.length(F.regexp_replace(s, r"[^A-Za-z]", "")) / F.greatest(F.length(s), F.lit(1))
+    )
+
+
+def mean_token_len(c: Column) -> Column:
+    toks = tokenize_col(c)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc curation features + a composite [0,1] quality score."""
+    c = F.col(text_col)
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.coalesce(c, F.lit(""))).alias("n_chars"),
+        ws_token_count(c).alias("n_tokens_ws"),
+        bpe_token_count(c).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(mean_token_len(c), 6).alias("mean_token_len"),
+    )
+    # composite: in-range length, some stopwords, mostly alphabetic, sane punctuation
+    score = (
+        F.when((F.col("n_chars") >= 20) & (F.col("n_chars") <= 20000), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(F.col("alpha_ratio") >= 0.5, 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+    )
+    return feats.withColumn("quality", F.round(score, 2))
+
+
+def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: 'en' when the English-stopword hit ratio
+    clears 5%, else 'other'. (N-gram models plug in the same shape: a
+    per-language score column + greatest().)"""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(stopword_ratio(c) >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+FP_SCHEMA = "doc_id long, fingerprint long"
+_FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit polynomial rolling hash over the token stream.
+
+    fp(d) = Σ_i hash(tok_i) · BASE^(n-1-i)  (mod 2^64) — order-sensitive,
+    whitespace-normalization-invariant. Token hashes are xxhash64 JVM-side;
+    the positional reduction is one vectorized segment-product kernel.
+    """
+    th = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "term")
+    ).select("doc_id", "pos", F.xxhash64("term").alias("h"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        pos = pdf["pos"].to_numpy().astype(np.int64)
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        order = np.lexsort((pos, ids))
+        ids, pos, h = ids[order], pos[order], h[order]
+        uniq, starts, counts = np.unique(ids, return_index=True, return_counts=True)
+        n_per = np.repeat(counts, counts)
+        local = pos  # pos is already 0-based per doc
+        exp = (n_per - 1 - local).astype(np.uint64)
+        # BASE^exp via binary exponentiation, vectorized over all tokens
+        result = np.ones_like(exp)
+        base = np.full_like(exp, _FP_BASE)
+        e = exp.copy()
+        while e.any():
+            odd = (e & np.uint64(1)).astype(bool)
+            result[odd] *= base[odd]
+            e >>= np.uint64(1)
+            base *= base
+        fp = np.add.reduceat(h * result, starts)
+        return pd.DataFrame({"doc_id": uniq, "fingerprint": fp.astype(np.int64)})
+
+    return th.groupBy("doc_id").applyInPandas(lambda p: kernel(p), schema=FP_SCHEMA)

@@ -39,6 +39,60 @@ class Index:
         self.postings = self.wh.read(spark, "postings")
         self.term_stats = self.wh.read(spark, "term_stats")
 
+    @classmethod
+    def ephemeral(
+        cls,
+        docs: DataFrame,
+        docs_per_shard: int = 1 << 16,
+        n_buckets: int = 64,
+        tokenizer: str = "sql",
+    ) -> "Index":
+        """Build an in-memory index over docs(doc_id, text) — no warehouse.
+
+        Same plan as the persisted build (tokenize → stats → salted pack),
+        but tables stay cached DataFrames; used by small corpora, tests and
+        the driver-contract queries. The oracle path works too (tokens and
+        doc_stats are kept).
+        """
+        from kafka_elasticsearch_standalone_consumer_spark import B, BLOCK_SIZE, K1
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+        from kafka_elasticsearch_standalone_consumer_spark.index.build import build_postings
+        from kafka_elasticsearch_standalone_consumer_spark.stats import (
+            build_corpus_stats,
+            build_doc_stats,
+            build_term_stats,
+        )
+
+        spark = docs.sparkSession
+        tokens = tokens_from(docs, method=tokenizer).persist()
+        doc_stats = build_doc_stats(docs, tokens).persist()
+        row = build_corpus_stats(doc_stats).collect()[0]
+        meta = {
+            "n_docs": row["n_docs"],
+            "avgdl": row["avgdl"] or 0.0,
+            "docs_per_shard": docs_per_shard,
+            "n_buckets": n_buckets,
+            "block_size": BLOCK_SIZE,
+            "k1": K1,
+            "b": B,
+            "tokenizer": tokenizer,
+        }
+        postings = build_postings(
+            tokens.join(doc_stats, "doc_id"),
+            avgdl=meta["avgdl"] or 1e-9,
+            docs_per_shard=docs_per_shard,
+            n_buckets=n_buckets,
+        ).persist()
+        idx = cls.__new__(cls)
+        idx.spark = spark
+        idx.wh = None
+        idx.meta = meta
+        idx.postings = postings
+        idx.term_stats = build_term_stats(tokens).persist()
+        idx._tokens = tokens
+        idx._doc_stats = doc_stats
+        return idx
+
     # -- planning ---------------------------------------------------------
     def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
         """Query analysis + idf·weight per present term + bucket list."""
@@ -106,8 +160,11 @@ class Index:
 
     def search_oracle(self, query_text: str, k: int = 10) -> DataFrame:
         """Verification path: pure DataFrame BM25 over the tokens table."""
-        tokens = self.wh.read(self.spark, "tokens")
-        doc_stats = self.wh.read(self.spark, "doc_stats").select("doc_id", "dl")
+        if self.wh is None:
+            tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
+        else:
+            tokens = self.wh.read(self.spark, "tokens")
+            doc_stats = self.wh.read(self.spark, "doc_stats").select("doc_id", "dl")
         scores = bm25.bm25_scores_oracle(
             tokens,
             self.term_stats,

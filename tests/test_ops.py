@@ -1,0 +1,176 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, media."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+A = "the quick brown fox jumps over the lazy dog near the old river bank today"
+A_NEAR = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+B = "completely different text about spark shuffles and posting lists compression"
+C = "unrelated words describing benchmark throughput at massive industrial scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, A), (1, A_NEAR), (2, B), (3, C), (4, A)]  # 4 is exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def _py_jaccard(x, y, n=3):
+    tx = x.lower().split()
+    ty = y.lower().split()
+    sx = {" ".join(tx[i : i + n]) for i in range(len(tx) - n + 1)}
+    sy = {" ".join(ty[i : i + n]) for i in range(len(ty) - n + 1)}
+    return len(sx & sy) / len(sx | sy)
+
+
+def test_exact_dedup(docs):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 4 collapse, min id kept
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_pairs_matches_python(docs):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import jaccard_pairs
+
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 4) in got and got[(0, 4)] == 1.0
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - _py_jaccard(A, A_NEAR)) < 1e-9
+    assert all(k in {(0, 1), (0, 4), (1, 4)} for k in got)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import minhash_lsh_pairs
+
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # exact dup always collides in every band; near-dup (j≈0.86) collides whp
+    assert (0, 4) in got and got[(0, 4)] == 1.0
+    assert (0, 1) in got
+    assert abs(got[(0, 1)] - _py_jaccard(A, A_NEAR)) < 1e-9
+    # verification stage guarantees no false positives
+    assert all(v >= 0.5 for v in got.values())
+
+
+def test_simhash_exact_dup_zero_distance(docs):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import simhash, simhash_pairs
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[4]
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 4)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist(), vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import cosine_topk
+
+    df, vecs = emb
+    q = vecs[0].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    want = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+    got = cosine_topk(df, [float(x) for x in q], 5).collect()
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert abs(r["cosine"] - sims[r["vec_id"]]) < 1e-9
+
+
+def test_lsh_topk_contains_self(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import lsh_topk
+
+    df, vecs = emb
+    got = lsh_topk(df, [float(x) for x in vecs[0]], 5, bits=6).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_assign(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import ivf_assign
+
+    df, vecs = emb
+    cents = vecs[:4].astype(np.float64)
+    got = {r["vec_id"]: r["list_id"] for r in ivf_assign(df, cents).collect()}
+    assert len(got) == 40
+    for i in range(4):  # a centroid's own vector maps to itself
+        assert got[i] == i
+
+
+def test_quality_features_values(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
+
+    df = spark.createDataFrame([(1, "The cat, the hat!")], "doc_id long, text string")
+    r = quality_features(df).collect()[0]
+    assert r["n_chars"] == 17
+    assert r["n_tokens_ws"] == 4
+    assert r["n_tokens_bpe"] == 6  # The cat , the hat !
+    assert abs(r["stopword_ratio"] - 0.5) < 1e-6  # the, the of 4 tokens
+    assert abs(r["punct_ratio"] - 2 / 17) < 1e-5
+    assert abs(r["mean_token_len"] - 3.0) < 1e-5
+
+
+def test_lang_guess(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
+
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is happy"), (2, "gato perro casa rojo azul verde")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_guess(df).collect()}
+    assert got == {1: "en", 2: "other"}
+
+
+def test_fingerprint_properties(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta\tgamma"), (3, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # whitespace-normalization invariant
+    assert fp[1] != fp[3]  # order-sensitive
+
+
+def test_media_pipeline(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12, partitions=2).persist()
+    feats = extract_features(media, decoder="fake").collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r["n_bytes"] == len(raw[mid])
+        assert sum(r["byte_hist"]) == len(raw[mid])
+    thumbs = resize_images(media, out_w=8).collect()
+    assert all(len(bytes(t["thumb"])) == 8 for t in thumbs)
+    frames = sample_frames(media, every_ms=500).collect()
+    assert len(frames) > 0 and all(f["t_ms"] % 500 == 0 for f in frames)
+
+
+def test_media_stub_raises(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=2, partitions=1)
+    with pytest.raises(Exception, match="(?i)not.*implemented|NotImplementedError|Pillow|ffmpeg"):
+        extract_features(media, decoder="stub").collect()
