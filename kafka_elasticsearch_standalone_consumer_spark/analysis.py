@@ -56,10 +56,59 @@ def tokens_from(
     """(id..., term, tf) term frequencies per document.
 
     ``method='sql'`` keeps tokenize + explode + count inside one
-    whole-stage-codegen'd stage; ``method='pandas'`` routes the tokenizer
-    through the Arrow pandas UDF. Documents with no tokens produce no
-    rows here (their dl=0 is still tracked by doc_stats).
+    whole-stage-codegen'd stage (one shuffle for the groupBy);
+    ``method='pandas'`` routes the tokenizer through the Arrow pandas UDF;
+    ``method='fused'`` delegates to :func:`doc_term_freqs` (zero-shuffle,
+    the index-build hot path) and drops its extra ``dl`` column. Documents
+    with no tokens produce no rows here (their dl=0 is still tracked by
+    doc_stats).
     """
+    if method == "fused":
+        if id_cols != ("doc_id",):
+            raise ValueError("fused tokenizer requires id_cols=('doc_id',)")
+        return doc_term_freqs(df, text_col=text_col).drop("dl")
     tok = tokenize_udf(F.col(text_col)) if method == "pandas" else tokenize_col(F.col(text_col))
     exploded = df.select(*id_cols, F.explode(tok).alias("term"))
     return exploded.groupBy(*id_cols, "term").agg(F.count("*").alias("tf"))
+
+
+def doc_term_freqs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, dl) in ONE narrow pass — the index-build hot path.
+
+    The per-(doc, term) count is an aggregation whose groups never span
+    rows, so the Catalyst formulation (explode → groupBy) would shuffle
+    the entire exploded token stream for nothing. This Arrow-batched
+    kernel tokenizes and counts inside each input partition: zero
+    shuffles, and ``dl`` (document length) rides along so downstream
+    consumers (posting pack) never join doc_stats. Output is identical
+    (modulo the dl column) to ``tokens_from(method='sql')`` — asserted in
+    tests.
+    """
+    from itertools import chain
+
+    import numpy as np
+
+    schema = f"{id_col} long, term string, tf int, dl int"
+
+    def fused(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+            g = (
+                pd.DataFrame({id_col: np.repeat(ids, lens), "term": flat})
+                .groupby([id_col, "term"], sort=False, observed=True)
+                .size()
+                .reset_index(name="tf")
+            )
+            g["dl"] = g[id_col].map(pd.Series(lens, index=ids)).astype(np.int32)
+            g["tf"] = g["tf"].astype(np.int32)
+            yield g
+
+    return df.select(id_col, text_col).mapInPandas(fused, schema=schema)

@@ -118,10 +118,18 @@ def build_postings(
     num_partitions = (
         num_partitions or tokens_with_dl.sparkSession.sparkContext.defaultParallelism
     )
+    # Range-partition on (bucket, term, shard): (a) the sampler balances
+    # partitions by actual row counts, absorbing Zipf term skew better than
+    # hash; (b) each reduce task holds a CONTIGUOUS bucket range, so the
+    # partitionBy(term_bucket) writer emits ~buckets/P files per task
+    # instead of up to `n_buckets` (64× fewer files at scale). A run split
+    # across a range boundary just yields two doc-disjoint rows for the
+    # same (term, shard) — the query kernels already merge run lists.
     arranged = (
         with_shard(tokens_with_dl, docs_per_shard)
-        .repartition(num_partitions, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id")
+        .withColumn("term_bucket", term_bucket_col("term", n_buckets))
+        .repartitionByRange(num_partitions, "term_bucket", "term", "shard")
+        .sortWithinPartitions("term_bucket", "term", "shard", "doc_id")
         .select("term", "shard", "doc_id", "tf", "dl")
     )
 

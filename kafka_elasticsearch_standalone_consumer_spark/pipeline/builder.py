@@ -21,13 +21,11 @@ Steps (each resumable):
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_elasticsearch_standalone_consumer_spark import B, BLOCK_SIZE, K1
-from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs, tokens_from
 from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
 from kafka_elasticsearch_standalone_consumer_spark.index.build import (
     DEFAULT_DOCS_PER_SHARD,
@@ -53,7 +51,7 @@ def build_index(
     warehouse_path: str,
     docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
     n_buckets: int = DEFAULT_TERM_BUCKETS,
-    tokenizer: str = "sql",
+    tokenizer: str = "fused",
     num_partitions: int | None = None,
     run_id: str | None = None,
     fail_after: str | None = None,
@@ -79,25 +77,28 @@ def build_index(
         docs = assign_dense_ids(transcripts, num_partitions=num_partitions)
         wh.write(docs, "docs")
         spark.catalog.clearCache()  # release the range-sort cache from id assignment
-        return wh.read(spark, "docs").count()
+        return wh.count_rows("docs")
 
     def step_tokens():
         docs = wh.read(spark, "docs")
-        toks = tokens_from(docs, method=tokenizer)
+        if tokenizer == "fused":
+            toks = doc_term_freqs(docs)  # zero-shuffle; dl rides along
+        else:
+            toks = tokens_from(docs, method=tokenizer)
         wh.write(toks, "tokens")
-        return wh.read(spark, "tokens").count()
+        return wh.count_rows("tokens")
 
     def step_doc_stats():
         docs = wh.read(spark, "docs")
         toks = wh.read(spark, "tokens")
         ds = with_shard(build_doc_stats(docs, toks), docs_per_shard)
         wh.write(ds, "doc_stats")
-        return wh.read(spark, "doc_stats").count()
+        return wh.count_rows("doc_stats")
 
     def step_term_stats():
         ts = build_term_stats(wh.read(spark, "tokens"))
         wh.write(ts, "term_stats")
-        return wh.read(spark, "term_stats").count()
+        return wh.count_rows("term_stats")
 
     def step_meta():
         ds = wh.read(spark, "doc_stats")
@@ -112,22 +113,23 @@ def build_index(
             "b": B,
             "tokenizer": tokenizer,
         }
-        wh.write(
-            spark.createDataFrame([(json.dumps(meta),)], "meta string"), "sys_meta"
-        )
+        wh.write_meta("sys_meta", meta)
         return 1
 
     def step_doc_map():
         docs = wh.read(spark, "docs").select("conv_id", "turn_idx", "doc_id")
         ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
         wh.write(docs.join(ds, "doc_id"), "doc_map")
-        return wh.read(spark, "doc_map").count()
+        return wh.count_rows("doc_map")
 
     def step_postings():
         meta = read_meta(spark, wh)
         toks = wh.read(spark, "tokens")
-        ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
-        tokens_with_dl = toks.join(ds, "doc_id")
+        if "dl" in toks.columns:
+            tokens_with_dl = toks  # dl packed at tokenize time — no join
+        else:
+            ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
+            tokens_with_dl = toks.join(ds, "doc_id")
         postings = build_postings(
             tokens_with_dl,
             avgdl=meta["avgdl"],
@@ -136,7 +138,7 @@ def build_index(
             num_partitions=num_partitions,
         )
         wh.write(postings, "postings", partition_by=("term_bucket",))
-        return wh.read(spark, "postings").count()
+        return wh.count_rows("postings")
 
     runner.step("docs", step_docs)
     runner.step("tokens", step_tokens)
@@ -150,4 +152,4 @@ def build_index(
 
 
 def read_meta(spark: SparkSession, wh: Warehouse) -> dict:
-    return json.loads(wh.read(spark, "sys_meta").collect()[0]["meta"])
+    return wh.read_meta("sys_meta")

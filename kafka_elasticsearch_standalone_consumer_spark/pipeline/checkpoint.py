@@ -30,15 +30,44 @@ CHECKPOINT_SCHEMA = "run_id string, step_id string, status string, rows long, wa
 METRICS_SCHEMA = "run_id string, phase string, key string, value double"
 
 
+def _arrow_schemas():
+    import pyarrow as pa
+
+    ckpt = pa.schema(
+        [
+            ("run_id", pa.string()),
+            ("step_id", pa.string()),
+            ("status", pa.string()),
+            ("rows", pa.int64()),
+            ("wall_ms", pa.int64()),
+            ("ts", pa.float64()),
+        ]
+    )
+    metrics = pa.schema(
+        [
+            ("run_id", pa.string()),
+            ("phase", pa.string()),
+            ("key", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    return ckpt, metrics
+
+
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
 class CheckpointLog:
+    """Control-plane rows are written driver-side as plain parquet files
+    (same layout Spark reads) — a Spark job per one-row commit would cost
+    ~0.5 s of scheduling each, 21× per build (see Warehouse.append_rows)."""
+
     def __init__(self, spark: SparkSession, warehouse: Warehouse, run_id: str | None = None):
         self.spark = spark
         self.warehouse = warehouse
         self.run_id = run_id or new_run_id()
+        self._ckpt_schema, self._metrics_schema = _arrow_schemas()
 
     def completed_steps(self) -> set[str]:
         """Steps marked ok by ANY previous run — outputs are deterministic
@@ -46,23 +75,19 @@ class CheckpointLog:
         ``IndexerJob.java:171-230``, simplified to step granularity)."""
         if not self.warehouse.exists(CHECKPOINT_TABLE):
             return set()
-        df = self.warehouse.read(self.spark, CHECKPOINT_TABLE)
         return {
             r["step_id"]
-            for r in df.filter(df.status == "ok").select("step_id").distinct().collect()
+            for r in self.warehouse.read_rows(CHECKPOINT_TABLE)
+            if r["status"] == "ok"
         }
 
     def mark(self, step_id: str, status: str, rows: int, wall_ms: int) -> None:
         row = [(self.run_id, step_id, status, int(rows), int(wall_ms), time.time())]
-        self.warehouse.write(
-            self.spark.createDataFrame(row, CHECKPOINT_SCHEMA), CHECKPOINT_TABLE, mode="append"
-        )
+        self.warehouse.append_rows(CHECKPOINT_TABLE, row, self._ckpt_schema)
 
     def metric(self, phase: str, key: str, value: float) -> None:
         row = [(self.run_id, phase, key, float(value))]
-        self.warehouse.write(
-            self.spark.createDataFrame(row, METRICS_SCHEMA), METRICS_TABLE, mode="append"
-        )
+        self.warehouse.append_rows(METRICS_TABLE, row, self._metrics_schema)
 
 
 class StepRunner:

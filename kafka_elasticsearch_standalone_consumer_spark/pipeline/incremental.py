@@ -1,0 +1,263 @@
+"""Incremental index segments + compaction (SURVEY §2.4 E8).
+
+The reference's pipeline is incremental by construction: every Kafka batch
+is another bulk-index round, and Elasticsearch/Lucene absorbs it as a new
+segment that queries see after a refresh, with background segment merges
+(implied behind ``MessageHandler.java:65-107``; segment semantics are
+public Lucene behavior). This module owns those semantics Spark-side:
+
+* ``append_segment(spark, new_transcripts, warehouse)`` — builds a
+  self-contained index fragment (docs/tokens/doc_stats/term_stats/
+  postings) for a NEW batch of turns under ``warehouse/segments/<seg>/``,
+  assigning dense doc_ids that continue after the current corpus max, and
+  registers it in ``sys_segments``. Registration is the LAST write (the
+  at-least-once commit ordering of the reference: ES post before offset
+  commit, ``jobs/IndexerJob.java:377-415``), and an ``idempotency_key``
+  makes replays no-ops (the streaming ``foreachBatch`` caller passes the
+  batch id — same contract as committing a Kafka offset).
+* ``Index`` (query/engine.py) unions base + segment postings; global stats
+  (N, avgdl, df) are re-aggregated at plan time so scores stay EXACT after
+  appends — only the baked block-max bounds are per-segment, and the
+  query kernel substitutes a provably-safe bound when the global avgdl
+  has drifted above a segment's baked avgdl (see kernels._Run).
+* ``compact(spark, warehouse)`` — the Lucene merge: rebuilds base tables
+  from the union of all forward indexes (tokens), re-baking postings and
+  block-max bounds against the true global avgdl, then retires segments.
+
+Doc-range disjointness makes all of this cheap: segment k's doc_ids all
+exceed segment k-1's, so same-(term, shard) runs from different segments
+are doc-disjoint and the query kernels' existing multi-run handling needs
+no merge work at read time.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
+from kafka_elasticsearch_standalone_consumer_spark.index.build import build_postings, with_shard
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.checkpoint import (
+    CheckpointLog,
+    StepRunner,
+)
+from kafka_elasticsearch_standalone_consumer_spark.stats import (
+    build_doc_stats,
+    build_term_stats,
+)
+from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+SEGMENTS_TABLE = "sys_segments"
+
+
+def _segments_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("seg_id", pa.int64()),
+            ("idempotency_key", pa.string()),
+            ("n_docs", pa.int64()),
+            ("doc_id_lo", pa.int64()),
+            ("doc_id_hi", pa.int64()),  # exclusive
+            ("sum_dl", pa.int64()),
+            ("baked_avgdl", pa.float64()),
+            ("ts", pa.float64()),
+        ]
+    )
+
+
+def list_segments(wh: Warehouse) -> list[dict]:
+    """Registered segments, ascending seg_id. seg 0 is the base build."""
+    if not wh.exists(SEGMENTS_TABLE):
+        return []
+    return sorted(wh.read_rows(SEGMENTS_TABLE), key=lambda r: r["seg_id"])
+
+
+def seg_warehouse(wh: Warehouse, seg_id: int) -> Warehouse:
+    return Warehouse(os.path.join(wh.root, "segments", str(seg_id)))
+
+
+def _ensure_base_segment_row(wh: Warehouse) -> list[dict]:
+    """Lazily register the base build as segment 0 (records its baked
+    avgdl BEFORE any append mutates the global meta)."""
+    segs = list_segments(wh)
+    if segs:
+        return segs
+    meta = wh.read_meta("sys_meta")
+    n = int(meta["n_docs"])
+    row = [
+        (
+            0,
+            "__base__",
+            n,
+            0,
+            n,
+            int(round(float(meta["avgdl"]) * n)),
+            float(meta["avgdl"]),
+            time.time(),
+        )
+    ]
+    wh.append_rows(SEGMENTS_TABLE, row, _segments_schema())
+    return list_segments(wh)
+
+
+def append_segment(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    warehouse_path: str,
+    idempotency_key: str | None = None,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> int | None:
+    """Index a new batch of turns as the next segment; returns its seg_id
+    (or None when ``idempotency_key`` was already committed — replay)."""
+    wh = Warehouse(warehouse_path)
+    meta = wh.read_meta("sys_meta")
+    segs = _ensure_base_segment_row(wh)
+    if idempotency_key is not None and any(
+        s["idempotency_key"] == idempotency_key for s in segs
+    ):
+        return None  # replayed batch — the reference skips re-committed offsets
+    seg_id = segs[-1]["seg_id"] + 1
+    base = int(segs[-1]["doc_id_hi"])
+    swh = seg_warehouse(wh, seg_id)
+    log = CheckpointLog(spark, swh, run_id)
+    runner = StepRunner(log)
+
+    def step_docs():
+        docs = assign_dense_ids(new_transcripts, num_partitions=num_partitions)
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        swh.write(docs, "docs")
+        spark.catalog.clearCache()
+        return swh.count_rows("docs")
+
+    def step_tokens():
+        toks = doc_term_freqs(swh.read(spark, "docs"))
+        swh.write(toks, "tokens")
+        return swh.count_rows("tokens")
+
+    def step_doc_stats():
+        docs = swh.read(spark, "docs")
+        toks = swh.read(spark, "tokens")
+        ds = with_shard(build_doc_stats(docs, toks), int(meta["docs_per_shard"]))
+        swh.write(ds, "doc_stats")
+        return swh.count_rows("doc_stats")
+
+    def step_term_stats():
+        ts = build_term_stats(swh.read(spark, "tokens"))
+        swh.write(ts, "term_stats")
+        return swh.count_rows("term_stats")
+
+    def step_seg_meta():
+        row = (
+            swh.read(spark, "doc_stats")
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+            .collect()[0]
+        )
+        swh.write_meta(
+            "seg_meta", {"n_docs": row["n"], "sum_dl": int(row["sum_dl"] or 0)}
+        )
+        return 1
+
+    def step_postings():
+        seg = swh.read_meta("seg_meta")
+        baked_avgdl = (seg["sum_dl"] / seg["n_docs"]) if seg["n_docs"] else 0.0
+        postings = build_postings(
+            swh.read(spark, "tokens"),
+            avgdl=baked_avgdl or 1e-9,
+            docs_per_shard=int(meta["docs_per_shard"]),
+            n_buckets=int(meta["n_buckets"]),
+            num_partitions=num_partitions,
+        )
+        swh.write(postings, "postings", partition_by=("term_bucket",))
+        return swh.count_rows("postings")
+
+    runner.step("docs", step_docs)
+    runner.step("tokens", step_tokens)
+    runner.step("doc_stats", step_doc_stats)
+    runner.step("term_stats", step_term_stats)
+    runner.step("seg_meta", step_seg_meta)
+    runner.step("postings", step_postings)
+
+    # COMMIT: register the segment (last write — at-least-once ordering),
+    # then refresh global meta so new Index instances see the new corpus.
+    seg = swh.read_meta("seg_meta")
+    n_new, sum_dl_new = int(seg["n_docs"]), int(seg["sum_dl"])
+    wh.append_rows(
+        SEGMENTS_TABLE,
+        [
+            (
+                seg_id,
+                idempotency_key or f"seg-{seg_id}",
+                n_new,
+                base,
+                base + n_new,
+                sum_dl_new,
+                (sum_dl_new / n_new) if n_new else 0.0,
+                time.time(),
+            )
+        ],
+        _segments_schema(),
+    )
+    all_segs = list_segments(wh)
+    total_n = sum(s["n_docs"] for s in all_segs)
+    total_dl = sum(s["sum_dl"] for s in all_segs)
+    meta.update(n_docs=total_n, avgdl=(total_dl / total_n) if total_n else 0.0)
+    wh.write_meta("sys_meta", meta)
+    log.mark("ALL", "ok", n_new, 0)
+    return seg_id
+
+
+def compact(
+    spark: SparkSession,
+    warehouse_path: str,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Merge all segments back into the base index (Lucene segment merge).
+
+    Rebuilds from the union of per-segment document stores — postings and
+    block-max bounds are re-baked against the true global avgdl, so a
+    compacted index is bit-identical in query semantics to a one-shot
+    build over the full corpus. Returns the number of segments retired.
+    """
+    wh = Warehouse(warehouse_path)
+    segs = list_segments(wh)
+    if len(segs) <= 1:
+        return 0
+    meta = wh.read_meta("sys_meta")
+    docs_all = wh.read(spark, "docs")
+    for s in segs[1:]:
+        docs_all = docs_all.unionByName(seg_warehouse(wh, s["seg_id"]).read(spark, "docs"))
+    # rebuild into a fresh directory, then atomically swap
+    tmp_root = os.path.join(wh.root, "_compact_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    build_index(
+        spark,
+        docs_all.drop("doc_id"),
+        tmp_root,
+        docs_per_shard=int(meta["docs_per_shard"]),
+        n_buckets=int(meta["n_buckets"]),
+        tokenizer=meta.get("tokenizer", "fused"),
+        num_partitions=num_partitions,
+        run_id=run_id,
+    )
+    retired = len(segs) - 1
+    for name in ("docs", "tokens", "doc_stats", "term_stats", "doc_map", "postings",
+                 "sys_meta", "sys_checkpoint", "sys_metrics"):
+        dst = wh.path(name)
+        src = os.path.join(tmp_root, name)
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    shutil.rmtree(os.path.join(wh.root, "segments"), ignore_errors=True)
+    shutil.rmtree(wh.path(SEGMENTS_TABLE), ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return retired

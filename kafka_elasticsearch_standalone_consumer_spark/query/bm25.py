@@ -60,7 +60,7 @@ def bm25_scores_oracle(
     ts = term_stats.join(F.broadcast(qdf), "term").withColumn(
         "idfw", idf_expr(n_docs) * F.col("w")
     )
-    matched = tokens.filter(F.col("term").isin(list(weights))).join(
+    matched = tokens.select("doc_id", "term", "tf").filter(F.col("term").isin(list(weights))).join(
         F.broadcast(ts.select("term", "idfw")), "term"
     )
     scored = matched.join(doc_stats, "doc_id").withColumn(

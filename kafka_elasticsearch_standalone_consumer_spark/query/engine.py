@@ -33,11 +33,43 @@ TOPK_SCHEMA = "doc_id long, score double"
 
 class Index:
     def __init__(self, spark: SparkSession, warehouse_path: str):
+        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+            list_segments,
+            seg_warehouse,
+        )
+
         self.spark = spark
         self.wh = Warehouse(warehouse_path)
         self.meta = read_meta(spark, self.wh)
-        self.postings = self.wh.read(spark, "postings")
-        self.term_stats = self.wh.read(spark, "term_stats")
+        segs = list_segments(self.wh)
+        if len(segs) <= 1:
+            self.postings = self.wh.read(spark, "postings").withColumn(
+                "baked_avgdl", F.lit(float(self.meta["avgdl"]))
+            )
+            self.term_stats = self.wh.read(spark, "term_stats")
+            self._seg_whs = [self.wh]
+        else:
+            # incremental segments present: union postings (each carries the
+            # avgdl its block-max bounds were baked with — the kernel
+            # substitutes a safe bound if the global avgdl drifted up), and
+            # re-aggregate the term dictionary so df/idf stay globally exact
+            whs = [self.wh] + [seg_warehouse(self.wh, s["seg_id"]) for s in segs[1:]]
+            baked = [s["baked_avgdl"] for s in segs]
+            parts = [
+                w.read(spark, "postings").withColumn("baked_avgdl", F.lit(float(a)))
+                for w, a in zip(whs, baked)
+            ]
+            p = parts[0]
+            for q in parts[1:]:
+                p = p.unionByName(q)
+            self.postings = p
+            ts = whs[0].read(spark, "term_stats")
+            for w in whs[1:]:
+                ts = ts.unionByName(w.read(spark, "term_stats"))
+            self.term_stats = ts.groupBy("term").agg(
+                F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
+            )
+            self._seg_whs = whs
 
     @classmethod
     def ephemeral(
@@ -45,7 +77,7 @@ class Index:
         docs: DataFrame,
         docs_per_shard: int = 1 << 16,
         n_buckets: int = 64,
-        tokenizer: str = "sql",
+        tokenizer: str = "fused",
     ) -> "Index":
         """Build an in-memory index over docs(doc_id, text) — no warehouse.
 
@@ -55,7 +87,10 @@ class Index:
         doc_stats are kept).
         """
         from kafka_elasticsearch_standalone_consumer_spark import B, BLOCK_SIZE, K1
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            doc_term_freqs,
+            tokens_from,
+        )
         from kafka_elasticsearch_standalone_consumer_spark.index.build import build_postings
         from kafka_elasticsearch_standalone_consumer_spark.stats import (
             build_corpus_stats,
@@ -64,7 +99,10 @@ class Index:
         )
 
         spark = docs.sparkSession
-        tokens = tokens_from(docs, method=tokenizer).persist()
+        if tokenizer == "fused":
+            tokens = doc_term_freqs(docs).persist()
+        else:
+            tokens = tokens_from(docs, method=tokenizer).persist()
         doc_stats = build_doc_stats(docs, tokens).persist()
         row = build_corpus_stats(doc_stats).collect()[0]
         meta = {
@@ -77,12 +115,17 @@ class Index:
             "b": B,
             "tokenizer": tokenizer,
         }
-        postings = build_postings(
-            tokens.join(doc_stats, "doc_id"),
-            avgdl=meta["avgdl"] or 1e-9,
-            docs_per_shard=docs_per_shard,
-            n_buckets=n_buckets,
-        ).persist()
+        tokens_with_dl = tokens if "dl" in tokens.columns else tokens.join(doc_stats, "doc_id")
+        postings = (
+            build_postings(
+                tokens_with_dl,
+                avgdl=meta["avgdl"] or 1e-9,
+                docs_per_shard=docs_per_shard,
+                n_buckets=n_buckets,
+            )
+            .withColumn("baked_avgdl", F.lit(float(meta["avgdl"] or 1e-9)))
+            .persist()
+        )
         idx = cls.__new__(cls)
         idx.spark = spark
         idx.wh = None
@@ -92,6 +135,21 @@ class Index:
         idx._tokens = tokens
         idx._doc_stats = doc_stats
         return idx
+
+    def doc_keys(self) -> DataFrame:
+        """(doc_id, conv_id, turn_idx) across base + segments — the stable
+        user-facing identity (internal doc_ids are re-keyed by compaction,
+        exactly as Lucene renumbers docs on segment merge)."""
+        if self.wh is None:
+            raise ValueError("ephemeral index has no transcript identity table")
+        out = self._seg_whs[0].read(self.spark, "docs").select(
+            "doc_id", "conv_id", "turn_idx"
+        )
+        for w in self._seg_whs[1:]:
+            out = out.unionByName(
+                w.read(self.spark, "docs").select("doc_id", "conv_id", "turn_idx")
+            )
+        return out
 
     # -- planning ---------------------------------------------------------
     def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
@@ -135,7 +193,9 @@ class Index:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
             runs = [
-                kernels._Run(row, idfw[row.term], shard_lo)
+                kernels._Run(
+                    row, idfw[row.term], shard_lo, query_avgdl=avgdl, k1=k1, b=b
+                )
                 for row in pdf.itertuples(index=False)
             ]
             if mode == "exact":
@@ -163,8 +223,15 @@ class Index:
         if self.wh is None:
             tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
         else:
-            tokens = self.wh.read(self.spark, "tokens")
-            doc_stats = self.wh.read(self.spark, "doc_stats").select("doc_id", "dl")
+            tokens = self._seg_whs[0].read(self.spark, "tokens")
+            doc_stats = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
+            for w in self._seg_whs[1:]:
+                tokens = tokens.select("doc_id", "term", "tf").unionByName(
+                    w.read(self.spark, "tokens").select("doc_id", "term", "tf")
+                )
+                doc_stats = doc_stats.unionByName(
+                    w.read(self.spark, "doc_stats").select("doc_id", "dl")
+                )
         scores = bm25.bm25_scores_oracle(
             tokens,
             self.term_stats,

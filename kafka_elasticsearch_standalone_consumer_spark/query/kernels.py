@@ -34,12 +34,22 @@ DEFAULT_WINDOW = 8192
 
 
 class _Run:
-    """One posting run with lazy, cached per-block decoding."""
+    """One posting run with lazy, cached per-block decoding.
+
+    Block-max impacts were baked with the avgdl of the run's segment at
+    build time. Impact is monotone increasing in avgdl, so when the
+    query-time global avgdl exceeds the baked one (docs appended since —
+    see pipeline/incremental.py) the baked bound may under-estimate and
+    pruning would be unsafe; substitute the dl→0 bound from block_max_tf,
+    which upper-bounds the impact under ANY avgdl. Exact scoring is
+    unaffected either way (tf and dl are decoded, avgdl applied at query
+    time)."""
 
     __slots__ = ("idfw", "docs", "tfs", "dls", "offs_d", "offs_t", "offs_l",
                  "bmd", "blo", "impact", "n_docs", "_cache")
 
-    def __init__(self, row, idfw: float, shard_lo: int):
+    def __init__(self, row, idfw: float, shard_lo: int,
+                 query_avgdl: float | None = None, k1: float = K1, b: float = B):
         self.idfw = idfw
         self.docs = bytes(row.docs)
         self.tfs = bytes(row.tfs)
@@ -48,7 +58,17 @@ class _Run:
         self.offs_t = np.asarray(row.block_offs_tfs, dtype=np.int64)
         self.offs_l = np.asarray(row.block_offs_dls, dtype=np.int64)
         self.bmd = np.asarray(row.block_max_doc, dtype=np.int64)
-        self.impact = np.asarray(row.block_max_impact, dtype=np.float64)
+        # stored as float32: inflate by one ulp-ish factor so the bound
+        # stays an upper bound after the float64→float32 round-down
+        self.impact = np.asarray(row.block_max_impact, dtype=np.float64) * (1.0 + 1e-6)
+        baked = getattr(row, "baked_avgdl", None)
+        if (
+            query_avgdl is not None
+            and baked is not None
+            and float(query_avgdl) > float(baked) + 1e-12
+        ):
+            mt = np.asarray(row.block_max_tf, dtype=np.float64)
+            self.impact = mt / (mt + k1 * (1.0 - b))
         self.n_docs = int(row.n_docs)
         # lower bound of each block's doc range: previous block's max + 1
         blo = np.empty_like(self.bmd)

@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KESC_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch: prefer RAM-backed scratch when present. On a
+    # real cluster each executor spills to its own local NVMe (aggregate
+    # bandwidth scales with node count); in a single-VM sandbox the one
+    # shared virtual disk would serialize every level of parallelism.
+    local_dir = os.environ.get("KESC_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/kesc-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

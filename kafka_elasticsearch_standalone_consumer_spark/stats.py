@@ -27,8 +27,16 @@ def build_term_stats(tokens: DataFrame) -> DataFrame:
 
 
 def build_doc_stats(docs: DataFrame, tokens: DataFrame) -> DataFrame:
-    """doc_stats(doc_id, dl); docs with no tokens get dl=0 via left join."""
-    dl = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    """doc_stats(doc_id, dl); docs with no tokens get dl=0 via left join.
+
+    When the fused tokenizer packed ``dl`` inline, aggregate that single
+    value instead of re-summing every tf (same shuffle, ~|vocab|× fewer
+    aggregation inputs after map-side combine).
+    """
+    if "dl" in tokens.columns:
+        dl = tokens.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    else:
+        dl = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return (
         docs.select("doc_id")
         .join(dl, "doc_id", "left")

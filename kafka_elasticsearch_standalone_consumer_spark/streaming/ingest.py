@@ -1,0 +1,64 @@
+"""Structured-Streaming ingest: the reference's pull loop, Spark-native.
+
+The reference daemon loops forever per Kafka partition: fetch a batch →
+transform → bulk-index → commit offset (``jobs/IndexerJob.java:232-280``,
+``284-426``). The Spark-native equivalent is a streaming source feeding
+``foreachBatch``, where each micro-batch becomes one index SEGMENT
+(pipeline/incremental.py) and the offset commit splits into two layers
+with the same at-least-once ordering the reference had:
+
+* Spark's streaming checkpoint (``checkpointLocation``) tracks SOURCE
+  offsets — which input files / Kafka offsets were consumed (the
+  reference's ``KafkaClient.saveOffsetInKafka``, ``KafkaClient.java:87-108``);
+* the segment registry's ``idempotency_key = batch-<batch_id>`` makes a
+  replayed micro-batch (crash between index write and Spark's own commit)
+  a no-op, upgrading the pair to effectively-once index contents.
+
+Swap the file source for ``spark.readStream.format("kafka")`` on a real
+cluster — nothing below the source changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import append_segment
+from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+
+def index_stream_writer(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+):
+    """Return a ready-to-start ``DataStreamWriter`` that indexes each
+    micro-batch of transcripts as a new segment. Caller picks the trigger
+    (``availableNow=True`` for catch-up-and-stop, processingTime for a
+    daemon) and calls ``.start()``.
+
+    The base index must already exist (build_index once over the initial
+    corpus, possibly empty).
+    """
+    wh = Warehouse(warehouse_path)
+    if not wh.exists("sys_meta"):
+        raise ValueError(
+            f"no base index at {warehouse_path}; run build_index first "
+            "(an empty-transcripts build bootstraps a fresh warehouse)"
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_segment(
+            spark,
+            batch_df,
+            warehouse_path,
+            idempotency_key=f"batch-{batch_id}",
+            num_partitions=num_partitions,
+        )
+
+    return stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -11,6 +11,7 @@ paths.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,3 +47,69 @@ class Warehouse:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
+
+    # -- driver-side fast paths (no Spark job) -----------------------------
+    # Control-plane tables are a handful of rows; routing them through a
+    # Spark write/read costs a full job each (~0.5 s of pure scheduling),
+    # which at 21 control ops per build dominated small-corpus builds and
+    # wrecked the N→4N scaling efficiency. These paths produce/consume the
+    # SAME parquet layout Spark reads/writes — only the engine differs.
+
+    def count_rows(self, name: str) -> int:
+        """Exact row count from parquet footers (metadata-only, no scan)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        paths = [
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, files in os.walk(self.path(name))
+            for f in files
+            if f.endswith(".parquet") or (f.startswith("part-") and not f.endswith(".crc"))
+        ]
+        if not paths:
+            return 0
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return sum(ex.map(lambda p: pq.read_metadata(p).num_rows, paths))
+
+    def append_rows(self, name: str, rows: list[tuple], arrow_schema) -> None:
+        """Append a few control rows as one parquet file (atomic rename)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.path(name)
+        os.makedirs(p, exist_ok=True)
+        cols = [pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(arrow_schema)]
+        table = pa.Table.from_arrays(cols, schema=arrow_schema)
+        tmp = os.path.join(p, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(p, f"part-ctl-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
+
+    def write_meta(self, name: str, payload: dict) -> None:
+        """Overwrite a one-row JSON metadata table (driver-side)."""
+        import json
+        import shutil
+
+        import pyarrow as pa
+
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        self.append_rows(name, [(json.dumps(payload),)], pa.schema([("meta", pa.string())]))
+
+    def read_meta(self, name: str) -> dict:
+        import json
+
+        return json.loads(self.read_rows(name)[0]["meta"])
+
+    def read_rows(self, name: str) -> list[dict]:
+        """Read a small control table driver-side (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for dirpath, _dirs, files in os.walk(self.path(name)):
+            for f in sorted(files):
+                if f.endswith(".parquet") or (f.startswith("part-") and not f.endswith(".crc")):
+                    out.extend(pq.read_table(os.path.join(dirpath, f)).to_pylist())
+        return out

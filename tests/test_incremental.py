@@ -1,0 +1,144 @@
+"""Incremental segments + compaction (SURVEY §2.4 E8) and the streaming
+ingest path: results over (base + appended segments) must match a one-shot
+build over the full corpus — same (conv_id, turn_idx) hits, same scores —
+and replayed appends must be no-ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+    append_segment,
+    compact,
+    list_segments,
+)
+from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+K = 10
+QUERIES = ["w00000 w00003", "w00250", "w00001 w01500 w00007", "zzabsent w00002"]
+
+
+def _hits(spark, idx: Index, query: str, mode: str = "bmw"):
+    """search → {(conv_id, turn_idx): score} via the identity table."""
+    res = idx.search(query, K, mode=mode)
+    rows = res.join(idx.doc_keys(), "doc_id").collect()
+    return {(r["conv_id"], r["turn_idx"]): round(r["score"], 6) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    full = generate_transcripts(spark, n_convs=90, seed=11, partitions=4).persist()
+    full.count()
+    part_a = full.filter("conv_id < 'conv0000000050'")
+    part_b = full.filter("conv_id >= 'conv0000000050' and conv_id < 'conv0000000070'")
+    part_c = full.filter("conv_id >= 'conv0000000070'")
+    return full, part_a, part_b, part_c
+
+
+@pytest.fixture(scope="module")
+def segmented(spark, corpora, tmp_path_factory):
+    full, a, b, c = corpora
+    root = tmp_path_factory.mktemp("inc")
+    full_path = str(root / "full")
+    seg_path = str(root / "seg")
+    build_index(spark, full, full_path, docs_per_shard=256, n_buckets=8)
+    build_index(spark, a, seg_path, docs_per_shard=256, n_buckets=8)
+    s1 = append_segment(spark, b, seg_path, idempotency_key="b1")
+    s2 = append_segment(spark, c, seg_path, idempotency_key="b2")
+    assert (s1, s2) == (1, 2)
+    return full_path, seg_path
+
+
+def test_segmented_matches_full_build(spark, segmented):
+    full_path, seg_path = segmented
+    full_idx = Index(spark, full_path)
+    seg_idx = Index(spark, seg_path)
+    assert len(list_segments(Warehouse(seg_path))) == 3
+    for q in QUERIES:
+        want = _hits(spark, full_idx, q)
+        for mode in ("bmw", "exact"):
+            got = _hits(spark, seg_idx, q, mode=mode)
+            assert got == want, (q, mode)
+
+
+def test_segmented_oracle_agrees(spark, segmented):
+    _, seg_path = segmented
+    idx = Index(spark, seg_path)
+    q = QUERIES[0]
+    fast = _hits(spark, idx, q, mode="bmw")
+    res = idx.search_oracle(q, K).join(idx.doc_keys(), "doc_id").collect()
+    oracle = {(r["conv_id"], r["turn_idx"]): round(r["score"], 6) for r in res}
+    assert fast == oracle
+
+
+def test_append_replay_is_noop(spark, corpora, segmented):
+    _, _, b, _ = corpora
+    _, seg_path = segmented
+    n_before = len(list_segments(Warehouse(seg_path)))
+    assert append_segment(spark, b, seg_path, idempotency_key="b1") is None
+    assert len(list_segments(Warehouse(seg_path))) == n_before
+
+
+def test_global_stats_updated(spark, segmented):
+    full_path, seg_path = segmented
+    m_full = Warehouse(full_path).read_meta("sys_meta")
+    m_seg = Warehouse(seg_path).read_meta("sys_meta")
+    assert m_seg["n_docs"] == m_full["n_docs"]
+    assert abs(m_seg["avgdl"] - m_full["avgdl"]) < 1e-9
+
+
+def test_compact_preserves_results_and_retires_segments(spark, corpora, segmented):
+    full, _, _, _ = corpora
+    _, seg_path = segmented
+    before = {q: _hits(spark, Index(spark, seg_path), q) for q in QUERIES}
+    retired = compact(spark, seg_path)
+    assert retired == 2
+    assert list_segments(Warehouse(seg_path)) == []
+    idx = Index(spark, seg_path)
+    for q in QUERIES:
+        assert _hits(spark, idx, q) == before[q], q
+    # compacted warehouse keeps accepting appends
+    extra = generate_transcripts(spark, n_convs=5, seed=99, partitions=2)
+    extra = extra.withColumn("conv_id", extra["conv_id"].substr(1, 4))  # distinct ids
+    assert append_segment(spark, extra, seg_path, idempotency_key="post-compact") == 1
+
+
+def test_streaming_ingest_availablenow(spark, corpora, tmp_path_factory):
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import TRANSCRIPTS_SCHEMA
+    from kafka_elasticsearch_standalone_consumer_spark.streaming.ingest import (
+        index_stream_writer,
+    )
+
+    full, a, b, c = corpora
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    wh_path = str(root / "wh")
+    ckpt = str(root / "ckpt")
+    # base index over part a; parts b, c arrive as files on the stream
+    build_index(spark, a, wh_path, docs_per_shard=256, n_buckets=8)
+    b.coalesce(1).write.parquet(src)
+    c.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        index_stream_writer(spark, stream, wh_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(list_segments(Warehouse(wh_path))) >= 2  # base + ≥1 micro-batch
+
+    full_path = str(root / "full")
+    build_index(spark, full, full_path, docs_per_shard=256, n_buckets=8)
+    for query in QUERIES[:2]:
+        assert _hits(spark, Index(spark, wh_path), query) == _hits(
+            spark, Index(spark, full_path), query
+        ), query
