@@ -320,6 +320,48 @@ def q_transcripts_invariant(spark, sf_dir):
     return spark.createDataFrame([(n, n_bad)], "n_turns long, n_mismatch long")
 
 
+def q_incremental_segments(spark, sf_dir):
+    """Segmented index (base + 1 appended segment + replay) answers every
+    probe query identically to a one-shot build over the full corpus, and
+    compaction preserves results; returns counters (mismatches must be 0)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        append_segment,
+        compact,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    def hits(idx, q):
+        res = idx.search(q, K).join(idx.doc_keys(), "doc_id")
+        return sorted(
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6)) for r in res.collect()
+        )
+
+    full = generate_transcripts(spark, n_convs=60, seed=5, partitions=4).persist()
+    a = full.filter("conv_id < 'conv0000000040'")
+    b = full.filter("conv_id >= 'conv0000000040'")
+    root = tempfile.mkdtemp(prefix="kesc_inc_")
+    build_index(spark, full, f"{root}/full", docs_per_shard=256, n_buckets=8)
+    build_index(spark, a, f"{root}/seg", docs_per_shard=256, n_buckets=8)
+    append_segment(spark, b, f"{root}/seg", idempotency_key="b")
+    replay_noop = append_segment(spark, b, f"{root}/seg", idempotency_key="b") is None
+    probes = ["w00000 w00003", "w00250", "w00001 w01500"]
+    f_idx, s_idx = Index(spark, f"{root}/full"), Index(spark, f"{root}/seg")
+    want = {q: hits(f_idx, q) for q in probes}
+    n_seg_bad = sum(want[q] != hits(s_idx, q) for q in probes)
+    compact(spark, f"{root}/seg")
+    c_idx = Index(spark, f"{root}/seg")
+    n_compact_bad = sum(want[q] != hits(c_idx, q) for q in probes)
+    spark.catalog.clearCache()
+    return spark.createDataFrame(
+        [(len(probes), n_seg_bad, n_compact_bad, bool(replay_noop))],
+        "n_probes long, n_segment_mismatch long, n_compact_mismatch long, replay_noop boolean",
+    )
+
+
 def q_media_features(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
         extract_features,
@@ -357,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "events_rollup": q_events_rollup,
         "transcripts_invariant": q_transcripts_invariant,
+        "incremental_segments": q_incremental_segments,
         "media_features": q_media_features,
     }
 
@@ -558,5 +601,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         # rows-only (kernel semantics not expressible in ANSI SQL):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, fingerprints,
-        # transcripts_invariant, media_features
+        # transcripts_invariant, incremental_segments, media_features
     }

@@ -96,7 +96,7 @@ def build_index(
         return wh.count_rows("doc_stats")
 
     def step_term_stats():
-        ts = build_term_stats(wh.read(spark, "tokens"))
+        ts = build_term_stats(wh.read(spark, "tokens"), n_buckets=n_buckets)
         wh.write(ts, "term_stats")
         return wh.count_rows("term_stats")
 

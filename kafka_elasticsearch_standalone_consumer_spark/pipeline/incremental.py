@@ -151,7 +151,7 @@ def append_segment(
         return swh.count_rows("doc_stats")
 
     def step_term_stats():
-        ts = build_term_stats(swh.read(spark, "tokens"))
+        ts = build_term_stats(swh.read(spark, "tokens"), n_buckets=int(meta["n_buckets"]))
         swh.write(ts, "term_stats")
         return swh.count_rows("term_stats")
 

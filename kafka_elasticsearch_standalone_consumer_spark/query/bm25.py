@@ -42,24 +42,32 @@ def bm25_scores_oracle(
     avgdl: float,
     k1: float = K1,
     b: float = B,
+    idfw: dict[str, float] | None = None,
 ) -> DataFrame:
     """scores(doc_id, score) for every matching doc — declarative plan.
 
     tokens(doc_id, term, tf) is filtered to query terms FIRST (predicate
     pushed to the scan), then joined to the (broadcast) per-term stats and
     to doc_stats; one aggregation produces the scores. OR semantics: any
-    matching term contributes.
+    matching term contributes. When the caller already planned the query
+    (engine._plan_terms), pass its ``idfw`` so fast path and oracle share
+    bit-identical term weights.
     """
     spark = tokens.sparkSession
     weights = query_term_weights(query_text)
     if not weights:
         return spark.createDataFrame([], "doc_id long, score double")
-    qdf = spark.createDataFrame(
-        [(t, float(w)) for t, w in sorted(weights.items())], "term string, w double"
-    )
-    ts = term_stats.join(F.broadcast(qdf), "term").withColumn(
-        "idfw", idf_expr(n_docs) * F.col("w")
-    )
+    if idfw is not None:
+        ts = spark.createDataFrame(
+            [(t, float(v)) for t, v in sorted(idfw.items())], "term string, idfw double"
+        )
+    else:
+        qdf = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())], "term string, w double"
+        )
+        ts = term_stats.join(F.broadcast(qdf), "term").withColumn(
+            "idfw", idf_expr(n_docs) * F.col("w")
+        )
     matched = tokens.select("doc_id", "term", "tf").filter(F.col("term").isin(list(weights))).join(
         F.broadcast(ts.select("term", "idfw")), "term"
     )

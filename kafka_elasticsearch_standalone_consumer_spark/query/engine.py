@@ -131,7 +131,7 @@ class Index:
         idx.wh = None
         idx.meta = meta
         idx.postings = postings
-        idx.term_stats = build_term_stats(tokens).persist()
+        idx.term_stats = build_term_stats(tokens, n_buckets=n_buckets).persist()
         idx._tokens = tokens
         idx._doc_stats = doc_stats
         return idx
@@ -153,23 +153,76 @@ class Index:
 
     # -- planning ---------------------------------------------------------
     def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
-        """Query analysis + idf·weight per present term + bucket list."""
+        """Query analysis + idf·weight per present term + bucket list.
+
+        The term→(df, bucket) resolution is the Lucene term-dictionary
+        lookup. Against a warehouse it is a driver-side pyarrow read of the
+        term-sorted ``term_stats`` files (footer min/max prunes to the row
+        groups covering the query terms — no Spark job); the ephemeral /
+        legacy-layout fallback is one filtered Spark collect. idf is then
+        computed once here and shared by the fast path AND the DataFrame
+        oracle, so both paths score with bit-identical weights.
+        """
+        import math
+
         weights = bm25.query_term_weights(query_text)
         if not weights:
             return {}, []
-        qdf = self.spark.createDataFrame(
-            [(t, float(w)) for t, w in sorted(weights.items())], "term string, w double"
-        )
+        terms = sorted(weights)
+        rows = self._lookup_terms_arrow(terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(terms)
+        df_by: dict[str, int] = {}
+        bucket_by: dict[str, int] = {}
+        for term, df, bucket in rows:  # sum df across segments
+            df_by[term] = df_by.get(term, 0) + int(df)
+            bucket_by[term] = int(bucket)
+        n = float(self.meta["n_docs"])
+        idfw = {
+            t: weights[t] * math.log(1.0 + (n - df_by[t] + 0.5) / (df_by[t] + 0.5))
+            for t in df_by
+        }
+        buckets = sorted({bucket_by[t] for t in df_by})
+        return idfw, buckets
+
+    def _lookup_terms_arrow(self, terms: list[str]):
+        """(term, df, bucket) rows via footer-pruned pyarrow reads, or None
+        when there is no warehouse / the layout predates term_bucket."""
+        if self.wh is None:
+            return None
+        import pyarrow.dataset as pads
+
+        out = []
+        for w in self._seg_whs:
+            data = pads.dataset(w.path("term_stats"), format="parquet")
+            if "term_bucket" not in data.schema.names:
+                return None
+            tbl = data.to_table(
+                columns=["term", "df", "term_bucket"],
+                filter=pads.field("term").isin(terms),
+            )
+            out.extend(
+                zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                    tbl.column("term_bucket").to_pylist(),
+                )
+            )
+        return out
+
+    def _lookup_terms_spark(self, terms: list[str]):
+        ts = self.term_stats
+        if "term_bucket" not in ts.columns:
+            ts = ts.withColumn(
+                "term_bucket", term_bucket_col("term", self.meta["n_buckets"])
+            )
         rows = (
-            self.term_stats.join(F.broadcast(qdf), "term")
-            .withColumn("idfw", bm25.idf_expr(self.meta["n_docs"]) * F.col("w"))
-            .withColumn("bucket", term_bucket_col("term", self.meta["n_buckets"]))
-            .select("term", "idfw", "bucket")
+            ts.filter(F.col("term").isin(terms))
+            .groupBy("term", "term_bucket")
+            .agg(F.sum("df").alias("df"))
             .collect()
         )
-        idfw = {r["term"]: r["idfw"] for r in rows}
-        buckets = sorted({r["bucket"] for r in rows})
-        return idfw, buckets
+        return [(r["term"], r["df"], r["term_bucket"]) for r in rows]
 
     # -- execution --------------------------------------------------------
     def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
@@ -232,6 +285,7 @@ class Index:
                 doc_stats = doc_stats.unionByName(
                     w.read(self.spark, "doc_stats").select("doc_id", "dl")
                 )
+        idfw, _buckets = self._plan_terms(query_text)
         scores = bm25.bm25_scores_oracle(
             tokens,
             self.term_stats,
@@ -241,5 +295,6 @@ class Index:
             avgdl=self.meta["avgdl"] or 1e-9,
             k1=self.meta["k1"],
             b=self.meta["b"],
+            idfw=idfw or None,
         )
         return bm25.topk(scores, k)

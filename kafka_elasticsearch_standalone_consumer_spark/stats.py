@@ -18,11 +18,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_term_stats(tokens: DataFrame) -> DataFrame:
-    """tokens(doc_id, term, tf) → term_stats(term, df, max_tf)."""
-    return tokens.groupBy("term").agg(
+def build_term_stats(tokens: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """tokens(doc_id, term, tf) → term_stats(term, df, max_tf[, term_bucket]).
+
+    With ``n_buckets`` the postings bucket id is precomputed per term so
+    query planning never re-derives the hash, and the table is range-
+    clustered + sorted by term: each parquet file then covers a narrow
+    term range, which is what lets the query planner resolve term→(df,
+    bucket) with a driver-side footer-pruned pyarrow read (the Lucene
+    term-dictionary lookup) instead of a Spark job per query.
+    """
+    ts = tokens.groupBy("term").agg(
         F.count("*").alias("df"),  # tokens has one row per (doc, term)
         F.max("tf").cast("int").alias("max_tf"),
+    )
+    if n_buckets is None:
+        return ts
+    from kafka_elasticsearch_standalone_consumer_spark.index.build import term_bucket_col
+
+    num = tokens.sparkSession.sparkContext.defaultParallelism
+    return (
+        ts.withColumn("term_bucket", term_bucket_col("term", n_buckets))
+        .repartitionByRange(num, "term")
+        .sortWithinPartitions("term")
     )
 
 

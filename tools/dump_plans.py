@@ -1,0 +1,106 @@
+"""Regenerate PLANS.md — captured physical plans for the hot paths, with
+the properties we engineered for (PartitionFilters / PushedFilters /
+ReadSchema pruning / broadcast / single-shuffle pack) visible in situ.
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan_of(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def main() -> None:
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.index.build import build_postings
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+    from kafka_elasticsearch_standalone_consumer_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans", master="local[4]", shuffle_partitions=4)
+    wh = tempfile.mkdtemp() + "/idx"
+    tr = generate_transcripts(spark, n_convs=200, seed=42)
+    build_index(spark, tr, wh, docs_per_shard=512, n_buckets=8)
+    idx = Index(spark, wh)
+
+    sections = []
+
+    idfw, buckets = idx._plan_terms("w00000 w00412")
+    hits = idx.postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(idfw))
+    )
+    sections.append(
+        (
+            "Query-path postings scan",
+            "The per-query scan must touch only the query terms' bucket "
+            "directories (PartitionFilters on term_bucket) and push the "
+            "term equality into the parquet reader (PushedFilters) — query "
+            "cost stays ~|q|·n_shards rows no matter how wide the corpus is.",
+            plan_of(hits),
+        )
+    )
+
+    oracle = idx.search_oracle("w00000 w00412", 10)
+    oracle.collect()
+    sections.append(
+        (
+            "BM25 DataFrame oracle (verification path)",
+            "Declarative joins/agg: query-term weights broadcast (no "
+            "shuffle of the big side), tokens scan filtered by term before "
+            "any join, one aggregation, TakeOrderedAndProject for top-k.",
+            plan_of(oracle),
+        )
+    )
+
+    toks = doc_term_freqs(idx.wh.read(spark, "docs"))
+    sections.append(
+        (
+            "Fused tokenize + tf-count (index-build hot path)",
+            "One narrow Arrow pass — no Exchange anywhere in the plan: the "
+            "per-(doc, term) aggregation never crosses row boundaries, so "
+            "Catalyst's explode→groupBy shuffle is provably unnecessary.",
+            plan_of(toks),
+        )
+    )
+
+    pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
+    sections.append(
+        (
+            "Posting pack (the ONE big shuffle of the build)",
+            "Range repartition on (term_bucket, term, shard) — sampled "
+            "boundaries absorb Zipf skew; in-partition sort makes every "
+            "(term, shard) run contiguous for the streaming pack kernel; "
+            "tasks hold contiguous bucket ranges so the partitioned write "
+            "emits ~n_buckets/P files per task.",
+            plan_of(pack),
+        )
+    )
+
+    out = ["# PLANS — captured physical plans for the hot paths",
+           "",
+           "Regenerate with `python tools/dump_plans.py`. Assertions over these",
+           "properties live in `tests/test_plans.py` (they run per-commit; this",
+           "file is the human-readable snapshot).",
+           ""]
+    for title, why, plan in sections:
+        out += [f"## {title}", "", why, "", "```", plan.rstrip(), "```", ""]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
