@@ -264,6 +264,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+COSINE_DUP_THRESHOLD = 0.4  # sf0.01 embeddings: 59 pairs, nearest pair
+# cosine is 1.3e-4 away from the cut — safe against float noise
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), COSINE_DUP_THRESHOLD).select(
+        "id1", "id2", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
+def q_cosine_dup_pairs_lsh(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_dup_pairs_lsh,
+    )
+
+    return cosine_dup_pairs_lsh(_emb(spark, sf_dir), COSINE_DUP_THRESHOLD).select(
+        "id1", "id2", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
 def q_quality_features(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
 
@@ -394,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_dup_pairs_lsh": q_cosine_dup_pairs_lsh,
         "quality_features": q_quality_features,
         "lang_guess": q_lang_guess,
         "fingerprints": q_fingerprints,
@@ -516,6 +540,20 @@ ORDER BY dot / (n1 * n2) DESC, vec_id
 LIMIT 10
 """
 
+_COSINE_DUP_SQL = f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cosine, 5) AS cosine_r FROM p WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id,
@@ -593,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
         "cosine_topk": _COSINE_SQL,
+        "cosine_dup_pairs": _COSINE_DUP_SQL,
         "quality_features": _QUALITY_SQL,
         "lang_guess": _LANG_SQL,
         "events_rollup": (

@@ -116,6 +116,107 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def _pair_cosine(a_vec: Column, b_vec: Column) -> Column:
+    """Cosine between two array<float> columns, float64 accumulation."""
+    dot = F.aggregate(
+        F.zip_with(a_vec, b_vec, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return dot / (_norm(a_vec) * _norm(b_vec))
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT: every (id1 < id2) pair with
+    cosine ≥ threshold. All-pairs comparison — the verification baseline
+    for :func:`cosine_dup_pairs_lsh` (which is the path that survives
+    100 TB); Catalyst plans the self-join as broadcast nested loop when one
+    side fits."""
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", _pair_cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def cosine_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    bits: int = 32,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH banding: candidates are
+    pairs agreeing on ≥1 of ``bands`` bands of ``bits/bands`` hyperplane
+    sign bits each (collision prob per bit = 1 − θ/π), then verified with
+    the exact cosine — no false positives; recall follows the LSH S-curve.
+    At scale the band hash is the shuffle key: candidate generation is a
+    band-bucket self-join, never all-pairs."""
+    rows = bits // bands
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits)
+    sig = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), bi * rows)
+                    .bitwiseAND(F.lit((1 << rows) - 1))
+                    .alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "v", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cosine", _pair_cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,

@@ -56,12 +56,21 @@ def build_index(
     run_id: str | None = None,
     fail_after: str | None = None,
     dry_run: bool = False,
+    materialize_tokens: bool = True,
 ) -> "StepRunner":
     """Build (or resume building) the full index under ``warehouse_path``.
 
     ``dry_run=True`` mirrors the reference's isDryRun flag
     (``jobs/IndexerJob.java:371-374``): execute the transform plan and
     count rows, but write neither tables nor checkpoints.
+
+    ``materialize_tokens=False`` skips persisting the forward index: the
+    fused tokenizer is a zero-shuffle narrow pass, so downstream steps
+    recompute it from ``docs`` instead of reading a ``tokens`` table. At
+    10^12 turns the tokens table is LARGER than the input — this knob
+    trades ~2× tokenize CPU (embarrassingly parallel) for not writing,
+    storing, or re-reading that intermediate. The oracle query path
+    recomputes tokens on the fly too.
     """
     wh = Warehouse(warehouse_path)
     log = CheckpointLog(spark, wh, run_id)
@@ -79,24 +88,27 @@ def build_index(
         spark.catalog.clearCache()  # release the range-sort cache from id assignment
         return wh.count_rows("docs")
 
-    def step_tokens():
+    def _tokens_df():
+        if wh.exists("tokens"):
+            return wh.read(spark, "tokens")
         docs = wh.read(spark, "docs")
         if tokenizer == "fused":
-            toks = doc_term_freqs(docs)  # zero-shuffle; dl rides along
-        else:
-            toks = tokens_from(docs, method=tokenizer)
-        wh.write(toks, "tokens")
+            return doc_term_freqs(docs)  # zero-shuffle; dl rides along
+        return tokens_from(docs, method=tokenizer)
+
+    def step_tokens():
+        wh.write(_tokens_df(), "tokens")
         return wh.count_rows("tokens")
 
     def step_doc_stats():
         docs = wh.read(spark, "docs")
-        toks = wh.read(spark, "tokens")
+        toks = _tokens_df()
         ds = with_shard(build_doc_stats(docs, toks), docs_per_shard)
         wh.write(ds, "doc_stats")
         return wh.count_rows("doc_stats")
 
     def step_term_stats():
-        ts = build_term_stats(wh.read(spark, "tokens"), n_buckets=n_buckets)
+        ts = build_term_stats(_tokens_df(), n_buckets=n_buckets)
         wh.write(ts, "term_stats")
         return wh.count_rows("term_stats")
 
@@ -124,7 +136,7 @@ def build_index(
 
     def step_postings():
         meta = read_meta(spark, wh)
-        toks = wh.read(spark, "tokens")
+        toks = _tokens_df()
         if "dl" in toks.columns:
             tokens_with_dl = toks  # dl packed at tokenize time — no join
         else:
@@ -141,7 +153,8 @@ def build_index(
         return wh.count_rows("postings")
 
     runner.step("docs", step_docs)
-    runner.step("tokens", step_tokens)
+    if materialize_tokens:
+        runner.step("tokens", step_tokens)
     runner.step("doc_stats", step_doc_stats)
     runner.step("term_stats", step_term_stats)
     runner.step("meta", step_meta)

@@ -136,6 +136,42 @@ class Index:
         idx._doc_stats = doc_stats
         return idx
 
+    def fetch(self, hits: DataFrame) -> DataFrame:
+        """Join hits(doc_id, ...) back to the document store — the ES
+        ``_source`` fetch phase (the reference posted whole documents,
+        ``MessageHandler.java:135-139``; users get them back at query
+        time). Broadcast the (tiny) hits side so the docs scan stays
+        pruned and shuffle-free."""
+        if self.wh is None:
+            raise ValueError("ephemeral index has no document store")
+        docs = self._seg_whs[0].read(self.spark, "docs")
+        for w in self._seg_whs[1:]:
+            docs = docs.unionByName(w.read(self.spark, "docs"))
+        return docs.join(F.broadcast(hits), "doc_id").select(
+            *hits.columns, "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+
+    def stats(self) -> dict:
+        """Index-level stats (the ES ``_stats`` surface), driver-side:
+        corpus scalars from sys_meta, per-step rows/wall from the
+        checkpoint lineage, segment registry summary."""
+        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+            list_segments,
+        )
+
+        out = {"meta": dict(self.meta)}
+        if self.wh is not None:
+            if self.wh.exists("sys_checkpoint"):
+                steps = {}
+                for r in self.wh.read_rows("sys_checkpoint"):
+                    if r["step_id"] != "ALL" and r["status"] == "ok":
+                        steps[r["step_id"]] = {"rows": r["rows"], "wall_ms": r["wall_ms"]}
+                out["steps"] = steps
+            segs = list_segments(self.wh)
+            out["n_segments"] = max(len(segs), 1)
+            out["doc_id_hi"] = segs[-1]["doc_id_hi"] if segs else self.meta["n_docs"]
+        return out
+
     def doc_keys(self) -> DataFrame:
         """(doc_id, conv_id, turn_idx) across base + segments — the stable
         user-facing identity (internal doc_ids are re-keyed by compaction,
@@ -271,16 +307,97 @@ class Index:
         partials = hits.groupBy("shard").applyInPandas(per_shard, schema=TOPK_SCHEMA)
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(
+        self, queries: dict[str, str] | list[str], k: int = 10
+    ) -> DataFrame:
+        """Batched top-k BM25 (OR semantics) for a whole query set in ONE
+        Spark job: (qid, doc_id, score, rank). Planning is one driver-side
+        term-dictionary lookup over the union of query terms; per shard,
+        posting blocks are decoded once and reused by every query that
+        shares the term (the _Run block cache), so Q queries cost far less
+        than Q× one query — the shape that matters when the reference
+        query set (or a training-data scoring sweep) runs as a batch.
+        """
+        if isinstance(queries, list):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        per_q = {qid: self._plan_terms(q) for qid, q in queries.items()}
+        all_terms = sorted({t for idfw, _ in per_q.values() for t in idfw})
+        all_buckets = sorted({b for _, bs in per_q.values() for b in bs})
+        if not all_terms:
+            return self.spark.createDataFrame([], "qid string, " + TOPK_SCHEMA + ", rank int")
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        plans = {qid: idfw for qid, (idfw, _bs) in per_q.items() if idfw}
+        hits = self.postings.filter(
+            F.col("term_bucket").isin(all_buckets) & F.col("term").isin(all_terms)
+        )
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            shard_lo = shard * docs_per_shard
+            # one _Run per posting row; block decode cache shared across queries
+            runs_by_term: dict[str, list] = {}
+            for row in pdf.itertuples(index=False):
+                r = kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                runs_by_term.setdefault(row.term, []).append(r)
+            out_q, out_d, out_s = [], [], []
+            for qid, idfw in plans.items():
+                runs = []
+                for t, w in idfw.items():
+                    for r in runs_by_term.get(t, []):
+                        runs.append(kernels._RunView(r, w))
+                if not runs:
+                    continue
+                d, s = kernels.shard_topk_bmw(
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b
+                )
+                out_q.extend([qid] * len(d))
+                out_d.append(d)
+                out_s.append(s)
+            if not out_q:
+                return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                    {"qid": str, "doc_id": np.int64, "score": np.float64}
+                )
+            return pd.DataFrame(
+                {
+                    "qid": out_q,
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        from pyspark.sql.window import Window
+
+        partials = hits.groupBy("shard").applyInPandas(
+            per_shard, schema="qid string, " + TOPK_SCHEMA
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def search_oracle(self, query_text: str, k: int = 10) -> DataFrame:
         """Verification path: pure DataFrame BM25 over the tokens table."""
         if self.wh is None:
             tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
         else:
-            tokens = self._seg_whs[0].read(self.spark, "tokens")
+            from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+
+            def _toks(w):
+                # tokens may be unmaterialized (materialize_tokens=False):
+                # recompute the zero-shuffle fused pass from the doc store
+                if w.exists("tokens"):
+                    return w.read(self.spark, "tokens")
+                return doc_term_freqs(w.read(self.spark, "docs"))
+
+            tokens = _toks(self._seg_whs[0])
             doc_stats = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
             for w in self._seg_whs[1:]:
                 tokens = tokens.select("doc_id", "term", "tf").unionByName(
-                    w.read(self.spark, "tokens").select("doc_id", "term", "tf")
+                    _toks(w).select("doc_id", "term", "tf")
                 )
                 doc_stats = doc_stats.unionByName(
                     w.read(self.spark, "doc_stats").select("doc_id", "dl")

@@ -93,6 +93,21 @@ class _Run:
         return d, t, l
 
 
+class _RunView:
+    """A _Run re-weighted for a different query: shares the underlying
+    buffers AND the per-block decode cache (batched multi-query execution
+    decodes each block once no matter how many queries touch the term)."""
+
+    __slots__ = ("base", "idfw")
+
+    def __init__(self, base: _Run, idfw: float):
+        self.base = base
+        self.idfw = idfw
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+
 def _contrib(idfw, tfs, dls, avgdl, k1, b):
     tf = tfs.astype(np.float64)
     return idfw * tf / (tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))

@@ -174,3 +174,37 @@ def test_media_stub_raises(spark):
     media = synth_media(spark, n=2, partitions=1)
     with pytest.raises(Exception, match="(?i)not.*implemented|NotImplementedError|Pillow|ffmpeg"):
         extract_features(media, decoder="stub").collect()
+
+
+def test_cosine_dup_pairs_exact_matches_numpy(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+
+    emb, _vecs = emb
+    rows = emb.collect()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = mn @ mn.T
+    thr = float(np.quantile(c[np.triu_indices(len(m), 1)], 0.98))
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if c[i, j] >= thr
+    }
+    want = {(min(a, b), max(a, b)) for a, b in want}
+    got_rows = cosine_dup_pairs(emb, thr).collect()
+    got = {(r["id1"], r["id2"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:  # scores agree with numpy within float tolerance
+        i = int(np.flatnonzero(ids == r["id1"])[0])
+        j = int(np.flatnonzero(ids == r["id2"])[0])
+        assert abs(r["cosine"] - c[i, j]) < 1e-9
+    # LSH variant: no false positives, sane recall on this tiny set
+    lsh = {(r["id1"], r["id2"]) for r in cosine_dup_pairs_lsh(emb, thr).collect()}
+    assert lsh <= want
+    if want:
+        assert len(lsh) >= len(want) * 0.5

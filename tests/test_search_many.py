@@ -1,0 +1,34 @@
+"""Batched multi-query execution: one Spark job for the whole query set
+must return exactly the per-query search results (same docs, same scores,
+same ranks)."""
+
+from __future__ import annotations
+
+from kafka_elasticsearch_standalone_consumer_spark.corpus import reference_queries
+
+K = 10
+
+
+def test_search_many_matches_single_query_path(spark, built_index):
+    idx, _ = built_index
+    qs = {str(q["qid"]): q["query"] for q in reference_queries(12)}
+    batched = idx.search_many(qs, K).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in qs.items():
+        want = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(idx.search(q, K, mode="bmw").collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, (qid, q)
+
+
+def test_search_many_fetch_roundtrip(spark, built_index):
+    idx, _ = built_index
+    hits = idx.search_many(["w00000 w00002"], 5)
+    docs = idx.fetch(hits.select("doc_id", "score")).collect()
+    assert len(docs) == 5
+    assert all(r["text"] is not None and r["conv_id"].startswith("conv") for r in docs)
+    st = idx.stats()
+    assert st["meta"]["n_docs"] > 0 and "steps" in st and st["n_segments"] == 1
