@@ -108,18 +108,18 @@ def q_corpus_stats(spark, sf_dir):
 _IDX_CACHE: dict[str, object] = {}
 
 
-def _bm25_fixed(spark, sf_dir, query, mode):
+def _bm25_fixed(spark, sf_dir, query, mode, where=None):
     from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
 
     idx = _IDX_CACHE.get(sf_dir)
     if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[sf_dir] = idx
     if mode == "oracle":
-        out = idx.search_oracle(query, K)
+        out = idx.search_oracle(query, K, where=where)
     else:
-        out = idx.search(query, K, mode=mode)
+        out = idx.search(query, K, mode=mode, where=where)
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
@@ -139,6 +139,12 @@ def q_bm25_topk_exact(spark, sf_dir):
 
 def q_bm25_topk_intersect(spark, sf_dir):
     return _bm25_fixed(spark, sf_dir, BM25_AND_QUERY, "intersect")
+
+
+def q_bm25_topk_filtered(spark, sf_dir):
+    """ES bool-filter clause: BM25 relevance restricted to lang='en' docs,
+    corpus statistics kept global (matching ES filter semantics)."""
+    return _bm25_fixed(spark, sf_dir, BM25_QUERY, "bmw", where="lang = 'en'")
 
 
 def _raw_lines(spark, sf_dir):
@@ -406,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_exact": q_bm25_topk_exact,
         "bm25_topk_intersect": q_bm25_topk_intersect,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "index_routing": q_index_routing,
@@ -456,6 +463,7 @@ scored AS (
   JOIN df ON tf.term = df.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN corpus
+  {scored_where}
   GROUP BY tf.doc_id
   {having}
 )
@@ -468,14 +476,19 @@ LIMIT {k}
 """
 
 
-def _bm25_sql(query: str, k: int = K, conjunctive: bool = False) -> str:
+def _bm25_sql(query: str, k: int = K, conjunctive: bool = False, where: str = "") -> str:
     import re
     from collections import Counter
 
     terms = Counter(re.findall(r"[a-z0-9]+", query.lower()))
     qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
     having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
-    return _BM25_SQL_TEMPLATE.format(toks=SQL_TOKS, qvals=qvals, having=having, k=k)
+    scored_where = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
+    )
+    return _BM25_SQL_TEMPLATE.format(
+        toks=SQL_TOKS, qvals=qvals, having=having, k=k, scored_where=scored_where
+    )
 
 
 _ACCESS_LOG_SQL = """
@@ -618,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": _bm25_sql(BM25_QUERY),
         "bm25_topk_exact": _bm25_sql(BM25_QUERY),
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
+        "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "index_routing": (

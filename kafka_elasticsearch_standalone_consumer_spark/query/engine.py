@@ -134,6 +134,7 @@ class Index:
         idx.term_stats = build_term_stats(tokens, n_buckets=n_buckets).persist()
         idx._tokens = tokens
         idx._doc_stats = doc_stats
+        idx._docs = docs
         return idx
 
     def fetch(self, hits: DataFrame) -> DataFrame:
@@ -261,8 +262,27 @@ class Index:
         return [(r["term"], r["df"], r["term_bucket"]) for r in rows]
 
     # -- execution --------------------------------------------------------
-    def search(self, query_text: str, k: int = 10, mode: str = "bmw") -> DataFrame:
-        """Top-k BM25 (OR semantics). mode: bmw | exact | intersect."""
+    def _docs_df(self) -> DataFrame:
+        if self.wh is None:
+            return self._docs
+        docs = self._seg_whs[0].read(self.spark, "docs")
+        for w in self._seg_whs[1:]:
+            docs = docs.unionByName(w.read(self.spark, "docs"))
+        return docs
+
+    def search(
+        self, query_text: str, k: int = 10, mode: str = "bmw", where: str | None = None
+    ) -> DataFrame:
+        """Top-k BM25 (OR semantics). mode: bmw | exact | intersect.
+
+        ``where`` is an optional SQL predicate over the document columns
+        (e.g. ``"role = 'user' AND ts >= '2026-01-02'"``) — the ES bool
+        *filter* clause: it restricts the scored doc set but NOT the
+        corpus statistics (idf/avgdl stay global, matching ES). The fast
+        path ships each shard its allowed-doc set via a cogroup — the
+        filter scan is column-pruned to (doc_id) + predicate columns and
+        stays distributed.
+        """
         idfw, buckets = self._plan_terms(query_text)
         if not idfw:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -278,7 +298,7 @@ class Index:
         avgdl = float(meta["avgdl"]) or 1e-9
         k1, b = float(meta["k1"]), float(meta["b"])
 
-        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_shard(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
             runs = [
@@ -288,7 +308,7 @@ class Index:
                 for row in pdf.itertuples(index=False)
             ]
             if mode == "exact":
-                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b)
+                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b, allowed=allowed)
             elif mode == "intersect":
                 by_term: dict[str, list] = {}
                 for row, r in zip(pdf.itertuples(index=False), runs):
@@ -297,14 +317,39 @@ class Index:
                     return pd.DataFrame({"doc_id": [], "score": []}).astype(
                         {"doc_id": np.int64, "score": np.float64}
                     )
-                d, s = kernels.shard_topk_intersect(by_term, k, avgdl, k1, b)
+                d, s = kernels.shard_topk_intersect(
+                    by_term, k, avgdl, k1, b, allowed=allowed
+                )
             else:
                 d, s = kernels.shard_topk_bmw(
-                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b, allowed=allowed
                 )
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        partials = hits.groupBy("shard").applyInPandas(per_shard, schema=TOPK_SCHEMA)
+        if where is None:
+            partials = hits.groupBy("shard").applyInPandas(
+                lambda pdf: score_shard(pdf, None), schema=TOPK_SCHEMA
+            )
+        else:
+            from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
+
+            allowed_df = with_shard(
+                self._docs_df().filter(where).select("doc_id"), docs_per_shard
+            )
+
+            def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if not len(left) or not len(right):
+                    return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                        {"doc_id": np.int64, "score": np.float64}
+                    )
+                allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+                return score_shard(left, allowed)
+
+            partials = (
+                hits.groupBy("shard")
+                .cogroup(allowed_df.groupBy("shard"))
+                .applyInPandas(cg, schema=TOPK_SCHEMA)
+            )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_many(
@@ -379,8 +424,12 @@ class Index:
             .filter(F.col("rank") <= k)
         )
 
-    def search_oracle(self, query_text: str, k: int = 10) -> DataFrame:
-        """Verification path: pure DataFrame BM25 over the tokens table."""
+    def search_oracle(
+        self, query_text: str, k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """Verification path: pure DataFrame BM25 over the tokens table.
+        ``where`` restricts the returned doc set (left-semi join against
+        the filtered doc store) with global stats — same as search()."""
         if self.wh is None:
             tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
         else:
@@ -414,4 +463,8 @@ class Index:
             b=self.meta["b"],
             idfw=idfw or None,
         )
+        if where is not None:
+            scores = scores.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
         return bm25.topk(scores, k)

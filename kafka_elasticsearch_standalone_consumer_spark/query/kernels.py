@@ -126,7 +126,17 @@ def _select_topk(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
-def shard_topk_exact(runs: list[_Run], k: int, avgdl: float, k1: float = K1, b: float = B):
+def shard_topk_exact(
+    runs: list[_Run],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+):
+    """``allowed``: optional sorted doc_id array — the ES filter clause.
+    Scores are unchanged for allowed docs (global idf/avgdl, like ES:
+    filters restrict the result set, not the corpus statistics)."""
     all_docs, all_contrib = [], []
     for r in runs:
         d, t, l = r.decode_all()
@@ -138,6 +148,9 @@ def shard_topk_exact(runs: list[_Run], k: int, avgdl: float, k1: float = K1, b: 
     contrib = np.concatenate(all_contrib)
     uniq, inv = np.unique(docs, return_inverse=True)
     scores = np.bincount(inv, weights=contrib)
+    if allowed is not None:
+        keep = np.isin(uniq, allowed, assume_unique=True)
+        uniq, scores = uniq[keep], scores[keep]
     return _select_topk(uniq, scores, k)
 
 
@@ -150,8 +163,13 @@ def shard_topk_bmw(
     k1: float = K1,
     b: float = B,
     window: int = DEFAULT_WINDOW,
+    allowed: np.ndarray | None = None,
 ):
-    """Windowed block-max WAND: prune windows whose bound < running θ."""
+    """Windowed block-max WAND: prune windows whose bound < running θ.
+
+    ``allowed`` (sorted doc_ids) applies the ES filter clause to emitted
+    candidates only — window upper bounds ignore it, which keeps pruning
+    safe (bounds can only over-estimate); θ tightens on allowed docs."""
     if not runs:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     n_w = (shard_size + window - 1) // window
@@ -202,6 +220,9 @@ def shard_topk_bmw(
         if not touched:
             continue
         nz = np.flatnonzero(scores_buf)
+        if allowed is not None and nz.size:
+            keep = np.isin(nz + lo_doc, allowed, assume_unique=True)
+            nz = nz[keep]
         best_docs = np.concatenate([best_docs, nz + lo_doc])
         best_scores = np.concatenate([best_scores, scores_buf[nz]])
         if best_docs.size >= k:
@@ -214,7 +235,12 @@ def shard_topk_bmw(
 
 
 def shard_topk_intersect(
-    runs_by_term: dict[str, list[_Run]], k: int, avgdl: float, k1: float = K1, b: float = B
+    runs_by_term: dict[str, list[_Run]],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
 ):
     """AND semantics: docs containing every query term, scored exactly."""
     per_term = []
@@ -234,6 +260,10 @@ def shard_topk_intersect(
     cand = per_term[0][0]
     for d, _ in per_term[1:]:
         cand = cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    if allowed is not None:
+        cand = cand[np.isin(cand, allowed, assume_unique=True)]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)

@@ -1,0 +1,56 @@
+"""Filtered search (the ES bool-filter clause): fast path with a per-shard
+allowed-doc mask must equal the oracle's semi-join path, scores must be
+identical to the UNfiltered scores of the same docs (filters never change
+corpus statistics, matching ES), and role/time predicates must actually
+restrict the hit set."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+QUERIES = ["w00000 w00002", "w00015 w00100", "w00001"]
+WHERE = "role = 'user'"
+
+
+def test_filtered_fast_matches_filtered_oracle(spark, built_index):
+    idx, _ = built_index
+    for q in QUERIES:
+        for mode in ("bmw", "exact"):
+            got = _rows(idx.search(q, 10, mode=mode, where=WHERE))
+            want = _rows(idx.search_oracle(q, 10, where=WHERE))
+            assert got == want, (q, mode)
+
+
+def test_filter_restricts_but_does_not_rescore(spark, built_index):
+    idx, _ = built_index
+    q = QUERIES[0]
+    unfiltered = dict(_rows(idx.search(q, 10_000)))
+    filtered = _rows(idx.search(q, 10, where=WHERE))
+    assert filtered, "filter should leave some hits"
+    keys = idx.doc_keys()
+    roles = {
+        r["doc_id"]: r["role"]
+        for r in idx._docs_df().select("doc_id", "role").collect()
+    }
+    for doc_id, score in filtered:
+        assert roles[doc_id] == "user"
+        assert score == unfiltered[doc_id]  # global stats → identical score
+
+
+def test_time_range_filter(spark, built_index):
+    idx, _ = built_index
+    q = QUERIES[0]
+    lo = "2026-01-02 00:00:00"
+    got = idx.search(q, 10, where=f"ts >= '{lo}'")
+    fetched = idx.fetch(got).collect()
+    assert fetched and all(str(r["ts"]) >= lo for r in fetched)
+
+
+def test_filter_matching_nothing_is_empty(spark, built_index):
+    idx, _ = built_index
+    assert idx.search(QUERIES[0], 10, where="role = 'nope'").count() == 0
