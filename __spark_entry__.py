@@ -147,6 +147,26 @@ def q_bm25_topk_filtered(spark, sf_dir):
     return _bm25_fixed(spark, sf_dir, BM25_QUERY, "bmw", where="lang = 'en'")
 
 
+PHRASE_QUERY = "table hash"  # a real adjacent bigram in documents.parquet
+
+
+def q_phrase_topk(spark, sf_dir):
+    """ES match_phrase over the positions index: BM25 with the phrase as
+    one synthetic term (tf = phrase occurrences, df = docs containing it)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = (sf_dir, "pos")
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
+        _IDX_CACHE[key] = idx
+    out = idx.search_phrase(PHRASE_QUERY, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def _raw_lines(spark, sf_dir):
     """Synthesize access-log lines from events (deterministic); rows where
     event_id % 97 == 0 get a corrupted response_code (quarantine bait)."""
@@ -413,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_exact": q_bm25_topk_exact,
         "bm25_topk_intersect": q_bm25_topk_intersect,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "phrase_topk": q_phrase_topk,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "index_routing": q_index_routing,
@@ -553,6 +574,29 @@ ORDER BY dot / (n1 * n2) DESC, vec_id
 LIMIT 10
 """
 
+_PHRASE_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+m AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] = 'table' AND toks[i+1] = 'hash'))::DOUBLE AS tfp
+  FROM t
+),
+mm AS (SELECT * FROM m WHERE tfp > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM mm),
+scored AS (
+  SELECT mm.doc_id,
+         ln(1 + (corpus.n - dfp.df + 0.5) / (dfp.df + 0.5)) * mm.tfp
+           / (mm.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) AS score
+  FROM mm JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfp
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 _COSINE_DUP_SQL = f"""
 WITH n AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -632,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_exact": _bm25_sql(BM25_QUERY),
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
+        "phrase_topk": _PHRASE_SQL,
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "index_routing": (

@@ -72,8 +72,14 @@ def tokens_from(
     return exploded.groupBy(*id_cols, "term").agg(F.count("*").alias("tf"))
 
 
-def doc_term_freqs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, term, tf, dl) in ONE narrow pass — the index-build hot path.
+def doc_term_freqs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: bool = False,
+) -> DataFrame:
+    """(doc_id, term, tf, dl[, positions]) in ONE narrow pass — the
+    index-build hot path.
 
     The per-(doc, term) count is an aggregation whose groups never span
     rows, so the Catalyst formulation (explode → groupBy) would shuffle
@@ -83,12 +89,18 @@ def doc_term_freqs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     consumers (posting pack) never join doc_stats. Output is identical
     (modulo the dl column) to ``tokens_from(method='sql')`` — asserted in
     tests.
+
+    ``positions=True`` additionally emits each term's in-document token
+    offsets (ascending array<int>) — the Lucene positions stream that
+    phrase queries need.
     """
     from itertools import chain
 
     import numpy as np
 
     schema = f"{id_col} long, term string, tf int, dl int"
+    if positions:
+        schema += ", positions array<int>"
 
     def fused(batches):
         for pdf in batches:
@@ -101,14 +113,29 @@ def doc_term_freqs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             if total == 0:
                 continue
             flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
-            g = (
-                pd.DataFrame({id_col: np.repeat(ids, lens), "term": flat})
-                .groupby([id_col, "term"], sort=False, observed=True)
-                .size()
-                .reset_index(name="tf")
-            )
+            rep_ids = np.repeat(ids, lens)
+            if positions:
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                g = (
+                    pd.DataFrame({id_col: rep_ids, "term": flat, "pos": pos})
+                    .groupby([id_col, "term"], sort=False, observed=True)["pos"]
+                    .agg(["size", list])
+                    .reset_index()
+                    .rename(columns={"size": "tf", "list": "positions"})
+                )
+            else:
+                g = (
+                    pd.DataFrame({id_col: rep_ids, "term": flat})
+                    .groupby([id_col, "term"], sort=False, observed=True)
+                    .size()
+                    .reset_index(name="tf")
+                )
             g["dl"] = g[id_col].map(pd.Series(lens, index=ids)).astype(np.int32)
             g["tf"] = g["tf"].astype(np.int32)
+            if positions:
+                g = g[[id_col, "term", "tf", "dl", "positions"]]
             yield g
 
     return df.select(id_col, text_col).mapInPandas(fused, schema=schema)

@@ -45,6 +45,7 @@ POSTINGS_SCHEMA = (
     "block_offs_docs array<int>, block_offs_tfs array<int>, block_offs_dls array<int>, "
     "block_max_doc array<long>, block_max_tf array<int>, block_max_impact array<float>"
 )
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos binary, block_offs_pos array<int>"
 
 
 def with_shard(df: DataFrame, docs_per_shard: int, doc_col: str = "doc_id") -> DataFrame:
@@ -58,13 +59,16 @@ def term_bucket_col(term_col="term", n_buckets: int = DEFAULT_TERM_BUCKETS):
     return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_buckets)).cast("int")
 
 
-def _pack_batch(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+def _pack_batch(
+    pdf: pd.DataFrame, avgdl: float, block_size: int, positions: bool = False
+) -> pd.DataFrame:
     """Pack every complete (term, shard) run in a sorted batch into rows."""
     terms = pdf["term"].to_numpy()
     shards = pdf["shard"].to_numpy()
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
+    pos_col = pdf["positions"].to_numpy() if positions else None
     n = len(pdf)
     change = np.empty(n, dtype=bool)
     change[0] = True
@@ -76,30 +80,37 @@ def _pack_batch(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFram
         run = codec.pack_run(
             docs[s:e], tfs[s:e], dls[s:e], avgdl=avgdl, k1=K1, b=B, block_size=block_size
         )
-        rows.append(
-            (
-                terms[s],
-                int(shards[s]),
-                run["n_docs"],
-                run["docs"],
-                run["tfs"],
-                run["dls"],
-                run["block_offs_docs"],
-                run["block_offs_tfs"],
-                run["block_offs_dls"],
-                run["block_max_doc"],
-                run["block_max_tf"],
-                run["block_max_impact"],
-            )
+        row = (
+            terms[s],
+            int(shards[s]),
+            run["n_docs"],
+            run["docs"],
+            run["tfs"],
+            run["dls"],
+            run["block_offs_docs"],
+            run["block_offs_tfs"],
+            run["block_offs_dls"],
+            run["block_max_doc"],
+            run["block_max_tf"],
+            run["block_max_impact"],
         )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "term", "shard", "n_docs", "docs", "tfs", "dls",
-            "block_offs_docs", "block_offs_tfs", "block_offs_dls",
-            "block_max_doc", "block_max_tf", "block_max_impact",
-        ],
-    )
+        if positions:
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col[s:e]])
+                if e > s
+                else np.empty(0, np.int64)
+            )
+            pos_buf, pos_offs = codec.pack_positions(flat, tfs[s:e], block_size)
+            row = row + (pos_buf, pos_offs)
+        rows.append(row)
+    cols = [
+        "term", "shard", "n_docs", "docs", "tfs", "dls",
+        "block_offs_docs", "block_offs_tfs", "block_offs_dls",
+        "block_max_doc", "block_max_tf", "block_max_impact",
+    ]
+    if positions:
+        cols += ["pos", "block_offs_pos"]
+    return pd.DataFrame(rows, columns=cols)
 
 
 def build_postings(
@@ -109,11 +120,14 @@ def build_postings(
     n_buckets: int = DEFAULT_TERM_BUCKETS,
     num_partitions: int | None = None,
     block_size: int = BLOCK_SIZE,
+    positions: bool = False,
 ) -> DataFrame:
     """tokens(doc_id, term, tf, dl) → postings rows (one per term×shard run).
 
     ``dl`` rides along per posting (Lucene-norm style) so queries never
     join doc_stats; ``avgdl`` is baked into the exact block-max impacts.
+    ``positions=True`` expects a ``positions`` array column on the input
+    and packs the per-posting position stream (phrase-query support).
     """
     num_partitions = (
         num_partitions or tokens_with_dl.sparkSession.sparkContext.defaultParallelism
@@ -130,7 +144,10 @@ def build_postings(
         .withColumn("term_bucket", term_bucket_col("term", n_buckets))
         .repartitionByRange(num_partitions, "term_bucket", "term", "shard")
         .sortWithinPartitions("term_bucket", "term", "shard", "doc_id")
-        .select("term", "shard", "doc_id", "tf", "dl")
+        .select(
+            "term", "shard", "doc_id", "tf", "dl",
+            *(["positions"] if positions else []),
+        )
     )
 
     def pack(batches):
@@ -149,9 +166,10 @@ def build_postings(
             carry = pdf.iloc[last_start:]
             head = pdf.iloc[:last_start]
             if len(head):
-                yield _pack_batch(head, avgdl, block_size)
+                yield _pack_batch(head, avgdl, block_size, positions)
         if carry is not None and len(carry):
-            yield _pack_batch(carry, avgdl, block_size)
+            yield _pack_batch(carry, avgdl, block_size, positions)
 
-    packed = arranged.mapInPandas(pack, schema=POSTINGS_SCHEMA)
+    schema = POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA
+    packed = arranged.mapInPandas(pack, schema=schema)
     return packed.withColumn("term_bucket", term_bucket_col("term", n_buckets))

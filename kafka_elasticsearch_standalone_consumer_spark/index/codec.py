@@ -150,6 +150,68 @@ def pack_run(
     }
 
 
+def pack_positions(
+    flat_pos: np.ndarray,
+    tfs: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[bytes, list[int]]:
+    """Pack per-posting position lists (the Lucene positions stream).
+
+    ``flat_pos`` is every posting's ascending in-doc offsets concatenated
+    in doc order; ``tfs`` gives each posting's count (=segment lengths).
+    Deltas RESTART at each document (first position raw) and blocks align
+    with the doc blocks of :func:`pack_run`, so a block's positions decode
+    without touching its neighbours. Returns (bytes, per-block offsets).
+    """
+    flat_pos = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = tfs.size
+    if n == 0:
+        return b"", []
+    doc_starts = np.cumsum(tfs) - tfs  # flat index of each doc's first position
+    deltas = np.empty(flat_pos.size, dtype=np.uint64)
+    if flat_pos.size:
+        deltas[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+        deltas[doc_starts[tfs > 0]] = flat_pos[doc_starts[tfs > 0]].astype(np.uint64)
+    n_blocks = (n + block_size - 1) // block_size
+    block_doc_starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    block_doc_ends = np.minimum(block_doc_starts + block_size, n)
+    pos_bounds = np.concatenate([doc_starts, [flat_pos.size]])
+    bufs, offs, pos = [], [], 0
+    for i in range(n_blocks):
+        s = int(pos_bounds[block_doc_starts[i]])
+        e = int(pos_bounds[block_doc_ends[i]])
+        offs.append(pos)
+        b = varint_encode(deltas[s:e])
+        bufs.append(b)
+        pos += len(b)
+    return b"".join(bufs), offs
+
+
+def decode_position_blocks(
+    buf: bytes, offs: np.ndarray, block_idx, tfs_blocks: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Decode selected position blocks → flat ascending positions per block
+    (doc boundaries given by the block's tfs, decoded separately)."""
+    out = []
+    for flat, tfs in zip(decode_value_blocks(buf, offs, block_idx), tfs_blocks):
+        out.append(_undelta_segments(flat, np.asarray(tfs, dtype=np.int64)))
+    return out
+
+
+def _undelta_segments(deltas: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Prefix-sum deltas where each variable-length segment restarts raw."""
+    deltas = deltas.astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    out = np.cumsum(deltas)
+    seg_lengths = seg_lengths[seg_lengths > 0]
+    starts = np.cumsum(seg_lengths) - seg_lengths
+    corr = np.zeros(seg_lengths.size, dtype=np.int64)
+    corr[1:] = out[starts[1:] - 1]
+    return out - np.repeat(corr, seg_lengths)
+
+
 def unpack_run(
     docs_buf: bytes,
     tfs_buf: bytes,

@@ -57,6 +57,7 @@ def build_index(
     fail_after: str | None = None,
     dry_run: bool = False,
     materialize_tokens: bool = True,
+    positions: bool = False,
 ) -> "StepRunner":
     """Build (or resume building) the full index under ``warehouse_path``.
 
@@ -71,6 +72,9 @@ def build_index(
     trades ~2× tokenize CPU (embarrassingly parallel) for not writing,
     storing, or re-reading that intermediate. The oracle query path
     recomputes tokens on the fly too.
+
+    ``positions=True`` packs the per-posting position stream into the
+    postings table (Lucene positions — enables phrase queries).
     """
     wh = Warehouse(warehouse_path)
     log = CheckpointLog(spark, wh, run_id)
@@ -92,8 +96,8 @@ def build_index(
         if wh.exists("tokens"):
             return wh.read(spark, "tokens")
         docs = wh.read(spark, "docs")
-        if tokenizer == "fused":
-            return doc_term_freqs(docs)  # zero-shuffle; dl rides along
+        if tokenizer == "fused" or positions:
+            return doc_term_freqs(docs, positions=positions)  # zero-shuffle
         return tokens_from(docs, method=tokenizer)
 
     def step_tokens():
@@ -124,6 +128,7 @@ def build_index(
             "k1": K1,
             "b": B,
             "tokenizer": tokenizer,
+            "positions": positions,
         }
         wh.write_meta("sys_meta", meta)
         return 1
@@ -148,6 +153,7 @@ def build_index(
             docs_per_shard=docs_per_shard,
             n_buckets=n_buckets,
             num_partitions=num_partitions,
+            positions=positions,
         )
         wh.write(postings, "postings", partition_by=("term_bucket",))
         return wh.count_rows("postings")

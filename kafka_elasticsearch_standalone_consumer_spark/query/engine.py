@@ -78,6 +78,7 @@ class Index:
         docs_per_shard: int = 1 << 16,
         n_buckets: int = 64,
         tokenizer: str = "fused",
+        positions: bool = False,
     ) -> "Index":
         """Build an in-memory index over docs(doc_id, text) — no warehouse.
 
@@ -99,8 +100,8 @@ class Index:
         )
 
         spark = docs.sparkSession
-        if tokenizer == "fused":
-            tokens = doc_term_freqs(docs).persist()
+        if tokenizer == "fused" or positions:
+            tokens = doc_term_freqs(docs, positions=positions).persist()
         else:
             tokens = tokens_from(docs, method=tokenizer).persist()
         doc_stats = build_doc_stats(docs, tokens).persist()
@@ -114,6 +115,7 @@ class Index:
             "k1": K1,
             "b": B,
             "tokenizer": tokenizer,
+            "positions": positions,
         }
         tokens_with_dl = tokens if "dl" in tokens.columns else tokens.join(doc_stats, "doc_id")
         postings = (
@@ -122,6 +124,7 @@ class Index:
                 avgdl=meta["avgdl"] or 1e-9,
                 docs_per_shard=docs_per_shard,
                 n_buckets=n_buckets,
+                positions=positions,
             )
             .withColumn("baked_avgdl", F.lit(float(meta["avgdl"] or 1e-9)))
             .persist()
@@ -351,6 +354,162 @@ class Index:
                 .applyInPandas(cg, schema=TOPK_SCHEMA)
             )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """Exact-phrase top-k (ES match_phrase, slop 0) over the position
+        streams; requires an index built with ``positions=True``.
+
+        Scoring: BM25 treating the phrase as one synthetic term —
+        tf = phrase occurrences per doc, df = docs containing the phrase
+        (aggregated across shards before the final scoring, so idf is
+        globally exact), k1/b/avgdl as configured. Deterministic ties by
+        doc_id. ``where`` filters like :meth:`search`.
+        """
+        import math
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        if not self.meta.get("positions"):
+            raise ValueError("index built without positions=True — no phrase support")
+        slots = tokenize_text(phrase)
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        idfw, buckets = self._plan_terms(phrase)
+        if len(idfw) < len(set(slots)):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)  # a term is absent
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        hits = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(set(slots)))
+        )
+        out_schema = "doc_id long, tfp int, dl int, shard long, n_shard_matches long"
+
+        def score_shard(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            shard_lo = shard * docs_per_shard
+            by_term: dict[str, list] = {}
+            for row in pdf.itertuples(index=False):
+                by_term.setdefault(row.term, []).append(
+                    kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                )
+            runs_by_slot = [by_term.get(t, []) for t in slots]
+            d, tfp, dl, n = kernels.shard_phrase_matches(
+                runs_by_slot, k, avgdl, k1, b, allowed=allowed
+            )
+            return pd.DataFrame(
+                {"doc_id": d, "tfp": tfp, "dl": dl, "shard": shard, "n_shard_matches": n}
+            )
+
+        if where is None:
+            partials = hits.groupBy("shard").applyInPandas(
+                lambda pdf: score_shard(pdf, None), schema=out_schema
+            )
+        else:
+            from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
+
+            allowed_df = with_shard(
+                self._docs_df().filter(where).select("doc_id"), docs_per_shard
+            )
+
+            def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if not len(left) or not len(right):
+                    return pd.DataFrame(
+                        {"doc_id": [], "tfp": [], "dl": [], "shard": [], "n_shard_matches": []}
+                    ).astype({"doc_id": np.int64, "tfp": np.int32, "dl": np.int32,
+                              "shard": np.int64, "n_shard_matches": np.int64})
+                allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+                return score_shard(left, allowed)
+
+            partials = (
+                hits.groupBy("shard")
+                .cogroup(allowed_df.groupBy("shard"))
+                .applyInPandas(cg, schema=out_schema)
+            )
+        partials = partials.persist()
+        df_phrase = (
+            partials.select("shard", "n_shard_matches").distinct()
+            .agg(F.sum("n_shard_matches")).collect()[0][0]
+        ) or 0
+        if df_phrase == 0:
+            partials.unpersist()
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n = float(meta["n_docs"])
+        idf = math.log(1.0 + (n - df_phrase + 0.5) / (df_phrase + 0.5))
+        scored = partials.select(
+            "doc_id",
+            (
+                F.lit(idf)
+                * F.col("tfp")
+                / (F.col("tfp") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_phrase_oracle(
+        self, phrase: str, k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """Declarative phrase verification path: m-way position self-join
+        over the exploded token positions — no custom kernels."""
+        import math
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            doc_term_freqs,
+            tokenize_text,
+        )
+
+        slots = tokenize_text(phrase)
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if self.wh is None:
+            toks = self._tokens
+        else:
+            toks = self._seg_whs[0].read(self.spark, "tokens")
+            for w in self._seg_whs[1:]:
+                toks = toks.unionByName(w.read(self.spark, "tokens"))
+        if "positions" not in toks.columns:
+            toks = doc_term_freqs(self._docs_df(), positions=True)
+        tp = toks.filter(F.col("term").isin(list(set(slots)))).select(
+            "doc_id", "term", F.explode("positions").alias("p")
+        )
+        m = tp.filter(F.col("term") == slots[0]).select("doc_id", F.col("p").alias("p0"))
+        for i, t in enumerate(slots[1:], start=1):
+            nxt = tp.filter(F.col("term") == t).select(
+                "doc_id", (F.col("p") - i).alias("p0")
+            )
+            m = m.join(nxt, ["doc_id", "p0"])
+        matches = m.groupBy("doc_id").agg(F.count("*").alias("tfp"))
+        if where is not None:
+            matches = matches.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        matches = matches.persist()
+        df_phrase = matches.count()
+        if df_phrase == 0:
+            matches.unpersist()
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        if self.wh is None:
+            ds = self._doc_stats.select("doc_id", "dl")
+        else:
+            ds = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
+            for w in self._seg_whs[1:]:
+                ds = ds.unionByName(w.read(self.spark, "doc_stats").select("doc_id", "dl"))
+        meta = self.meta
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        idf = math.log(1.0 + (meta["n_docs"] - df_phrase + 0.5) / (df_phrase + 0.5))
+        scored = matches.join(ds, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(idf)
+                * F.col("tfp")
+                / (F.col("tfp") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_many(
         self, queries: dict[str, str] | list[str], k: int = 10

@@ -46,7 +46,7 @@ class _Run:
     time)."""
 
     __slots__ = ("idfw", "docs", "tfs", "dls", "offs_d", "offs_t", "offs_l",
-                 "bmd", "blo", "impact", "n_docs", "_cache")
+                 "bmd", "blo", "impact", "n_docs", "_cache", "pos", "offs_p")
 
     def __init__(self, row, idfw: float, shard_lo: int,
                  query_avgdl: float | None = None, k1: float = K1, b: float = B):
@@ -54,6 +54,10 @@ class _Run:
         self.docs = bytes(row.docs)
         self.tfs = bytes(row.tfs)
         self.dls = bytes(row.dls)
+        pos = getattr(row, "pos", None)
+        self.pos = None if pos is None else bytes(pos)
+        offs_p = getattr(row, "block_offs_pos", None)
+        self.offs_p = None if offs_p is None else np.asarray(offs_p, dtype=np.int64)
         self.offs_d = np.asarray(row.block_offs_docs, dtype=np.int64)
         self.offs_t = np.asarray(row.block_offs_tfs, dtype=np.int64)
         self.offs_l = np.asarray(row.block_offs_dls, dtype=np.int64)
@@ -91,6 +95,21 @@ class _Run:
     def decode_all(self):
         d, t, l = codec.unpack_run(self.docs, self.tfs, self.n_docs, self.dls)
         return d, t, l
+
+    def decode_all_with_positions(self):
+        """(docs, tfs, dls, flat_positions) — requires a positions index."""
+        if self.pos is None:
+            raise ValueError("index was built without positions=True")
+        from kafka_elasticsearch_standalone_consumer_spark import BLOCK_SIZE
+
+        d, t, l = self.decode_all()
+        n_blocks = self.offs_p.size
+        tfs_blocks = [t[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE] for i in range(n_blocks)]
+        flats = codec.decode_position_blocks(
+            self.pos, self.offs_p, list(range(n_blocks)), tfs_blocks
+        )
+        p = np.concatenate(flats) if flats else np.empty(0, np.int64)
+        return d, t, l, p
 
 
 class _RunView:
@@ -232,6 +251,66 @@ def shard_topk_bmw(
                 keep = best_scores >= theta
                 best_docs, best_scores = best_docs[keep], best_scores[keep]
     return _select_topk(best_docs, best_scores, k)
+
+
+POS_BITS = 20  # in-doc position key width: docs up to 2^43 ids × 2^20 tokens
+
+
+def shard_phrase_matches(
+    runs_by_slot: list[list[_Run]],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+):
+    """Exact phrase matching over position streams (ES match_phrase, slop 0).
+
+    Encodes every (doc, position) as one int64 key ``doc<<20 | pos`` and
+    chains vectorized membership tests: S holds candidate phrase-START
+    keys; slot i must contain S+i. No per-document loops. Returns
+    (doc_ids, tf_phrase, dl, n_matching_docs) with doc_ids limited to the
+    k best by the dl-normalized tf impact (idf is a per-query constant, so
+    this per-shard ranking is exact — the coordinator applies it after
+    aggregating the global phrase df).
+    """
+    keys_by_slot = []
+    dl_docs, dl_vals = None, None
+    for slot, runs in enumerate(runs_by_slot):
+        parts = []
+        for r in runs:
+            d, t, l, p = r.decode_all_with_positions()
+            parts.append((np.repeat(d, t) << POS_BITS) + p)
+            if slot == 0:
+                dd, ll = d, l
+                dl_docs = dd if dl_docs is None else np.concatenate([dl_docs, dd])
+                dl_vals = ll if dl_vals is None else np.concatenate([dl_vals, ll])
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), 0)
+        keys_by_slot.append(np.concatenate(parts))
+    s = keys_by_slot[0]
+    for i in range(1, len(keys_by_slot)):
+        if s.size == 0:
+            break
+        s = s[np.isin(s + i, keys_by_slot[i])]
+    if s.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
+    docs = s >> POS_BITS
+    uniq, tfp = np.unique(docs, return_counts=True)
+    if allowed is not None:
+        keep = np.isin(uniq, allowed, assume_unique=True)
+        uniq, tfp = uniq[keep], tfp[keep]
+        if uniq.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
+    order = np.argsort(dl_docs, kind="stable")
+    dl = dl_vals[order][np.searchsorted(dl_docs[order], uniq)]
+    n_matches = int(uniq.size)
+    impact = tfp.astype(np.float64) / (
+        tfp + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    )
+    top = np.lexsort((uniq, -impact))[:k]
+    return uniq[top], tfp[top], dl[top], n_matches
 
 
 def shard_topk_intersect(

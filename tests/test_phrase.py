@@ -1,0 +1,103 @@
+"""Phrase queries (positions index): the WAND-side position kernel must be
+rank-identical to the declarative m-way join oracle AND to a brute-force
+pure-Python scan of the corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("poswh") / "idx")
+    build_index(spark, transcripts, path, docs_per_shard=256, n_buckets=8, positions=True)
+    return Index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(spark, pos_index):
+    rows = pos_index._docs_df().select("doc_id", "text", "role").collect()
+    return {r["doc_id"]: (tokenize_text(r["text"]), r["role"]) for r in rows}
+
+
+def _pick_phrases(corpus_texts, n=4, length=2):
+    """Real adjacent token sequences from the corpus (so matches exist)."""
+    out = []
+    for _doc_id, (toks, _r) in sorted(corpus_texts.items()):
+        if len(toks) >= length + 3:
+            out.append(" ".join(toks[2 : 2 + length]))
+        if len(out) == n:
+            break
+    return out
+
+
+def _brute(corpus_texts, phrase, k1=1.2, b=0.75, role=None):
+    slots = tokenize_text(phrase)
+    dls = {d: len(t) for d, (t, _r) in corpus_texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    tfp = {}
+    for d, (toks, r) in corpus_texts.items():
+        if role is not None and r != role:
+            continue
+        c = sum(
+            1
+            for i in range(len(toks) - len(slots) + 1)
+            if toks[i : i + len(slots)] == slots
+        )
+        if c:
+            tfp[d] = c
+    if not tfp:
+        return []
+    n = len(corpus_texts)
+    idf = math.log(1.0 + (n - len(tfp) + 0.5) / (len(tfp) + 0.5))
+    scored = [
+        (d, idf * c / (c + k1 * (1 - b + b * dls[d] / avgdl))) for d, c in tfp.items()
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in scored[:K]]
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_phrase_fast_equals_oracle_and_brute(spark, pos_index, corpus_texts):
+    for phrase in _pick_phrases(corpus_texts):
+        fast = _rows(pos_index.search_phrase(phrase, K))
+        oracle = _rows(pos_index.search_phrase_oracle(phrase, K))
+        brute = _brute(corpus_texts, phrase)
+        assert fast == oracle, phrase
+        assert fast == brute, phrase
+        assert fast, phrase  # phrases were picked from real docs
+
+
+def test_phrase_three_terms(spark, pos_index, corpus_texts):
+    phrase = _pick_phrases(corpus_texts, n=1, length=3)[0]
+    fast = _rows(pos_index.search_phrase(phrase, K))
+    assert fast == _brute(corpus_texts, phrase)
+
+
+def test_phrase_absent_and_nonadjacent(spark, pos_index, corpus_texts):
+    assert pos_index.search_phrase("zzabsent w00000", K).count() == 0
+    assert pos_index.search_phrase("", K).count() == 0
+
+
+def test_phrase_filtered(spark, pos_index, corpus_texts):
+    phrase = _pick_phrases(corpus_texts, n=1)[0]
+    fast = _rows(pos_index.search_phrase(phrase, K, where="role = 'user'"))
+    oracle = _rows(pos_index.search_phrase_oracle(phrase, K, where="role = 'user'"))
+    assert fast == oracle
+
+
+def test_unpositioned_index_rejects_phrase(spark, built_index):
+    idx, _ = built_index
+    with pytest.raises(ValueError, match="positions"):
+        idx.search_phrase("w00000 w00001", K)
