@@ -150,6 +150,19 @@ def q_bm25_topk_filtered(spark, sf_dir):
 PHRASE_QUERY = "table hash"  # a real adjacent bigram in documents.parquet
 
 
+def q_facets_by_lang(spark, sf_dir):
+    """ES-style terms aggregation: lang facet counts over ALL docs matching
+    any BM25_QUERY term (query_string OR semantics)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = _IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[sf_dir] = idx
+    return idx.facets(BM25_QUERY, by="lang").select("lang", "n")
+
+
 def q_phrase_topk(spark, sf_dir):
     """ES match_phrase over the positions index: BM25 with the phrase as
     one synthetic term (tf = phrase occurrences, df = docs containing it)."""
@@ -434,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_intersect": q_bm25_topk_intersect,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "phrase_topk": q_phrase_topk,
+        "facets_by_lang": q_facets_by_lang,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "index_routing": q_index_routing,
@@ -677,6 +691,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "phrase_topk": _PHRASE_SQL,
+        "facets_by_lang": (
+            f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
+            "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
+            "GROUP BY lang ORDER BY n DESC, lang"
+        ),
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "index_routing": (

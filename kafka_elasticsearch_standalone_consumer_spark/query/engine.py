@@ -583,6 +583,60 @@ class Index:
             .filter(F.col("rank") <= k)
         )
 
+    def facets(
+        self,
+        query_text: str,
+        by: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES-style terms aggregation over ALL matching documents (not the
+        top-k): (facet value, n_docs), descending. A doc matches when it
+        contains ≥ ``min_should_match`` distinct query terms (ES
+        query_string OR semantics at 1, AND at len(terms)).
+
+        Facets touch every match, so the scalable plan is declarative end
+        to end: term-pruned tokens scan → distinct matching doc → join the
+        doc store on the facet column → groupBy. Catalyst handles the
+        pushdown; no kernels."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            doc_term_freqs,
+            tokenize_text,
+        )
+
+        terms = sorted(set(tokenize_text(query_text)))
+        spark = self.spark
+        if not terms:
+            return spark.createDataFrame([], f"{by} string, n long")
+        if self.wh is None:
+            toks = self._tokens
+        else:
+            toks = None
+            for w in self._seg_whs:
+                t = (
+                    w.read(spark, "tokens")
+                    if w.exists("tokens")
+                    else doc_term_freqs(w.read(spark, "docs"))
+                )
+                t = t.select("doc_id", "term")
+                toks = t if toks is None else toks.unionByName(t)
+        matched = (
+            toks.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") >= min_should_match)
+            .select("doc_id")
+        )
+        docs = self._docs_df()
+        if where is not None:
+            docs = docs.filter(where)
+        return (
+            docs.join(matched, "doc_id", "left_semi")
+            .groupBy(by)
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc(by))
+        )
+
     def search_oracle(
         self, query_text: str, k: int = 10, where: str | None = None
     ) -> DataFrame:

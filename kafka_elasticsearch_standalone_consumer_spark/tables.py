@@ -43,7 +43,22 @@ class Warehouse:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        p = self.path(name)
+        w.parquet(p)
+        # Spark writes no data file for an empty DataFrame, which loses the
+        # schema for later readers (empty-corpus bootstrap, empty segments).
+        # Persist a zero-row schema-bearing file in that case.
+        if not any(
+            f.startswith("part-") or f.endswith(".parquet")
+            for _d, _s, files in os.walk(p)
+            for f in files
+        ):
+            import pyarrow.parquet as pq
+
+            # partition columns stay IN the file: with no partition dirs,
+            # discovery treats the table as unpartitioned and the column
+            # must come from the file schema
+            pq.write_table(df.limit(0).toArrow(), os.path.join(p, "part-empty-schema.parquet"))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))

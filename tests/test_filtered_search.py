@@ -54,3 +54,52 @@ def test_time_range_filter(spark, built_index):
 def test_filter_matching_nothing_is_empty(spark, built_index):
     idx, _ = built_index
     assert idx.search(QUERIES[0], 10, where="role = 'nope'").count() == 0
+
+
+def test_facets_match_manual_count(spark, built_index):
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00015"
+    terms = set(tokenize_text(q))
+    rows = idx._docs_df().select("text", "role").collect()
+    want = Counter(
+        r["role"] for r in rows if terms & set(tokenize_text(r["text"]))
+    )
+    got = {r["role"]: r["n"] for r in idx.facets(q, by="role").collect()}
+    assert got == dict(want)
+    # conjunctive facet: every query term required
+    want_and = Counter(
+        r["role"] for r in rows if terms <= set(tokenize_text(r["text"]))
+    )
+    got_and = {
+        r["role"]: r["n"]
+        for r in idx.facets(q, by="role", min_should_match=len(terms)).collect()
+    }
+    assert got_and == dict(want_and)
+
+
+def test_empty_corpus_bootstrap(spark, tmp_path):
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        TRANSCRIPTS_SCHEMA,
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        append_segment,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = str(tmp_path / "empty")
+    build_index(
+        spark, spark.createDataFrame([], TRANSCRIPTS_SCHEMA), wh,
+        docs_per_shard=256, n_buckets=8,
+    )
+    assert Index(spark, wh).search("w00000", 5).count() == 0
+    assert append_segment(
+        spark, generate_transcripts(spark, n_convs=10, seed=2), wh,
+        idempotency_key="b0",
+    ) == 1
+    assert Index(spark, wh).search("w00000", 5).count() > 0
