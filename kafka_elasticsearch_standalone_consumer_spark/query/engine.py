@@ -155,6 +155,30 @@ class Index:
             *hits.columns, "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )
 
+    def highlight(
+        self, hits: DataFrame, query_text: str, n_chars: int = 80
+    ) -> DataFrame:
+        """ES highlight surface: fetch the hits and add a ``snippet`` —
+        ±``n_chars/2`` characters around the first query-term occurrence,
+        matched terms wrapped in ``**``. Pure Column expressions (regexp
+        on the fetched rows only — never a corpus-wide scan)."""
+        import re as _re
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text)), key=len, reverse=True)
+        fetched = self.fetch(hits)
+        if not terms:
+            return fetched.withColumn("snippet", F.lit(None).cast("string"))
+        pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        first = F.regexp_instr(F.col("text"), F.lit(pat))  # 1-based; 0 = no match
+        start = F.greatest(first - F.lit(n_chars // 2), F.lit(1))
+        window = F.substring(F.col("text"), start.cast("int"), n_chars)
+        marked = F.regexp_replace(window, pat, "**$1**")
+        return fetched.withColumn(
+            "snippet", F.when(first > 0, marked).otherwise(F.substring("text", 1, n_chars))
+        )
+
     def stats(self) -> dict:
         """Index-level stats (the ES ``_stats`` surface), driver-side:
         corpus scalars from sys_meta, per-step rows/wall from the

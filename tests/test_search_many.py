@@ -32,3 +32,14 @@ def test_search_many_fetch_roundtrip(spark, built_index):
     assert all(r["text"] is not None and r["conv_id"].startswith("conv") for r in docs)
     st = idx.stats()
     assert st["meta"]["n_docs"] > 0 and "steps" in st and st["n_segments"] == 1
+
+
+def test_highlight_snippets(spark, built_index):
+    idx, _ = built_index
+    q = "w00000 w00002"
+    out = idx.highlight(idx.search(q, 5), q, n_chars=60).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["snippet"] is not None and len(r["snippet"]) <= 60 + 8 * 4
+        assert "**" in r["snippet"]  # a query term is marked in-window
+        assert r["snippet"].replace("**", "") in r["text"]
