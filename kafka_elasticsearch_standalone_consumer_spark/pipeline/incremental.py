@@ -54,6 +54,19 @@ from kafka_elasticsearch_standalone_consumer_spark.stats import (
 from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
 
 SEGMENTS_TABLE = "sys_segments"
+RETIRED_KEYS_TABLE = "sys_retired_keys"
+
+
+def _retired_schema():
+    import pyarrow as pa
+
+    return pa.schema([("idempotency_key", pa.string()), ("ts", pa.float64())])
+
+
+def _retired_keys(wh: Warehouse) -> set[str]:
+    if not wh.exists(RETIRED_KEYS_TABLE):
+        return set()
+    return {r["idempotency_key"] for r in wh.read_rows(RETIRED_KEYS_TABLE)}
 
 
 def _segments_schema():
@@ -121,8 +134,9 @@ def append_segment(
     wh = Warehouse(warehouse_path)
     meta = wh.read_meta("sys_meta")
     segs = _ensure_base_segment_row(wh)
-    if idempotency_key is not None and any(
-        s["idempotency_key"] == idempotency_key for s in segs
+    if idempotency_key is not None and (
+        any(s["idempotency_key"] == idempotency_key for s in segs)
+        or idempotency_key in _retired_keys(wh)
     ):
         return None  # replayed batch — the reference skips re-committed offsets
     seg_id = segs[-1]["seg_id"] + 1
@@ -250,6 +264,14 @@ def compact(
         run_id=run_id,
     )
     retired = len(segs) - 1
+    # Preserve consumed idempotency keys across the registry reset — a
+    # micro-batch replayed AFTER a compaction (crash between our commit
+    # and the stream's source-offset commit) must still be a no-op.
+    wh.append_rows(
+        RETIRED_KEYS_TABLE,
+        [(s["idempotency_key"], time.time()) for s in segs],
+        _retired_schema(),
+    )
     for name in ("docs", "tokens", "doc_stats", "term_stats", "doc_map", "postings",
                  "sys_meta", "sys_checkpoint", "sys_metrics"):
         dst = wh.path(name)

@@ -32,6 +32,7 @@ def index_stream_writer(
     warehouse_path: str,
     checkpoint_dir: str,
     num_partitions: int | None = None,
+    compact_every: int | None = None,
 ):
     """Return a ready-to-start ``DataStreamWriter`` that indexes each
     micro-batch of transcripts as a new segment. Caller picks the trigger
@@ -40,7 +41,18 @@ def index_stream_writer(
 
     The base index must already exist (build_index once over the initial
     corpus, possibly empty).
+
+    ``compact_every=N`` runs the Lucene-style merge whenever N or more
+    segments have accumulated (the ES background-merge analogue): query
+    read amplification is linear in segment count, so a long-running
+    stream keeps it bounded. Compaction is an exact rebuild — results are
+    identical before and after (tested) — and is itself safe to replay.
     """
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        compact,
+        list_segments,
+    )
+
     wh = Warehouse(warehouse_path)
     if not wh.exists("sys_meta"):
         raise ValueError(
@@ -58,6 +70,8 @@ def index_stream_writer(
             idempotency_key=f"batch-{batch_id}",
             num_partitions=num_partitions,
         )
+        if compact_every and len(list_segments(wh)) - 1 >= compact_every:
+            compact(spark, warehouse_path, num_partitions=num_partitions)
 
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

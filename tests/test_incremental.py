@@ -142,3 +142,46 @@ def test_streaming_ingest_availablenow(spark, corpora, tmp_path_factory):
         assert _hits(spark, Index(spark, wh_path), query) == _hits(
             spark, Index(spark, full_path), query
         ), query
+
+
+def test_replay_after_compact_is_noop(spark, corpora, tmp_path):
+    """A micro-batch replayed AFTER compaction must not duplicate docs."""
+    full, a, b, _ = corpora
+    wh = str(tmp_path / "rc")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    append_segment(spark, b, wh, idempotency_key="b1")
+    n_before = Index(spark, wh).meta["n_docs"]
+    compact(spark, wh)
+    assert append_segment(spark, b, wh, idempotency_key="b1") is None
+    assert Index(spark, wh).meta["n_docs"] == n_before
+
+
+def test_streaming_auto_compact(spark, corpora, tmp_path):
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import TRANSCRIPTS_SCHEMA
+    from kafka_elasticsearch_standalone_consumer_spark.streaming.ingest import (
+        index_stream_writer,
+    )
+
+    full, a, b, c = corpora
+    src, wh, ckpt = str(tmp_path / "src"), str(tmp_path / "wh"), str(tmp_path / "ck")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    b.coalesce(1).write.parquet(src)
+    c.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        index_stream_writer(spark, stream, wh, ckpt, compact_every=1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert list_segments(Warehouse(wh)) == []  # compacted away
+    full_path = str(tmp_path / "full")
+    build_index(spark, full, full_path, docs_per_shard=256, n_buckets=8)
+    for query in QUERIES[:2]:
+        assert _hits(spark, Index(spark, wh), query) == _hits(
+            spark, Index(spark, full_path), query
+        ), query
