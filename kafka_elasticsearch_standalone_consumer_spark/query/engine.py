@@ -2,18 +2,23 @@
 
     query(text, k)
       ├─ analyze: same tokenizer as the index path (driver-side, tiny)
-      ├─ plan: term_stats rows for the query terms → idf weights (collect;
-      │        few rows — the "broadcast" of SURVEY §3.3)
+      ├─ plan: term → (df, bucket) via a driver-side footer-pruned pyarrow
+      │        read of the term-sorted term_stats files (the Lucene term-
+      │        dictionary lookup — NO Spark job); idf computed once and
+      │        shared by the fast path and the oracle
       ├─ scan postings WHERE term_bucket IN (...) AND term IN (...)
       │        → partition-pruned by the term_bucket directory column,
       │          row-group-pruned by the term predicate (both visible as
       │          PartitionFilters / PushedFilters in .explain)
       ├─ applyInPandas per shard: decode → block-max WAND → bounded top-k
+      │        (with an allowed-doc mask cogrouped in when a filter is set)
       └─ global merge: orderBy(score desc, doc_id) limit k   [1 shuffle]
 
 The per-shard kernel sees ONLY the query terms' posting runs (with doc
 lengths packed inline), so query cost is independent of corpus width —
-the scan reads ~|q| × n_shards rows regardless of N.
+the scan reads ~|q| × n_shards rows regardless of N. Surfaces: search /
+search_many (batched, shared block decodes) / search_phrase (positions) /
+search_oracle / facets / fetch / highlight / stats.
 """
 
 from __future__ import annotations
