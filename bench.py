@@ -4,13 +4,18 @@
 Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
 ``local[$SPARK_GRAFT_CPUS]``):
 
-  index_build   full checkpointed index build over a deterministic
-                synthetic transcripts corpus sized to the sf (the
-                BASELINE.json headline: turns/sec)
-  bm25_wand     reference query set through the block-max WAND fast path
-  bm25_oracle   one query through the declarative DataFrame oracle
-  dedup_minhash MinHash+LSH near-dup pairs over documents.parquet
-  cosine_topk   brute-force cosine top-10 over embeddings.parquet
+  index_build     full checkpointed index build over a deterministic
+                  synthetic transcripts corpus sized to the sf (the
+                  BASELINE.json headline: turns/sec), best-of-N
+  bm25_wand       reference query set, block-max WAND fast path (per-query)
+  bm25_wand_batch the same query set in ONE Spark job (search_many)
+  bm25_phrase     one exact-phrase query over a positions build
+  facets          one terms-aggregation over all matches
+  bm25_oracle     one query through the declarative DataFrame oracle
+  dedup_minhash   MinHash+LSH near-dup pairs over documents.parquet
+  dedup_simhash   SimHash near-dup pairs over documents.parquet
+  quality         text-quality feature pass over documents.parquet
+  cosine_topk     brute-force cosine top-10 over embeddings.parquet
 
 ``--scaling`` additionally reruns the index build at pinned local[N]
 vs local[4N] physical CPUs (the sandbox proxy for N vs 4N executors;
@@ -99,9 +104,30 @@ def build_and_query(master: str, shuffle_partitions: int, sf: float, measure_que
             idx.search_many(qs, 10).collect()  # whole set, ONE Spark job
             t["bm25_wand_batch"] = time.monotonic() - t0
             t0 = time.monotonic()
+            idx.facets(qs[0], by="role").collect()
+            t["facets"] = time.monotonic() - t0
+            t0 = time.monotonic()
             idx.search_oracle(qs[0], 10).collect()
             t["bm25_oracle"] = time.monotonic() - t0
             timings_q = len(qs)
+
+            # phrase path: positions build (ES text fields index positions
+            # by default — this is that cost, reported separately from the
+            # frequency-only headline) + one exact-phrase query
+            from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+            wh_pos = wh + "_pos"
+            t0 = time.monotonic()
+            build_index(spark, tr, wh_pos, docs_per_shard=1 << 14, n_buckets=64,
+                        positions=True)
+            t["index_build_pos"] = time.monotonic() - t0
+            idx_p = Index(spark, wh_pos)
+            toks = tokenize_text(idx_p._docs_df().select("text").first()["text"])
+            phrase = " ".join(toks[:2]) if len(toks) >= 2 else "w00000"
+            t0 = time.monotonic()
+            idx_p.search_phrase(phrase, 10).collect()
+            t["bm25_phrase"] = time.monotonic() - t0
+            shutil.rmtree(wh_pos, ignore_errors=True)
         return t, {"n_turns": n_turns, "n_queries": timings_q}
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -121,6 +147,16 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         t0 = time.monotonic()
         minhash_lsh_pairs(docs, threshold=0.8).count()
         t["dedup_minhash"] = time.monotonic() - t0
+
+        from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import simhash_pairs
+        from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
+
+        t0 = time.monotonic()
+        simhash_pairs(docs, max_hamming=3).count()
+        t["dedup_simhash"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        quality_features(docs).count()
+        t["quality"] = time.monotonic() - t0
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]

@@ -1,0 +1,76 @@
+"""End-to-end training-data pipeline demo: curate a transcripts corpus,
+index the survivors, and query it — the full "switch from the reference"
+story in one file.
+
+    python examples/curate_and_index.py [n_convs]
+
+Stages (each a library call — nothing here is demo-only logic):
+  1. generate the deterministic synthetic transcripts corpus
+  2. assign dense doc_ids (stable (conv_id, turn_idx) identity)
+  3. text-quality scoring → drop low-quality turns
+  4. exact dedup → keep one copy per distinct text
+  5. resumable index build over the survivors
+  6. BM25 / phrase / filtered / facet queries with highlighted hits
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(n_convs: int = 400) -> None:
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import exact_dedup
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+    from kafka_elasticsearch_standalone_consumer_spark.session import get_spark
+
+    spark = get_spark(app_name="curate-and-index")
+
+    # 1-2: corpus + identity
+    turns = assign_dense_ids(generate_transcripts(spark, n_convs=n_convs, seed=42))
+    n0 = turns.count()
+
+    # 3: quality gate (empty/garbage turns score < 0.5)
+    scored = quality_features(turns.select("doc_id", "text")).select("doc_id", "quality")
+    keep_q = scored.filter(F.col("quality") >= 0.5).select("doc_id")
+    turns_q = turns.join(keep_q, "doc_id", "left_semi")
+
+    # 4: exact dedup (keep the lowest doc_id of each distinct text)
+    keep_d = exact_dedup(turns_q).select(F.col("keep_id").alias("doc_id"))
+    survivors = turns_q.join(keep_d, "doc_id", "left_semi").drop("doc_id")
+    n1 = survivors.count()
+
+    # 5: resumable index build (with positions: phrase queries)
+    wh = tempfile.mkdtemp(prefix="curated_idx_") + "/idx"
+    build_index(spark, survivors, wh, positions=True)
+    idx = Index(spark, wh)
+
+    # 6: query it every way
+    q = "w00000 w00002"
+    top = (
+        idx.highlight(idx.search(q, 5), q)
+        .select("conv_id", "turn_idx", "score", "snippet")
+        .orderBy(F.desc("score"))
+    )
+    phrase_hits = idx.search_phrase("w00000 w00001", 5)
+    user_hits = idx.search(q, 5, where="role = 'user'")
+    facet = idx.facets(q, by="role")
+
+    print(f"turns: {n0} -> quality+dedup survivors: {n1}")
+    top.show(5, truncate=60)
+    print("phrase hits:", phrase_hits.count(), "| user-only hits:", user_hits.count())
+    facet.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
