@@ -58,6 +58,7 @@ def build_index(
     dry_run: bool = False,
     materialize_tokens: bool = True,
     positions: bool = False,
+    max_retries: int = 0,
 ) -> "StepRunner":
     """Build (or resume building) the full index under ``warehouse_path``.
 
@@ -78,7 +79,7 @@ def build_index(
     """
     wh = Warehouse(warehouse_path)
     log = CheckpointLog(spark, wh, run_id)
-    runner = StepRunner(log, fail_after=fail_after)
+    runner = StepRunner(log, fail_after=fail_after, max_retries=max_retries)
 
     if dry_run:
         docs = assign_dense_ids(transcripts, num_partitions=num_partitions)

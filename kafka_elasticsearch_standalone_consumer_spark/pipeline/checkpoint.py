@@ -91,14 +91,31 @@ class CheckpointLog:
 
 
 class StepRunner:
-    """Run named steps once; skip steps a previous run completed."""
+    """Run named steps once; skip steps a previous run completed.
 
-    def __init__(self, log: CheckpointLog, fail_after: str | None = None):
+    ``max_retries`` mirrors the reference's bounded reconnect/retry loops
+    (``jobs/IndexerJob.java:104-136`` Kafka reinit ×N, ``:428-455`` ES
+    reconnect ×N, sleep between attempts): a step that throws is retried
+    up to N times — safe because every step's output is an idempotent
+    overwrite — then marked failed and re-raised (the reference likewise
+    gives up and surfaces the failure after numberOfReinitAttempts).
+    """
+
+    def __init__(
+        self,
+        log: CheckpointLog,
+        fail_after: str | None = None,
+        max_retries: int = 0,
+        retry_sleep_s: float = 1.0,
+    ):
         self.log = log
         self.done = log.completed_steps()
         self.fail_after = fail_after  # test hook: simulate a crash
+        self.max_retries = max_retries
+        self.retry_sleep_s = retry_sleep_s
         self.skipped: list[str] = []
         self.ran: list[str] = []
+        self.retried: dict[str, int] = {}
 
     def step(self, step_id: str, fn) -> None:
         """fn() fully writes the step's output table(s), returns row count."""
@@ -106,7 +123,19 @@ class StepRunner:
             self.skipped.append(step_id)
             return
         t0 = time.monotonic()
-        rows = fn()
+        attempt = 0
+        while True:
+            try:
+                rows = fn()
+                break
+            except Exception:
+                attempt += 1
+                if attempt > self.max_retries:
+                    self.log.mark(step_id, "failed", 0, int((time.monotonic() - t0) * 1000))
+                    raise
+                self.retried[step_id] = attempt
+                self.log.metric(step_id, "retries", float(attempt))
+                time.sleep(self.retry_sleep_s)
         wall_ms = int((time.monotonic() - t0) * 1000)
         self.log.mark(step_id, "ok", rows or 0, wall_ms)
         self.log.metric(step_id, "rows", float(rows or 0))

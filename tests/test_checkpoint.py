@@ -56,3 +56,34 @@ def test_dry_run_writes_nothing(spark, tmp_path):
     import os
 
     assert os.listdir(p) == []
+
+
+def test_step_retry_bounded(spark, tmp_path):
+    """Reference parity: bounded retry loops (IndexerJob reinit ×N) — a
+    flaky step succeeds on retry; exceeding the budget fails the build."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.checkpoint import (
+        CheckpointLog,
+        StepRunner,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "retry"))
+    runner = StepRunner(CheckpointLog(spark, wh), max_retries=2, retry_sleep_s=0.01)
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return 7
+
+    runner.step("flaky", flaky)
+    assert attempts["n"] == 3 and runner.retried["flaky"] == 2
+
+    runner2 = StepRunner(CheckpointLog(spark, wh), max_retries=1, retry_sleep_s=0.01)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="always"):
+        runner2.step("doomed", lambda: (_ for _ in ()).throw(RuntimeError("always")))
+    statuses = {r["step_id"]: r["status"] for r in wh.read_rows("sys_checkpoint")}
+    assert statuses["doomed"] == "failed" and statuses["flaky"] == "ok"

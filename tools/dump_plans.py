@@ -74,6 +74,18 @@ def main() -> None:
         )
     )
 
+    facet = idx.facets("w00000 w00412", by="role")
+    sections.append(
+        (
+            "Facet aggregation (ES terms agg)",
+            "Fully declarative: term-pruned tokens scan → distinct matching "
+            "docs → LEFT SEMI join the doc store (column-pruned to doc_id + "
+            "the facet column) → one aggregation. Catalyst owns the whole "
+            "physical plan; no kernels on this path.",
+            plan_of(facet),
+        )
+    )
+
     pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
     sections.append(
         (
