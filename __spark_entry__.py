@@ -423,6 +423,45 @@ def q_incremental_segments(spark, sf_dir):
     )
 
 
+def q_delete_tombstones(spark, sf_dir):
+    """Lucene live-docs semantics: deleted docs vanish from results with
+    scores of survivors FROZEN (stats unchanged) until compaction purges
+    the tombstones and re-bakes stats. Returns counters (mismatches 0)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        compact,
+        delete_docs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = tempfile.mkdtemp(prefix="kesc_del_") + "/idx"
+    tr = generate_transcripts(spark, n_convs=50, seed=13, partitions=4)
+    build_index(spark, tr, wh, docs_per_shard=256, n_buckets=8)
+    q = "w00000 w00003"
+    before = {r["doc_id"]: round(r["score"], 6) for r in Index(spark, wh).search(q, 50).collect()}
+    n_del = delete_docs(spark, wh, "role = 'tool'")
+    idx = Index(spark, wh)
+    tool = {r["doc_id"] for r in idx._docs_df().filter("role = 'tool'").collect()}
+    after = {r["doc_id"]: round(r["score"], 6) for r in idx.search(q, 50).collect()}
+    n_leaked = len(set(after) & tool)
+    # frozen-stats check: docs ranked in BOTH top-k lists keep their exact
+    # pre-delete scores (docs promoted into the post-delete top-k are new
+    # entries, not drift)
+    n_score_drift = sum(
+        1 for d, sc in after.items() if d in before and before[d] != sc
+    )
+    compact(spark, wh)
+    idx2 = Index(spark, wh)
+    n_after_compact = idx2._docs_df().filter("role = 'tool'").count()
+    return spark.createDataFrame(
+        [(int(n_del), n_leaked, n_score_drift, int(n_after_compact), idx2.stats()["n_deleted"])],
+        "n_deleted long, n_leaked long, n_score_drift long, n_tool_after_compact long, n_tombstones_after_compact long",
+    )
+
+
 def q_media_features(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
         extract_features,
@@ -466,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "transcripts_invariant": q_transcripts_invariant,
         "incremental_segments": q_incremental_segments,
+        "delete_tombstones": q_delete_tombstones,
         "media_features": q_media_features,
     }
 
@@ -719,5 +759,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         # rows-only (kernel semantics not expressible in ANSI SQL):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, fingerprints,
-        # transcripts_invariant, incremental_segments, media_features
+        # transcripts_invariant, incremental_segments, delete_tombstones,
+        # media_features
     }

@@ -229,27 +229,57 @@ def append_segment(
     return seg_id
 
 
+DELETES_TABLE = "sys_deletes"
+
+
+def delete_docs(spark: SparkSession, warehouse_path: str, where: str) -> int:
+    """Delete documents by predicate — Lucene tombstone semantics: matching
+    doc_ids are appended to a live-docs exclusion table and disappear from
+    every query surface immediately, while corpus statistics (N, avgdl,
+    df) stay FROZEN until the next :func:`compact` purges them (exactly
+    how Lucene/ES behave between deletes and segment merges: surviving
+    docs keep their pre-delete scores). Returns the number of tombstones
+    written."""
+    wh = Warehouse(warehouse_path)
+    segs = list_segments(wh)
+    whs = [wh] + [seg_warehouse(wh, s["seg_id"]) for s in segs[1:]]
+    docs = whs[0].read(spark, "docs")
+    for w in whs[1:]:
+        docs = docs.unionByName(w.read(spark, "docs"))
+    ids = docs.filter(where).select("doc_id")
+    if wh.exists(DELETES_TABLE):
+        ids = ids.join(wh.read(spark, DELETES_TABLE), "doc_id", "left_anti")
+    wh.write(ids, DELETES_TABLE, mode="append")
+    return wh.count_rows(DELETES_TABLE)
+
+
 def compact(
     spark: SparkSession,
     warehouse_path: str,
     num_partitions: int | None = None,
     run_id: str | None = None,
 ) -> int:
-    """Merge all segments back into the base index (Lucene segment merge).
+    """Merge all segments back into the base index (Lucene segment merge),
+    purging delete tombstones in the process.
 
     Rebuilds from the union of per-segment document stores — postings and
-    block-max bounds are re-baked against the true global avgdl, so a
-    compacted index is bit-identical in query semantics to a one-shot
-    build over the full corpus. Returns the number of segments retired.
+    block-max bounds are re-baked against the true global avgdl of the
+    SURVIVING docs, so a compacted index is bit-identical in query
+    semantics to a one-shot build over the post-delete corpus. Returns the
+    number of segments retired.
     """
     wh = Warehouse(warehouse_path)
     segs = list_segments(wh)
-    if len(segs) <= 1:
+    has_deletes = wh.exists(DELETES_TABLE) and wh.count_rows(DELETES_TABLE) > 0
+    if len(segs) <= 1 and not has_deletes:
         return 0
+    segs = _ensure_base_segment_row(wh)  # deletes-only compaction path
     meta = wh.read_meta("sys_meta")
     docs_all = wh.read(spark, "docs")
     for s in segs[1:]:
         docs_all = docs_all.unionByName(seg_warehouse(wh, s["seg_id"]).read(spark, "docs"))
+    if has_deletes:
+        docs_all = docs_all.join(wh.read(spark, DELETES_TABLE), "doc_id", "left_anti")
     # rebuild into a fresh directory, then atomically swap
     tmp_root = os.path.join(wh.root, "_compact_tmp")
     shutil.rmtree(tmp_root, ignore_errors=True)
@@ -281,5 +311,6 @@ def compact(
             os.rename(src, dst)
     shutil.rmtree(os.path.join(wh.root, "segments"), ignore_errors=True)
     shutil.rmtree(wh.path(SEGMENTS_TABLE), ignore_errors=True)
+    shutil.rmtree(wh.path(DELETES_TABLE), ignore_errors=True)  # tombstones purged
     shutil.rmtree(tmp_root, ignore_errors=True)
     return retired

@@ -203,6 +203,13 @@ class Index:
             segs = list_segments(self.wh)
             out["n_segments"] = max(len(segs), 1)
             out["doc_id_hi"] = segs[-1]["doc_id_hi"] if segs else self.meta["n_docs"]
+            from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+                DELETES_TABLE,
+            )
+
+            out["n_deleted"] = (
+                self.wh.count_rows(DELETES_TABLE) if self.wh.exists(DELETES_TABLE) else 0
+            )
         return out
 
     def doc_keys(self) -> DataFrame:
@@ -302,6 +309,34 @@ class Index:
             docs = docs.unionByName(w.read(self.spark, "docs"))
         return docs
 
+    def _deletes_df(self) -> DataFrame | None:
+        """Delete tombstones (Lucene live-docs complement), or None."""
+        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+            DELETES_TABLE,
+        )
+
+        if self.wh is None or not self.wh.exists(DELETES_TABLE):
+            return None
+        d = self.wh.read(self.spark, DELETES_TABLE)
+        return d if not d.isEmpty() else None
+
+    def _mask_plan(self, where: str | None, docs_per_shard: int):
+        """(mask_df_with_shard, kind) for the per-shard doc mask:
+        kind='allowed' ships the filtered live set, kind='blocked' ships
+        only the tombstones (cheaper when there is no filter clause);
+        (None, None) when no mask applies."""
+        from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
+
+        deletes = self._deletes_df()
+        if where is not None:
+            allowed = self._docs_df().filter(where).select("doc_id")
+            if deletes is not None:
+                allowed = allowed.join(deletes, "doc_id", "left_anti")
+            return with_shard(allowed, docs_per_shard), "allowed"
+        if deletes is not None:
+            return with_shard(deletes.select("doc_id"), docs_per_shard), "blocked"
+        return None, None
+
     def search(
         self, query_text: str, k: int = 10, mode: str = "bmw", where: str | None = None
     ) -> DataFrame:
@@ -330,7 +365,7 @@ class Index:
         avgdl = float(meta["avgdl"]) or 1e-9
         k1, b = float(meta["k1"]), float(meta["b"])
 
-        def score_shard(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+        def score_shard(pdf: pd.DataFrame, allowed, blocked) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
             runs = [
@@ -340,7 +375,9 @@ class Index:
                 for row in pdf.itertuples(index=False)
             ]
             if mode == "exact":
-                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b, allowed=allowed)
+                d, s = kernels.shard_topk_exact(
+                    runs, k, avgdl, k1, b, allowed=allowed, blocked=blocked
+                )
             elif mode == "intersect":
                 by_term: dict[str, list] = {}
                 for row, r in zip(pdf.itertuples(index=False), runs):
@@ -350,36 +387,38 @@ class Index:
                         {"doc_id": np.int64, "score": np.float64}
                     )
                 d, s = kernels.shard_topk_intersect(
-                    by_term, k, avgdl, k1, b, allowed=allowed
+                    by_term, k, avgdl, k1, b, allowed=allowed, blocked=blocked
                 )
             else:
                 d, s = kernels.shard_topk_bmw(
-                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b, allowed=allowed
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b,
+                    allowed=allowed, blocked=blocked,
                 )
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        if where is None:
+        mask_df, mask_kind = self._mask_plan(where, docs_per_shard)
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": np.int64, "score": np.float64}
+        )
+        if mask_df is None:
             partials = hits.groupBy("shard").applyInPandas(
-                lambda pdf: score_shard(pdf, None), schema=TOPK_SCHEMA
+                lambda pdf: score_shard(pdf, None, None), schema=TOPK_SCHEMA
             )
         else:
-            from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
-
-            allowed_df = with_shard(
-                self._docs_df().filter(where).select("doc_id"), docs_per_shard
-            )
 
             def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-                if not len(left) or not len(right):
-                    return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                        {"doc_id": np.int64, "score": np.float64}
-                    )
-                allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
-                return score_shard(left, allowed)
+                if not len(left):
+                    return empty.copy()
+                ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64)) if len(right) else None
+                if mask_kind == "allowed":
+                    if ids is None:
+                        return empty.copy()  # nothing allowed in this shard
+                    return score_shard(left, ids, None)
+                return score_shard(left, None, ids)  # blocked; ids may be None
 
             partials = (
                 hits.groupBy("shard")
-                .cogroup(allowed_df.groupBy("shard"))
+                .cogroup(mask_df.groupBy("shard"))
                 .applyInPandas(cg, schema=TOPK_SCHEMA)
             )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -417,7 +456,7 @@ class Index:
         )
         out_schema = "doc_id long, tfp int, dl int, shard long, n_shard_matches long"
 
-        def score_shard(pdf: pd.DataFrame, allowed) -> pd.DataFrame:
+        def score_shard(pdf: pd.DataFrame, allowed, blocked) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
             by_term: dict[str, list] = {}
@@ -427,35 +466,36 @@ class Index:
                 )
             runs_by_slot = [by_term.get(t, []) for t in slots]
             d, tfp, dl, n = kernels.shard_phrase_matches(
-                runs_by_slot, k, avgdl, k1, b, allowed=allowed
+                runs_by_slot, k, avgdl, k1, b, allowed=allowed, blocked=blocked
             )
             return pd.DataFrame(
                 {"doc_id": d, "tfp": tfp, "dl": dl, "shard": shard, "n_shard_matches": n}
             )
 
-        if where is None:
+        mask_df, mask_kind = self._mask_plan(where, docs_per_shard)
+        p_empty = pd.DataFrame(
+            {"doc_id": [], "tfp": [], "dl": [], "shard": [], "n_shard_matches": []}
+        ).astype({"doc_id": np.int64, "tfp": np.int32, "dl": np.int32,
+                  "shard": np.int64, "n_shard_matches": np.int64})
+        if mask_df is None:
             partials = hits.groupBy("shard").applyInPandas(
-                lambda pdf: score_shard(pdf, None), schema=out_schema
+                lambda pdf: score_shard(pdf, None, None), schema=out_schema
             )
         else:
-            from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
-
-            allowed_df = with_shard(
-                self._docs_df().filter(where).select("doc_id"), docs_per_shard
-            )
 
             def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-                if not len(left) or not len(right):
-                    return pd.DataFrame(
-                        {"doc_id": [], "tfp": [], "dl": [], "shard": [], "n_shard_matches": []}
-                    ).astype({"doc_id": np.int64, "tfp": np.int32, "dl": np.int32,
-                              "shard": np.int64, "n_shard_matches": np.int64})
-                allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
-                return score_shard(left, allowed)
+                if not len(left):
+                    return p_empty.copy()
+                ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64)) if len(right) else None
+                if mask_kind == "allowed":
+                    if ids is None:
+                        return p_empty.copy()
+                    return score_shard(left, ids, None)
+                return score_shard(left, None, ids)
 
             partials = (
                 hits.groupBy("shard")
-                .cogroup(allowed_df.groupBy("shard"))
+                .cogroup(mask_df.groupBy("shard"))
                 .applyInPandas(cg, schema=out_schema)
             )
         partials = partials.persist()
@@ -515,6 +555,9 @@ class Index:
             matches = matches.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
             )
+        deletes = self._deletes_df()
+        if deletes is not None:
+            matches = matches.join(deletes, "doc_id", "left_anti")
         matches = matches.persist()
         df_phrase = matches.count()
         if df_phrase == 0:
@@ -567,7 +610,7 @@ class Index:
             F.col("term_bucket").isin(all_buckets) & F.col("term").isin(all_terms)
         )
 
-        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_shard(pdf: pd.DataFrame, blocked=None) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
             # one _Run per posting row; block decode cache shared across queries
@@ -584,7 +627,7 @@ class Index:
                 if not runs:
                     continue
                 d, s = kernels.shard_topk_bmw(
-                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b, blocked=blocked
                 )
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
@@ -603,9 +646,28 @@ class Index:
 
         from pyspark.sql.window import Window
 
-        partials = hits.groupBy("shard").applyInPandas(
-            per_shard, schema="qid string, " + TOPK_SCHEMA
-        )
+        mask_df, _kind = self._mask_plan(None, docs_per_shard)  # tombstones only
+        if mask_df is None:
+            # NB: applyInPandas dispatches on arity — a 2-param function
+            # would be called as (key, pdf); keep the lambda single-param
+            partials = hits.groupBy("shard").applyInPandas(
+                lambda pdf: per_shard(pdf), schema="qid string, " + TOPK_SCHEMA
+            )
+        else:
+
+            def cg_many(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if not len(left):
+                    return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                        {"qid": str, "doc_id": np.int64, "score": np.float64}
+                    )
+                ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64)) if len(right) else None
+                return per_shard(left, blocked=ids)
+
+            partials = (
+                hits.groupBy("shard")
+                .cogroup(mask_df.groupBy("shard"))
+                .applyInPandas(cg_many, schema="qid string, " + TOPK_SCHEMA)
+            )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             partials.withColumn("rank", F.row_number().over(w))
@@ -659,6 +721,9 @@ class Index:
         docs = self._docs_df()
         if where is not None:
             docs = docs.filter(where)
+        deletes = self._deletes_df()
+        if deletes is not None:
+            docs = docs.join(deletes, "doc_id", "left_anti")
         return (
             docs.join(matched, "doc_id", "left_semi")
             .groupBy(by)
@@ -709,4 +774,7 @@ class Index:
             scores = scores.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
             )
+        deletes = self._deletes_df()
+        if deletes is not None:
+            scores = scores.join(deletes, "doc_id", "left_anti")
         return bm25.topk(scores, k)

@@ -145,6 +145,18 @@ def _select_topk(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
+def _apply_doc_masks(uniq, allowed, blocked):
+    """Combine the filter clause (keep ∈ allowed) and delete tombstones
+    (drop ∈ blocked) into one boolean keep-mask over sorted-unique docs."""
+    keep = None
+    if allowed is not None:
+        keep = np.isin(uniq, allowed, assume_unique=True)
+    if blocked is not None:
+        nb = ~np.isin(uniq, blocked, assume_unique=True)
+        keep = nb if keep is None else keep & nb
+    return keep
+
+
 def shard_topk_exact(
     runs: list[_Run],
     k: int,
@@ -152,10 +164,12 @@ def shard_topk_exact(
     k1: float = K1,
     b: float = B,
     allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
 ):
     """``allowed``: optional sorted doc_id array — the ES filter clause.
-    Scores are unchanged for allowed docs (global idf/avgdl, like ES:
-    filters restrict the result set, not the corpus statistics)."""
+    ``blocked``: delete tombstones (Lucene live-docs), dropped from results
+    while corpus statistics stay frozen until the next compaction. Scores
+    are unchanged for surviving docs (global idf/avgdl, like ES)."""
     all_docs, all_contrib = [], []
     for r in runs:
         d, t, l = r.decode_all()
@@ -167,8 +181,8 @@ def shard_topk_exact(
     contrib = np.concatenate(all_contrib)
     uniq, inv = np.unique(docs, return_inverse=True)
     scores = np.bincount(inv, weights=contrib)
-    if allowed is not None:
-        keep = np.isin(uniq, allowed, assume_unique=True)
+    keep = _apply_doc_masks(uniq, allowed, blocked)
+    if keep is not None:
         uniq, scores = uniq[keep], scores[keep]
     return _select_topk(uniq, scores, k)
 
@@ -183,12 +197,14 @@ def shard_topk_bmw(
     b: float = B,
     window: int = DEFAULT_WINDOW,
     allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
 ):
     """Windowed block-max WAND: prune windows whose bound < running θ.
 
-    ``allowed`` (sorted doc_ids) applies the ES filter clause to emitted
-    candidates only — window upper bounds ignore it, which keeps pruning
-    safe (bounds can only over-estimate); θ tightens on allowed docs."""
+    ``allowed`` (sorted doc_ids) applies the ES filter clause and
+    ``blocked`` the delete tombstones to emitted candidates only — window
+    upper bounds ignore both, which keeps pruning safe (bounds can only
+    over-estimate); θ tightens on surviving docs."""
     if not runs:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     n_w = (shard_size + window - 1) // window
@@ -239,9 +255,10 @@ def shard_topk_bmw(
         if not touched:
             continue
         nz = np.flatnonzero(scores_buf)
-        if allowed is not None and nz.size:
-            keep = np.isin(nz + lo_doc, allowed, assume_unique=True)
-            nz = nz[keep]
+        if nz.size:
+            keep = _apply_doc_masks(nz + lo_doc, allowed, blocked)
+            if keep is not None:
+                nz = nz[keep]
         best_docs = np.concatenate([best_docs, nz + lo_doc])
         best_scores = np.concatenate([best_scores, scores_buf[nz]])
         if best_docs.size >= k:
@@ -263,6 +280,7 @@ def shard_phrase_matches(
     k1: float = K1,
     b: float = B,
     allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
 ):
     """Exact phrase matching over position streams (ES match_phrase, slop 0).
 
@@ -298,8 +316,8 @@ def shard_phrase_matches(
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
     docs = s >> POS_BITS
     uniq, tfp = np.unique(docs, return_counts=True)
-    if allowed is not None:
-        keep = np.isin(uniq, allowed, assume_unique=True)
+    keep = _apply_doc_masks(uniq, allowed, blocked)
+    if keep is not None:
         uniq, tfp = uniq[keep], tfp[keep]
         if uniq.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
@@ -320,6 +338,7 @@ def shard_topk_intersect(
     k1: float = K1,
     b: float = B,
     allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
 ):
     """AND semantics: docs containing every query term, scored exactly."""
     per_term = []
@@ -341,8 +360,9 @@ def shard_topk_intersect(
         cand = cand[np.isin(cand, d, assume_unique=True)]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-    if allowed is not None:
-        cand = cand[np.isin(cand, allowed, assume_unique=True)]
+    keep = _apply_doc_masks(cand, allowed, blocked)
+    if keep is not None:
+        cand = cand[keep]
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)
