@@ -167,10 +167,11 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         spark.stop()
 
 
-SCALING_SF_MULT = 4  # scaling corpus is 4× the headline sf: the two-
-# parallelism comparison needs compute to dominate the ~12 s of fixed
-# session/stage-scheduling overhead, which at the headline size would
-# measure the scheduler, not the engine
+SCALING_SF_MULT = 8  # scaling corpus is 8× the headline sf (~1.6M turns):
+# the two-parallelism comparison needs compute to dominate the ~20 s of
+# fixed session/stage-scheduling overhead, which at the headline size
+# would measure the scheduler, not the engine — and a multi-minute job is
+# closer in shape to the 100 TB regime the build targets
 
 
 def child_build(cores: int, sf: float) -> None:
