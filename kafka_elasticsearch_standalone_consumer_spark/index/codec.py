@@ -150,6 +150,14 @@ def pack_run(
     }
 
 
+# In-doc position ceiling: phrase kernels pack (doc, pos) into one int64
+# as doc << POS_BITS | pos (query/kernels.py POS_BITS), so a position at
+# or above 2^20 would corrupt the doc bits. Enforced at pack time: an
+# index build rejects documents longer than ~1M tokens outright rather
+# than silently mis-matching phrases later.
+MAX_POSITION = 1 << 20
+
+
 def pack_positions(
     flat_pos: np.ndarray,
     tfs: np.ndarray,
@@ -162,8 +170,14 @@ def pack_positions(
     Deltas RESTART at each document (first position raw) and blocks align
     with the doc blocks of :func:`pack_run`, so a block's positions decode
     without touching its neighbours. Returns (bytes, per-block offsets).
+    Raises ``ValueError`` for any position ≥ :data:`MAX_POSITION`.
     """
     flat_pos = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    if flat_pos.size and int(flat_pos.max()) >= MAX_POSITION:
+        raise ValueError(
+            f"token position {int(flat_pos.max())} exceeds the positions-index "
+            f"limit of {MAX_POSITION - 1} tokens per document (POS_BITS key packing)"
+        )
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     n = tfs.size
     if n == 0:

@@ -93,6 +93,36 @@ def list_segments(wh: Warehouse) -> list[dict]:
     return sorted(wh.read_rows(SEGMENTS_TABLE), key=lambda r: r["seg_id"])
 
 
+def registry_totals(wh: Warehouse) -> tuple[int, float] | None:
+    """(n_docs, avgdl) derived from the segment REGISTRY, or None when no
+    registry exists (plain single-segment build).
+
+    The registry row is the commit point of :func:`append_segment`; the
+    sys_meta refresh happens after it, so a crash in between leaves
+    sys_meta stale while the segment is already live. Readers that derive
+    totals from the registry (Index.__init__ does) are immune to that
+    window. Uses the same ``sum()`` expressions as the append-time refresh
+    so the floats are bit-identical when both paths run."""
+    segs = list_segments(wh)
+    if not segs:
+        return None
+    total_n = sum(s["n_docs"] for s in segs)
+    total_dl = sum(s["sum_dl"] for s in segs)
+    return total_n, (total_dl / total_n) if total_n else 0.0
+
+
+def _sync_meta_totals(wh: Warehouse, meta: dict) -> None:
+    """Repair sys_meta's n_docs/avgdl from the segment registry if they
+    drifted (crash between registry commit and meta refresh)."""
+    totals = registry_totals(wh)
+    if totals is None:
+        return
+    n, avgdl = totals
+    if int(meta.get("n_docs", -1)) != n or float(meta.get("avgdl", -1.0)) != avgdl:
+        meta.update(n_docs=n, avgdl=avgdl)
+        wh.write_meta("sys_meta", meta)
+
+
 def seg_warehouse(wh: Warehouse, seg_id: int) -> Warehouse:
     return Warehouse(os.path.join(wh.root, "segments", str(seg_id)))
 
@@ -138,7 +168,12 @@ def append_segment(
         any(s["idempotency_key"] == idempotency_key for s in segs)
         or idempotency_key in _retired_keys(wh)
     ):
-        return None  # replayed batch — the reference skips re-committed offsets
+        # replayed batch — the reference skips re-committed offsets. Also
+        # repair sys_meta in case the original run crashed between its
+        # registry commit and its meta refresh (the replay is the retry).
+        _sync_meta_totals(wh, meta)
+        return None
+    positions = bool(meta.get("positions", False))
     seg_id = segs[-1]["seg_id"] + 1
     base = int(segs[-1]["doc_id_hi"])
     swh = seg_warehouse(wh, seg_id)
@@ -153,7 +188,10 @@ def append_segment(
         return swh.count_rows("docs")
 
     def step_tokens():
-        toks = doc_term_freqs(swh.read(spark, "docs"))
+        # positions parity with the base build: a segment of a positions
+        # index must pack positions too, or the query-time unionByName of
+        # base + segment postings throws on the missing pos columns
+        toks = doc_term_freqs(swh.read(spark, "docs"), positions=positions)
         swh.write(toks, "tokens")
         return swh.count_rows("tokens")
 
@@ -189,6 +227,7 @@ def append_segment(
             docs_per_shard=int(meta["docs_per_shard"]),
             n_buckets=int(meta["n_buckets"]),
             num_partitions=num_partitions,
+            positions=positions,
         )
         swh.write(postings, "postings", partition_by=("term_bucket",))
         return swh.count_rows("postings")
@@ -249,8 +288,9 @@ def delete_docs(spark: SparkSession, warehouse_path: str, where: str) -> int:
     ids = docs.filter(where).select("doc_id")
     if wh.exists(DELETES_TABLE):
         ids = ids.join(wh.read(spark, DELETES_TABLE), "doc_id", "left_anti")
+    before = wh.count_rows(DELETES_TABLE) if wh.exists(DELETES_TABLE) else 0
     wh.write(ids, DELETES_TABLE, mode="append")
-    return wh.count_rows(DELETES_TABLE)
+    return wh.count_rows(DELETES_TABLE) - before  # NEW tombstones only
 
 
 def compact(
@@ -292,6 +332,11 @@ def compact(
         tokenizer=meta.get("tokenizer", "fused"),
         num_partitions=num_partitions,
         run_id=run_id,
+        # build-knob parity: a compacted index must stay query-identical
+        # to a one-shot build with the SAME knobs — in particular a
+        # positions index must stay phrase-queryable after auto-compaction
+        positions=bool(meta.get("positions", False)),
+        materialize_tokens=wh.exists("tokens"),
     )
     retired = len(segs) - 1
     # Preserve consumed idempotency keys across the registry reset — a

@@ -40,12 +40,20 @@ class Index:
     def __init__(self, spark: SparkSession, warehouse_path: str):
         from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
             list_segments,
+            registry_totals,
             seg_warehouse,
         )
 
         self.spark = spark
         self.wh = Warehouse(warehouse_path)
         self.meta = read_meta(spark, self.wh)
+        # n_docs/avgdl from the segment REGISTRY when one exists: the
+        # registry row is append_segment's commit point and sys_meta is
+        # refreshed after it, so a crash in between must not leave queries
+        # scoring with idf/avgdl that exclude a committed segment
+        totals = registry_totals(self.wh)
+        if totals is not None:
+            self.meta = dict(self.meta, n_docs=totals[0], avgdl=totals[1])
         segs = list_segments(self.wh)
         if len(segs) <= 1:
             self.postings = self.wh.read(spark, "postings").withColumn(
@@ -468,6 +476,15 @@ class Index:
             d, tfp, dl, n = kernels.shard_phrase_matches(
                 runs_by_slot, k, avgdl, k1, b, allowed=allowed, blocked=blocked
             )
+            if n and len(d) == 0:
+                # every match masked out — emit a sentinel row so the
+                # shard's UNMASKED match count still reaches the global
+                # phrase-df aggregation (ES keeps stats global under
+                # filters; tombstone stats stay frozen until compaction)
+                return pd.DataFrame(
+                    {"doc_id": [-1], "tfp": [0], "dl": [1],
+                     "shard": [shard], "n_shard_matches": [n]}
+                )
             return pd.DataFrame(
                 {"doc_id": d, "tfp": tfp, "dl": dl, "shard": shard, "n_shard_matches": n}
             )
@@ -489,7 +506,9 @@ class Index:
                 ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64)) if len(right) else None
                 if mask_kind == "allowed":
                     if ids is None:
-                        return p_empty.copy()
+                        # no allowed docs here, but the shard's unmasked
+                        # matches still count toward the global phrase df
+                        ids = np.empty(0, dtype=np.int64)
                     return score_shard(left, ids, None)
                 return score_shard(left, None, ids)
 
@@ -508,7 +527,7 @@ class Index:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n = float(meta["n_docs"])
         idf = math.log(1.0 + (n - df_phrase + 0.5) / (df_phrase + 0.5))
-        scored = partials.select(
+        scored = partials.filter(F.col("doc_id") >= 0).select(
             "doc_id",
             (
                 F.lit(idf)
@@ -550,7 +569,14 @@ class Index:
                 "doc_id", (F.col("p") - i).alias("p0")
             )
             m = m.join(nxt, ["doc_id", "p0"])
-        matches = m.groupBy("doc_id").agg(F.count("*").alias("tfp"))
+        matches = m.groupBy("doc_id").agg(F.count("*").alias("tfp")).persist()
+        # phrase df counted UNMASKED — the filter clause restricts the doc
+        # set but corpus statistics stay global (ES), and tombstone stats
+        # stay frozen until compaction; same rule as the fast path
+        df_phrase = matches.count()
+        if df_phrase == 0:
+            matches.unpersist()
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
         if where is not None:
             matches = matches.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
@@ -558,11 +584,6 @@ class Index:
         deletes = self._deletes_df()
         if deletes is not None:
             matches = matches.join(deletes, "doc_id", "left_anti")
-        matches = matches.persist()
-        df_phrase = matches.count()
-        if df_phrase == 0:
-            matches.unpersist()
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
         if self.wh is None:
             ds = self._doc_stats.select("doc_id", "dl")
         else:

@@ -270,7 +270,10 @@ def shard_topk_bmw(
     return _select_topk(best_docs, best_scores, k)
 
 
-POS_BITS = 20  # in-doc position key width: docs up to 2^43 ids × 2^20 tokens
+# In-doc position key width: docs up to 2^43 ids × 2^20 tokens. Positions
+# ≥ 2^20 are rejected at pack time (codec.MAX_POSITION = 1 << POS_BITS),
+# so the packed keys below can never overflow into the doc bits.
+POS_BITS = 20
 
 
 def shard_phrase_matches(
@@ -291,6 +294,13 @@ def shard_phrase_matches(
     k best by the dl-normalized tf impact (idf is a per-query constant, so
     this per-shard ranking is exact — the coordinator applies it after
     aggregating the global phrase df).
+
+    ``n_matching_docs`` is counted BEFORE the allowed/blocked masks are
+    applied: the phrase df feeds idf, and ES semantics keep corpus
+    statistics global under a filter clause (and frozen under delete
+    tombstones until compaction) — masks restrict only the emitted
+    candidates. A shard whose matches are all masked out still reports
+    its unmasked count.
     """
     keys_by_slot = []
     dl_docs, dl_vals = None, None
@@ -316,14 +326,15 @@ def shard_phrase_matches(
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
     docs = s >> POS_BITS
     uniq, tfp = np.unique(docs, return_counts=True)
+    n_matches = int(uniq.size)  # unmasked — global phrase df (see docstring)
     keep = _apply_doc_masks(uniq, allowed, blocked)
     if keep is not None:
         uniq, tfp = uniq[keep], tfp[keep]
         if uniq.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), n_matches)
     order = np.argsort(dl_docs, kind="stable")
     dl = dl_vals[order][np.searchsorted(dl_docs[order], uniq)]
-    n_matches = int(uniq.size)
     impact = tfp.astype(np.float64) / (
         tfp + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
     )

@@ -65,3 +65,20 @@ def test_selective_block_decode():
     expect = np.concatenate([docs[256:384], docs[640:768]])
     assert np.array_equal(d, expect)
     assert np.array_equal(t, np.concatenate([tfs[256:384], tfs[640:768]]))
+
+
+def test_pack_positions_rejects_overflowing_positions():
+    """Positions ≥ 2^20 would corrupt the doc<<POS_BITS|pos phrase keys —
+    pack time must reject them (documented max doc length)."""
+    import numpy as np
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.index import codec
+
+    flat = np.array([0, 5, codec.MAX_POSITION], dtype=np.int64)
+    tfs = np.array([2, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="position"):
+        codec.pack_positions(flat, tfs)
+    ok_flat = np.array([0, 5, codec.MAX_POSITION - 1], dtype=np.int64)
+    buf, offs = codec.pack_positions(ok_flat, tfs)
+    assert len(buf) > 0 and offs == [0]

@@ -90,3 +90,20 @@ def test_compact_purges_tombstones(spark, deleted_wh, tmp_path):
     }
     assert got == want
     assert {(c, t) for c, t, _ in got} <= keys_before | {(c, t) for c, t, _ in want}
+
+
+def test_delete_docs_returns_delta(spark, tmp_path):
+    """ADVICE r01: a second overlapping delete reports only the NEW
+    tombstones, not the cumulative table size."""
+    path = str(tmp_path / "ddelta")
+    tr = generate_transcripts(spark, n_convs=20, seed=31, partitions=2)
+    build_index(spark, tr, path, docs_per_shard=256, n_buckets=8)
+    n_tool = Index(spark, path)._docs_df().filter("role = 'tool'").count()
+    n_all = Index(spark, path)._docs_df().count()
+    assert delete_docs(spark, path, "role = 'tool'") == n_tool
+    # overlapping predicate: tool docs are already tombstoned
+    assert delete_docs(spark, path, "role IN ('tool', 'user')") == (
+        Index(spark, path)._docs_df().filter("role = 'user'").count()
+    )
+    assert delete_docs(spark, path, "role = 'tool'") == 0
+    assert Index(spark, path).stats()["n_deleted"] < n_all

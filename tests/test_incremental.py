@@ -185,3 +185,58 @@ def test_streaming_auto_compact(spark, corpora, tmp_path):
         assert _hits(spark, Index(spark, wh), query) == _hits(
             spark, Index(spark, full_path), query
         ), query
+
+
+def test_append_and_compact_preserve_positions(spark, corpora, tmp_path):
+    """ADVICE r01: appending to / compacting a positions index must keep it
+    phrase-queryable — segment postings carry the pos columns and compact
+    re-builds with positions=True (parity with the base build knobs)."""
+    full, a, b, _c = corpora
+    ab = a.unionByName(b)
+    wh = str(tmp_path / "poswh")
+    ref = str(tmp_path / "posref")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8, positions=True)
+    build_index(spark, ab, ref, docs_per_shard=256, n_buckets=8, positions=True)
+    assert append_segment(spark, b, wh, idempotency_key="p1") == 1
+
+    def phrase_hits(path, phrase):
+        idx = Index(spark, path)
+        res = idx.search_phrase(phrase, K).join(idx.doc_keys(), "doc_id").collect()
+        return {(r["conv_id"], r["turn_idx"]): round(r["score"], 6) for r in res}
+
+    # pick a real adjacent-token phrase from part b so the segment matters
+    row = b.selectExpr("lower(text) t").filter("length(t) > 40").first()
+    toks = [w for w in __import__("re").findall(r"[a-z0-9]+", row["t"])][:2]
+    phrase = " ".join(toks)
+    assert phrase_hits(wh, phrase) == phrase_hits(ref, phrase)
+    # BM25 surfaces still agree with the one-shot build too
+    assert _hits(spark, Index(spark, wh), QUERIES[0]) == _hits(
+        spark, Index(spark, ref), QUERIES[0]
+    )
+    # compaction keeps the positions feature (meta + phrase querying)
+    assert compact(spark, wh) == 1
+    assert Index(spark, wh).meta["positions"] is True
+    assert phrase_hits(wh, phrase) == phrase_hits(ref, phrase)
+
+
+def test_index_meta_derives_from_registry(spark, corpora, tmp_path):
+    """ADVICE r01: crash window between segment-registry commit and the
+    sys_meta refresh — Index must score from registry totals, and a replayed
+    append must repair sys_meta."""
+    _full, a, b, _c = corpora
+    wh_path = str(tmp_path / "crash")
+    build_index(spark, a, wh_path, docs_per_shard=256, n_buckets=8)
+    wh = Warehouse(wh_path)
+    meta_before = dict(wh.read_meta("sys_meta"))
+    assert append_segment(spark, b, wh_path, idempotency_key="b1") == 1
+    meta_after = dict(wh.read_meta("sys_meta"))
+    # simulate the crash: registry row committed, sys_meta refresh lost
+    wh.write_meta("sys_meta", meta_before)
+    idx = Index(spark, wh_path)
+    assert idx.meta["n_docs"] == meta_after["n_docs"]
+    assert abs(idx.meta["avgdl"] - meta_after["avgdl"]) < 1e-12
+    # the replay (at-least-once retry) repairs the persisted meta
+    assert append_segment(spark, b, wh_path, idempotency_key="b1") is None
+    repaired = wh.read_meta("sys_meta")
+    assert repaired["n_docs"] == meta_after["n_docs"]
+    assert abs(repaired["avgdl"] - meta_after["avgdl"]) < 1e-12

@@ -101,3 +101,16 @@ def test_unpositioned_index_rejects_phrase(spark, built_index):
     idx, _ = built_index
     with pytest.raises(ValueError, match="positions"):
         idx.search_phrase("w00000 w00001", K)
+
+
+def test_phrase_filter_keeps_stats_global(spark, pos_index, corpus_texts):
+    """ES semantics (ADVICE r01): a filter clause restricts the doc set but
+    NOT the phrase df/idf — a surviving doc's score is identical with and
+    without the filter, on both the fast path and the oracle."""
+    phrase = _pick_phrases(corpus_texts, n=1)[0]
+    unfiltered = dict(_rows(pos_index.search_phrase(phrase, 1000)))
+    for fn in (pos_index.search_phrase, pos_index.search_phrase_oracle):
+        got = _rows(fn(phrase, K, where="role = 'user'"))
+        assert got, fn.__name__  # picked phrases match user turns too
+        for doc_id, score in got:
+            assert unfiltered.get(doc_id) == score, (fn.__name__, doc_id)
