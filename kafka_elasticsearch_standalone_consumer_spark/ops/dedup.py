@@ -181,8 +181,23 @@ def minhash_lsh_pairs(
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def portable_term_hash():
+    """60-bit md5-prefix term hash over the exploded ``term`` column,
+    reproducible bit-for-bit in standard SQL engines (DuckDB:
+    ``('0x' || substr(md5(term), 1, 15))::BIGINT``). Used where an external
+    oracle must recompute the simhash exactly; ``xxhash64`` stays the
+    production default (JVM-native, no hex-string math)."""
+    return F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_expr=None
+) -> DataFrame:
     """(doc_id, simhash) — 64-bit tf-weighted sign fingerprint.
+
+    ``hash_expr`` optionally replaces the per-term hash (a Column over the
+    exploded ``term`` column, e.g. :func:`portable_term_hash`); the default
+    is ``xxhash64(term)``.
 
     Term hashes and tfs are computed JVM-side; the 64-lane weighted
     bit-sum runs as a STREAMING Arrow kernel over doc-sorted partitions
@@ -193,11 +208,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """
     spark = df.sparkSession
     num = spark.sparkContext.defaultParallelism
+    h = hash_expr if hash_expr is not None else F.xxhash64("term")
     th = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize_col(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .select("doc_id", F.xxhash64("term").alias("h"), "tf")
+        .select("doc_id", h.alias("h"), "tf")
         .repartition(num, "doc_id")
         .sortWithinPartitions("doc_id")
     )
@@ -236,14 +252,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return th.mapInPandas(gen, schema=SIMHASH_SCHEMA)
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_expr=None,
+) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidate generation: band the 64-bit fingerprint into 4×16-bit chunks —
     any pair within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole), so a
-    4-way chunk self-join finds all of them without a cross join.
+    4-way chunk self-join finds all of them without a cross join (EXACT for
+    max_hamming ≤ 3, not probabilistic).
     """
-    fp = simhash(df, text_col, id_col)
+    fp = simhash(df, text_col, id_col, hash_expr=hash_expr)
     banded = fp.select(
         "doc_id",
         "simhash",

@@ -71,8 +71,12 @@ def _hyperplanes(dim: int, bits: int, seed: int = _PLANE_SEED) -> np.ndarray:
 
 
 def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-of-projection signature (int): bit i = 1 iff plane_i · v > 0."""
-    sig = F.lit(0)
+    """Sign-of-projection signature (int): bit i = 1 iff plane_i · v > 0.
+
+    Bits are distinct powers of two, so summing them equals OR-ing them —
+    bit 63 uses the two's-complement int64 value (−2^63) to stay inside
+    LongType without ANSI overflow."""
+    sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plit = F.array(*[F.lit(float(x)) for x in plane])
         proj = F.aggregate(
@@ -80,7 +84,8 @@ def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = int(np.int64(np.uint64(1) << np.uint64(i)))  # i=63 → −2^63
+        sig = sig + F.when(proj > 0, F.lit(bit)).otherwise(F.lit(0))
     return sig
 
 

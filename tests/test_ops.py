@@ -208,3 +208,60 @@ def test_cosine_dup_pairs_exact_matches_numpy(emb):
     assert lsh <= want
     if want:
         assert len(lsh) >= len(want) * 0.5
+
+
+SF001 = "/root/testdata/sf0.01"  # the driver's correctness-gate corpus
+
+
+def test_entry_lsh_operating_points(spark):
+    """The driver entries dedup_minhash_lsh / cosine_dup_pairs_lsh share
+    EXACT-algorithm DuckDB oracles because recall is 100% at their pinned
+    operating points on the sf0.01 corpus — assert that here (both are
+    deterministic given the fixed permutations/hyperplanes, so this cannot
+    flake) so the oracles stay valid."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    j = {(r["id1"], r["id2"]) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    m = {(r["id1"], r["id2"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert j and m == j  # 100% recall, no false positives
+    ex = {(r["id1"], r["id2"]) for r in cosine_dup_pairs(emb, 0.4).collect()}
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in cosine_dup_pairs_lsh(emb, 0.4, bits=64, bands=32).collect()
+    }
+    assert ex and lsh == ex
+
+
+def test_simhash_portable_hash_matches_brute(spark, docs):
+    """The portable (md5-prefix) term hash must reproduce the exact same
+    simhash as a pure-Python reimplementation — this is the contract the
+    DuckDB oracle of the dedup_simhash driver entry relies on."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        portable_term_hash,
+        simhash,
+    )
+
+    got = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, hash_expr=portable_term_hash()).collect()}
+    for row in docs.collect():
+        tf = Counter(re.findall(r"[a-z0-9]+", row["text"].lower()))
+        sums = [0.0] * 60
+        for term, n in tf.items():
+            h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                sums[b] += n if (h >> b) & 1 else -n
+        want = sum(1 << b for b in range(60) if sums[b] > 0)
+        assert got[row["doc_id"]] == want, row["doc_id"]
