@@ -319,6 +319,55 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_indexed_topk(spark, sf_dir):
+    """The MATERIALIZED ANN path: embeddings written partitioned by their
+    sign-LSH signature, probe buckets resolved by directory-level partition
+    pruning (PartitionFilters — asserted in tests/test_plans.py), exact
+    cosine inside. Rank-identical to ann_lsh_topk, so it shares its SQL."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    wh = tempfile.mkdtemp(prefix="kesc_ann_")
+    build_ann_index(emb, wh, bits=8, dim=len(qv))
+    out = ann_topk_indexed(spark, wh, qv, K, probe_hamming=1)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF search: coarse-quantize to 8 centroids (deterministically the
+    embeddings of vec_id 1..8), write the table partitioned by list_id,
+    probe the query's top-2 lists (partition pruning), exact cosine inside.
+    The DuckDB oracle replicates assignment + probe + scoring from the same
+    table rows."""
+    import tempfile
+
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    centroids = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    wh = tempfile.mkdtemp(prefix="kesc_ivf_")
+    build_ivf_index(emb, centroids, wh)
+    out = ivf_search(spark, wh, qv, K, nprobe=2)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.4  # sf0.01 embeddings: 59 pairs, nearest pair
 # cosine is 1.3e-4 away from the cut — safe against float noise
 
@@ -530,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_indexed_topk": q_ann_indexed_topk,
+        "ivf_topk": q_ivf_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "cosine_dup_pairs_lsh": q_cosine_dup_pairs_lsh,
         "quality_features": q_quality_features,
@@ -810,6 +861,48 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+# IVF oracle (see q_ivf_topk): centroids are the embeddings of vec_id 1..8;
+# assign every vector to its nearest normalized centroid (argmax dot, ties
+# to the lowest centroid id — same rule as ops/similarity.ivf_assign),
+# probe the query's top-2 lists, exact cosine top-k inside them.
+_IVF_SQL = """
+WITH cents AS (
+  SELECT (vec_id - 1)::INT AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+cn AS (
+  SELECT cid,
+         list_transform(ce, x -> x / greatest(sqrt(list_sum(list_transform(ce, y -> y * y))), 1e-30)) AS ce
+  FROM cents
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
+dots AS (
+  SELECT e.vec_id, cn.cid,
+         list_sum(list_transform(generate_series(1, len(e.ev)), i -> e.ev[i] * cn.ce[i])) AS dot
+  FROM e CROSS JOIN cn
+),
+assign AS (
+  SELECT vec_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        FROM dots)
+  WHERE rn = 1
+),
+probe AS (SELECT cid FROM dots WHERE vec_id = 0 ORDER BY dot DESC, cid LIMIT 2),
+q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.ev)), i -> e.ev[i] * q.qe[i]))
+         / (sqrt(list_sum(list_transform(e.ev, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM assign WHERE list_id IN (SELECT cid FROM probe))
+)
+SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+       round(cosine, 4) AS cosine_r
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
 # fingerprint groups ↔ token-stream groups (see q_fingerprints)
 _FINGERPRINT_SQL = f"""
 SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
@@ -891,6 +984,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
+        "ivf_topk": _IVF_SQL,
         "cosine_dup_pairs": _COSINE_DUP_SQL,
         "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,

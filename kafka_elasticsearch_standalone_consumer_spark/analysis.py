@@ -115,15 +115,30 @@ def doc_term_freqs(
             flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
             rep_ids = np.repeat(ids, lens)
             if positions:
-                pos = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(lens) - lens, lens
-                )
-                g = (
-                    pd.DataFrame({id_col: rep_ids, "term": flat, "pos": pos})
-                    .groupby([id_col, "term"], sort=False, observed=True)["pos"]
-                    .agg(["size", list])
-                    .reset_index()
-                    .rename(columns={"size": "tf", "list": "positions"})
+                # fully vectorized (doc, term) grouping: factorize terms to
+                # int codes, lexsort (doc, code, pos), then group boundaries
+                # by change detection and position lists via np.split — no
+                # pandas .agg(list) (per-group Python list building was the
+                # dominant cost of the positions build)
+                pos = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                ).astype(np.int32)
+                codes, uniq_terms = pd.factorize(flat, sort=False)
+                order = np.lexsort((pos, codes, rep_ids))
+                ids_s, codes_s, pos_s = rep_ids[order], codes[order], pos[order]
+                change = np.empty(total, dtype=bool)
+                change[0] = True
+                change[1:] = (ids_s[1:] != ids_s[:-1]) | (codes_s[1:] != codes_s[:-1])
+                starts = np.flatnonzero(change)
+                tf = np.diff(np.append(starts, total))
+                g = pd.DataFrame(
+                    {
+                        id_col: ids_s[starts],
+                        "term": uniq_terms[codes_s[starts]],
+                        "tf": tf,
+                        "positions": pd.Series(np.split(pos_s, starts[1:])),
+                    }
                 )
             else:
                 g = (

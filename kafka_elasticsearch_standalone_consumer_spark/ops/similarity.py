@@ -98,13 +98,13 @@ def lsh_topk(
     vec_col: str = "embedding",
     probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: scan only buckets within Hamming ≤ probe_hamming of the
-    query signature, then exact cosine inside the candidate set.
-
-    At scale ``sig`` is a partition column of the embeddings table, so the
-    bucket predicate becomes partition pruning (~(1+bits)/2^bits of data
-    read at probe_hamming=1); here it is a pushed-down scan filter.
-    """
+    """ANN top-k, AD-HOC variant: computes every row's signature at scan
+    time, then exact cosine inside the probed buckets. Use this when the
+    embeddings are not materialized; the scale path is
+    :func:`build_ann_index` + :func:`ann_topk_indexed`, where ``sig`` is a
+    PARTITION column and the same probe predicate becomes directory-level
+    partition pruning (~(1+bits)/2^bits of data read at probe_hamming=1
+    instead of a full scan)."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits)
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -169,6 +169,7 @@ def cosine_dup_pairs_lsh(
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH banding: candidates are
     pairs agreeing on ≥1 of ``bands`` bands of ``bits/bands`` hyperplane
@@ -177,7 +178,8 @@ def cosine_dup_pairs_lsh(
     At scale the band hash is the shuffle key: candidate generation is a
     band-bucket self-join, never all-pairs."""
     rows = bits // bands
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:  # pass dim when known — saves a driver round-trip
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits)
     sig = emb.select(
         F.col(id_col).alias("doc_id"),
@@ -220,6 +222,135 @@ def cosine_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+# -- materialized vector indexes ------------------------------------------
+# The scan-time signature computation in lsh_topk is the ad-hoc path; at
+# scale the signature/list id must be a PARTITION COLUMN of a materialized
+# table so probes become directory-level partition pruning (the same trick
+# as the postings table's term_bucket). These builders/searchers own that.
+
+ANN_TABLE = "ann_embeddings"
+ANN_META = "sys_ann_meta"
+IVF_TABLE = "ivf_embeddings"
+IVF_META = "sys_ivf_meta"
+
+
+def build_ann_index(
+    emb: DataFrame,
+    warehouse_path: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Materialize the embeddings partitioned by their sign-LSH signature.
+
+    One pass computes ``sig`` JVM-side (lsh_signature Column algebra) and
+    writes ``partitionBy(sig)`` — at query time :func:`ann_topk_indexed`'s
+    bucket predicate is directory-level partition pruning: ~(1+bits)/2^bits
+    of the table is read at probe_hamming=1, independent of table width.
+    """
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits)
+    wh = Warehouse(warehouse_path)
+    df = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes))
+    wh.write(df, ANN_TABLE, partition_by=("sig",))
+    wh.write_meta(ANN_META, {"bits": bits, "dim": dim, "id_col": id_col, "vec_col": vec_col})
+
+
+def ann_topk_indexed(
+    spark,
+    warehouse_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a :func:`build_ann_index` warehouse: the probe-bucket
+    predicate hits the ``sig`` PARTITION column (PartitionFilters in the
+    plan — asserted in tests/test_plans.py), then exact cosine inside the
+    candidate set. Rank-identical to :func:`lsh_topk` at the same bits."""
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    wh = Warehouse(warehouse_path)
+    meta = wh.read_meta(ANN_META)
+    bits = int(meta["bits"])
+    planes = _hyperplanes(int(meta["dim"]), bits)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(bits)}
+    cand = wh.read(spark, ANN_TABLE).filter(F.col("sig").isin(sorted(probe)))
+    scored = cand.select(
+        F.col(meta["id_col"]).alias("vec_id"),
+        _cosine(F.col(meta["vec_col"]), list(map(float, query_vec))).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    warehouse_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: assign each vector to its nearest centroid
+    (:func:`ivf_assign`) and write the table partitioned by ``list_id`` —
+    the IVF inverted lists ARE partition directories, so a search probing
+    ``nprobe`` lists reads ~nprobe/n_lists of the data. Centroids persist
+    in the warehouse meta (they are small by construction)."""
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    wh = Warehouse(warehouse_path)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    df = emb.join(assigned, id_col)
+    wh.write(df, IVF_TABLE, partition_by=("list_id",))
+    wh.write_meta(
+        IVF_META,
+        {
+            "n_lists": int(centroids.shape[0]),
+            "dim": int(centroids.shape[1]),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [[float(x) for x in c] for c in centroids],
+        },
+    )
+
+
+def ivf_search(
+    spark,
+    warehouse_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over a :func:`build_ivf_index` warehouse: rank centroids
+    by normalized dot product against the query (driver-side NumPy — the
+    codebook is tiny), scan only the top-``nprobe`` list partitions
+    (partition pruning on ``list_id``), exact cosine inside them."""
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    wh = Warehouse(warehouse_path)
+    meta = wh.read_meta(IVF_META)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+    sims = cent_n @ qn
+    # deterministic probe order: similarity desc, list id asc
+    order = np.lexsort((np.arange(sims.size), -sims))[:nprobe]
+    lists = sorted(int(i) for i in order)
+    cand = wh.read(spark, IVF_TABLE).filter(F.col("list_id").isin(lists))
+    scored = cand.select(
+        F.col(meta["id_col"]).alias("vec_id"),
+        _cosine(F.col(meta["vec_col"]), list(map(float, query_vec))).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 def ivf_assign(

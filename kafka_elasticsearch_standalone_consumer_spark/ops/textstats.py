@@ -108,18 +108,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     fp(d) = Σ_i hash(tok_i) · BASE^(n-1-i)  (mod 2^64) — order-sensitive,
     whitespace-normalization-invariant. Token hashes are xxhash64 JVM-side;
-    the positional reduction is one vectorized segment-product kernel.
+    the positional reduction is one vectorized segment-product kernel that
+    runs as a STREAMING Arrow pass over doc-sorted partitions (mapInPandas
+    with a doc-boundary carry, same pattern as ops/dedup.simhash — a
+    grouped applyInPandas would instantiate pandas once per document).
     """
-    th = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "term")
-    ).select("doc_id", "pos", F.xxhash64("term").alias("h"))
+    spark = df.sparkSession
+    num = spark.sparkContext.defaultParallelism
+    th = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "term"),
+        )
+        .select("doc_id", "pos", F.xxhash64("term").alias("h"))
+        .repartition(num, "doc_id")
+        .sortWithinPartitions("doc_id", "pos")
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy()
         pos = pdf["pos"].to_numpy().astype(np.int64)
         h = pdf["h"].to_numpy().astype(np.uint64)
-        order = np.lexsort((pos, ids))
-        ids, pos, h = ids[order], pos[order], h[order]
         uniq, starts, counts = np.unique(ids, return_index=True, return_counts=True)
         n_per = np.repeat(counts, counts)
         local = pos  # pos is already 0-based per doc
@@ -136,4 +145,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp = np.add.reduceat(h * result, starts)
         return pd.DataFrame({"doc_id": uniq, "fingerprint": fp.astype(np.int64)})
 
-    return th.groupBy("doc_id").applyInPandas(lambda p: kernel(p), schema=FP_SCHEMA)
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            boundary = np.flatnonzero(ids != ids[-1])
+            last_start = int(boundary[-1] + 1) if boundary.size else 0
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            if len(head):
+                yield kernel(head)
+        if carry is not None and len(carry):
+            yield kernel(carry)
+
+    return th.mapInPandas(gen, schema=FP_SCHEMA)

@@ -265,3 +265,33 @@ def test_simhash_portable_hash_matches_brute(spark, docs):
                 sums[b] += n if (h >> b) & 1 else -n
         want = sum(1 << b for b in range(60) if sums[b] > 0)
         assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_materialized_ann_matches_adhoc_and_ivf_finds_self(spark, emb, tmp_path):
+    """ann_topk_indexed must be rank-identical to the ad-hoc lsh_topk at the
+    same bits (same planes, same probe set); ivf_search must always find the
+    query vector itself (its own list is by construction the top probe)."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+        build_ivf_index,
+        ivf_search,
+        lsh_topk,
+    )
+
+    df, vecs = emb
+    qv = [float(x) for x in vecs[0]]
+    ann_wh = str(tmp_path / "ann")
+    build_ann_index(df, ann_wh, bits=6, dim=len(qv))
+    got = [(r["vec_id"], round(r["cosine"], 9))
+           for r in ann_topk_indexed(spark, ann_wh, qv, 5).collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9))
+            for r in lsh_topk(df, qv, 5, bits=6).collect()]
+    assert got == want and got[0][0] == 0
+
+    ivf_wh = str(tmp_path / "ivf")
+    build_ivf_index(df, np.stack(vecs[:4]).astype(np.float64), ivf_wh)
+    hits = ivf_search(spark, ivf_wh, qv, 5, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == 0 and abs(hits[0]["cosine"] - 1.0) < 1e-9

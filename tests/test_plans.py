@@ -57,3 +57,37 @@ def test_term_lookup_is_driver_side(spark, built_index):
     after = tracker.getJobIdsForGroup(None)
     assert rows is not None and len(rows) >= 2
     assert before == after
+
+
+def test_ann_and_ivf_scans_are_partition_pruned(spark, transcripts, tmp_path):
+    """Materialized vector indexes: the probe predicate must hit the
+    partition column (sig / list_id) as a PartitionFilter — directory-level
+    pruning, the same shape as the postings term_bucket scan."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        ANN_TABLE,
+        IVF_TABLE,
+        ann_topk_indexed,
+        build_ann_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    ann_wh = str(tmp_path / "ann")
+    build_ann_index(emb, ann_wh, bits=6, dim=16)
+    plan = _plan(ann_topk_indexed(spark, ann_wh, [float(x) for x in vecs[0]], 5))
+    seg = plan[plan.index("PartitionFilters") :]
+    assert "sig" in seg[: seg.index("]") + 1]
+
+    ivf_wh = str(tmp_path / "ivf")
+    build_ivf_index(emb, vecs[:4].astype(np.float64), ivf_wh)
+    plan = _plan(ivf_search(spark, ivf_wh, [float(x) for x in vecs[0]], 5, nprobe=2))
+    seg = plan[plan.index("PartitionFilters") :]
+    assert "list_id" in seg[: seg.index("]") + 1]
