@@ -187,6 +187,24 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+def q_phrase_topk_slop(spark, sf_dir):
+    """ES match_phrase with slop=1 (windowed proximity: the second term may
+    sit 0-2 tokens after the anchor) — same BM25 synthetic-term scoring as
+    phrase_topk, wider match set."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = (sf_dir, "pos")
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
+        _IDX_CACHE[key] = idx
+    out = idx.search_phrase(PHRASE_QUERY, K, slop=1)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def _raw_lines(spark, sf_dir):
     """Synthesize access-log lines from events (deterministic); rows where
     event_id % 97 == 0 get a corrupted response_code (quarantine bait)."""
@@ -236,6 +254,30 @@ def q_quarantine_counts(spark, sf_dir):
 
     lines = _raw_lines(spark, sf_dir)
     parsed = parse_access_log(lines, "raw")
+    good, bad = split_quarantine(parsed)
+    return spark.createDataFrame(
+        [(good.count(), bad.count())], "n_good long, n_quarantined long"
+    )
+
+
+def q_binary_decode_quarantine(spark, sf_dir):
+    """P10 charset decode: the same access-log lines as opaque byte[]
+    payloads (the reference's Kafka message shape), with rows where
+    event_id % 101 == 0 carrying an invalid UTF-8 trailer — a failed
+    decode NULLs the row and lands in quarantine alongside the structural
+    failures (event_id % 97 == 0)."""
+    from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import (
+        parse_access_log,
+        split_quarantine,
+    )
+
+    lines = _raw_lines(spark, sf_dir)
+    payload = F.encode(F.col("raw"), "UTF-8")
+    corrupted = F.when(
+        F.col("event_id") % 101 == 0, F.concat(payload, F.lit(b"\xff"))
+    ).otherwise(payload)
+    bin_lines = lines.select("event_id", corrupted.alias("raw"))
+    parsed = parse_access_log(bin_lines, "raw", keep=("event_id",), encoding="UTF-8")
     good, bad = split_quarantine(parsed)
     return spark.createDataFrame(
         [(good.count(), bad.count())], "n_good long, n_quarantined long"
@@ -568,9 +610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_intersect": q_bm25_topk_intersect,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "phrase_topk": q_phrase_topk,
+        "phrase_topk_slop": q_phrase_topk_slop,
         "facets_by_lang": q_facets_by_lang,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
+        "binary_decode_quarantine": q_binary_decode_quarantine,
         "index_routing": q_index_routing,
         "json_doc": q_json_doc,
         "dedup_exact": q_dedup_exact,
@@ -655,7 +699,7 @@ SELECT event_id,
        '10.0.' || (user_id % 256)::VARCHAR || '.' || (event_id % 256)::VARCHAR AS ip,
        'HTTP/1.1' AS protocol,
        'sess-' || user_id::VARCHAR AS session_id,
-       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_stamp,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.000+0000' AS time_stamp,
        CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
        upper('/api/' || event_type) AS url,
        (200 + (event_id % 3) * 100)::INT AS response_code,
@@ -665,6 +709,12 @@ SELECT event_id,
        'web' || (event_id % 4)::VARCHAR || '_inst' || (user_id % 8)::VARCHAR AS server_and_instance
 FROM events
 WHERE event_id % 97 <> 0
+"""
+
+_BINARY_QUARANTINE_SQL = """
+SELECT sum(CASE WHEN event_id % 97 <> 0 AND event_id % 101 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+       sum(CASE WHEN event_id % 97 = 0 OR event_id % 101 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_quarantined
+FROM events
 """
 
 _QUARANTINE_SQL = """
@@ -712,16 +762,14 @@ ORDER BY dot / (n1 * n2) DESC, vec_id
 LIMIT 10
 """
 
-_PHRASE_SQL = f"""
+def _phrase_sql(matcher: str) -> str:
+    """Phrase-scoring SQL shared by the exact and sloppy entries: the
+    ``matcher`` expression counts matching anchors per doc over ``toks``."""
+    return f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
 corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-m AS (
-  SELECT doc_id,
-         len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
-             i -> toks[i] = 'table' AND toks[i+1] = 'hash'))::DOUBLE AS tfp
-  FROM t
-),
+m AS (SELECT doc_id, ({matcher})::DOUBLE AS tfp FROM t),
 mm AS (SELECT * FROM m WHERE tfp > 0),
 dfp AS (SELECT count(*)::DOUBLE AS df FROM mm),
 scored AS (
@@ -734,6 +782,20 @@ SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+# exact adjacency ("table hash") and the slop=1 windowed-proximity variant:
+# anchor i matches when 'hash' occurs at j with |j - i - 1| <= 1 (1-indexed)
+_PHRASE_MATCH_EXACT = (
+    "len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)), "
+    "i -> toks[i] = 'table' AND toks[i+1] = 'hash'))"
+)
+_PHRASE_MATCH_SLOP1 = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> toks[i] = 'table' AND len(list_filter("
+    "generate_series(greatest(i, 1), least(i + 2, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0))"
+)
 
 _COSINE_DUP_SQL = f"""
 WITH n AS (
@@ -958,7 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_exact": _bm25_sql(BM25_QUERY),
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
-        "phrase_topk": _PHRASE_SQL,
+        "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
+        "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
@@ -967,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
+        "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,
         "index_routing": (
             "SELECT 'docs_' || lang AS index_name, count(*)::BIGINT AS n "
             "FROM documents GROUP BY 1"

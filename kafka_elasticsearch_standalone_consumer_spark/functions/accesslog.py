@@ -22,10 +22,31 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_FIELDS = 9
 DATE_IN_FMT = "dd/MMM/yyyy:HH:mm:ss"
-DATE_OUT_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+# P6: the reference emits yyyy-MM-dd'T'HH:mm:ss.SSSZ
+# (``AccessLogMessageHandler.java:19-22,86``); the zone offset renders
+# against the pinned session timezone (session.py sets UTC → "+0000")
+DATE_OUT_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSZ"
+
+
+def decode_text(c: Column, encoding: str = "UTF-8") -> Column:
+    """P10 charset decode: opaque ``byte[]`` payload → string with a
+    configurable encoding — the reference decodes the raw Kafka payload
+    with ConsumerConfig's charset (``AccessLogMessageHandler.java:41``,
+    ``ConsumerConfig.java:52-53,133``).
+
+    Try-semantics for UTF-8: an invalid byte sequence yields NULL (the
+    caller quarantines it) instead of an ANSI MALFORMED_CHARACTER_CODING
+    error — the reference caught the per-row exception and routed the
+    event to the failed-events log. Single-byte charsets (ISO-8859-x)
+    cannot fail by construction and go through ``decode`` directly.
+    """
+    if encoding.replace("-", "").replace("_", "").upper() == "UTF8":
+        return F.try_validate_utf8(c.cast("string"))
+    return F.decode(c, encoding)
 
 
 def _fld(arr: Column, i: int) -> Column:
@@ -39,15 +60,24 @@ def _fld(arr: Column, i: int) -> Column:
 
 
 def parse_access_log(
-    df: DataFrame, line_col: str = "raw", keep: tuple[str, ...] = ()
+    df: DataFrame,
+    line_col: str = "raw",
+    keep: tuple[str, ...] = (),
+    encoding: str = "UTF-8",
 ) -> DataFrame:
-    """Raw line column → typed access-log document (P1–P7).
+    """Raw line column → typed access-log document (P1–P7, P10).
 
-    Unparseable ints become NULL (P5: ``cast`` is null-on-failure where the
-    reference's ``Integer.parseInt`` threw); callers split the quarantine
-    with :func:`split_quarantine`. ``keep`` columns (e.g. a source offset,
-    the reference's Kafka metadata P7) pass through unchanged.
+    A ``BinaryType`` line column is charset-decoded first (P10,
+    :func:`decode_text` with ``encoding``); a failed decode NULLs the row,
+    which :func:`is_valid` routes to quarantine — the reference's
+    failed-events path for undecodable payloads. Unparseable ints become
+    NULL (P5: ``cast`` is null-on-failure where the reference's
+    ``Integer.parseInt`` threw); callers split the quarantine with
+    :func:`split_quarantine`. ``keep`` columns (e.g. a source offset, the
+    reference's Kafka metadata P7) pass through unchanged.
     """
+    if isinstance(df.schema[line_col].dataType, T.BinaryType):
+        df = df.withColumn(line_col, decode_text(F.col(line_col), encoding))
     arr = F.split(F.col(line_col), r"\|")  # P1: split on the field separator
     method_url = F.upper(_fld(arr, 4))  # P3: trim + upper
     method = F.when(method_url.contains("GET"), F.lit("GET")).when(

@@ -432,16 +432,20 @@ class Index:
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_phrase(
-        self, phrase: str, k: int = 10, where: str | None = None
+        self, phrase: str, k: int = 10, where: str | None = None, slop: int = 0
     ) -> DataFrame:
-        """Exact-phrase top-k (ES match_phrase, slop 0) over the position
-        streams; requires an index built with ``positions=True``.
+        """Phrase top-k (ES match_phrase) over the position streams;
+        requires an index built with ``positions=True``.
 
-        Scoring: BM25 treating the phrase as one synthetic term —
-        tf = phrase occurrences per doc, df = docs containing the phrase
-        (aggregated across shards before the final scoring, so idf is
-        globally exact), k1/b/avgdl as configured. Deterministic ties by
-        doc_id. ``where`` filters like :meth:`search`.
+        ``slop=0`` is the exact adjacent phrase; ``slop=s`` relaxes each
+        non-anchor slot by ±s positions around its expected offset (an
+        anchor at slot-0 position p₀ matches when every slot i occurs at
+        some pᵢ with |pᵢ − p₀ − i| ≤ s — the windowed proximity semantic
+        of ES match_phrase slop). Scoring: BM25 treating the phrase as one
+        synthetic term — tf = matching anchors per doc, df = docs
+        containing a match (aggregated across shards before the final
+        scoring, so idf is globally exact), k1/b/avgdl as configured.
+        Deterministic ties by doc_id. ``where`` filters like :meth:`search`.
         """
         import math
 
@@ -474,7 +478,8 @@ class Index:
                 )
             runs_by_slot = [by_term.get(t, []) for t in slots]
             d, tfp, dl, n = kernels.shard_phrase_matches(
-                runs_by_slot, k, avgdl, k1, b, allowed=allowed, blocked=blocked
+                runs_by_slot, k, avgdl, k1, b,
+                allowed=allowed, blocked=blocked, slop=slop,
             )
             if n and len(d) == 0:
                 # every match masked out — emit a sentinel row so the
@@ -538,10 +543,12 @@ class Index:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_phrase_oracle(
-        self, phrase: str, k: int = 10, where: str | None = None
+        self, phrase: str, k: int = 10, where: str | None = None, slop: int = 0
     ) -> DataFrame:
         """Declarative phrase verification path: m-way position self-join
-        over the exploded token positions — no custom kernels."""
+        over the exploded token positions — no custom kernels. ``slop``
+        relaxes slot i to ``|pᵢ − p₀ − i| ≤ slop`` via an exploded
+        candidate-anchor join (same semantic as the fast path)."""
         import math
 
         from kafka_elasticsearch_standalone_consumer_spark.analysis import (
@@ -565,9 +572,17 @@ class Index:
         )
         m = tp.filter(F.col("term") == slots[0]).select("doc_id", F.col("p").alias("p0"))
         for i, t in enumerate(slots[1:], start=1):
-            nxt = tp.filter(F.col("term") == t).select(
-                "doc_id", (F.col("p") - i).alias("p0")
-            )
+            nxt = tp.filter(F.col("term") == t)
+            if slop == 0:
+                nxt = nxt.select("doc_id", (F.col("p") - i).alias("p0"))
+            else:
+                # every anchor position this occurrence is compatible with
+                nxt = nxt.select(
+                    "doc_id",
+                    F.explode(
+                        F.sequence(F.col("p") - i - slop, F.col("p") - i + slop)
+                    ).alias("p0"),
+                ).distinct()
             m = m.join(nxt, ["doc_id", "p0"])
         matches = m.groupBy("doc_id").agg(F.count("*").alias("tfp")).persist()
         # phrase df counted UNMASKED — the filter clause restricts the doc

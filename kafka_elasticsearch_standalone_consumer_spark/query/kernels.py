@@ -284,8 +284,16 @@ def shard_phrase_matches(
     b: float = B,
     allowed: np.ndarray | None = None,
     blocked: np.ndarray | None = None,
+    slop: int = 0,
 ):
-    """Exact phrase matching over position streams (ES match_phrase, slop 0).
+    """Phrase matching over position streams (ES match_phrase).
+
+    ``slop=0`` is the exact adjacent phrase. ``slop=s`` relaxes each
+    non-anchor slot by ±s token positions around its expected offset: a
+    start at slot-0 position p₀ matches when every slot i has an
+    occurrence at some pᵢ with ``|pᵢ − p₀ − i| ≤ s`` (the windowed
+    proximity semantic; tf = number of matching anchors). The membership
+    test ORs 2s+1 shifted key lookups per slot — still fully vectorized.
 
     Encodes every (doc, position) as one int64 key ``doc<<20 | pos`` and
     chains vectorized membership tests: S holds candidate phrase-START
@@ -321,7 +329,18 @@ def shard_phrase_matches(
     for i in range(1, len(keys_by_slot)):
         if s.size == 0:
             break
-        s = s[np.isin(s + i, keys_by_slot[i])]
+        if slop == 0:
+            s = s[np.isin(s + i, keys_by_slot[i])]
+            continue
+        hit = np.zeros(s.size, dtype=bool)
+        pos0 = s & ((np.int64(1) << POS_BITS) - 1)
+        for d in range(i - slop, i + slop + 1):
+            # pos0 + d must stay a valid in-doc offset, or the int64 key
+            # arithmetic would wrap into a neighbouring doc's key space
+            valid = (pos0 + d >= 0) & (pos0 + d < (np.int64(1) << POS_BITS))
+            if valid.any():
+                hit |= valid & np.isin(s + d, keys_by_slot[i])
+        s = s[hit]
     if s.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0
     docs = s >> POS_BITS

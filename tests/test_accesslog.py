@@ -25,7 +25,8 @@ def test_parse_fields(spark):
     assert row["ip"] == "192.168.0.1"
     assert row["protocol"] == "HTTP/1.1"
     assert row["session_id"] == "sess-9"
-    assert row["time_stamp"] == "2026-02-03T10:20:30"
+    # reference format yyyy-MM-dd'T'HH:mm:ss.SSSZ under the pinned UTC zone
+    assert row["time_stamp"] == "2026-02-03T10:20:30.000+0000"
     assert row["method"] == "GET"
     assert row["url"] == "/API/USERS"
     assert row["response_code"] == 200 and row["response_time"] == 42
@@ -58,3 +59,23 @@ def test_route_index(spark):
     df = spark.createDataFrame([("a", "en"), ("b", "fr")], "id string, lang string")
     out = route_index(df, F.col("lang"), prefix="docs")
     assert {r["index_name"] for r in out.collect()} == {"docs_en", "docs_fr"}
+
+
+def test_binary_payload_decode_and_quarantine(spark):
+    """P10: byte[] payloads are charset-decoded before parsing; an invalid
+    UTF-8 sequence quarantines the row (reference decodes with a
+    configurable charset and failed events go to the side log)."""
+    rows = [
+        (0, GOOD.encode("utf-8")),
+        (1, POST.encode("utf-8")),
+        (2, GOOD.encode("utf-8") + b"\xff\xfe"),  # invalid UTF-8 trailer
+    ]
+    df = spark.createDataFrame(rows, "id long, raw binary")
+    good, bad = split_quarantine(parse_access_log(df, "raw", keep=("id",)))
+    assert {r["id"] for r in good.collect()} == {0, 1}
+    assert {r["id"] for r in bad.collect()} == {2}
+    # a single-byte charset decodes any byte sequence (never quarantined
+    # for decode reasons) — latin-1 bytes of the same line parse fine
+    df2 = spark.createDataFrame([(0, GOOD.encode("latin-1"))], "id long, raw binary")
+    good2, _ = split_quarantine(parse_access_log(df2, "raw", encoding="ISO-8859-1"))
+    assert good2.count() == 1

@@ -114,3 +114,48 @@ def test_phrase_filter_keeps_stats_global(spark, pos_index, corpus_texts):
         assert got, fn.__name__  # picked phrases match user turns too
         for doc_id, score in got:
             assert unfiltered.get(doc_id) == score, (fn.__name__, doc_id)
+
+
+def _brute_slop(corpus_texts, phrase, slop, k1=1.2, b=0.75):
+    """Windowed-proximity brute force: anchor i matches when every slot j
+    has an occurrence at q with |q - i - j| <= slop."""
+    slots = tokenize_text(phrase)
+    dls = {d: len(t) for d, (t, _r) in corpus_texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        occ = {t: [q for q, w in enumerate(toks) if w == t] for t in set(slots)}
+        c = 0
+        for i in occ.get(slots[0], []):
+            if all(
+                any(abs(q - i - j) <= slop for q in occ.get(t, []))
+                for j, t in enumerate(slots[1:], start=1)
+            ):
+                c += 1
+        if c:
+            tfp[d] = c
+    if not tfp:
+        return []
+    n = len(corpus_texts)
+    idf = math.log(1.0 + (n - len(tfp) + 0.5) / (len(tfp) + 0.5))
+    scored = [
+        (d, idf * c / (c + k1 * (1 - b + b * dls[d] / avgdl))) for d, c in tfp.items()
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in scored[:K]]
+
+
+def test_phrase_slop_fast_equals_oracle_and_brute(spark, pos_index, corpus_texts):
+    """Sloppy phrases: fast kernel ≡ m-way join oracle ≡ pure-Python brute
+    force, for slop 1 and 2; slop=0 stays identical to the exact path."""
+    phrases = _pick_phrases(corpus_texts, n=2) + _pick_phrases(corpus_texts, n=1, length=3)
+    for phrase in phrases:
+        for slop in (0, 1, 2):
+            fast = _rows(pos_index.search_phrase(phrase, K, slop=slop))
+            oracle = _rows(pos_index.search_phrase_oracle(phrase, K, slop=slop))
+            brute = _brute_slop(corpus_texts, phrase, slop)
+            assert fast == oracle == brute, (phrase, slop)
+        # slop widens (or preserves) the match set, never shrinks it
+        n0 = len(_rows(pos_index.search_phrase(phrase, 1000, slop=0)))
+        n2 = len(_rows(pos_index.search_phrase(phrase, 1000, slop=2)))
+        assert n2 >= n0
