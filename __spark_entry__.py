@@ -157,6 +157,46 @@ def q_bm25_topk_filtered(spark, sf_dir):
 PHRASE_QUERY = "table hash"  # a real adjacent bigram in documents.parquet
 
 
+QS_QUERY = "filter hash -vector lang:en"  # should + must_not + field filter
+
+
+def q_query_string_topk(spark, sf_dir):
+    """ES query_string DSL: bare terms score (OR, global stats), -vector
+    excludes docs containing that token, lang:en is a filter clause —
+    routed through Index.query_string onto search(where=...)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = _IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[sf_dir] = idx
+    out = idx.query_string(QS_QUERY, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_multi_field_bm25(spark, sf_dir):
+    """ES most_fields multi-match: title (first 5 tokens, boost 2.0) +
+    text (boost 1.0), each field scored with its OWN df/avgdl statistics,
+    per-doc sum — fully declarative (Catalyst plans everything)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        multi_field_bm25,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    out = multi_field_bm25(docs, BM25_QUERY, {"title": 2.0, "text": 1.0}, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_facets_by_lang(spark, sf_dir):
     """ES-style terms aggregation: lang facet counts over ALL docs matching
     any BM25_QUERY term (query_string OR semantics)."""
@@ -285,10 +325,17 @@ def q_binary_decode_quarantine(spark, sf_dir):
 
 
 def q_index_routing(spark, sf_dir):
+    """S6 routing on the (index, type) pair — the reference's
+    getIndexName()/getIndexType() dimensions (IndexHandler.java:22-23):
+    index derived from lang, type from source."""
     from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import route_index
 
-    routed = route_index(_docs(spark, sf_dir), F.col("lang"), prefix="docs")
-    return routed.groupBy("index_name").agg(F.count("*").cast("long").alias("n"))
+    routed = route_index(
+        _docs(spark, sf_dir), F.col("lang"), prefix="docs", type_by=F.col("source")
+    )
+    return routed.groupBy("index_name", "type_name").agg(
+        F.count("*").cast("long").alias("n")
+    )
 
 
 def q_json_doc(spark, sf_dir):
@@ -611,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
+        "query_string_topk": q_query_string_topk,
+        "multi_field_bm25": q_multi_field_bm25,
         "facets_by_lang": q_facets_by_lang,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
@@ -796,6 +845,41 @@ _PHRASE_MATCH_SLOP1 = (
     "generate_series(greatest(i, 1), least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
 )
+
+_MULTIFIELD_SQL = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+fields AS (
+  SELECT doc_id, toks, 1.0 AS boost, 'text' AS f FROM base
+  UNION ALL
+  SELECT doc_id, toks[1:5] AS toks, 2.0 AS boost, 'title' AS f FROM base
+),
+tf AS (
+  SELECT f, any_value(boost) AS boost, doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT f, boost, doc_id, unnest(toks) AS term FROM fields)
+  GROUP BY f, doc_id, term
+),
+dl AS (SELECT f, doc_id, len(toks)::DOUBLE AS dl FROM fields),
+corpus AS (SELECT f, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY f),
+q(term, w) AS (VALUES ('join', 1.0), ('hash', 1.0), ('filter', 1.0)),
+df AS (
+  SELECT f, term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY f, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(tf.boost * q.w * ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.f = tf.f AND df.term = tf.term
+  JOIN dl ON dl.f = tf.f AND dl.doc_id = tf.doc_id
+  JOIN corpus ON corpus.f = tf.f
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 _COSINE_DUP_SQL = f"""
 WITH n AS (
@@ -1021,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
+        "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
+        "multi_field_bm25": _MULTIFIELD_SQL,
         "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
@@ -1032,8 +1118,8 @@ def oracle_sql() -> dict[str, str]:
         "quarantine_counts": _QUARANTINE_SQL,
         "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,
         "index_routing": (
-            "SELECT 'docs_' || lang AS index_name, count(*)::BIGINT AS n "
-            "FROM documents GROUP BY 1"
+            "SELECT 'docs_' || lang AS index_name, source AS type_name, "
+            "count(*)::BIGINT AS n FROM documents GROUP BY 1, 2"
         ),
         "json_doc": "SELECT doc_id, lang AS lang_rt, source AS source_rt FROM documents",
         "dedup_exact": (

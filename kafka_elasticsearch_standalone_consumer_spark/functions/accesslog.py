@@ -137,8 +137,21 @@ def to_json_doc(parsed: DataFrame, cols: tuple[str, ...] = ("ip", "method", "url
     return parsed.withColumn("doc", doc)
 
 
-def route_index(df: DataFrame, by: Column, prefix: str = "idx") -> DataFrame:
+def route_index(
+    df: DataFrame,
+    by: Column,
+    prefix: str = "idx",
+    type_by: Column | None = None,
+    default_type: str = "doc",
+) -> DataFrame:
     """S6 index routing: data-dependent target index as a partition column
-    (reference ``IndexHandler.java:22-23`` / ``BasicIndexHandler.java:29-37``);
-    write with ``.partitionBy("index_name")`` to get per-index files."""
-    return df.withColumn("index_name", F.concat_ws("_", F.lit(prefix), by))
+    (reference ``IndexHandler.java:22-23`` / ``BasicIndexHandler.java:29-37``
+    — ``getIndexName()`` AND ``getIndexType()``: ES routed documents on the
+    (index, type) pair, so ``type_by`` optionally derives the type from a
+    column, defaulting to a fixed type like the reference's config default);
+    write with ``.partitionBy("index_name", "type_name")`` for per-target
+    files."""
+    out = df.withColumn("index_name", F.concat_ws("_", F.lit(prefix), by))
+    return out.withColumn(
+        "type_name", type_by if type_by is not None else F.lit(default_type)
+    )

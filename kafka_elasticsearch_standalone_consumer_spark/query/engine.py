@@ -431,6 +431,17 @@ class Index:
             )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def query_string(self, q: str, k: int = 10) -> DataFrame:
+        """ES ``query_string`` mini-DSL: bare terms (OR), ``+must``,
+        ``-must_not``, ``"exact phrase"``/``"phrase"~slop``, ``field:value``
+        filters, ``AND``. See query/querystring.py for the precise
+        semantics and the mapping onto search / search_phrase / filters."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            run_query_string,
+        )
+
+        return run_query_string(self, q, k)
+
     def search_phrase(
         self, phrase: str, k: int = 10, where: str | None = None, slop: int = 0
     ) -> DataFrame:

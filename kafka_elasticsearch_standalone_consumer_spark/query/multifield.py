@@ -1,0 +1,85 @@
+"""Multi-field BM25 (ES ``multi_match`` / ``most_fields``) — declarative.
+
+The reference's Elasticsearch indexed whole JSON documents (reference
+``MessageHandler.java:135-139``), so users query multiple fields with
+per-field boosts; ES ``most_fields`` scores each field independently
+(per-field df, avgdl — a field is its own "index" statistically) and sums
+``boost_f × BM25_f(q, d)``.
+
+Spark-first shape: per-field token streams are term-filtered BEFORE any
+join (predicate reaches the scan), per-term stats are tiny and broadcast,
+the per-field score unions are one aggregation, and the final top-k is a
+``TakeOrderedAndProject`` — Catalyst owns the whole physical plan; no
+kernels. At 100 TB each field's tokens come from the same single document
+scan (one pass computes every field's doc_term_freqs), so cost is
+~n_fields × the single-field oracle path, all map-side until the one
+aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark import B, K1
+from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs, tokenize_col
+from kafka_elasticsearch_standalone_consumer_spark.query import bm25
+
+
+def multi_field_bm25(
+    docs: DataFrame,
+    query_text: str,
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k ``most_fields`` BM25: (doc_id, score), score desc / id asc.
+
+    ``fields`` maps text column name → boost. Each field keeps its OWN
+    corpus statistics (df per field, avgdl over ALL docs of that field —
+    empty field values count as dl=0, exactly like ES field norms).
+    """
+    spark = docs.sparkSession
+    weights = bm25.query_term_weights(query_text)
+    if not weights or not fields:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())], "term string, w double"
+        )
+    )
+    n_docs = docs.count()
+    parts = []
+    for field, boost in sorted(fields.items()):
+        # avgdl over ALL docs (token rows alone would miss dl=0 docs)
+        avgdl = (
+            docs.select(F.size(tokenize_col(F.col(field))).alias("dl"))
+            .agg(F.avg("dl"))
+            .collect()[0][0]
+            or 1e-9
+        )
+        toks = doc_term_freqs(docs, text_col=field, id_col=id_col).filter(
+            F.col("term").isin(list(weights))
+        )
+        df_f = toks.groupBy("term").agg(F.count("*").alias("df"))
+        idfw = (
+            df_f.join(qdf, "term")
+            .withColumn("idfw", bm25.idf_expr(n_docs) * F.col("w") * F.lit(float(boost)))
+            .select("term", "idfw")
+        )
+        contrib = toks.join(F.broadcast(idfw), "term").select(
+            F.col(id_col).alias("doc_id"),
+            (
+                F.col("idfw")
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+            ).alias("contrib"),
+        )
+        parts.append(contrib)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    scores = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    return bm25.topk(scores, k)

@@ -1,0 +1,132 @@
+"""ES ``query_string`` mini-DSL → engine surfaces.
+
+The reference's users query the ES it fed with Lucene ``query_string``
+syntax (implicit in shipping documents to ES 1.5.1, reference
+``pom.xml:22``); this parser covers the subset that maps cleanly onto the
+engine and documents its semantics precisely:
+
+    hash join              bare terms — OR (should), BM25 sum
+    +hash join             '+' term — must: doc must contain it (still
+                           scored together with the should terms, ES bool
+                           must + should)
+    -vector                '-' term — must_not: docs containing it are
+                           excluded (scores of survivors unchanged)
+    "hash join"            quoted — exact phrase (match_phrase)
+    "hash join"~2          quoted with ~s — phrase with slop s
+    lang:en                field:value — ES filter clause on a document
+                           metadata column (restricts the doc set, corpus
+                           statistics stay global)
+    a AND b                equivalent to +a +b
+
+Routing: a pure-phrase query goes to ``Index.search_phrase``; term queries
+go to ``Index.search`` with must/must_not compiled into the filter clause
+(token-boundary regexes over the text — the same token alphabet as the
+analyzer, so ``contains term`` agrees with the index); a phrase mixed with
+terms applies the phrase as a must filter while the terms score. This is
+exactly ES bool semantics for must/must_not/filter; the one divergence is
+that a mixed phrase contributes no score of its own (documented).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+_TOKEN_RE = re.compile(
+    r"""
+    "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?   # "quoted phrase"[~slop]
+  | (?P<field>[A-Za-z_][A-Za-z0-9_]*):(?P<value>[A-Za-z0-9_.-]+)
+  | (?P<plus>\+)(?P<mterm>[^\s+\-"]+)
+  | (?P<minus>-)(?P<nterm>[^\s+\-"]+)
+  | (?P<word>[^\s+\-"][^\s"]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class ParsedQuery:
+    should: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    phrases: list[tuple[str, int]] = field(default_factory=list)
+    filters: list[tuple[str, str]] = field(default_factory=list)
+
+
+def parse_query_string(q: str) -> ParsedQuery:
+    """Parse the DSL; AND between two bare words promotes both to must."""
+    out = ParsedQuery()
+    words: list[str] = []  # bare words in order, for AND handling
+    pending_and = False
+    for m in _TOKEN_RE.finditer(q or ""):
+        if m.group("phrase") is not None:
+            out.phrases.append((m.group("phrase"), int(m.group("slop") or 0)))
+        elif m.group("field"):
+            out.filters.append((m.group("field"), m.group("value")))
+        elif m.group("plus"):
+            out.must.extend(tokenize_text(m.group("mterm")))
+        elif m.group("minus"):
+            out.must_not.extend(tokenize_text(m.group("nterm")))
+        elif m.group("word"):
+            w = m.group("word")
+            if w == "AND":
+                # promote the previous bare word; the next one joins must too
+                if words:
+                    out.must.extend(tokenize_text(words.pop()))
+                pending_and = True
+            elif w == "OR":
+                pending_and = False
+            elif pending_and:
+                out.must.extend(tokenize_text(w))
+                pending_and = False
+            else:
+                words.append(w)
+    for w in words:
+        out.should.extend(tokenize_text(w))
+    return out
+
+
+def _term_regex(term: str) -> str:
+    """Token-boundary regex matching the analyzer's [a-z0-9]+ alphabet."""
+    return f"(^|[^a-z0-9]){re.escape(term)}([^a-z0-9]|$)"
+
+
+def _phrase_regex(tokens: list[str]) -> str:
+    """Adjacent-token regex (slop-0 phrase as a document predicate)."""
+    body = "[^a-z0-9]+".join(re.escape(t) for t in tokens)
+    return f"(^|[^a-z0-9]){body}([^a-z0-9]|$)"
+
+
+def compile_filter(
+    parsed: ParsedQuery, text_col: str = "text", extra_phrase_must: bool = True
+) -> str | None:
+    """The parsed must/must_not/field clauses as ONE SQL predicate string
+    for the engine's ``where=`` filter surface (doc-level restriction;
+    corpus statistics stay global, matching ES bool filter)."""
+    clauses: list[str] = []
+    for f, v in parsed.filters:
+        clauses.append(f"{f} = '{v}'")
+    for t in parsed.must:
+        clauses.append(f"lower({text_col}) RLIKE '{_term_regex(t)}'")
+    for t in parsed.must_not:
+        clauses.append(f"NOT lower({text_col}) RLIKE '{_term_regex(t)}'")
+    if extra_phrase_must and (parsed.should or parsed.must):
+        for phrase, slop in parsed.phrases:
+            toks = tokenize_text(phrase)
+            if toks and slop == 0:
+                clauses.append(f"lower({text_col}) RLIKE '{_phrase_regex(toks)}'")
+    return " AND ".join(clauses) if clauses else None
+
+
+def run_query_string(index, q: str, k: int = 10):
+    """Execute a query_string against an :class:`Index` (see module doc)."""
+    parsed = parse_query_string(q)
+    terms = parsed.should + parsed.must
+    if not terms and parsed.phrases:
+        phrase, slop = parsed.phrases[0]
+        where = compile_filter(parsed, extra_phrase_must=False)
+        return index.search_phrase(phrase, k, where=where, slop=slop)
+    where = compile_filter(parsed)
+    return index.search(" ".join(terms), k, mode="bmw", where=where)

@@ -1,0 +1,75 @@
+"""query_string DSL: parsing, and execution equivalence against the
+explicitly-composed search / search_phrase calls it routes to."""
+
+from __future__ import annotations
+
+from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+    parse_query_string,
+)
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_parse_components():
+    p = parse_query_string('w00000 +w00001 -w00002 lang:en "w00003 w00004"~2 a AND b')
+    assert p.should == ["w00000", "a", "b"] or "w00000" in p.should
+    assert "w00001" in p.must
+    assert p.must_not == ["w00002"]
+    assert p.filters == [("lang", "en")]
+    assert p.phrases == [("w00003 w00004", 2)]
+    # AND promotes both operands to must
+    assert "a" in p.must and "b" in p.must
+
+
+def test_bare_terms_equal_search(spark, built_index):
+    idx, _ = built_index
+    assert _rows(idx.query_string("w00000 w00003", 10)) == _rows(
+        idx.search("w00000 w00003", 10)
+    )
+
+
+def test_must_not_excludes_and_keeps_scores(spark, built_index):
+    idx, _ = built_index
+    base = dict(_rows(idx.search("w00000 w00003", 200)))
+    got = _rows(idx.query_string("w00000 w00003 -w00001", 10))
+    assert got
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in idx.fetch(idx.query_string("w00000 w00003 -w00001", 10)).collect()
+    }
+    for doc_id, score in got:
+        assert "w00001" not in texts[doc_id].lower().split()
+        assert base[doc_id] == score  # survivors keep global-stats scores
+
+
+def test_must_requires_term(spark, built_index):
+    idx, _ = built_index
+    got = idx.fetch(idx.query_string("w00003 +w00000", 10)).collect()
+    assert got
+    for r in got:
+        assert "w00000" in r["text"].lower().split()
+
+
+def test_field_filter_routes_to_where(spark, built_index):
+    idx, _ = built_index
+    assert _rows(idx.query_string("w00000 w00003 role:user", 10)) == _rows(
+        idx.search("w00000 w00003", 10, where="role = 'user'")
+    )
+
+
+def test_quoted_phrase_routes_to_search_phrase(spark, transcripts, tmp_path):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    path = str(tmp_path / "qs")
+    build_index(spark, transcripts, path, docs_per_shard=256, n_buckets=8, positions=True)
+    idx = Index(spark, path)
+    toks = tokenize_text(transcripts.first()["text"])
+    phrase = " ".join(toks[2:4])
+    assert _rows(idx.query_string(f'"{phrase}"', 10)) == _rows(idx.search_phrase(phrase, 10))
+    assert _rows(idx.query_string(f'"{phrase}"~1', 10)) == _rows(
+        idx.search_phrase(phrase, 10, slop=1)
+    )
