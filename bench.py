@@ -7,6 +7,10 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
   index_build     full checkpointed index build over a deterministic
                   synthetic transcripts corpus sized to the sf (the
                   BASELINE.json headline: turns/sec), best-of-N
+  index_build_8x  ONE build over an 8x corpus (~1.6M turns at sf0.1) —
+                  compute dominates the fixed session/scheduling
+                  overhead, so round-over-round regressions show here
+                  before they clear the sf0.1 noise floor
   bm25_wand       reference query set, block-max WAND fast path (per-query)
   bm25_wand_batch the same query set in ONE Spark job (search_many)
   bm25_phrase     one exact-phrase query over a positions build
@@ -127,7 +131,23 @@ def build_and_query(master: str, shuffle_partitions: int, sf: float, measure_que
             t0 = time.monotonic()
             idx_p.search_phrase(phrase, 10).collect()
             t["bm25_phrase"] = time.monotonic() - t0
+            t0 = time.monotonic()
+            idx_p.search_phrase(phrase, 10, slop=2).collect()
+            t["bm25_phrase_slop"] = time.monotonic() - t0
             shutil.rmtree(wh_pos, ignore_errors=True)
+
+            # 8× corpus, one rep: a compute-dominated regression sentinel
+            # (the sf0.1 build is ~half fixed scheduling overhead, so a
+            # 10–20% engine regression hides inside its run-to-run noise)
+            tr8 = generate_transcripts(spark, n_convs=n_convs * 8, seed=42)
+            n8 = tr8.count()
+            wh8 = wh + "_8x"
+            t0 = time.monotonic()
+            build_index(spark, tr8, wh8, docs_per_shard=1 << 14, n_buckets=64)
+            t["index_build_8x"] = time.monotonic() - t0
+            counts_extra = {"n_turns_8x": n8}
+            shutil.rmtree(wh8, ignore_errors=True)
+            return t, {"n_turns": n_turns, "n_queries": timings_q, **counts_extra}
         return t, {"n_turns": n_turns, "n_queries": timings_q}
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -234,7 +254,39 @@ def run_scaling(sf: float) -> dict:
     return out
 
 
-def write_bench_md(sf: float, n_turns: int, scaling: dict) -> None:
+def _round_over_round_md(t: dict) -> str:
+    """Per-query deltas vs the previous round's recorded BENCH_r{N}.json
+    (the driver writes one per round; compare against the newest)."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                   key=lambda p: int(_re.search(r"r(\d+)", p).group(1)))
+    if not prior:
+        return ""
+    with open(prior[-1]) as f:
+        rec = json.load(f)
+    # the driver records our JSON line under "parsed"
+    base = rec.get("parsed", rec).get("queries", {})
+    rows = []
+    for k in sorted(set(t) | set(base)):
+        cur, old = t.get(k), base.get(k)
+        if cur is not None and old is not None:
+            rows.append(f"| {k} | {old:.2f} | {cur:.2f} | {cur / old:.2f}x |")
+        elif cur is not None:
+            rows.append(f"| {k} | — | {cur:.2f} | new |")
+    name = os.path.basename(prior[-1])
+    return (
+        f"\n## Round-over-round (this run vs {name})\n\n"
+        "Single-run walls on a VM with ±30% noise — read trends, not ±20%\n"
+        "wiggles; the 8x-corpus build is the compute-dominated sentinel.\n\n"
+        "| phase | prev (s) | now (s) | ratio |\n|---|---|---|---|\n"
+        + "\n".join(rows) + "\n"
+    )
+
+
+def write_bench_md(sf: float, n_turns: int, scaling: dict, t: dict | None = None) -> None:
     lo, hi = SCALING_CORES
     md = f"""# BENCH — measured scaling evidence
 
@@ -278,6 +330,8 @@ Methodology (all reproducible with `python bench.py --scaling`):
 speedup N->4N: **{scaling['speedup_n_to_4n']}x** of a possible 4x ->
 scaling efficiency **{scaling['efficiency']}** (target >= 0.8 per BASELINE.json).
 """
+    if t:
+        md += _round_over_round_md(t)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(md)
 
@@ -294,7 +348,7 @@ def main():
     scaling = None
     if "--scaling" in sys.argv:
         scaling = run_scaling(sf)
-        write_bench_md(sf, scaling["n_turns"], scaling)
+        write_bench_md(sf, scaling["n_turns"], scaling, t)
 
     total = sum(t.values())
     result = {
@@ -307,6 +361,11 @@ def main():
         "index_turns_per_sec": round(counts["n_turns"] / t["index_build"], 1),
         "bm25_sec_per_query": round(t["bm25_wand"] / counts["n_queries"], 3),
     }
+    if "n_turns_8x" in counts:
+        result["n_turns_8x"] = counts["n_turns_8x"]
+        result["index_8x_turns_per_sec"] = round(
+            counts["n_turns_8x"] / t["index_build_8x"], 1
+        )
     if scaling:
         result["scaling"] = scaling
     print(json.dumps(result))

@@ -86,6 +86,45 @@ def main() -> None:
         )
     )
 
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((64, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    ann_wh = tempfile.mkdtemp() + "/ann"
+    build_ann_index(emb, ann_wh, bits=6, dim=16)
+    sections.append(
+        (
+            "Materialized ANN probe (sig partition pruning)",
+            "build_ann_index writes embeddings partitioned by the sign-LSH "
+            "signature; the probe-bucket predicate shows up as "
+            "PartitionFilters on sig — directory-level pruning reads "
+            "~(1+bits)/2^bits of the table, independent of its width.",
+            plan_of(ann_topk_indexed(spark, ann_wh, [float(x) for x in vecs[0]], 5)),
+        )
+    )
+    ivf_wh = tempfile.mkdtemp() + "/ivf"
+    build_ivf_index(emb, vecs[:4].astype(np.float64), ivf_wh)
+    sections.append(
+        (
+            "IVF search (list_id partition pruning)",
+            "IVF inverted lists ARE partition directories; probing nprobe "
+            "lists is PartitionFilters on list_id — ~nprobe/n_lists of the "
+            "data read, exact cosine only inside the probed lists.",
+            plan_of(ivf_search(spark, ivf_wh, [float(x) for x in vecs[0]], 5, nprobe=2)),
+        )
+    )
+
     pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
     sections.append(
         (
