@@ -120,7 +120,7 @@ def _bm25_fixed(spark, sf_dir, query, mode, where=None):
 
     idx = _IDX_CACHE.get(sf_dir)
     if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[sf_dir] = idx
     if mode == "oracle":
@@ -168,7 +168,7 @@ def q_query_string_topk(spark, sf_dir):
 
     idx = _IDX_CACHE.get(sf_dir)
     if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[sf_dir] = idx
     out = idx.query_string(QS_QUERY, K)
@@ -204,7 +204,7 @@ def q_facets_by_lang(spark, sf_dir):
 
     idx = _IDX_CACHE.get(sf_dir)
     if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[sf_dir] = idx
     return idx.facets(BM25_QUERY, by="lang").select("lang", "n")
@@ -268,6 +268,43 @@ def _raw_lines(spark, sf_dir):
         F.col("props"),
     )
     return e.select(F.col("event_id"), raw.alias("raw"))
+
+
+def _cached_idx(spark, sf_dir):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = _IDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_agg_histogram(spark, sf_dir):
+    """ES histogram aggregation over the BM25_QUERY match set: 50-wide
+    n_chars buckets (bucket key = floor(v/50)*50, ES's rule)."""
+    return _cached_idx(spark, sf_dir).histogram(BM25_QUERY, "n_chars", 50.0)
+
+
+def q_agg_range(spark, sf_dir):
+    """ES range aggregation: half-open [lo, hi) n_chars buckets with open
+    ends over the match set."""
+    return _cached_idx(spark, sf_dir).range_agg(BM25_QUERY, "n_chars", [200, 400])
+
+
+def q_agg_stats(spark, sf_dir):
+    """ES stats aggregation: count/min/max/sum/avg of n_chars over the
+    match set (one row)."""
+    return _cached_idx(spark, sf_dir).stats_agg(BM25_QUERY, "n_chars")
+
+
+def q_agg_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar day buckets) over the events stream —
+    the operator itself, unscoped (events carry no text to match)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import date_histogram
+
+    return date_histogram(_events(spark, sf_dir), "ts", "day")
 
 
 def q_access_log_parse(spark, sf_dir):
@@ -661,6 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_topk": q_query_string_topk,
         "multi_field_bm25": q_multi_field_bm25,
         "facets_by_lang": q_facets_by_lang,
+        "agg_histogram": q_agg_histogram,
+        "agg_range": q_agg_range,
+        "agg_stats": q_agg_stats,
+        "agg_date_histogram": q_agg_date_histogram,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "binary_decode_quarantine": q_binary_decode_quarantine,
@@ -1083,6 +1124,39 @@ _DELETE_TOMBSTONES_SQL = (
 )
 
 
+_MATCHED = (
+    "SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(" + SQL_TOKS + ") AS term "
+    "FROM documents) WHERE term IN ('join', 'hash', 'filter')"
+)
+
+_AGG_HIST_SQL = f"""
+SELECT (floor(n_chars / 50.0) * 50.0)::DOUBLE AS bucket, count(*)::BIGINT AS n
+FROM documents WHERE doc_id IN ({_MATCHED}) GROUP BY 1 ORDER BY 1
+"""
+
+_AGG_RANGE_SQL = f"""
+SELECT CASE WHEN n_chars < 200 THEN '*-200'
+            WHEN n_chars < 400 THEN '200-400'
+            ELSE '400-*' END AS range_label,
+       count(*)::BIGINT AS n
+FROM documents WHERE doc_id IN ({_MATCHED}) GROUP BY 1 ORDER BY 1
+"""
+
+_AGG_STATS_SQL = f"""
+SELECT count(*)::BIGINT AS n,
+       min(n_chars)::DOUBLE AS min_v,
+       max(n_chars)::DOUBLE AS max_v,
+       round(sum(n_chars), 6)::DOUBLE AS sum_v,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v
+FROM documents WHERE doc_id IN ({_MATCHED})
+"""
+
+_AGG_DATE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tok_term_counts": (
@@ -1114,6 +1188,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
             "GROUP BY lang ORDER BY n DESC, lang"
         ),
+        "agg_histogram": _AGG_HIST_SQL,
+        "agg_range": _AGG_RANGE_SQL,
+        "agg_stats": _AGG_STATS_SQL,
+        "agg_date_histogram": _AGG_DATE_SQL,
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,

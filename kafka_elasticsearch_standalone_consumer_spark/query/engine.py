@@ -742,10 +742,32 @@ class Index:
             tokenize_text,
         )
 
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], f"{by} string, n long")
+        return (
+            scoped.groupBy(by)
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc(by))
+        )
+
+    def _agg_scope(
+        self, query_text: str, where: str | None, min_should_match: int
+    ) -> DataFrame | None:
+        """The live, filtered document set matching ≥ ``min_should_match``
+        distinct query terms — the doc scope every ES aggregation runs
+        over. Declarative: term-pruned tokens scan → distinct matching
+        docs → left-semi join the (column-pruned) doc store. Returns None
+        for an empty query."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            doc_term_freqs,
+            tokenize_text,
+        )
+
         terms = sorted(set(tokenize_text(query_text)))
         spark = self.spark
         if not terms:
-            return spark.createDataFrame([], f"{by} string, n long")
+            return None
         if self.wh is None:
             toks = self._tokens
         else:
@@ -771,12 +793,76 @@ class Index:
         deletes = self._deletes_df()
         if deletes is not None:
             docs = docs.join(deletes, "doc_id", "left_anti")
-        return (
-            docs.join(matched, "doc_id", "left_semi")
-            .groupBy(by)
-            .agg(F.count("*").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc(by))
-        )
+        return docs.join(matched, "doc_id", "left_semi")
+
+    def histogram(
+        self,
+        query_text: str,
+        by: str,
+        interval: float,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES histogram aggregation over all matching docs: fixed-width
+        buckets of the numeric ``by`` column, (bucket, n) ascending."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "bucket double, n long")
+        return aggs.histogram(scoped, by, interval)
+
+    def range_agg(
+        self,
+        query_text: str,
+        by: str,
+        bounds: list[float],
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES range aggregation: half-open [lo, hi) buckets with open ends
+        ("*-b0", "b0-b1", …, "bn-*"), non-empty buckets only."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "range_label string, n long")
+        return aggs.range_counts(scoped, by, bounds)
+
+    def stats_agg(
+        self,
+        query_text: str,
+        by: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES stats aggregation: count/min/max/sum/avg of ``by`` over the
+        matching docs (one row)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [], "n long, min_v double, max_v double, sum_v double, avg_v double"
+            )
+        return aggs.stats_summary(scoped, by)
+
+    def date_histogram(
+        self,
+        query_text: str,
+        by: str,
+        unit: str = "day",
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES date_histogram aggregation: calendar buckets (hour/day/
+        month/year) of the timestamp ``by`` column over matching docs."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "bucket string, n long")
+        return aggs.date_histogram(scoped, by, unit)
 
     def search_oracle(
         self, query_text: str, k: int = 10, where: str | None = None
