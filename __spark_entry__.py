@@ -154,6 +154,18 @@ def q_bm25_topk_filtered(spark, sf_dir):
     return _bm25_fixed(spark, sf_dir, BM25_QUERY, "bmw", where="lang = 'en'")
 
 
+def q_bm25_topk_msm(spark, sf_dir):
+    """ES minimum_should_match=2: only docs containing >= 2 distinct query
+    terms are returned; survivors keep their global-stats OR scores."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search(BM25_QUERY, K, mode="bmw", min_should_match=2)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 PHRASE_QUERY = "table hash"  # a real adjacent bigram in documents.parquet
 
 
@@ -693,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_exact": q_bm25_topk_exact,
         "bm25_topk_intersect": q_bm25_topk_intersect,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_msm": q_bm25_topk_msm,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "query_string_topk": q_query_string_topk,
@@ -769,13 +782,17 @@ LIMIT {k}
 """
 
 
-def _bm25_sql(query: str, k: int = K, conjunctive: bool = False, where: str = "") -> str:
+def _bm25_sql(
+    query: str, k: int = K, conjunctive: bool = False, where: str = "", msm: int = 0
+) -> str:
     import re
     from collections import Counter
 
     terms = Counter(re.findall(r"[a-z0-9]+", query.lower()))
     qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
     having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
+    if msm:
+        having = f"HAVING count(DISTINCT tf.term) >= {msm}"
     scored_where = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
     )
@@ -1178,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_exact": _bm25_sql(BM25_QUERY),
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
+        "bm25_topk_msm": _bm25_sql(BM25_QUERY, msm=2),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "multi_field_bm25": _MULTIFIELD_SQL,

@@ -292,6 +292,51 @@ def ann_topk_indexed(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_lists: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means codebook for an IVF index — distributed Lloyd's.
+
+    Per iteration: assignment is :func:`ivf_assign`'s Arrow matmul kernel
+    (one narrow pass over the vectors); the centroid update is a
+    ``posexplode`` + ``groupBy(list_id, pos)`` mean — ONE aggregation
+    shuffle whose key cardinality is n_lists × dim (tiny), with map-side
+    partial aggregation doing the heavy summing. The codebook itself
+    (n_lists × dim floats) lives driver-side, renormalized to the unit
+    sphere each round (cosine objective). Deterministic init: the
+    ``n_lists`` vectors with the smallest ids. Empty clusters keep their
+    previous centroid.
+    """
+    rows = emb.orderBy(id_col).limit(n_lists).collect()
+    cent = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cent, id_col, vec_col)
+        sums = (
+            emb.join(assigned, id_col)
+            .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = np.zeros_like(cent)
+        seen = set()
+        for r in sums:
+            acc[r["list_id"], r["pos"]] = r["s"]
+            seen.add(r["list_id"])
+        for li in seen:
+            n = np.linalg.norm(acc[li])
+            if n > 1e-30:
+                new[li] = acc[li] / n  # mean direction == normalized sum
+        cent = new
+    return cent
+
+
 def build_ivf_index(
     emb: DataFrame,
     centroids: np.ndarray,

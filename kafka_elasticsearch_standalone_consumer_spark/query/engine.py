@@ -328,16 +328,30 @@ class Index:
         d = self.wh.read(self.spark, DELETES_TABLE)
         return d if not d.isEmpty() else None
 
-    def _mask_plan(self, where: str | None, docs_per_shard: int):
+    def _mask_plan(
+        self,
+        where: str | None,
+        docs_per_shard: int,
+        allowed_docs: DataFrame | None = None,
+    ):
         """(mask_df_with_shard, kind) for the per-shard doc mask:
         kind='allowed' ships the filtered live set, kind='blocked' ships
         only the tombstones (cheaper when there is no filter clause);
-        (None, None) when no mask applies."""
+        (None, None) when no mask applies. ``allowed_docs`` optionally
+        intersects an extra doc_id set (min_should_match)."""
         from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
 
         deletes = self._deletes_df()
+        allowed = None
         if where is not None:
             allowed = self._docs_df().filter(where).select("doc_id")
+        if allowed_docs is not None:
+            allowed = (
+                allowed_docs.select("doc_id")
+                if allowed is None
+                else allowed.join(allowed_docs, "doc_id", "left_semi")
+            )
+        if allowed is not None:
             if deletes is not None:
                 allowed = allowed.join(deletes, "doc_id", "left_anti")
             return with_shard(allowed, docs_per_shard), "allowed"
@@ -346,7 +360,12 @@ class Index:
         return None, None
 
     def search(
-        self, query_text: str, k: int = 10, mode: str = "bmw", where: str | None = None
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "bmw",
+        where: str | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k BM25 (OR semantics). mode: bmw | exact | intersect.
 
@@ -357,6 +376,12 @@ class Index:
         path ships each shard its allowed-doc set via a cogroup — the
         filter scan is column-pruned to (doc_id) + predicate columns and
         stays distributed.
+
+        ``min_should_match=m`` (ES query-level minimum_should_match):
+        only docs containing ≥ m DISTINCT query terms are returned, with
+        scores unchanged for survivors (the match set comes from one
+        term-pruned tokens scan and rides the same allowed-doc cogroup
+        as the filter clause). ``m = len(terms)`` equals mode='intersect'.
         """
         idfw, buckets = self._plan_terms(query_text)
         if not idfw:
@@ -404,7 +429,15 @@ class Index:
                 )
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        mask_df, mask_kind = self._mask_plan(where, docs_per_shard)
+        allowed_docs = None
+        if min_should_match > 1:
+            from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+            terms = sorted(set(tokenize_text(query_text)))
+            if min_should_match > len(terms):
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            allowed_docs = self._match_set(terms, min_should_match)
+        mask_df, mask_kind = self._mask_plan(where, docs_per_shard, allowed_docs)
         empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": np.int64, "score": np.float64}
         )
@@ -751,23 +784,13 @@ class Index:
             .orderBy(F.desc("n"), F.asc(by))
         )
 
-    def _agg_scope(
-        self, query_text: str, where: str | None, min_should_match: int
-    ) -> DataFrame | None:
-        """The live, filtered document set matching ≥ ``min_should_match``
-        distinct query terms — the doc scope every ES aggregation runs
-        over. Declarative: term-pruned tokens scan → distinct matching
-        docs → left-semi join the (column-pruned) doc store. Returns None
-        for an empty query."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
-            doc_term_freqs,
-            tokenize_text,
-        )
+    def _match_set(self, terms: list[str], min_should_match: int) -> DataFrame:
+        """doc_ids containing ≥ ``min_should_match`` distinct terms of
+        ``terms`` — a term-pruned tokens scan + one aggregation (the scan
+        is column-pruned to (doc_id, term) and the predicate pushed)."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
 
-        terms = sorted(set(tokenize_text(query_text)))
         spark = self.spark
-        if not terms:
-            return None
         if self.wh is None:
             toks = self._tokens
         else:
@@ -780,13 +803,28 @@ class Index:
                 )
                 t = t.select("doc_id", "term")
                 toks = t if toks is None else toks.unionByName(t)
-        matched = (
+        return (
             toks.filter(F.col("term").isin(terms))
             .groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))
             .filter(F.col("nt") >= min_should_match)
             .select("doc_id")
         )
+
+    def _agg_scope(
+        self, query_text: str, where: str | None, min_should_match: int
+    ) -> DataFrame | None:
+        """The live, filtered document set matching ≥ ``min_should_match``
+        distinct query terms — the doc scope every ES aggregation runs
+        over. Declarative: term-pruned tokens scan → distinct matching
+        docs → left-semi join the (column-pruned) doc store. Returns None
+        for an empty query."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text)))
+        if not terms:
+            return None
+        matched = self._match_set(terms, min_should_match)
         docs = self._docs_df()
         if where is not None:
             docs = docs.filter(where)
@@ -865,11 +903,15 @@ class Index:
         return aggs.date_histogram(scoped, by, unit)
 
     def search_oracle(
-        self, query_text: str, k: int = 10, where: str | None = None
+        self,
+        query_text: str,
+        k: int = 10,
+        where: str | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Verification path: pure DataFrame BM25 over the tokens table.
-        ``where`` restricts the returned doc set (left-semi join against
-        the filtered doc store) with global stats — same as search()."""
+        ``where``/``min_should_match`` restrict the returned doc set
+        (left-semi joins) with global stats — same as search()."""
         if self.wh is None:
             tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
         else:
@@ -906,6 +948,15 @@ class Index:
         if where is not None:
             scores = scores.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        if min_should_match > 1:
+            from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+            terms = sorted(set(tokenize_text(query_text)))
+            if min_should_match > len(terms):
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            scores = scores.join(
+                self._match_set(terms, min_should_match), "doc_id", "left_semi"
             )
         deletes = self._deletes_df()
         if deletes is not None:

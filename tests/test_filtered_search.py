@@ -103,3 +103,34 @@ def test_empty_corpus_bootstrap(spark, tmp_path):
         idempotency_key="b0",
     ) == 1
     assert Index(spark, wh).search("w00000", 5).count() > 0
+
+
+def test_min_should_match(spark, built_index):
+    """ES minimum_should_match: the match set shrinks to docs with >= m
+    distinct query terms; surviving scores are unchanged (global stats);
+    m = n_terms equals the conjunctive mode."""
+    idx, _ = built_index
+    q = "w00000 w00003 w00250"
+    base = dict(
+        (r["doc_id"], round(r["score"], 9)) for r in idx.search(q, 500).collect()
+    )
+    texts = {r["doc_id"]: set(r["text"].lower().split()) for r in idx._docs_df().collect()}
+    terms = {"w00000", "w00003", "w00250"}
+    for m in (2, 3):
+        for fn in (
+            lambda: idx.search(q, 10, min_should_match=m),
+            lambda: idx.search_oracle(q, 10, min_should_match=m),
+        ):
+            got = [(r["doc_id"], round(r["score"], 9)) for r in fn().collect()]
+            assert got, m
+            for doc_id, score in got:
+                assert len(terms & texts[doc_id]) >= m, (m, doc_id)
+                assert base[doc_id] == score, (m, doc_id)
+    # m = n_terms ≡ intersect mode
+    msm = [(r["doc_id"], round(r["score"], 9))
+           for r in idx.search(q, 10, min_should_match=3).collect()]
+    inter = [(r["doc_id"], round(r["score"], 9))
+             for r in idx.search(q, 10, mode="intersect").collect()]
+    assert msm == inter
+    # m beyond the query width -> empty
+    assert idx.search(q, 10, min_should_match=4).count() == 0

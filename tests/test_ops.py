@@ -295,3 +295,33 @@ def test_materialized_ann_matches_adhoc_and_ivf_finds_self(spark, emb, tmp_path)
     build_ivf_index(df, np.stack(vecs[:4]).astype(np.float64), ivf_wh)
     hits = ivf_search(spark, ivf_wh, qv, 5, nprobe=2).collect()
     assert hits and hits[0]["vec_id"] == 0 and abs(hits[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_train_centroids_improves_objective(spark, emb, tmp_path):
+    """Distributed spherical k-means: the mean best-centroid cosine must
+    not decrease with iterations, and an IVF index built on the trained
+    codebook still finds the query itself."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    df, vecs = emb
+    m = np.stack(vecs).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    def objective(cent):
+        c = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+        return float((m @ c.T).max(axis=1).mean())
+
+    c0 = train_centroids(df, 4, iters=0)
+    c5 = train_centroids(df, 4, iters=5)
+    assert objective(c5) >= objective(c0) - 1e-9
+    wh = str(tmp_path / "ivftrained")
+    build_ivf_index(df, c5, wh)
+    qv = [float(x) for x in vecs[3]]
+    hits = ivf_search(spark, wh, qv, 5, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == 3 and abs(hits[0]["cosine"] - 1.0) < 1e-9
