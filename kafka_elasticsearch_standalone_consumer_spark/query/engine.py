@@ -587,12 +587,13 @@ class Index:
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_phrase_oracle(
-        self, phrase: str, k: int = 10, where: str | None = None, slop: int = 0
+        self, phrase: str, k: int | None = 10, where: str | None = None, slop: int = 0
     ) -> DataFrame:
         """Declarative phrase verification path: m-way position self-join
         over the exploded token positions — no custom kernels. ``slop``
         relaxes slot i to ``|pᵢ − p₀ − i| ≤ slop`` via an exploded
-        candidate-anchor join (same semantic as the fast path)."""
+        candidate-anchor join (same semantic as the fast path). ``k=None``
+        returns the full unranked score set (clause composition)."""
         import math
 
         from kafka_elasticsearch_standalone_consumer_spark.analysis import (
@@ -661,6 +662,8 @@ class Index:
                 / (F.col("tfp") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
             ).alias("score"),
         )
+        if k is None:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_many(
@@ -905,13 +908,15 @@ class Index:
     def search_oracle(
         self,
         query_text: str,
-        k: int = 10,
+        k: int | None = 10,
         where: str | None = None,
         min_should_match: int = 1,
     ) -> DataFrame:
         """Verification path: pure DataFrame BM25 over the tokens table.
         ``where``/``min_should_match`` restrict the returned doc set
-        (left-semi joins) with global stats — same as search()."""
+        (left-semi joins) with global stats — same as search().
+        ``k=None`` returns the FULL unranked score set (used by clause
+        composition, e.g. query_string's term+phrase sum)."""
         if self.wh is None:
             tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
         else:
@@ -961,4 +966,4 @@ class Index:
         deletes = self._deletes_df()
         if deletes is not None:
             scores = scores.join(deletes, "doc_id", "left_anti")
-        return bm25.topk(scores, k)
+        return scores if k is None else bm25.topk(scores, k)

@@ -18,13 +18,16 @@ engine and documents its semantics precisely:
                            statistics stay global)
     a AND b                equivalent to +a +b
 
-Routing: a pure-phrase query goes to ``Index.search_phrase``; term queries
-go to ``Index.search`` with must/must_not compiled into the filter clause
-(token-boundary regexes over the text — the same token alphabet as the
-analyzer, so ``contains term`` agrees with the index); a phrase mixed with
-terms applies the phrase as a must filter while the terms score. This is
-exactly ES bool semantics for must/must_not/filter; the one divergence is
-that a mixed phrase contributes no score of its own (documented).
+Routing: a pure-phrase query goes to ``Index.search_phrase`` (the fast
+positions kernel); pure-term queries go to ``Index.search`` (block-max
+WAND) with must/must_not compiled into the filter clause (token-boundary
+regexes over the text — the same token alphabet as the analyzer, so
+``contains term`` agrees with the index). A query mixing terms and
+phrases composes like an ES bool ``should``: each clause's FULL score set
+(terms via the declarative BM25 oracle, each phrase via the m-way join
+oracle) is summed per doc over the union of matching docs — a doc
+matching any clause matches, a doc matching several scores higher —
+then top-k. must/must_not/field filters restrict every clause identically.
 """
 
 from __future__ import annotations
@@ -93,15 +96,7 @@ def _term_regex(term: str) -> str:
     return f"(^|[^a-z0-9]){re.escape(term)}([^a-z0-9]|$)"
 
 
-def _phrase_regex(tokens: list[str]) -> str:
-    """Adjacent-token regex (slop-0 phrase as a document predicate)."""
-    body = "[^a-z0-9]+".join(re.escape(t) for t in tokens)
-    return f"(^|[^a-z0-9]){body}([^a-z0-9]|$)"
-
-
-def compile_filter(
-    parsed: ParsedQuery, text_col: str = "text", extra_phrase_must: bool = True
-) -> str | None:
+def compile_filter(parsed: ParsedQuery, text_col: str = "text") -> str | None:
     """The parsed must/must_not/field clauses as ONE SQL predicate string
     for the engine's ``where=`` filter surface (doc-level restriction;
     corpus statistics stay global, matching ES bool filter)."""
@@ -112,21 +107,30 @@ def compile_filter(
         clauses.append(f"lower({text_col}) RLIKE '{_term_regex(t)}'")
     for t in parsed.must_not:
         clauses.append(f"NOT lower({text_col}) RLIKE '{_term_regex(t)}'")
-    if extra_phrase_must and (parsed.should or parsed.must):
-        for phrase, slop in parsed.phrases:
-            toks = tokenize_text(phrase)
-            if toks and slop == 0:
-                clauses.append(f"lower({text_col}) RLIKE '{_phrase_regex(toks)}'")
     return " AND ".join(clauses) if clauses else None
 
 
 def run_query_string(index, q: str, k: int = 10):
     """Execute a query_string against an :class:`Index` (see module doc)."""
+    from pyspark.sql import functions as F
+
     parsed = parse_query_string(q)
     terms = parsed.should + parsed.must
-    if not terms and parsed.phrases:
-        phrase, slop = parsed.phrases[0]
-        where = compile_filter(parsed, extra_phrase_must=False)
-        return index.search_phrase(phrase, k, where=where, slop=slop)
     where = compile_filter(parsed)
-    return index.search(" ".join(terms), k, mode="bmw", where=where)
+    if not terms and len(parsed.phrases) == 1:
+        phrase, slop = parsed.phrases[0]
+        return index.search_phrase(phrase, k, where=where, slop=slop)
+    if not parsed.phrases:
+        return index.search(" ".join(terms), k, mode="bmw", where=where)
+    # mixed clauses — ES bool should composition: sum each clause's full
+    # score set per doc over the UNION of matching docs, then top-k
+    parts = []
+    if terms:
+        parts.append(index.search_oracle(" ".join(terms), k=None, where=where))
+    for phrase, slop in parsed.phrases:
+        parts.append(index.search_phrase_oracle(phrase, k=None, where=where, slop=slop))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    scores = allp.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -240,3 +240,45 @@ def test_index_meta_derives_from_registry(spark, corpora, tmp_path):
     repaired = wh.read_meta("sys_meta")
     assert repaired["n_docs"] == meta_after["n_docs"]
     assert abs(repaired["avgdl"] - meta_after["avgdl"]) < 1e-12
+
+
+def test_streaming_dedup_ingest(spark, corpora, tmp_path):
+    """Watermarked streaming dedup: duplicates arriving in a LATER
+    micro-batch (within the horizon) are suppressed by the state store;
+    the indexed corpus equals the distinct-text corpus."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import TRANSCRIPTS_SCHEMA
+    from kafka_elasticsearch_standalone_consumer_spark.streaming.dedup import (
+        dedup_index_stream_writer,
+    )
+
+    _full, a, b, _c = corpora
+    src, wh, ckpt = str(tmp_path / "src"), str(tmp_path / "wh"), str(tmp_path / "ck")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    # batch 1: part b; batch 2: part b AGAIN under different conv ids
+    # (exact duplicate texts, same timestamps -> inside the horizon)
+    b.coalesce(1).write.parquet(src)
+    import pyspark.sql.functions as F
+
+    b.withColumn("conv_id", F.concat(F.lit("dup"), "conv_id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_index_stream_writer(spark, stream, wh, ckpt, horizon="365 days")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    idx = Index(spark, wh)
+    n_indexed = idx._docs_df().count()
+    # batch 1 collapses within-batch duplicate texts (empty turns); the
+    # replayed-content batch 2 is suppressed entirely by the state store
+    assert n_indexed == a.count() + b.select("text").distinct().count()
+    texts = idx._docs_df().select("text").collect()
+    assert len({r["text"] for r in texts}) == len(
+        {r["text"] for r in a.unionByName(b).collect()}
+    )

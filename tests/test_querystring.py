@@ -73,3 +73,30 @@ def test_quoted_phrase_routes_to_search_phrase(spark, transcripts, tmp_path):
     assert _rows(idx.query_string(f'"{phrase}"~1', 10)) == _rows(
         idx.search_phrase(phrase, 10, slop=1)
     )
+
+
+def test_mixed_terms_and_phrase_sum_scores(spark, transcripts, tmp_path):
+    """ES bool should composition: a query mixing terms and a phrase sums
+    the clauses' scores per doc over the UNION of matching docs."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    path = str(tmp_path / "mixed")
+    build_index(spark, transcripts, path, docs_per_shard=256, n_buckets=8, positions=True)
+    idx = Index(spark, path)
+    toks = tokenize_text(transcripts.first()["text"])
+    phrase = " ".join(toks[2:4])
+    q = f'w00000 "{phrase}"'
+    got = dict(_rows(idx.query_string(q, 10000)))
+    t_scores = {r["doc_id"]: r["score"] for r in idx.search_oracle("w00000", k=None).collect()}
+    p_scores = {r["doc_id"]: r["score"] for r in idx.search_phrase_oracle(phrase, k=None).collect()}
+    want = {
+        d: round(t_scores.get(d, 0.0) + p_scores.get(d, 0.0), 9)
+        for d in set(t_scores) | set(p_scores)
+    }
+    assert got == want and got
+    # union semantics: docs matching ONLY the phrase clause still appear
+    only_phrase = set(p_scores) - set(t_scores)
+    if only_phrase:
+        assert only_phrase <= set(got)
