@@ -166,6 +166,21 @@ def q_bm25_topk_msm(spark, sf_dir):
     )
 
 
+def q_prefix_topk(spark, sf_dir):
+    """ES prefix query (constant_score rewrite): docs containing any term
+    starting with 's', score 1.0, first K by doc_id."""
+    idx = _cached_idx(spark, sf_dir)
+    return idx.search_prefix("s", K)
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """ES wildcard query (constant_score rewrite): terms matching s?a*
+    (scan/small/spark in this vocabulary), literal-prefix-pruned term
+    dictionary expansion."""
+    idx = _cached_idx(spark, sf_dir)
+    return idx.search_wildcard("s?a*", K)
+
+
 PHRASE_QUERY = "table hash"  # a real adjacent bigram in documents.parquet
 
 
@@ -706,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_intersect": q_bm25_topk_intersect,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_msm": q_bm25_topk_msm,
+        "prefix_topk": q_prefix_topk,
+        "wildcard_topk": q_wildcard_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "query_string_topk": q_query_string_topk,
@@ -1196,6 +1213,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "bm25_topk_msm": _bm25_sql(BM25_QUERY, msm=2),
+        "prefix_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE len(list_filter({SQL_TOKS}, x -> starts_with(x, 's'))) > 0 "
+            "ORDER BY doc_id LIMIT 10"
+        ),
+        "wildcard_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE len(list_filter({SQL_TOKS}, x -> regexp_matches(x, '^s.a'))) > 0 "
+            "ORDER BY doc_id LIMIT 10"
+        ),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "multi_field_bm25": _MULTIFIELD_SQL,

@@ -464,6 +464,100 @@ class Index:
             )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
+        """Term-dictionary expansion of a literal prefix: a driver-side
+        pyarrow RANGE read of the term-sorted term_stats files (footer
+        min/max prunes to the covering row groups — same no-Spark-job path
+        as _lookup_terms_arrow), first ``max_expansions`` terms in term
+        order (ES's multi-term rewrite cap)."""
+        if not prefix:
+            raise ValueError("prefix expansion requires ≥1 literal character")
+        hi = prefix + "￿"
+        out: set[str] = set()
+        if self.wh is not None:
+            import pyarrow.dataset as pads
+
+            for w in self._seg_whs:
+                data = pads.dataset(w.path("term_stats"), format="parquet")
+                tbl = data.to_table(
+                    columns=["term"],
+                    filter=(pads.field("term") >= prefix) & (pads.field("term") < hi),
+                )
+                out.update(tbl.column("term").to_pylist())
+        else:
+            rows = (
+                self.term_stats.filter(
+                    (F.col("term") >= prefix) & (F.col("term") < hi)
+                )
+                .select("term")
+                .collect()
+            )
+            out.update(r["term"] for r in rows)
+        return sorted(out)[:max_expansions]
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``prefix`` query with the default ``constant_score`` rewrite:
+        expand the prefix against the term dictionary (≤ ``max_expansions``
+        terms in term order, like ES), match docs containing ANY expanded
+        term, score 1.0, deterministic ties by doc_id. ``where`` filters
+        like :meth:`search`."""
+        return self._constant_score_multi_term(
+            self._expand_prefix(prefix, max_expansions), k, where
+        )
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``wildcard`` query (constant_score rewrite): ``*`` and ``?``
+        over terms. Requires a literal prefix before the first wildcard
+        (ES itself forbids leading wildcards by default — an unanchored
+        scan of a 10^8-term dictionary is the anti-pattern both engines
+        refuse); the prefix prunes the dictionary read, then the full
+        pattern filters the expansion."""
+        import fnmatch
+        import re as _re
+
+        lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+        if not lit:
+            raise ValueError(
+                "leading-wildcard patterns are rejected (no literal prefix to "
+                "prune the term dictionary with) — same default as ES"
+            )
+        cand = self._expand_prefix(lit, 1 << 20)  # prune by prefix first
+        rx = _re.compile(fnmatch.translate(pattern))
+        terms = [t for t in cand if rx.match(t)][:max_expansions]
+        return self._constant_score_multi_term(terms, k, where)
+
+    def _constant_score_multi_term(
+        self, terms: list[str], k: int, where: str | None
+    ) -> DataFrame:
+        """Docs containing ≥1 of ``terms`` at constant score 1.0 (the ES
+        multi-term rewrite): one term-pruned tokens scan → distinct doc
+        ids → filter/tombstone masks → first k by doc_id."""
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        matched = self._match_set(terms, 1)
+        if where is not None:
+            matched = matched.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        deletes = self._deletes_df()
+        if deletes is not None:
+            matched = matched.join(deletes, "doc_id", "left_anti")
+        return matched.select(
+            "doc_id", F.lit(1.0).alias("score")
+        ).orderBy(F.asc("doc_id")).limit(k)
+
     def query_string(self, q: str, k: int = 10) -> DataFrame:
         """ES ``query_string`` mini-DSL: bare terms (OR), ``+must``,
         ``-must_not``, ``"exact phrase"``/``"phrase"~slop``, ``field:value``

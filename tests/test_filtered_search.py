@@ -134,3 +134,36 @@ def test_min_should_match(spark, built_index):
     assert msm == inter
     # m beyond the query width -> empty
     assert idx.search(q, 10, min_should_match=4).count() == 0
+
+
+def test_prefix_and_wildcard_queries(spark, built_index):
+    """ES prefix/wildcard (constant_score rewrite): docs containing any
+    expanded term, score 1.0, ordered by doc_id; expansion honors
+    max_expansions and wildcard needs a literal prefix."""
+    import fnmatch
+    import re
+
+    import pytest
+
+    idx, _ = built_index
+    texts = {r["doc_id"]: set(r["text"].lower().split()) for r in idx._docs_df().collect()}
+
+    got = idx.search_prefix("w000", 50).collect()
+    assert got and all(r["score"] == 1.0 for r in got)
+    ids = [r["doc_id"] for r in got]
+    assert ids == sorted(ids)
+    for d in ids:
+        assert any(t.startswith("w000") for t in texts[d]), d
+
+    rx = re.compile(fnmatch.translate("w000?0"))
+    got_w = idx.search_wildcard("w000?0", 50).collect()
+    assert got_w
+    for r in got_w:
+        assert any(rx.match(t) for t in texts[r["doc_id"]]), r["doc_id"]
+
+    # expansion cap changes the match set monotonically
+    n1 = idx.search_prefix("w", 10000, max_expansions=1).count()
+    n50 = idx.search_prefix("w", 10000, max_expansions=50).count()
+    assert n1 <= n50
+    with pytest.raises(ValueError, match="prefix"):
+        idx.search_wildcard("*w00")
