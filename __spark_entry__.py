@@ -173,6 +173,15 @@ def q_prefix_topk(spark, sf_dir):
     return idx.search_prefix("s", K)
 
 
+def q_fuzzy_topk(spark, sf_dir):
+    """ES fuzzy query (constant_score rewrite): terms within
+    Damerau-Levenshtein 1 of 'streem' (prefix_length=1 prunes the
+    dictionary read); the oracle recomputes the expansion with DuckDB's
+    own damerau_levenshtein."""
+    idx = _cached_idx(spark, sf_dir)
+    return idx.search_fuzzy("streem", K, fuzziness=1, prefix_length=1)
+
+
 def q_wildcard_topk(spark, sf_dir):
     """ES wildcard query (constant_score rewrite): terms matching s?a*
     (scan/small/spark in this vocabulary), literal-prefix-pruned term
@@ -723,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_msm": q_bm25_topk_msm,
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
+        "fuzzy_topk": q_fuzzy_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "query_string_topk": q_query_string_topk,
@@ -1213,6 +1223,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "bm25_topk_msm": _bm25_sql(BM25_QUERY, msm=2),
+        "fuzzy_topk": (
+            f"WITH toksx AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents), "
+            "near AS (SELECT DISTINCT t FROM toksx WHERE starts_with(t, 's') "
+            "AND abs(length(t) - length('streem')) <= 1 "
+            "AND damerau_levenshtein(t, 'streem') <= 1) "
+            "SELECT doc_id, 1.0::DOUBLE AS score FROM "
+            "(SELECT DISTINCT doc_id FROM toksx JOIN near USING (t)) "
+            "ORDER BY doc_id LIMIT 10"
+        ),
         "prefix_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
             f"WHERE len(list_filter({SQL_TOKS}, x -> starts_with(x, 's'))) > 0 "

@@ -36,6 +36,34 @@ from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
 TOPK_SCHEMA = "doc_id long, score double"
 
 
+def _damerau_levenshtein(a: str, b: str, cap: int) -> int:
+    """Restricted Damerau-Levenshtein (adjacent transposition counts as
+    one edit — ES's fuzziness metric), early-exiting past ``cap``.
+    Driver-side only, on dictionary-pruned candidates (never per row)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 class Index:
     def __init__(self, spark: SparkSession, warehouse_path: str):
         from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
@@ -537,6 +565,41 @@ class Index:
         rx = _re.compile(fnmatch.translate(pattern))
         terms = [t for t in cand if rx.match(t)][:max_expansions]
         return self._constant_score_multi_term(terms, k, where)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        fuzziness: int = 1,
+        prefix_length: int = 1,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``fuzzy`` query (constant_score rewrite): match docs whose
+        terms are within Damerau-Levenshtein ``fuzziness`` of ``term``.
+
+        Expansion strategy: the dictionary read is pruned to terms sharing
+        the first ``prefix_length`` characters (ES's ``prefix_length``
+        knob — its own docs recommend ≥1 so the FST walk doesn't touch the
+        whole dictionary; here it bounds the pyarrow range read the same
+        way), then the candidates are distance-filtered driver-side and
+        capped at ``max_expansions`` in term order. ``prefix_length=0`` is
+        rejected for the same reason ES discourages it at scale."""
+        if prefix_length < 1:
+            raise ValueError(
+                "prefix_length must be ≥1: an unpruned fuzzy expansion scans "
+                "the whole term dictionary (ES discourages it for the same reason)"
+            )
+        if len(term) < prefix_length:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        cand = self._expand_prefix(term[:prefix_length], 1 << 20)
+        near = [
+            t
+            for t in cand
+            if abs(len(t) - len(term)) <= fuzziness
+            and _damerau_levenshtein(term, t, fuzziness) <= fuzziness
+        ]
+        return self._constant_score_multi_term(sorted(near)[:max_expansions], k, where)
 
     def _constant_score_multi_term(
         self, terms: list[str], k: int, where: str | None

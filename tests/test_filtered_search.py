@@ -167,3 +167,31 @@ def test_prefix_and_wildcard_queries(spark, built_index):
     assert n1 <= n50
     with pytest.raises(ValueError, match="prefix"):
         idx.search_wildcard("*w00")
+
+
+def test_fuzzy_query(spark, built_index):
+    """ES fuzzy (constant_score): docs with a term within edit distance 1
+    of the query term; transpositions count as one edit; prefix_length=0
+    is rejected."""
+    import pytest
+
+    idx, _ = built_index
+    texts = {r["doc_id"]: set(r["text"].lower().split()) for r in idx._docs_df().collect()}
+
+    def dl1(a, b):
+        from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+            _damerau_levenshtein,
+        )
+
+        return _damerau_levenshtein(a, b, 1)
+
+    got = idx.search_fuzzy("w0000", 10000, fuzziness=1).collect()
+    assert got and all(r["score"] == 1.0 for r in got)
+    want_ids = sorted(
+        d for d, toks in texts.items() if any(dl1("w0000", t) <= 1 for t in toks)
+    )
+    assert [r["doc_id"] for r in got] == want_ids
+    # transposition is ONE edit: w00001 <-> w00010 swap of last two chars
+    assert dl1("w00001", "w00010") == 1
+    with pytest.raises(ValueError, match="prefix_length"):
+        idx.search_fuzzy("w0000", prefix_length=0)
