@@ -116,13 +116,7 @@ _IDX_CACHE: dict[str, object] = {}
 
 
 def _bm25_fixed(spark, sf_dir, query, mode, where=None):
-    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
-
-    idx = _IDX_CACHE.get(sf_dir)
-    if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
-        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
-        _IDX_CACHE[sf_dir] = idx
+    idx = _cached_idx(spark, sf_dir)
     if mode == "oracle":
         out = idx.search_oracle(query, K, where=where)
     else:
@@ -200,14 +194,7 @@ def q_query_string_topk(spark, sf_dir):
     """ES query_string DSL: bare terms score (OR, global stats), -vector
     excludes docs containing that token, lang:en is a filter clause —
     routed through Index.query_string onto search(where=...)."""
-    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
-
-    idx = _IDX_CACHE.get(sf_dir)
-    if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
-        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
-        _IDX_CACHE[sf_dir] = idx
-    out = idx.query_string(QS_QUERY, K)
+    out = _cached_idx(spark, sf_dir).query_string(QS_QUERY, K)
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
@@ -236,14 +223,7 @@ def q_multi_field_bm25(spark, sf_dir):
 def q_facets_by_lang(spark, sf_dir):
     """ES-style terms aggregation: lang facet counts over ALL docs matching
     any BM25_QUERY term (query_string OR semantics)."""
-    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
-
-    idx = _IDX_CACHE.get(sf_dir)
-    if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
-        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
-        _IDX_CACHE[sf_dir] = idx
-    return idx.facets(BM25_QUERY, by="lang").select("lang", "n")
+    return _cached_idx(spark, sf_dir).facets(BM25_QUERY, by="lang").select("lang", "n")
 
 
 def q_phrase_topk(spark, sf_dir):
@@ -311,7 +291,7 @@ def _cached_idx(spark, sf_dir):
 
     idx = _IDX_CACHE.get(sf_dir)
     if idx is None:
-        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars", "source")
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[sf_dir] = idx
     return idx
@@ -341,6 +321,34 @@ def q_agg_date_histogram(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.query.aggs import date_histogram
 
     return date_histogram(_events(spark, sf_dir), "ts", "day")
+
+
+def q_agg_percentiles(spark, sf_dir):
+    """ES percentiles aggregation (exact interpolated mode — the
+    sketch mode is pytest-checked against it): n_chars quartiles + p95
+    over the match set."""
+    return _cached_idx(spark, sf_dir).percentiles_agg(
+        BM25_QUERY, "n_chars", [0.25, 0.5, 0.95]
+    )
+
+
+def q_agg_cardinality(spark, sf_dir):
+    """ES cardinality aggregation (exact verification mode; the HLL++
+    default is pytest-checked within rsd of this): distinct sources over
+    the match set."""
+    return _cached_idx(spark, sf_dir).cardinality_agg(BM25_QUERY, "source", exact=True)
+
+
+def q_agg_top_hits(spark, sf_dir):
+    """ES terms + top_hits sub-aggregation: 3 longest matching docs per
+    lang bucket, sorted by n_chars desc with doc_id tiebreak."""
+    return _cached_idx(spark, sf_dir).top_hits_agg(BM25_QUERY, "lang", "n_chars", k=3)
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms: tokens over-represented in the BM25_QUERY
+    match set vs the whole corpus, JLH-scored on distinct-doc counts."""
+    return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
 def q_access_log_parse(spark, sf_dir):
@@ -742,6 +750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range": q_agg_range,
         "agg_stats": q_agg_stats,
         "agg_date_histogram": q_agg_date_histogram,
+        "agg_percentiles": q_agg_percentiles,
+        "agg_cardinality": q_agg_cardinality,
+        "agg_top_hits": q_agg_top_hits,
+        "significant_terms": q_significant_terms,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "binary_decode_quarantine": q_binary_decode_quarantine,
@@ -1200,6 +1212,59 @@ SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
 FROM events GROUP BY 1 ORDER BY 1
 """
 
+# quantile_cont == Spark's exact `percentile` (linear interpolation at
+# rank p·(n−1)) — one SELECT per requested fraction keeps the quantile
+# parameter constant for DuckDB
+_AGG_PCT_SQL = f"""
+SELECT 0.25::DOUBLE AS pct, round(quantile_cont(n_chars, 0.25), 6)::DOUBLE AS value
+FROM documents WHERE doc_id IN ({_MATCHED})
+UNION ALL
+SELECT 0.5::DOUBLE, round(quantile_cont(n_chars, 0.5), 6)::DOUBLE
+FROM documents WHERE doc_id IN ({_MATCHED})
+UNION ALL
+SELECT 0.95::DOUBLE, round(quantile_cont(n_chars, 0.95), 6)::DOUBLE
+FROM documents WHERE doc_id IN ({_MATCHED})
+ORDER BY pct
+"""
+
+_AGG_CARD_SQL = f"""
+SELECT count(DISTINCT source)::BIGINT AS n_distinct
+FROM documents WHERE doc_id IN ({_MATCHED})
+"""
+
+_AGG_TOPHITS_SQL = f"""
+SELECT lang, doc_id, n_chars::DOUBLE AS sort_value, rank_in_bucket
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)::BIGINT
+           AS rank_in_bucket
+  FROM documents WHERE doc_id IN ({_MATCHED})
+)
+WHERE rank_in_bucket <= 3
+ORDER BY lang, rank_in_bucket
+"""
+
+_SIGTERMS_SQL = f"""
+WITH toksd AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+fg AS ({_MATCHED}),
+sizes AS (
+  SELECT (SELECT count(*) FROM fg)::DOUBLE AS fg_size,
+         (SELECT count(*) FROM documents)::DOUBLE AS bg_size
+),
+fgc AS (
+  SELECT term, count(*)::BIGINT AS fg_n FROM toksd
+  WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term
+),
+bgc AS (SELECT term, count(*)::BIGINT AS bg_n FROM toksd GROUP BY term)
+SELECT term, fg_n, bg_n,
+       round((fg_n / fg_size - bg_n / bg_size)
+             * ((fg_n / fg_size) / (bg_n / bg_size)), 6) AS score_r
+FROM fgc JOIN bgc USING (term) CROSS JOIN sizes
+WHERE fg_n / fg_size > bg_n / bg_size
+ORDER BY score_r DESC, term
+LIMIT 10
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1256,6 +1321,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_range": _AGG_RANGE_SQL,
         "agg_stats": _AGG_STATS_SQL,
         "agg_date_histogram": _AGG_DATE_SQL,
+        "agg_percentiles": _AGG_PCT_SQL,
+        "agg_cardinality": _AGG_CARD_SQL,
+        "agg_top_hits": _AGG_TOPHITS_SQL,
+        "significant_terms": _SIGTERMS_SQL,
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,

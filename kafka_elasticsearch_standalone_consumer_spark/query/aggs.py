@@ -17,7 +17,7 @@ bucket count, with map-side partial aggregation) — never kernels.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,6 +67,87 @@ def stats_summary(df: DataFrame, field: str) -> DataFrame:
         F.max(c).alias("max_v"),
         F.round(F.sum(c), 6).alias("sum_v"),
         F.round(F.avg(c), 6).alias("avg_v"),
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    field: str,
+    pcts: list[float] | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """ES percentiles agg: (pct, value) per requested fraction, pct asc.
+
+    ``exact=True`` is the interpolated exact quantile (Spark
+    ``percentile``; value at rank p·(n−1), the same definition as SQL
+    ``quantile_cont`` — cross-engine comparable). ``exact=False`` is the
+    scale path: ``percentile_approx`` (Greenwald–Khanna sketch, mergeable
+    across partitions with map-side partials — the analogue of ES's
+    t-digest; exact percentiles need a full sort at 100 TB, the sketch
+    doesn't). Values rounded to 6 decimals."""
+    if pcts is None:
+        pcts = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]  # ES defaults /100
+    ps = [float(p) for p in pcts]
+    c = F.col(field).cast("double")
+    vals = F.percentile(c, ps) if exact else F.percentile_approx(c, ps, accuracy)
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in ps]).alias("pct"),
+        F.col("vals").alias("value"),
+    )
+    return (
+        df.agg(vals.alias("vals"))
+        .select(F.explode(pairs).alias("pv"))
+        .select(
+            F.col("pv.pct").alias("pct"),
+            F.round(F.col("pv.value"), 6).alias("value"),
+        )
+        .orderBy("pct")
+    )
+
+
+def cardinality(df: DataFrame, field: str, exact: bool = False, rsd: float = 0.05) -> DataFrame:
+    """ES cardinality agg: one row ``n_distinct``.
+
+    Default is the ES-faithful approximate mode — Spark's
+    ``approx_count_distinct`` is HyperLogLog++ (the same sketch family ES
+    uses), constant memory per partition and mergeable, so it is the only
+    sane mode at 100 TB. ``exact=True`` (count_distinct: a shuffle keyed
+    on the value) is the verification mode for small scopes."""
+    c = F.col(field)
+    agg = F.count_distinct(c) if exact else F.approx_count_distinct(c, rsd)
+    return df.agg(agg.cast("long").alias("n_distinct"))
+
+
+def top_hits(
+    df: DataFrame,
+    bucket_field: str,
+    sort_field: str,
+    k: int,
+    ascending: bool = False,
+    id_field: str = "doc_id",
+) -> DataFrame:
+    """ES top_hits sub-aggregation under a terms bucket: the k best docs
+    per ``bucket_field`` value ordered by ``sort_field`` (ties by
+    ``id_field`` asc, ES's deterministic tiebreak when a sort is given).
+
+    One window (row_number partitioned by the bucket) — a single shuffle
+    keyed on the bucket value with no global sort, so the cost at 100 TB
+    is one exchange + a per-partition top-k, not an ordering of the
+    corpus."""
+    w = Window.partitionBy(bucket_field).orderBy(
+        F.asc(sort_field) if ascending else F.desc(sort_field), F.asc(id_field)
+    )
+    return (
+        df.withColumn("rank_in_bucket", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_bucket") <= k)
+        .select(
+            bucket_field,
+            id_field,
+            F.col(sort_field).cast("double").alias("sort_value"),
+            "rank_in_bucket",
+        )
+        .orderBy(bucket_field, "rank_in_bucket")
     )
 
 

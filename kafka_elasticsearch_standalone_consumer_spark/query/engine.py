@@ -944,27 +944,31 @@ class Index:
             .orderBy(F.desc("n"), F.asc(by))
         )
 
-    def _match_set(self, terms: list[str], min_should_match: int) -> DataFrame:
-        """doc_ids containing ≥ ``min_should_match`` distinct terms of
-        ``terms`` — a term-pruned tokens scan + one aggregation (the scan
-        is column-pruned to (doc_id, term) and the predicate pushed)."""
+    def _tokens_df(self) -> DataFrame:
+        """(doc_id, term) token stream across all segments — column-pruned
+        so a downstream term predicate reaches the parquet scan."""
         from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
 
         spark = self.spark
         if self.wh is None:
-            toks = self._tokens
-        else:
-            toks = None
-            for w in self._seg_whs:
-                t = (
-                    w.read(spark, "tokens")
-                    if w.exists("tokens")
-                    else doc_term_freqs(w.read(spark, "docs"))
-                )
-                t = t.select("doc_id", "term")
-                toks = t if toks is None else toks.unionByName(t)
+            return self._tokens.select("doc_id", "term")
+        toks = None
+        for w in self._seg_whs:
+            t = (
+                w.read(spark, "tokens")
+                if w.exists("tokens")
+                else doc_term_freqs(w.read(spark, "docs"))
+            )
+            t = t.select("doc_id", "term")
+            toks = t if toks is None else toks.unionByName(t)
+        return toks
+
+    def _match_set(self, terms: list[str], min_should_match: int) -> DataFrame:
+        """doc_ids containing ≥ ``min_should_match`` distinct terms of
+        ``terms`` — a term-pruned tokens scan + one aggregation (the scan
+        is column-pruned to (doc_id, term) and the predicate pushed)."""
         return (
-            toks.filter(F.col("term").isin(terms))
+            self._tokens_df().filter(F.col("term").isin(terms))
             .groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))
             .filter(F.col("nt") >= min_should_match)
@@ -1061,6 +1065,129 @@ class Index:
         if scoped is None:
             return self.spark.createDataFrame([], "bucket string, n long")
         return aggs.date_histogram(scoped, by, unit)
+
+    def percentiles_agg(
+        self,
+        query_text: str,
+        by: str,
+        pcts: list[float] | None = None,
+        exact: bool = True,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES percentiles aggregation of ``by`` over the matching docs:
+        (pct, value) rows. ``exact=False`` switches to the mergeable
+        Greenwald–Khanna sketch (the 100 TB path — see aggs.percentiles)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "pct double, value double")
+        return aggs.percentiles(scoped, by, pcts, exact=exact)
+
+    def cardinality_agg(
+        self,
+        query_text: str,
+        by: str,
+        exact: bool = False,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES cardinality aggregation of ``by`` over the matching docs —
+        HyperLogLog++ by default (ES parity), ``exact=True`` for
+        verification scopes."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "n_distinct long")
+        return aggs.cardinality(scoped, by, exact=exact)
+
+    def top_hits_agg(
+        self,
+        query_text: str,
+        bucket_by: str,
+        sort_by: str,
+        k: int = 3,
+        ascending: bool = False,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES terms-bucket + top_hits sub-aggregation: the k best matching
+        docs per ``bucket_by`` value, ordered by the ``sort_by`` field
+        (ES top_hits with an explicit sort; ties broken by doc_id asc)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [], f"{bucket_by} string, doc_id long, sort_value double, rank_in_bucket long"
+            )
+        return aggs.top_hits(scoped, bucket_by, sort_by, k, ascending=ascending)
+
+    def significant_terms(
+        self,
+        query_text: str,
+        size: int = 10,
+        min_doc_count: int = 1,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES significant_terms over the indexed text: terms over-represented
+        in the foreground (docs matching the query, post-filter) versus the
+        background (all live docs), scored with ES's JLH heuristic
+        ``(fg% − bg%) · (fg% / bg%)`` on distinct-doc frequencies; only
+        terms with fg% > bg% qualify (ES's positive-signal rule).
+
+        Plan shape: one distinct over the (doc_id, term) token stream
+        feeds BOTH frequency sides (foreground via a left-semi join on the
+        match set), the two one-row size aggregates are broadcast — so the
+        cost at 100 TB is the token-stream aggregation Catalyst already
+        does for df stats, not a per-term loop. Returns
+        (term, fg_n, bg_n, score_r) — score desc, term asc, top ``size``.
+        """
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text)))
+        out_schema = "term string, fg_n long, bg_n long, score_r double"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        live = self._docs_df().select("doc_id")
+        deletes = self._deletes_df()
+        if deletes is not None:
+            live = live.join(deletes, "doc_id", "left_anti")
+        fg = live.join(self._match_set(terms, min_should_match), "doc_id", "left_semi")
+        if where is not None:
+            fg = fg.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        toks = (
+            self._tokens_df()
+            .join(live, "doc_id", "left_semi")
+            .select("doc_id", "term")
+            .distinct()
+        )
+        fg_counts = (
+            toks.join(fg, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_n"))
+        )
+        bg_counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("bg_n"))
+        sizes = fg.agg(F.count("*").cast("double").alias("fg_size")).crossJoin(
+            live.agg(F.count("*").cast("double").alias("bg_size"))
+        )
+        j = fg_counts.join(bg_counts, "term").crossJoin(F.broadcast(sizes))
+        fg_pct = F.col("fg_n") / F.col("fg_size")
+        bg_pct = F.col("bg_n") / F.col("bg_size")
+        scored = j.filter(
+            (fg_pct > bg_pct) & (F.col("fg_n") >= int(min_doc_count))
+        ).select(
+            "term",
+            "fg_n",
+            "bg_n",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score_r"),
+        )
+        return scored.orderBy(F.desc("score_r"), F.asc("term")).limit(size)
 
     def search_oracle(
         self,

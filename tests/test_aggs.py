@@ -61,6 +61,77 @@ def test_date_histogram_matches_python(spark, built_index):
     assert got == dict(want) and got
 
 
+def _quantile_cont(vals, p):
+    vals = sorted(vals)
+    idx = p * (len(vals) - 1)
+    lo = math.floor(idx)
+    hi = min(lo + 1, len(vals) - 1)
+    return vals[lo] + (idx - lo) * (vals[hi] - vals[lo])
+
+
+def test_percentiles_exact_and_sketch(spark, built_index):
+    idx, _ = built_index
+    pcts = [0.25, 0.5, 0.9]
+    got = {r["pct"]: r["value"] for r in idx.percentiles_agg(Q, "turn_idx", pcts).collect()}
+    vals = [r["turn_idx"] for r in _matched_rows(idx, Q)]
+    for p in pcts:
+        assert abs(got[p] - _quantile_cont(vals, p)) < 1e-6
+    # the mergeable sketch path must land on an actual value near the exact
+    approx = {
+        r["pct"]: r["value"]
+        for r in idx.percentiles_agg(Q, "turn_idx", pcts, exact=False).collect()
+    }
+    spread = max(vals) - min(vals) or 1
+    for p in pcts:
+        assert abs(approx[p] - got[p]) <= 0.1 * spread
+
+
+def test_cardinality_exact_and_hll(spark, built_index):
+    idx, _ = built_index
+    exact = idx.cardinality_agg(Q, "conv_id", exact=True).collect()[0]["n_distinct"]
+    want = len({r["conv_id"] for r in _matched_rows(idx, Q)})
+    assert exact == want
+    approx = idx.cardinality_agg(Q, "conv_id").collect()[0]["n_distinct"]
+    assert abs(approx - exact) <= max(2, 0.15 * exact)
+
+
+def test_top_hits_matches_python(spark, built_index):
+    idx, _ = built_index
+    got = idx.top_hits_agg(Q, "role", "turn_idx", k=2).collect()
+    by_role: dict = {}
+    for r in _matched_rows(idx, Q):
+        by_role.setdefault(r["role"], []).append((-r["turn_idx"], r["doc_id"]))
+    want = []
+    for role in sorted(by_role):
+        for rank, (neg, did) in enumerate(sorted(by_role[role])[:2], start=1):
+            want.append((role, did, float(-neg), rank))
+    assert [(r["role"], r["doc_id"], r["sort_value"], r["rank_in_bucket"]) for r in got] == want
+
+
+def test_significant_terms_matches_python(spark, built_index):
+    idx, _ = built_index
+    got = idx.significant_terms(Q, size=5).collect()
+    fg_rows = _matched_rows(idx, Q)
+    all_rows = idx._docs_df().collect()
+    fg_n, bg_n = Counter(), Counter()
+    for r in all_rows:
+        for t in set(tokenize_text(r["text"])):
+            bg_n[t] += 1
+    for r in fg_rows:
+        for t in set(tokenize_text(r["text"])):
+            fg_n[t] += 1
+    fs, bs = float(len(fg_rows)), float(len(all_rows))
+    scored = []
+    for t, n in fg_n.items():
+        fp, bp = n / fs, bg_n[t] / bs
+        if fp > bp:
+            scored.append((-round((fp - bp) * (fp / bp), 6), t, n, bg_n[t]))
+    want = [(t, n, b, -s) for s, t, n, b in sorted(scored)[:5]]
+    assert [(r["term"], r["fg_n"], r["bg_n"], r["score_r"]) for r in got] == want
+    # the query's own terms are foreground-dominant by construction
+    assert {r["term"] for r in got} & set(tokenize_text(Q))
+
+
 def test_agg_scope_respects_filter_and_msm(spark, built_index):
     idx, _ = built_index
     got = {
