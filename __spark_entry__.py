@@ -176,6 +176,14 @@ def q_fuzzy_topk(spark, sf_dir):
     return idx.search_fuzzy("streem", K, fuzziness=1, prefix_length=1)
 
 
+def q_regexp_topk(spark, sf_dir):
+    """ES regexp query (constant_score rewrite): terms fully matching
+    s.a(n|rk) — scan/spark here — with the literal-prefix-pruned
+    dictionary expansion."""
+    idx = _cached_idx(spark, sf_dir)
+    return idx.search_regexp("s.a(n|rk)", K)
+
+
 def q_wildcard_topk(spark, sf_dir):
     """ES wildcard query (constant_score rewrite): terms matching s?a*
     (scan/small/spark in this vocabulary), literal-prefix-pruned term
@@ -256,6 +264,35 @@ def q_phrase_topk_slop(spark, sf_dir):
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
         _IDX_CACHE[key] = idx
     out = idx.search_phrase(PHRASE_QUERY, K, slop=1)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_mlt_topk(spark, sf_dir):
+    """ES more_like_this seeded by doc 0: its 5 best terms by tf·idf
+    (BM25 idf; ties by term asc) become a weight-1 disjunctive BM25 query,
+    source doc excluded after scoring."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.more_like_this(0, K, max_query_terms=5)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_phrase_prefix_topk(spark, sf_dir):
+    """ES match_phrase_prefix: "table s" — the final slot expands against
+    the term dictionary (spark/small/stream/scan/slow/sort here) and any
+    expansion completes the phrase; synthetic-term BM25 like phrase_topk."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = (sf_dir, "pos")
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
+        _IDX_CACHE[key] = idx
+    out = idx.search_phrase_prefix("table s", K)
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
@@ -741,8 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "regexp_topk": q_regexp_topk,
+        "mlt_topk": q_mlt_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         "query_string_topk": q_query_string_topk,
         "multi_field_bm25": q_multi_field_bm25,
         "facets_by_lang": q_facets_by_lang,
@@ -941,6 +981,49 @@ _PHRASE_MATCH_SLOP1 = (
     "i -> toks[i] = 'table' AND len(list_filter("
     "generate_series(greatest(i, 1), least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
+)
+# more_like_this seeded by doc 0, max_query_terms=5: term selection by
+# tf·idf (BM25 idf) with term-asc ties, then the standard BM25 scoring
+# with every selected term at weight 1, source doc excluded
+_MLT_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN dfall USING (term) CROSS JOIN corpus
+  WHERE tf.doc_id = 0
+  ORDER BY tf.tf * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5)) DESC,
+           tf.term
+  LIMIT 5
+),
+q AS (SELECT term, 1.0 AS w FROM sel),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfall ON tf.term = dfall.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  WHERE tf.doc_id <> 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# match_phrase_prefix "table s": any dictionary term completing the
+# phrase counts (the engine caps expansions at 50, far above this
+# vocabulary's six s-terms, so the SQL needs no cap)
+_PHRASE_MATCH_PREFIX = (
+    "len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)), "
+    "i -> toks[i] = 'table' AND starts_with(toks[i+1], 's')))"
 )
 
 _MULTIFIELD_SQL = f"""
@@ -1307,10 +1390,17 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE len(list_filter({SQL_TOKS}, x -> regexp_matches(x, '^s.a'))) > 0 "
             "ORDER BY doc_id LIMIT 10"
         ),
+        "regexp_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE len(list_filter({SQL_TOKS}, x -> regexp_matches(x, '^s.a(n|rk)$'))) > 0 "
+            "ORDER BY doc_id LIMIT 10"
+        ),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "multi_field_bm25": _MULTIFIELD_SQL,
         "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),
+        "phrase_prefix_topk": _phrase_sql(_PHRASE_MATCH_PREFIX),
+        "mlt_topk": _MLT_SQL,
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "

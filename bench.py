@@ -13,6 +13,10 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
                   before they clear the sf0.1 noise floor
   bm25_wand       reference query set, block-max WAND fast path (per-query)
   bm25_wand_batch the same query set in ONE Spark job (search_many)
+  bm25_local      the same query set through the zero-Spark-job serving
+                  path (driver-side pyarrow + the same kernels) —
+                  measures point-query latency without the scheduler
+                  floor; rank-identical to bm25_wand
   bm25_phrase     one exact-phrase query over a positions build
   facets          one terms-aggregation over all matches
   bm25_oracle     one query through the declarative DataFrame oracle
@@ -107,6 +111,13 @@ def build_and_query(master: str, shuffle_partitions: int, sf: float, measure_que
             t0 = time.monotonic()
             idx.search_many(qs, 10).collect()  # whole set, ONE Spark job
             t["bm25_wand_batch"] = time.monotonic() - t0
+            # zero-Spark-job serving path (driver-side pyarrow + kernels):
+            # same queries, rank-identical results, no scheduling floor
+            idx.search_local(qs[0], 10)  # warm the dataset discovery cache
+            t0 = time.monotonic()
+            for q in qs:
+                idx.search_local(q, 10)
+            t["bm25_local"] = time.monotonic() - t0
             t0 = time.monotonic()
             idx.facets(qs[0], by="role").collect()
             t["facets"] = time.monotonic() - t0
@@ -360,6 +371,7 @@ def main():
         "n_turns": counts["n_turns"],
         "index_turns_per_sec": round(counts["n_turns"] / t["index_build"], 1),
         "bm25_sec_per_query": round(t["bm25_wand"] / counts["n_queries"], 3),
+        "bm25_local_sec_per_query": round(t["bm25_local"] / counts["n_queries"], 4),
     }
     if "n_turns_8x" in counts:
         result["n_turns_8x"] = counts["n_turns_8x"]

@@ -89,6 +89,7 @@ class Index:
             )
             self.term_stats = self.wh.read(spark, "term_stats")
             self._seg_whs = [self.wh]
+            self._seg_baked = [float(self.meta["avgdl"])]
         else:
             # incremental segments present: union postings (each carries the
             # avgdl its block-max bounds were baked with — the kernel
@@ -111,6 +112,8 @@ class Index:
                 F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
             )
             self._seg_whs = whs
+            self._seg_baked = [float(a) for a in baked]
+        self._pads_cache: dict = {}
 
     @classmethod
     def ephemeral(
@@ -492,6 +495,105 @@ class Index:
             )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_local(
+        self, query_text: str, k: int = 10, mode: str = "bmw"
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job serving path for a single query: the same plan
+        as :meth:`search` (term-dictionary lookup → pruned postings read →
+        per-shard kernel → global top-k) executed entirely driver-side
+        with pyarrow + NumPy. Rank- and score-identical to ``search()``
+        (same idf plan, same kernels, same doc_id tiebreak).
+
+        Why it exists: a distributed ``search().collect()`` pays ~0.4 s of
+        Spark job scheduling regardless of data volume — the right trade
+        for analytics, the wrong one for point-query serving. This path
+        reads exactly the bytes the executors would (term_bucket partition
+        dirs pruned by the hive filter, then term row-group pruning inside
+        the bucket-sorted files), so its cost is |q|·n_shards posting runs
+        — independent of corpus width, the same contract ES's own
+        single-node query path offers. Delete tombstones are honored
+        (driver-side read of the small tombstone table); for filter
+        clauses / min_should_match use ``search()`` — they need the doc
+        store, which is the executors' job.
+
+        Returns ``[(doc_id, score), ...]`` best-first (len ≤ k).
+        """
+        import pyarrow.dataset as pads
+
+        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+            DELETES_TABLE,
+        )
+
+        if self.wh is None:
+            raise ValueError(
+                "search_local serves from warehouse files; ephemeral indexes "
+                "have no pruned postings layout to read — use search()"
+            )
+        idfw, buckets = self._plan_terms(query_text)
+        if not idfw:
+            return []
+        if mode == "intersect" and len(idfw) < len(bm25.query_term_weights(query_text)):
+            return []
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        terms = sorted(idfw)
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        frames = []
+        for w, baked in zip(self._seg_whs, self._seg_baked):
+            key = w.path("postings")
+            ds = self._pads_cache.get(key)
+            if ds is None:
+                ds = pads.dataset(key, format="parquet", partitioning="hive")
+                self._pads_cache[key] = ds
+            tbl = ds.to_table(filter=flt)
+            if tbl.num_rows:
+                # same per-segment baked_avgdl the distributed plan attaches,
+                # so the kernel's safe-bound substitution fires identically
+                frames.append(tbl.to_pandas().assign(baked_avgdl=float(baked)))
+        if not frames:
+            return []
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        blocked = None
+        if self.wh.exists(DELETES_TABLE):
+            rows = self.wh.read_rows(DELETES_TABLE)
+            if rows:
+                blocked = np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for shard, g in pdf.groupby("shard", sort=False):
+            shard_lo = int(shard) * docs_per_shard
+            rows_it = list(g.itertuples(index=False))
+            runs = [
+                kernels._Run(row, idfw[row.term], shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                for row in rows_it
+            ]
+            if mode == "exact":
+                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b, blocked=blocked)
+            elif mode == "intersect":
+                by_term: dict[str, list] = {}
+                for row, r in zip(rows_it, runs):
+                    by_term.setdefault(row.term, []).append(r)
+                if len(by_term) < len(idfw):
+                    continue
+                d, s = kernels.shard_topk_intersect(
+                    by_term, k, avgdl, k1, b, blocked=blocked
+                )
+            else:
+                d, s = kernels.shard_topk_bmw(
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b, blocked=blocked
+                )
+            if len(d):
+                out_d.append(np.asarray(d, dtype=np.int64))
+                out_s.append(np.asarray(s, dtype=np.float64))
+        if not out_d:
+            return []
+        dd = np.concatenate(out_d)
+        ss = np.concatenate(out_s)
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
     def _expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
         """Term-dictionary expansion of a literal prefix: a driver-side
         pyarrow RANGE read of the term-sorted term_stats files (footer
@@ -601,6 +703,38 @@ class Index:
         ]
         return self._constant_score_multi_term(sorted(near)[:max_expansions], k, where)
 
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``regexp`` query (constant_score rewrite): terms fully
+        matching ``pattern`` (ES regexps are implicitly anchored). The
+        pattern must open with ≥1 literal character — the literal prefix
+        prunes the term-dictionary read exactly like
+        :meth:`search_wildcard`; an unanchored regexp walks the whole
+        dictionary, the anti-pattern ES's own docs warn about. A literal
+        immediately followed by a quantifier (``ab*``) keeps only the
+        unquantified part of the prefix (``a``)."""
+        import re as _re
+
+        m = _re.match(r"[a-z0-9]+", pattern)
+        lit = m.group(0) if m else ""
+        if lit and len(lit) < len(pattern) and pattern[len(lit)] in "*?{":
+            lit = lit[:-1]  # the quantifier applies to the last literal char
+        if not lit:
+            raise ValueError(
+                "regexp patterns must start with a literal prefix (no leading "
+                "metacharacters) so the term-dictionary read can be pruned — "
+                "the same scale guard as search_wildcard"
+            )
+        cand = self._expand_prefix(lit, 1 << 20)
+        rx = _re.compile(pattern)
+        terms = [t for t in cand if rx.fullmatch(t)][:max_expansions]
+        return self._constant_score_multi_term(terms, k, where)
+
     def _constant_score_multi_term(
         self, terms: list[str], k: int, where: str | None
     ) -> DataFrame:
@@ -620,6 +754,68 @@ class Index:
         return matched.select(
             "doc_id", F.lit(1.0).alias("score")
         ).orderBy(F.asc("doc_id")).limit(k)
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+    ) -> DataFrame:
+        """ES ``more_like_this`` for one indexed document: pick the doc's
+        ``max_query_terms`` best terms by tf·idf (classic MLT term
+        selection; idf is the BM25 idf so selection and scoring agree),
+        then run the disjunctive BM25 search with each selected term at
+        weight 1 and the source doc excluded from the hits.
+
+        The term selection is driver-side over ONE document (a pushed
+        doc_id point-read of the doc store + the same footer-pruned
+        term_stats lookup every query plans with) — never a corpus scan.
+        The source doc is excluded AFTER scoring (fetch k+1, drop, cut to
+        k): corpus statistics stay global, and no per-shard allowed-doc
+        mask has to ship an "everything but one id" list."""
+        import math
+        from collections import Counter
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        row = (
+            self._docs_df()
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not row:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        tf = Counter(tokenize_text(row[0]["text"]))
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        rows = self._lookup_terms_arrow(cand)
+        if rows is None:
+            rows = self._lookup_terms_spark(cand)
+        df_by: dict[str, int] = {}
+        for term, df, _bucket in rows:
+            df_by[term] = df_by.get(term, 0) + int(df)
+        n = float(self.meta["n_docs"])
+        mlt = [
+            (
+                -tf[t] * math.log(1.0 + (n - df_by[t] + 0.5) / (df_by[t] + 0.5)),
+                t,
+            )
+            for t in cand
+            if df_by.get(t, 0) >= min_doc_freq
+        ]
+        selected = [t for _, t in sorted(mlt)[:max_query_terms]]
+        if not selected:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        out = self.search(" ".join(selected), k + 1)
+        return (
+            out.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def query_string(self, q: str, k: int = 10) -> DataFrame:
         """ES ``query_string`` mini-DSL: bare terms (OR), ``+must``,
@@ -648,24 +844,65 @@ class Index:
         scoring, so idf is globally exact), k1/b/avgdl as configured.
         Deterministic ties by doc_id. ``where`` filters like :meth:`search`.
         """
-        import math
-
         from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
-        if not self.meta.get("positions"):
-            raise ValueError("index built without positions=True — no phrase support")
         slots = tokenize_text(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        idfw, buckets = self._plan_terms(phrase)
-        if len(idfw) < len(set(slots)):
-            return self.spark.createDataFrame([], TOPK_SCHEMA)  # a term is absent
+        # every slot must be present for an exact phrase to exist
+        return self._phrase_topk([[t] for t in slots], k, where, slop)
+
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix``: the final token of ``phrase`` is a
+        PREFIX, expanded against the term dictionary (≤ ``max_expansions``
+        in term order — ES's cap) and matched as an alternation in the
+        last phrase slot. Scoring is the same synthetic-term BM25 as
+        :meth:`search_phrase` (tf = anchors completed by ANY expansion,
+        df = docs containing such a match) — the position kernel already
+        unions multiple postings runs per slot, so the expansion costs one
+        wider term predicate on the postings scan, not extra jobs."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        slots = tokenize_text(phrase)
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        exp = self._expand_prefix(slots[-1], max_expansions)
+        if not exp:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_topk([[t] for t in slots[:-1]] + [exp], k, where, 0)
+
+    def _phrase_topk(
+        self, slot_terms: list[list[str]], k: int, where: str | None, slop: int
+    ) -> DataFrame:
+        """Positional-match core shared by match_phrase and
+        match_phrase_prefix: slot i matches when ANY of ``slot_terms[i]``
+        occurs at the expected offset (singleton slots = the exact
+        phrase)."""
+        import math
+
+        if not self.meta.get("positions"):
+            raise ValueError("index built without positions=True — no phrase support")
+        all_terms = sorted({t for slot in slot_terms for t in slot})
+        rows = self._lookup_terms_arrow(all_terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(all_terms)
+        present = {term for term, _, _ in rows}
+        if any(not (set(slot) & present) for slot in slot_terms):
+            return self.spark.createDataFrame([], TOPK_SCHEMA)  # a slot is absent
+        slots = slot_terms
+        buckets = sorted({int(b) for _, _, b in rows})
         meta = self.meta
         docs_per_shard = int(meta["docs_per_shard"])
         avgdl = float(meta["avgdl"]) or 1e-9
         k1, b = float(meta["k1"]), float(meta["b"])
         hits = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(set(slots)))
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(sorted(present))
         )
         out_schema = "doc_id long, tfp int, dl int, shard long, n_shard_matches long"
 
@@ -677,7 +914,9 @@ class Index:
                 by_term.setdefault(row.term, []).append(
                     kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
                 )
-            runs_by_slot = [by_term.get(t, []) for t in slots]
+            runs_by_slot = [
+                [r for t in slot for r in by_term.get(t, [])] for slot in slots
+            ]
             d, tfp, dl, n = kernels.shard_phrase_matches(
                 runs_by_slot, k, avgdl, k1, b,
                 allowed=allowed, blocked=blocked, slop=slop,
@@ -751,16 +990,40 @@ class Index:
         relaxes slot i to ``|pᵢ − p₀ − i| ≤ slop`` via an exploded
         candidate-anchor join (same semantic as the fast path). ``k=None``
         returns the full unranked score set (clause composition)."""
-        import math
-
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
-            doc_term_freqs,
-            tokenize_text,
-        )
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
         slots = tokenize_text(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_oracle_slots([[t] for t in slots], k, where, slop)
+
+    def search_phrase_prefix_oracle(
+        self,
+        phrase: str,
+        k: int | None = 10,
+        max_expansions: int = 50,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Declarative verification path for match_phrase_prefix: the
+        last slot is the prefix expansion, matched via the same m-way
+        position join as :meth:`search_phrase_oracle`."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        slots = tokenize_text(phrase)
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        exp = self._expand_prefix(slots[-1], max_expansions)
+        if not exp:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_oracle_slots([[t] for t in slots[:-1]] + [exp], k, where, 0)
+
+    def _phrase_oracle_slots(
+        self, slot_terms: list[list[str]], k: int | None, where: str | None, slop: int
+    ) -> DataFrame:
+        import math
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+
         if self.wh is None:
             toks = self._tokens
         else:
@@ -769,12 +1032,15 @@ class Index:
                 toks = toks.unionByName(w.read(self.spark, "tokens"))
         if "positions" not in toks.columns:
             toks = doc_term_freqs(self._docs_df(), positions=True)
-        tp = toks.filter(F.col("term").isin(list(set(slots)))).select(
+        all_terms = sorted({t for slot in slot_terms for t in slot})
+        tp = toks.filter(F.col("term").isin(all_terms)).select(
             "doc_id", "term", F.explode("positions").alias("p")
         )
-        m = tp.filter(F.col("term") == slots[0]).select("doc_id", F.col("p").alias("p0"))
-        for i, t in enumerate(slots[1:], start=1):
-            nxt = tp.filter(F.col("term") == t)
+        m = tp.filter(F.col("term").isin(slot_terms[0])).select(
+            "doc_id", F.col("p").alias("p0")
+        )
+        for i, slot in enumerate(slot_terms[1:], start=1):
+            nxt = tp.filter(F.col("term").isin(slot))
             if slop == 0:
                 nxt = nxt.select("doc_id", (F.col("p") - i).alias("p0"))
             else:

@@ -195,3 +195,88 @@ def test_fuzzy_query(spark, built_index):
     assert dl1("w00001", "w00010") == 1
     with pytest.raises(ValueError, match="prefix_length"):
         idx.search_fuzzy("w0000", prefix_length=0)
+
+
+def test_regexp_query(spark, built_index):
+    """ES regexp (constant_score, implicitly anchored): fullmatch against
+    the term dictionary, literal-prefix-pruned; leading metacharacters are
+    rejected."""
+    import re
+
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    texts = {
+        r["doc_id"]: set(tokenize_text(r["text"])) for r in idx._docs_df().collect()
+    }
+    rx = re.compile("w0000[0-3]")
+    got = idx.search_regexp("w0000[0-3]", 10000).collect()
+    want_ids = sorted(
+        d for d, toks in texts.items() if any(rx.fullmatch(t) for t in toks)
+    )
+    assert [r["doc_id"] for r in got] == want_ids
+    assert all(r["score"] == 1.0 for r in got) and got
+    # anchored semantics: "w0000" must NOT match the longer term w00001
+    assert {r["doc_id"] for r in idx.search_regexp("w0000", 10000).collect()} == {
+        d for d, toks in texts.items() if "w0000" in toks
+    }
+    # a quantifier right after the literal run shortens the pruning prefix
+    # (pattern w00001? must also find docs with the bare w00001/w00001x forms)
+    q = idx.search_regexp("w00001?", 10000).collect()
+    rx2 = re.compile("w00001?")
+    want2 = sorted(d for d, toks in texts.items() if any(rx2.fullmatch(t) for t in toks))
+    assert [r["doc_id"] for r in q] == want2
+    with pytest.raises(ValueError, match="literal prefix"):
+        idx.search_regexp(".*w00")
+
+
+def test_more_like_this(spark, built_index):
+    """MLT term selection (tf·idf, term-asc ties, max_query_terms cap) and
+    scoring must equal a pure-Python recompute; the source doc never
+    appears in its own hits."""
+    import math
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    rows = idx._docs_df().select("doc_id", "text").collect()
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    n = len(toks)
+    df = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] += 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    src = 3
+    tf_src = Counter(toks[src])
+    sel = [t for _, t in sorted((-c * idf(t), t) for t, c in tf_src.items())[:4]]
+    # brute BM25 with the selected terms at weight 1, source excluded
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    scored = []
+    for d, ts in toks.items():
+        if d == src:
+            continue
+        c = Counter(ts)
+        s = sum(
+            idf(t) * c[t] / (c[t] + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+            for t in sel
+            if c[t]
+        )
+        if s > 0:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = [(d, round(s, 9)) for d, s in scored[:10]]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.more_like_this(src, 10, max_query_terms=4).collect()
+    ]
+    assert got == want and got
+    assert src not in {d for d, _ in got}
+    # absent doc -> empty, stable schema
+    assert idx.more_like_this(10**9, 10).count() == 0

@@ -159,3 +159,54 @@ def test_phrase_slop_fast_equals_oracle_and_brute(spark, pos_index, corpus_texts
         n0 = len(_rows(pos_index.search_phrase(phrase, 1000, slop=0)))
         n2 = len(_rows(pos_index.search_phrase(phrase, 1000, slop=2)))
         assert n2 >= n0
+
+
+def _brute_prefix(corpus_texts, anchor, pfx, k1=1.2, b=0.75):
+    """match_phrase_prefix brute force: anchor token then ANY token
+    starting with pfx — same synthetic-term BM25 as _brute."""
+    dls = {d: len(t) for d, (t, _r) in corpus_texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == anchor and toks[i + 1].startswith(pfx)
+        )
+        if c:
+            tfp[d] = c
+    if not tfp:
+        return []
+    n = len(corpus_texts)
+    idf = math.log(1.0 + (n - len(tfp) + 0.5) / (len(tfp) + 0.5))
+    scored = [
+        (d, idf * c / (c + k1 * (1 - b + b * dls[d] / avgdl))) for d, c in tfp.items()
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in scored[:K]]
+
+
+def test_phrase_prefix_fast_equals_oracle_and_brute(spark, pos_index, corpus_texts):
+    anchor, second = _pick_phrases(corpus_texts, n=1)[0].split()
+    pfx = second[:4]  # w-token vocabulary: a 4-char prefix expands widely
+    assert len(pos_index._expand_prefix(pfx, 1 << 20)) > 1
+    q = f"{anchor} {pfx}"
+    fast = _rows(pos_index.search_phrase_prefix(q, K, max_expansions=1 << 20))
+    oracle = _rows(pos_index.search_phrase_prefix_oracle(q, K, max_expansions=1 << 20))
+    brute = _brute_prefix(corpus_texts, anchor, pfx)
+    assert fast == oracle == brute and fast
+    # absent prefix and empty phrase stay empty, schema stable
+    assert pos_index.search_phrase_prefix("zzabsent zz", K).count() == 0
+    assert pos_index.search_phrase_prefix("", K).count() == 0
+
+
+def test_phrase_prefix_expansion_cap_is_term_ordered(spark, pos_index, corpus_texts):
+    """max_expansions keeps the FIRST terms in term order (ES's cap): with
+    cap=1 the result equals the exact phrase on the lexicographically
+    first expansion."""
+    anchor, second = _pick_phrases(corpus_texts, n=1)[0].split()
+    pfx = second[:4]
+    first_term = pos_index._expand_prefix(pfx, 1)[0]
+    capped = _rows(pos_index.search_phrase_prefix(f"{anchor} {pfx}", K, max_expansions=1))
+    exact = _rows(pos_index.search_phrase(f"{anchor} {first_term}", K))
+    assert capped == exact
