@@ -388,6 +388,47 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_agg_terms_metric(spark, sf_dir):
+    """ES terms aggregation with nested avg/max metric sub-aggs: per-lang
+    doc count + n_chars stats over the match set (count-desc buckets)."""
+    return _cached_idx(spark, sf_dir).terms_agg(
+        BM25_QUERY, "lang", "n_chars", ("avg", "max")
+    )
+
+
+def q_explain_score(spark, sf_dir):
+    """ES _explain parity: per-term BM25 breakdown of doc 1's score for
+    BM25_QUERY; contributions sum to the doc's search() score exactly."""
+    out = _cached_idx(spark, sf_dir).explain_score(BM25_QUERY, 1)
+    return out.select(
+        "term",
+        "w",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf_r"),
+        F.round("contribution", 6).alias("contrib_r"),
+    )
+
+
+def q_suggest_terms(spark, sf_dir):
+    """ES term suggester (did-you-mean): corrections for two misspelled
+    tokens, ranked distance asc → df desc → term asc."""
+    out = _cached_idx(spark, sf_dir).suggest_terms("streem filtr hash", max_edits=1)
+    return out.orderBy("input", "suggestion")
+
+
+def q_search_after(spark, sf_dir):
+    """ES search_after deep pagination: page 2 of BM25_QUERY — the k hits
+    strictly after page 1's last (score, doc_id) cursor."""
+    idx = _cached_idx(spark, sf_dir)
+    p1 = idx.search(BM25_QUERY, K).collect()
+    after = (p1[-1]["score"], p1[-1]["doc_id"])
+    out = idx.search_after(BM25_QUERY, after, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_access_log_parse(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import (
         parse_access_log,
@@ -793,7 +834,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": q_agg_percentiles,
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
+        "agg_terms_metric": q_agg_terms_metric,
         "significant_terms": q_significant_terms,
+        "explain_score": q_explain_score,
+        "suggest_terms": q_suggest_terms,
+        "search_after": q_search_after,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "binary_decode_quarantine": q_binary_decode_quarantine,
@@ -877,6 +922,29 @@ def _bm25_sql(
     )
     return _BM25_SQL_TEMPLATE.format(
         toks=SQL_TOKS, qvals=qvals, having=having, k=k, scored_where=scored_where
+    )
+
+
+def _bm25_page2_sql(query: str, k: int = K) -> str:
+    """Page 2 of the BM25 oracle (search_after): rows k+1..2k of the total
+    order, re-ranked 1..k like the engine's page-2 result."""
+    base = _bm25_sql(query, k=k)
+    final = f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+    assert final in base
+    return base.replace(
+        final,
+        f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k} OFFSET {k})
+ORDER BY score DESC, doc_id
+""",
     )
 
 
@@ -1327,6 +1395,69 @@ WHERE rank_in_bucket <= 3
 ORDER BY lang, rank_in_bucket
 """
 
+_AGG_TERMS_METRIC_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v,
+       round(max(n_chars), 6)::DOUBLE AS max_v
+FROM documents WHERE doc_id IN ({_MATCHED})
+GROUP BY lang ORDER BY n DESC, lang LIMIT 10
+"""
+
+_EXPLAIN_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term, w) AS (VALUES ('filter', 1.0), ('hash', 1.0), ('join', 1.0)),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+)
+SELECT tf.term, q.w::DOUBLE AS w, tf.tf, dfq.df,
+       round(ln(1 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5)), 6) AS idf_r,
+       round(q.w * ln(1 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)), 6)
+         AS contrib_r
+FROM tf
+JOIN q ON q.term = tf.term
+JOIN dfq ON dfq.term = tf.term
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN corpus
+WHERE tf.doc_id = 1
+ORDER BY tf.term
+"""
+
+# term suggester over the distinct-doc vocabulary: candidates share the
+# input's first character (the engine's prefix_length=1 pruning), length
+# within max_edits, Damerau-Levenshtein <= 1; ranked dist asc, df desc,
+# term asc, top 3 per input ('hash' is present so suggest_mode=missing
+# skips it)
+_SUGGEST_SQL = f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS freq
+  FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+inputs(input) AS (VALUES ('filtr'), ('streem')),
+cand AS (
+  SELECT i.input, v.term AS suggestion,
+         damerau_levenshtein(i.input, v.term)::INT AS dist, v.freq
+  FROM inputs i
+  JOIN vocab v
+    ON starts_with(v.term, substr(i.input, 1, 1))
+   AND abs(length(v.term) - length(i.input)) <= 1
+   AND v.term <> i.input
+  WHERE damerau_levenshtein(i.input, v.term) <= 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY dist, freq DESC, suggestion
+  ) AS rn FROM cand
+)
+SELECT input, suggestion, dist, freq FROM ranked WHERE rn <= 3
+ORDER BY input, suggestion
+"""
+
 _SIGTERMS_SQL = f"""
 WITH toksd AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 fg AS ({_MATCHED}),
@@ -1414,7 +1545,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_percentiles": _AGG_PCT_SQL,
         "agg_cardinality": _AGG_CARD_SQL,
         "agg_top_hits": _AGG_TOPHITS_SQL,
+        "agg_terms_metric": _AGG_TERMS_METRIC_SQL,
         "significant_terms": _SIGTERMS_SQL,
+        "explain_score": _EXPLAIN_SQL,
+        "suggest_terms": _SUGGEST_SQL,
+        "search_after": _bm25_page2_sql(BM25_QUERY),
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,

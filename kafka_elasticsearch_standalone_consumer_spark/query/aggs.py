@@ -151,6 +151,33 @@ def top_hits(
     )
 
 
+def terms_metric(
+    df: DataFrame,
+    bucket_field: str,
+    metric_field: str,
+    metrics: tuple[str, ...] = ("avg",),
+    size: int = 10,
+) -> DataFrame:
+    """ES terms aggregation with metric sub-aggregations: per bucket the
+    doc count plus avg/min/max/sum of ``metric_field``, buckets ordered by
+    doc count desc (ES default) with value-asc ties, top ``size``.
+
+    One groupBy — all requested metrics ride the same shuffle with
+    map-side partials, so nesting metrics under the terms bucket is free
+    at 100 TB relative to the terms agg alone."""
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    c = F.col(metric_field).cast("double")
+    agg_cols = [F.count("*").cast("long").alias("n")] + [
+        F.round(fns[m](c), 6).alias(f"{m}_v") for m in metrics
+    ]
+    return (
+        df.groupBy(bucket_field)
+        .agg(*agg_cols)
+        .orderBy(F.desc("n"), F.asc(bucket_field))
+        .limit(size)
+    )
+
+
 def date_histogram(df: DataFrame, ts_field: str, unit: str = "day") -> DataFrame:
     """ES date_histogram: calendar-interval buckets (day/month/year/hour),
     emitted as strings so cross-engine comparisons are timezone-stable

@@ -1229,6 +1229,25 @@ class Index:
             toks = t if toks is None else toks.unionByName(t)
         return toks
 
+    def _tokens_full_df(self) -> DataFrame:
+        """(doc_id, term, tf, dl) token stream across all segments —
+        the frequency-bearing variant of :meth:`_tokens_df`."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+
+        spark = self.spark
+        if self.wh is None:
+            return self._tokens.select("doc_id", "term", "tf", "dl")
+        toks = None
+        for w in self._seg_whs:
+            t = (
+                w.read(spark, "tokens")
+                if w.exists("tokens")
+                else doc_term_freqs(w.read(spark, "docs"))
+            )
+            t = t.select("doc_id", "term", "tf", "dl")
+            toks = t if toks is None else toks.unionByName(t)
+        return toks
+
     def _match_set(self, terms: list[str], min_should_match: int) -> DataFrame:
         """doc_ids containing ≥ ``min_should_match`` distinct terms of
         ``terms`` — a term-pruned tokens scan + one aggregation (the scan
@@ -1390,6 +1409,156 @@ class Index:
                 [], f"{bucket_by} string, doc_id long, sort_value double, rank_in_bucket long"
             )
         return aggs.top_hits(scoped, bucket_by, sort_by, k, ascending=ascending)
+
+    def terms_agg(
+        self,
+        query_text: str,
+        bucket_by: str,
+        metric_field: str,
+        metrics: tuple[str, ...] = ("avg",),
+        size: int = 10,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES terms aggregation with nested metric sub-aggregations
+        (avg/min/max/sum of ``metric_field`` per bucket) over the matching
+        docs — the `terms + avg` idiom of every ES dashboard."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            schema = f"{bucket_by} string, n long, " + ", ".join(
+                f"{m}_v double" for m in metrics
+            )
+            return self.spark.createDataFrame([], schema)
+        return aggs.terms_metric(scoped, bucket_by, metric_field, metrics, size)
+
+    def explain_score(self, query_text: str, doc_id: int) -> DataFrame:
+        """ES ``_explain`` parity: the per-term BM25 breakdown of one
+        document's score for a query — (term, w, tf, df, idf,
+        contribution) rows, term asc; the contributions sum to the
+        document's :meth:`search` score bit-for-bit (idf weights come from
+        the same driver-side plan the fast path uses).
+
+        Cost shape: the term-dictionary lookup is the usual footer-pruned
+        point read, and tf/dl come from a doc_id-pushed scan of the token
+        stream — a point query, not a corpus pass."""
+        import math
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        out_schema = (
+            "term string, w double, tf double, df double, idf double, contribution double"
+        )
+        weights = bm25.query_term_weights(query_text)
+        if not weights:
+            return self.spark.createDataFrame([], out_schema)
+        terms = sorted(weights)
+        rows = self._lookup_terms_arrow(terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(terms)
+        df_by: dict[str, int] = {}
+        for term, df, _bucket in rows:
+            df_by[term] = df_by.get(term, 0) + int(df)
+        meta = self.meta
+        n = float(meta["n_docs"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        doc_tf = (
+            self._tokens_full_df()
+            .filter((F.col("doc_id") == int(doc_id)) & F.col("term").isin(terms))
+            .select("term", "tf", "dl")
+            .collect()
+        )
+        if not doc_tf:
+            return self.spark.createDataFrame([], out_schema)
+        dl = float(doc_tf[0]["dl"])
+        out = []
+        for r in sorted(doc_tf, key=lambda r: r["term"]):
+            t, tf = r["term"], float(r["tf"])
+            df = float(df_by.get(t, 0))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            w = float(weights[t])
+            contrib = w * idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            out.append((t, w, tf, df, idf, contrib))
+        return self.spark.createDataFrame(out, out_schema)
+
+    def suggest_terms(
+        self,
+        text: str,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        size: int = 3,
+        suggest_mode: str = "missing",
+    ) -> DataFrame:
+        """ES term suggester ("did you mean"): per input token, dictionary
+        terms within Damerau-Levenshtein ``max_edits``, ranked the way ES
+        ranks candidates — distance asc, then document frequency desc,
+        then term asc — top ``size`` each. ``suggest_mode='missing'``
+        (ES default) only suggests for tokens absent from the index;
+        ``'always'`` suggests for every token. The dictionary read is
+        pruned by ``prefix_length`` exactly like :meth:`search_fuzzy`."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        if prefix_length < 1:
+            raise ValueError(
+                "prefix_length must be ≥1 — an unpruned suggester scans the "
+                "whole term dictionary (same guard as search_fuzzy)"
+            )
+        out_schema = "input string, suggestion string, dist int, freq long"
+        toks = sorted(set(tokenize_text(text)))
+        if not toks:
+            return self.spark.createDataFrame([], out_schema)
+        present_rows = self._lookup_terms_arrow(toks)
+        if present_rows is None:
+            present_rows = self._lookup_terms_spark(toks)
+        present = {t for t, _, _ in present_rows}
+        out = []
+        for tok in toks:
+            if suggest_mode == "missing" and tok in present:
+                continue
+            if len(tok) < prefix_length:
+                continue
+            cand = self._expand_prefix(tok[:prefix_length], 1 << 20)
+            near = [
+                (t, _damerau_levenshtein(tok, t, max_edits))
+                for t in cand
+                if t != tok and abs(len(t) - len(tok)) <= max_edits
+            ]
+            near = [(t, d) for t, d in near if d <= max_edits]
+            if not near:
+                continue
+            rows = self._lookup_terms_arrow([t for t, _ in near])
+            if rows is None:
+                rows = self._lookup_terms_spark([t for t, _ in near])
+            df_by: dict[str, int] = {}
+            for term, df, _bucket in rows:
+                df_by[term] = df_by.get(term, 0) + int(df)
+            ranked = sorted(near, key=lambda td: (td[1], -df_by.get(td[0], 0), td[0]))
+            for t, d in ranked[:size]:
+                out.append((tok, t, int(d), int(df_by.get(t, 0))))
+        return self.spark.createDataFrame(out, out_schema)
+
+    def search_after(
+        self,
+        query_text: str,
+        after: tuple[float, int],
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``search_after`` deep pagination: the next ``k`` hits
+        strictly after the cursor ``(score, doc_id)`` in the total order
+        (score desc, doc_id asc). Runs on the declarative score-all path —
+        the honest cost model for deep pagination (ES pays the same
+        deepening cost; its own docs route deep pages through
+        search_after for exactly this reason), while page one stays on the
+        pruned WAND path."""
+        s0, d0 = float(after[0]), int(after[1])
+        scored = self.search_oracle(query_text, None, where=where)
+        nxt = scored.filter(
+            (F.col("score") < s0) | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+        )
+        return nxt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def significant_terms(
         self,

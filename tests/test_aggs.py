@@ -132,6 +132,22 @@ def test_significant_terms_matches_python(spark, built_index):
     assert {r["term"] for r in got} & set(tokenize_text(Q))
 
 
+def test_terms_metric_matches_python(spark, built_index):
+    idx, _ = built_index
+    got = idx.terms_agg(Q, "role", "turn_idx", ("avg", "max"), size=10).collect()
+    by_role: dict = {}
+    for r in _matched_rows(idx, Q):
+        by_role.setdefault(r["role"], []).append(r["turn_idx"])
+    want = sorted(
+        (
+            (role, len(vs), round(sum(vs) / len(vs), 6), float(max(vs)))
+            for role, vs in by_role.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [(r["role"], r["n"], r["avg_v"], r["max_v"]) for r in got] == want and got
+
+
 def test_agg_scope_respects_filter_and_msm(spark, built_index):
     idx, _ = built_index
     got = {

@@ -280,3 +280,62 @@ def test_more_like_this(spark, built_index):
     assert src not in {d for d, _ in got}
     # absent doc -> empty, stable schema
     assert idx.more_like_this(10**9, 10).count() == 0
+
+
+def test_explain_score_sums_to_search_score(spark, built_index):
+    """ES _explain parity: per-term contributions sum EXACTLY (same idf
+    plan, same float ops) to the doc's search() score; absent docs and
+    empty queries explain to nothing."""
+    idx, _ = built_index
+    q = "w00000 w00003 w00015"
+    hits = idx.search(q, 5).collect()
+    for r in hits:
+        parts = idx.explain_score(q, r["doc_id"]).collect()
+        assert parts
+        assert abs(sum(p["contribution"] for p in parts) - r["score"]) < 1e-12
+        for p in parts:
+            assert p["idf"] > 0 and p["tf"] >= 1 and p["df"] >= 1
+    assert idx.explain_score(q, 10**9).count() == 0
+    assert idx.explain_score("", 0).count() == 0
+
+
+def test_suggest_terms(spark, built_index):
+    """Term suggester: corrections within max_edits ranked dist asc, df
+    desc, term asc; suggest_mode=missing skips present tokens."""
+    import pytest
+
+    idx, _ = built_index
+    present = "w00000"
+    got = idx.suggest_terms(f"{present} w0000x", max_edits=1).collect()
+    assert got and all(r["input"] == "w0000x" for r in got)  # present token skipped
+    assert all(r["dist"] == 1 and r["freq"] > 0 for r in got)
+    always = idx.suggest_terms(present, max_edits=1, suggest_mode="always").collect()
+    assert always and all(r["suggestion"] != present for r in always)
+    # ranked by freq desc within equal distance
+    freqs = [r["freq"] for r in always]
+    assert freqs == sorted(freqs, reverse=True)
+    with pytest.raises(ValueError, match="prefix_length"):
+        idx.suggest_terms("w0000x", prefix_length=0)
+
+
+def test_search_after_pagination(spark, built_index):
+    """search_after: page 2 equals rows k+1..2k of the full order, pages
+    never overlap, and walking the cursor enumerates the whole result."""
+    idx, _ = built_index
+    q = "w00000 w00003"
+    full = [(r["doc_id"], round(r["score"], 9)) for r in idx.search(q, 10_000).collect()]
+    k = 7
+    p1 = idx.search(q, k).collect()
+    after = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_after(q, after, k).collect()]
+    assert p2 == full[k : 2 * k]
+    # cursor walk terminates exactly at the end of the result set
+    seen = [(r["doc_id"], round(r["score"], 9)) for r in p1]
+    cursor = after
+    while True:
+        page = idx.search_after(q, cursor, k).collect()
+        if not page:
+            break
+        seen += [(r["doc_id"], round(r["score"], 9)) for r in page]
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert seen == full
