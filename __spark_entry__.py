@@ -388,6 +388,24 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_function_score_topk(spark, sf_dir):
+    """ES function_score + field_value_factor: BM25 × log1p(n_chars·0.01)
+    (boost_mode=multiply, ES default) — longer matching docs boosted."""
+    out = _cached_idx(spark, sf_dir).function_score(
+        BM25_QUERY, "n_chars", K, factor=0.01, modifier="log1p"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_collapse_topk(spark, sf_dir):
+    """ES field collapsing: the best BM25 hit per lang, groups ranked by
+    their best hit's score."""
+    out = _cached_idx(spark, sf_dir).search_collapse(BM25_QUERY, "lang", K)
+    return out.select("lang", "doc_id", F.round("score", 4).alias("score_r"))
+
+
 def q_agg_terms_metric(spark, sf_dir):
     """ES terms aggregation with nested avg/max metric sub-aggs: per-lang
     doc count + n_chars stats over the match set (count-desc buckets)."""
@@ -839,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
         "search_after": q_search_after,
+        "function_score_topk": q_function_score_topk,
+        "collapse_topk": q_collapse_topk,
         "access_log_parse": q_access_log_parse,
         "quarantine_counts": q_quarantine_counts,
         "binary_decode_quarantine": q_binary_decode_quarantine,
@@ -925,26 +945,72 @@ def _bm25_sql(
     )
 
 
-def _bm25_page2_sql(query: str, k: int = K) -> str:
-    """Page 2 of the BM25 oracle (search_after): rows k+1..2k of the total
-    order, re-ranked 1..k like the engine's page-2 result."""
-    base = _bm25_sql(query, k=k)
-    final = f"""SELECT doc_id,
+def _bm25_final_block(k: int) -> str:
+    """The closing SELECT of _BM25_SQL_TEMPLATE — swapped out by oracle
+    variants that post-process the scored CTE (pagination, function_score,
+    collapse)."""
+    return f"""SELECT doc_id,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+def _bm25_variant_sql(query: str, replacement: str, k: int = K) -> str:
+    base = _bm25_sql(query, k=k)
+    final = _bm25_final_block(k)
     assert final in base
-    return base.replace(
-        final,
+    return base.replace(final, replacement)
+
+
+def _bm25_page2_sql(query: str, k: int = K) -> str:
+    """Page 2 of the BM25 oracle (search_after): rows k+1..2k of the total
+    order, re-ranked 1..k like the engine's page-2 result."""
+    return _bm25_variant_sql(
+        query,
         f"""SELECT doc_id,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k} OFFSET {k})
 ORDER BY score DESC, doc_id
 """,
+        k,
+    )
+
+
+def _bm25_function_score_sql(query: str, k: int = K) -> str:
+    """function_score/field_value_factor oracle: BM25 × log1p(n_chars·0.01)."""
+    fv = "ln(1 + d.n_chars * 0.01)"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * {fv} DESC, s.doc_id) AS rank,
+       round(s.score * {fv}, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {fv} DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _bm25_collapse_sql(query: str, k: int = K) -> str:
+    """Field-collapsing oracle: best hit per lang, groups ranked by it."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT lang, doc_id, round(score, 4) AS score_r
+FROM (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+WHERE rn = 1
+ORDER BY score DESC, doc_id
+LIMIT {k}
+""",
+        k,
     )
 
 
@@ -1550,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,
         "search_after": _bm25_page2_sql(BM25_QUERY),
+        "function_score_topk": _bm25_function_score_sql(BM25_QUERY),
+        "collapse_topk": _bm25_collapse_sql(BM25_QUERY),
         "access_log_parse": _ACCESS_LOG_SQL,
         "quarantine_counts": _QUARANTINE_SQL,
         "binary_decode_quarantine": _BINARY_QUARANTINE_SQL,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_elasticsearch_standalone_consumer_spark.index.build import term_bucket_col
@@ -1559,6 +1559,78 @@ class Index:
             (F.col("score") < s0) | ((F.col("score") == s0) & (F.col("doc_id") > d0))
         )
         return nxt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def function_score(
+        self,
+        query_text: str,
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "none",
+        missing: float = 1.0,
+        boost_mode: str = "multiply",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with a ``field_value_factor`` function:
+        rescore every BM25 match by a per-document field value —
+        ``fv = modifier(field · factor)`` (modifiers none | log1p | sqrt |
+        square | reciprocal, ES's set), combined via ``boost_mode``
+        multiply (ES default) or sum. Nulls take ``missing``.
+
+        Declarative end to end: the score-all path joins the (doc_id,
+        field) projection of the doc store — one column-pruned join keyed
+        on doc_id, then TopK; Catalyst owns the plan, so at 100 TB this is
+        the BM25 agg plus one cheap join, not a rerank pass."""
+        scored = self.search_oracle(query_text, None, where=where)
+        fv = F.coalesce(F.col(field).cast("double"), F.lit(float(missing))) * F.lit(
+            float(factor)
+        )
+        mods = {
+            "none": lambda c: c,
+            "log1p": lambda c: F.log1p(c),
+            "sqrt": lambda c: F.sqrt(c),
+            "square": lambda c: c * c,
+            "reciprocal": lambda c: F.lit(1.0) / c,
+        }
+        if modifier not in mods:
+            raise ValueError(f"unknown field_value_factor modifier: {modifier}")
+        fv = mods[modifier](fv)
+        docs = self._docs_df().select("doc_id", field)
+        j = scored.join(docs, "doc_id")
+        if boost_mode == "multiply":
+            new_score = F.col("score") * fv
+        elif boost_mode == "sum":
+            new_score = F.col("score") + fv
+        else:
+            raise ValueError(f"unknown boost_mode: {boost_mode}")
+        return (
+            j.select("doc_id", new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_collapse(
+        self,
+        query_text: str,
+        collapse_by: str,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES field collapsing (``collapse``): the single best hit per
+        ``collapse_by`` value (score desc, doc_id asc within the group),
+        groups then ranked by their best hit. One window keyed on the
+        collapse field — a single shuffle, no per-group jobs."""
+        scored = self.search_oracle(query_text, None, where=where)
+        docs = self._docs_df().select("doc_id", collapse_by)
+        j = scored.join(docs, "doc_id")
+        w = Window.partitionBy(collapse_by).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(collapse_by, "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def significant_terms(
         self,

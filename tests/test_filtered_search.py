@@ -339,3 +339,58 @@ def test_search_after_pagination(spark, built_index):
         seen += [(r["doc_id"], round(r["score"], 9)) for r in page]
         cursor = (page[-1]["score"], page[-1]["doc_id"])
     assert seen == full
+
+
+def test_function_score_and_collapse(spark, built_index):
+    """function_score(field_value_factor) rescoring and field collapsing
+    must match a pure-Python recompute over the full score set."""
+    import math
+
+    import pytest
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    base = {r["doc_id"]: r["score"] for r in idx.search_oracle(q, None).collect()}
+    meta_rows = idx._docs_df().select("doc_id", "turn_idx", "role").collect()
+    turn = {r["doc_id"]: r["turn_idx"] for r in meta_rows}
+    role = {r["doc_id"]: r["role"] for r in meta_rows}
+
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.function_score(q, "turn_idx", 10, factor=0.5, modifier="log1p").collect()
+    ]
+    want = sorted(
+        ((d, s * math.log1p(turn[d] * 0.5)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == [(d, round(s, 9)) for d, s in want]
+
+    # sum boost_mode and each remaining modifier keep the contract
+    got_sum = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.function_score(
+            q, "turn_idx", 5, factor=1.0, modifier="sqrt", boost_mode="sum"
+        ).collect()
+    ]
+    want_sum = sorted(
+        ((d, s + math.sqrt(turn[d])) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got_sum == [(d, round(s, 9)) for d, s in want_sum]
+    with pytest.raises(ValueError, match="modifier"):
+        idx.function_score(q, "turn_idx", 5, modifier="nope")
+
+    gotc = [
+        (r["role"], r["doc_id"], round(r["score"], 9))
+        for r in idx.search_collapse(q, "role", 10).collect()
+    ]
+    best: dict = {}
+    for d, s in base.items():
+        key = role[d]
+        if key not in best or (-s, d) < best[key]:
+            best[key] = (-s, d)
+    wantc = sorted(
+        ((rl, d, -ns) for rl, (ns, d) in best.items()), key=lambda x: (-x[2], x[1])
+    )[:10]
+    assert gotc == [(rl, d, round(s, 9)) for rl, d, s in wantc]
+    assert len({rl for rl, _, _ in gotc}) == len(gotc)  # one hit per group
