@@ -228,6 +228,28 @@ def q_multi_field_bm25(spark, sf_dir):
     )
 
 
+def q_multi_best_fields(spark, sf_dir):
+    """ES best_fields multi-match (dis-max): max per-field score +
+    tie_breaker 0.3 × the rest — same fields/boosts as multi_field_bm25."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        multi_field_bm25,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    out = multi_field_bm25(
+        docs, BM25_QUERY, {"title": 2.0, "text": 1.0}, K,
+        mode="best_fields", tie_breaker=0.3,
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_facets_by_lang(spark, sf_dir):
     """ES-style terms aggregation: lang facet counts over ALL docs matching
     any BM25_QUERY term (query_string OR semantics)."""
@@ -293,6 +315,34 @@ def q_phrase_prefix_topk(spark, sf_dir):
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
         _IDX_CACHE[key] = idx
     out = idx.search_phrase_prefix("table s", K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_bool_topk(spark, sf_dir):
+    """ES bool query (structured): should terms 'join filter' + a
+    match_phrase clause "table hash" — each clause's full score set
+    summed per doc over the union of matches (ES bool should), top-k."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search_bool(should=["join filter"], phrases=[(PHRASE_QUERY, 0)], k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_rescore_topk(spark, sf_dir):
+    """ES rescore: BM25 window (50) on 'table hash' terms, rescored by the
+    exact phrase "table hash" (score_mode=total, weights 1/1)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = (sf_dir, "pos")
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
+        _IDX_CACHE[key] = idx
+    out = idx.rescore(PHRASE_QUERY, PHRASE_QUERY, K, window_size=50)
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
@@ -433,6 +483,12 @@ def q_suggest_terms(spark, sf_dir):
     tokens, ranked distance asc → df desc → term asc."""
     out = _cached_idx(spark, sf_dir).suggest_terms("streem filtr hash", max_edits=1)
     return out.orderBy("input", "suggestion")
+
+
+def q_suggest_complete(spark, sf_dir):
+    """ES completion suggester: s-prefixed dictionary terms ranked by
+    document frequency desc (popularity), term asc ties, top 5."""
+    return _cached_idx(spark, sf_dir).suggest_complete("s", 5)
 
 
 def q_search_after(spark, sf_dir):
@@ -842,8 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "phrase_prefix_topk": q_phrase_prefix_topk,
+        "rescore_topk": q_rescore_topk,
+        "bool_topk": q_bool_topk,
         "query_string_topk": q_query_string_topk,
         "multi_field_bm25": q_multi_field_bm25,
+        "multi_best_fields": q_multi_best_fields,
         "facets_by_lang": q_facets_by_lang,
         "agg_histogram": q_agg_histogram,
         "agg_range": q_agg_range,
@@ -856,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
+        "suggest_complete": q_suggest_complete,
         "search_after": q_search_after,
         "function_score_topk": q_function_score_topk,
         "collapse_topk": q_collapse_topk,
@@ -1116,6 +1176,96 @@ _PHRASE_MATCH_SLOP1 = (
     "generate_series(greatest(i, 1), least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
 )
+# ES rescore: BM25 window of 50 on ('hash','table') OR terms, plus the
+# exact-phrase synthetic-term score for window docs that contain it
+_RESCORE_SQL = f"""
+WITH ts AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ts GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term, w) AS (VALUES ('hash', 1.0), ('table', 1.0)),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfq ON tf.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+win AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+tl AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, ({{matcher}})::DOUBLE AS tfp FROM tl),
+mm AS (SELECT * FROM m WHERE tfp > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM mm),
+pscore AS (
+  SELECT mm.doc_id,
+         ln(1 + (corpus.n - dfp.df + 0.5) / (dfp.df + 0.5)) * mm.tfp
+           / (mm.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) AS ps
+  FROM mm JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfp
+)
+SELECT w.doc_id,
+       row_number() OVER (ORDER BY w.score + coalesce(p.ps, 0) DESC, w.doc_id) AS rank,
+       round(w.score + coalesce(p.ps, 0), 4) AS score_r
+FROM win w LEFT JOIN pscore p USING (doc_id)
+ORDER BY w.score + coalesce(p.ps, 0) DESC, w.doc_id
+LIMIT 10
+"""
+
+
+# ES bool should composition: BM25 over ('filter','join') + the exact
+# phrase "table hash" as a synthetic-term clause, score sets summed per
+# doc over the union of matching docs
+_BOOL_SQL = f"""
+WITH ts AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ts GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term, w) AS (VALUES ('filter', 1.0), ('join', 1.0)),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfq ON tf.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+tl AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, ({{matcher}})::DOUBLE AS tfp FROM tl),
+mm AS (SELECT * FROM m WHERE tfp > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM mm),
+pscore AS (
+  SELECT mm.doc_id,
+         ln(1 + (corpus.n - dfp.df + 0.5) / (dfp.df + 0.5)) * mm.tfp
+           / (mm.tfp + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) AS score
+  FROM mm JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfp
+),
+total AS (
+  SELECT doc_id, sum(score) AS score FROM (
+    SELECT doc_id, score FROM scored
+    UNION ALL
+    SELECT doc_id, score FROM pscore
+  ) GROUP BY doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM total ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # more_like_this seeded by doc 0, max_query_terms=5: term selection by
 # tf·idf (BM25 idf) with term-asc ties, then the standard BM25 scoring
 # with every selected term at weight 1, source doc excluded
@@ -1189,6 +1339,45 @@ scored AS (
   JOIN dl ON dl.f = tf.f AND dl.doc_id = tf.doc_id
   JOIN corpus ON corpus.f = tf.f
   GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+_MULTIFIELD_BEST_SQL = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+fields AS (
+  SELECT doc_id, toks, 1.0 AS boost, 'text' AS f FROM base
+  UNION ALL
+  SELECT doc_id, toks[1:5] AS toks, 2.0 AS boost, 'title' AS f FROM base
+),
+tf AS (
+  SELECT f, any_value(boost) AS boost, doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT f, boost, doc_id, unnest(toks) AS term FROM fields)
+  GROUP BY f, doc_id, term
+),
+dl AS (SELECT f, doc_id, len(toks)::DOUBLE AS dl FROM fields),
+corpus AS (SELECT f, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY f),
+q(term, w) AS (VALUES ('join', 1.0), ('hash', 1.0), ('filter', 1.0)),
+df AS (
+  SELECT f, term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY f, term
+),
+perf AS (
+  SELECT tf.doc_id, tf.f,
+         sum(tf.boost * q.w * ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS fs
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN df ON df.f = tf.f AND df.term = tf.term
+  JOIN dl ON dl.f = tf.f AND dl.doc_id = tf.doc_id
+  JOIN corpus ON corpus.f = tf.f
+  GROUP BY tf.doc_id, tf.f
+),
+scored AS (
+  SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS score
+  FROM perf GROUP BY doc_id
 )
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
@@ -1595,8 +1784,11 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "multi_field_bm25": _MULTIFIELD_SQL,
+        "multi_best_fields": _MULTIFIELD_BEST_SQL,
         "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),
         "phrase_prefix_topk": _phrase_sql(_PHRASE_MATCH_PREFIX),
+        "rescore_topk": _RESCORE_SQL.format(matcher=_PHRASE_MATCH_EXACT),
+        "bool_topk": _BOOL_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "mlt_topk": _MLT_SQL,
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
@@ -1615,6 +1807,12 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,
+        "suggest_complete": (
+            f"SELECT term AS suggestion, count(*)::BIGINT AS freq "
+            f"FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents) "
+            "WHERE starts_with(term, 's') GROUP BY term "
+            "ORDER BY freq DESC, suggestion LIMIT 5"
+        ),
         "search_after": _bm25_page2_sql(BM25_QUERY),
         "function_score_topk": _bm25_function_score_sql(BM25_QUERY),
         "collapse_topk": _bm25_collapse_sql(BM25_QUERY),

@@ -755,6 +755,37 @@ class Index:
             "doc_id", F.lit(1.0).alias("score")
         ).orderBy(F.asc("doc_id")).limit(k)
 
+    def search_bool(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        phrases: list[tuple[str, int]] | None = None,
+        filters: list[tuple[str, str]] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``bool`` query, structured form — the same semantics the
+        query_string DSL compiles to (querystring.py documents them):
+        ``should``/``must`` terms score (BM25 sum, must also restricts),
+        ``must_not`` excludes, ``phrases`` are (text, slop) match_phrase
+        clauses summed ES-bool-should style with the term clause,
+        ``filters`` are (column, value) metadata filter clauses. Corpus
+        statistics stay global under every restriction."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            ParsedQuery,
+            run_parsed,
+        )
+
+        parsed = ParsedQuery(
+            should=[t for s in (should or []) for t in tokenize_text(s)],
+            must=[t for s in (must or []) for t in tokenize_text(s)],
+            must_not=[t for s in (must_not or []) for t in tokenize_text(s)],
+            phrases=[(p, int(slop)) for p, slop in (phrases or [])],
+            filters=list(filters or []),
+        )
+        return run_parsed(self, parsed, k)
+
     def more_like_this(
         self,
         doc_id: int,
@@ -1539,6 +1570,27 @@ class Index:
                 out.append((tok, t, int(d), int(df_by.get(t, 0))))
         return self.spark.createDataFrame(out, out_schema)
 
+    def suggest_complete(self, prefix: str, size: int = 5) -> DataFrame:
+        """ES completion suggester over the term dictionary: terms
+        starting with ``prefix`` ranked by document frequency desc (the
+        popularity weight ES completion fields default to), term asc
+        ties. Pure driver-side dictionary range read — serving-latency
+        cheap, like :meth:`search_local`."""
+        out_schema = "suggestion string, freq long"
+        cand = self._expand_prefix(prefix, 1 << 20)
+        if not cand:
+            return self.spark.createDataFrame([], out_schema)
+        rows = self._lookup_terms_arrow(cand)
+        if rows is None:
+            rows = self._lookup_terms_spark(cand)
+        df_by: dict[str, int] = {}
+        for term, df, _bucket in rows:
+            df_by[term] = df_by.get(term, 0) + int(df)
+        ranked = sorted(df_by.items(), key=lambda tf: (-tf[1], tf[0]))[:size]
+        return self.spark.createDataFrame(
+            [(t, int(f)) for t, f in ranked], out_schema
+        )
+
     def search_after(
         self,
         query_text: str,
@@ -1628,6 +1680,39 @@ class Index:
             j.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(collapse_by, "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def rescore(
+        self,
+        query_text: str,
+        rescore_phrase: str,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        slop: int = 0,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``rescore``: rerank the top ``window_size`` BM25 hits by
+        adding a match_phrase score — ``query_weight·bm25 +
+        rescore_weight·phrase`` for window docs (docs without the phrase
+        keep their weighted BM25 score, ES's default score_mode=total).
+
+        This is the canonical precision pattern: the cheap pruned WAND
+        pass fetches the window, the expensive positional query runs
+        ONCE over it. Requires a positions index."""
+        base = self.search(query_text, window_size, where=where)
+        phrase = self.search_phrase_oracle(rescore_phrase, None, slop=slop).select(
+            "doc_id", F.col("score").alias("p_score")
+        )
+        combined = F.lit(float(query_weight)) * F.col("score") + F.lit(
+            float(rescore_weight)
+        ) * F.coalesce(F.col("p_score"), F.lit(0.0))
+        return (
+            base.join(phrase, "doc_id", "left")
+            .select("doc_id", combined.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

@@ -34,14 +34,23 @@ def multi_field_bm25(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """Top-k ``most_fields`` BM25: (doc_id, score), score desc / id asc.
+    """Top-k multi-field BM25: (doc_id, score), score desc / id asc.
 
     ``fields`` maps text column name → boost. Each field keeps its OWN
     corpus statistics (df per field, avgdl over ALL docs of that field —
     empty field values count as dl=0, exactly like ES field norms).
-    """
+
+    ``mode='most_fields'`` (default) sums the per-field scores — one
+    aggregation shuffle. ``mode='best_fields'`` is ES's dis-max: the best
+    field's score plus ``tie_breaker ×`` the others' sum — a per-(doc,
+    field) partial first, then the per-doc combine (two stages on the
+    same doc_id key, so AQE coalesces them into one exchange)."""
     spark = docs.sparkSession
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode: {mode}")
     weights = bm25.query_term_weights(query_text)
     if not weights or not fields:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -71,6 +80,7 @@ def multi_field_bm25(
         )
         contrib = toks.join(F.broadcast(idfw), "term").select(
             F.col(id_col).alias("doc_id"),
+            F.lit(field).alias("f"),
             (
                 F.col("idfw")
                 * F.col("tf")
@@ -81,5 +91,14 @@ def multi_field_bm25(
     allc = parts[0]
     for p in parts[1:]:
         allc = allc.unionByName(p)
-    scores = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if mode == "most_fields":
+        scores = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    else:  # best_fields (dis-max with tie_breaker)
+        per_field = allc.groupBy("doc_id", "f").agg(F.sum("contrib").alias("fs"))
+        scores = per_field.groupBy("doc_id").agg(
+            (
+                F.max("fs")
+                + F.lit(float(tie_breaker)) * (F.sum("fs") - F.max("fs"))
+            ).alias("score")
+        )
     return bm25.topk(scores, k)

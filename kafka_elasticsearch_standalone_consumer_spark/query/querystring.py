@@ -112,9 +112,15 @@ def compile_filter(parsed: ParsedQuery, text_col: str = "text") -> str | None:
 
 def run_query_string(index, q: str, k: int = 10):
     """Execute a query_string against an :class:`Index` (see module doc)."""
+    return run_parsed(index, parse_query_string(q), k)
+
+
+def run_parsed(index, parsed: ParsedQuery, k: int = 10):
+    """Execute a :class:`ParsedQuery` — the shared executor behind the
+    query_string DSL and the structured ``Index.search_bool`` API (both
+    are views of the same ES bool semantics)."""
     from pyspark.sql import functions as F
 
-    parsed = parse_query_string(q)
     terms = parsed.should + parsed.must
     where = compile_filter(parsed)
     if not terms and len(parsed.phrases) == 1:

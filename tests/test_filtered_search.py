@@ -394,3 +394,24 @@ def test_function_score_and_collapse(spark, built_index):
     )[:10]
     assert gotc == [(rl, d, round(s, 9)) for rl, d, s in wantc]
     assert len({rl for rl, _, _ in gotc}) == len(gotc)  # one hit per group
+
+
+def test_suggest_complete(spark, built_index):
+    """Completion suggester: prefix-expanded dictionary terms ranked by
+    df desc, term asc; empty prefix-miss stays empty."""
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    df = Counter()
+    for r in idx._docs_df().select("text").collect():
+        for t in set(tokenize_text(r["text"])):
+            df[t] += 1
+    got = [(r["suggestion"], r["freq"]) for r in idx.suggest_complete("w000", 5).collect()]
+    want = sorted(
+        ((t, n) for t, n in df.items() if t.startswith("w000")),
+        key=lambda tn: (-tn[1], tn[0]),
+    )[:5]
+    assert got == want and got
+    assert idx.suggest_complete("zzz", 5).count() == 0

@@ -210,3 +210,31 @@ def test_phrase_prefix_expansion_cap_is_term_ordered(spark, pos_index, corpus_te
     capped = _rows(pos_index.search_phrase_prefix(f"{anchor} {pfx}", K, max_expansions=1))
     exact = _rows(pos_index.search_phrase(f"{anchor} {first_term}", K))
     assert capped == exact
+
+
+def test_rescore_window(spark, pos_index, corpus_texts):
+    """ES rescore: combined = qw·bm25 + rw·phrase for the top-window docs;
+    docs outside the window never appear; weights respected."""
+    phrase = _pick_phrases(corpus_texts, n=1)[0]
+    window = 30
+    base = {
+        r["doc_id"]: r["score"]
+        for r in pos_index.search(phrase, window).collect()
+    }
+    pscores = dict(_brute(corpus_texts, phrase))  # rounded(9) phrase scores
+    praw = {
+        r["doc_id"]: r["score"]
+        for r in pos_index.search_phrase_oracle(phrase, None).collect()
+    }
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in pos_index.rescore(
+            phrase, phrase, 10, window_size=window, query_weight=2.0, rescore_weight=0.5
+        ).collect()
+    ]
+    want = sorted(
+        ((d, 2.0 * s + 0.5 * praw.get(d, 0.0)) for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == [(d, round(s, 9)) for d, s in want] and got
+    assert set(d for d, _ in got) <= set(base)

@@ -100,3 +100,46 @@ def test_mixed_terms_and_phrase_sum_scores(spark, transcripts, tmp_path):
     only_phrase = set(p_scores) - set(t_scores)
     if only_phrase:
         assert only_phrase <= set(got)
+
+
+def test_search_bool_structured_equals_dsl(spark, transcripts, tmp_path):
+    """The structured bool API and the query_string DSL are two views of
+    the same executor: equivalent inputs give identical results, across
+    the pure-term, pure-phrase, and mixed paths."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    path = str(tmp_path / "boolidx")
+    build_index(spark, transcripts, path, docs_per_shard=256, n_buckets=8, positions=True)
+    idx = Index(spark, path)
+    toks = tokenize_text(transcripts.first()["text"])
+    phrase = " ".join(toks[2:4])
+
+    pairs = [
+        (
+            idx.search_bool(should=["w00000 w00003"], k=50),
+            idx.query_string("w00000 w00003", 50),
+        ),
+        (
+            idx.search_bool(phrases=[(phrase, 0)], k=50),
+            idx.query_string(f'"{phrase}"', 50),
+        ),
+        (
+            idx.search_bool(
+                should=["w00000"],
+                must=["w00003"],
+                must_not=["w00250"],
+                phrases=[(phrase, 0)],
+                k=50,
+            ),
+            idx.query_string(f'w00000 +w00003 -w00250 "{phrase}"', 50),
+        ),
+        (
+            idx.search_bool(should=["w00000"], filters=[("role", "user")], k=50),
+            idx.query_string("w00000 role:user", 50),
+        ),
+    ]
+    for got_df, want_df in pairs:
+        assert _rows(got_df) == _rows(want_df)
+        assert _rows(got_df)
