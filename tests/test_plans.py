@@ -91,3 +91,22 @@ def test_ann_and_ivf_scans_are_partition_pruned(spark, transcripts, tmp_path):
     plan = _plan(ivf_search(spark, ivf_wh, [float(x) for x in vecs[0]], 5, nprobe=2))
     seg = plan[plan.index("PartitionFilters") :]
     assert "list_id" in seg[: seg.index("]") + 1]
+
+
+def test_function_score_join_is_column_pruned(spark, built_index):
+    """function_score joins the doc store pruned to (doc_id, field) —
+    the plan must not read the text column."""
+    idx, _ = built_index
+    plan = _plan(idx.function_score("w00000 w00412", "turn_idx", 10, modifier="log1p"))
+    docs_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "turn_idx" in ln
+    ]
+    assert docs_scans and all("text" not in ln for ln in docs_scans)
+
+
+def test_significant_terms_sizes_are_broadcast(spark, built_index):
+    """The two one-row size aggregates must join via broadcast (nested
+    loop on a 1-row side), never a shuffle keyed on them."""
+    idx, _ = built_index
+    plan = _plan(idx.significant_terms("w00000 w00412", size=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

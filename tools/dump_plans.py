@@ -125,6 +125,31 @@ def main() -> None:
         )
     )
 
+    sig = idx.significant_terms("w00000 w00412", size=5)
+    sections.append(
+        (
+            "significant_terms (JLH foreground/background)",
+            "Both frequency sides come off the SAME distinct (doc, term) "
+            "aggregation; the two one-row size aggregates join in as "
+            "BroadcastNestedLoopJoin (1-row broadcasts, not shuffles) — so "
+            "the operator costs one token-stream aggregation regardless of "
+            "vocabulary or corpus width.",
+            plan_of(sig),
+        )
+    )
+
+    fs = idx.function_score("w00000 w00412", "turn_idx", 10, modifier="log1p")
+    sections.append(
+        (
+            "function_score (field_value_factor rescoring)",
+            "The score-all BM25 plan plus ONE join against the doc store "
+            "column-pruned to (doc_id, field) — ReadSchema shows only the "
+            "two columns — and a TakeOrderedAndProject. Rescoring by a "
+            "document field never rereads text or re-runs scoring.",
+            plan_of(fs),
+        )
+    )
+
     pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
     sections.append(
         (
