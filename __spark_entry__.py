@@ -456,6 +456,46 @@ def q_collapse_topk(spark, sf_dir):
     return out.select("lang", "doc_id", F.round("score", 4).alias("score_r"))
 
 
+def q_agg_nested_terms(spark, sf_dir):
+    """ES two-level bucket agg: terms(lang) → terms(source) with an avg
+    n_chars leaf metric over the match set — top 3 langs × 2 sources,
+    ES bucket ordering (parent count desc, child count desc)."""
+    return _cached_idx(spark, sf_dir).nested_terms_agg(
+        BM25_QUERY, "lang", "source", "n_chars", ("avg",), size=3, child_size=2
+    )
+
+
+def q_agg_filters(spark, sf_dir):
+    """ES filters aggregation: named predicate buckets (+ the _other_
+    bucket) counted over the match set in one pass."""
+    return _cached_idx(spark, sf_dir).filters_agg(
+        BM25_QUERY, {"long": "n_chars >= 300", "es_fr": "lang IN ('es', 'fr')"}
+    )
+
+
+def q_agg_global(spark, sf_dir):
+    """ES global bucket: corpus-wide n_chars stats escaping the query
+    scope (deletes still honored)."""
+    return _cached_idx(spark, sf_dir).global_agg("n_chars")
+
+
+def q_sort_topk(spark, sf_dir):
+    """ES sort-by-field search: top-10 matching docs by n_chars desc
+    (no scoring at all — ES skips _score when a field sort replaces it)."""
+    return _cached_idx(spark, sf_dir).search_sort(BM25_QUERY, "n_chars", K)
+
+
+def q_boosting_topk(spark, sf_dir):
+    """ES boosting query: BM25 on the positive query with docs matching
+    the negative query demoted ×0.2 (never excluded)."""
+    out = _cached_idx(spark, sf_dir).search_boosting(
+        BM25_QUERY, BM25_AND_QUERY, 0.2, K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_terms_metric(spark, sf_dir):
     """ES terms aggregation with nested avg/max metric sub-aggs: per-lang
     doc count + n_chars stats over the match set (count-desc buckets)."""
@@ -912,6 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_terms_metric": q_agg_terms_metric,
+        "agg_nested_terms": q_agg_nested_terms,
+        "agg_filters": q_agg_filters,
+        "agg_global": q_agg_global,
+        "sort_topk": q_sort_topk,
+        "boosting_topk": q_boosting_topk,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -1658,6 +1703,85 @@ FROM documents WHERE doc_id IN ({_MATCHED})
 GROUP BY lang ORDER BY n DESC, lang LIMIT 10
 """
 
+_AGG_NESTED_TERMS_SQL = f"""
+WITH leaves AS (
+  SELECT lang AS parent, source AS child, count(*)::BIGINT AS n,
+         round(avg(n_chars), 6)::DOUBLE AS avg_v
+  FROM documents WHERE doc_id IN ({_MATCHED})
+  GROUP BY lang, source
+),
+tot AS (
+  SELECT *, sum(n) OVER (PARTITION BY parent)::BIGINT AS parent_n FROM leaves
+),
+ranked AS (
+  SELECT *,
+         dense_rank() OVER (ORDER BY parent_n DESC, parent) AS pr,
+         row_number() OVER (PARTITION BY parent ORDER BY n DESC, child) AS cr
+  FROM tot
+)
+SELECT parent, child, n, avg_v, parent_n
+FROM ranked WHERE pr <= 3 AND cr <= 2
+ORDER BY parent_n DESC, parent, n DESC, child
+"""
+
+_AGG_FILTERS_SQL = f"""
+WITH scoped AS (SELECT * FROM documents WHERE doc_id IN ({_MATCHED}))
+SELECT bucket, n FROM (
+  SELECT 'long' AS bucket,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n FROM scoped
+  UNION ALL
+  SELECT 'es_fr',
+         sum(CASE WHEN lang IN ('es', 'fr') THEN 1 ELSE 0 END)::BIGINT FROM scoped
+  UNION ALL
+  SELECT '_other_',
+         sum(CASE WHEN NOT (n_chars >= 300) AND NOT (lang IN ('es', 'fr'))
+             THEN 1 ELSE 0 END)::BIGINT FROM scoped
+)
+ORDER BY bucket
+"""
+
+_AGG_GLOBAL_SQL = """
+SELECT count(*)::BIGINT AS n,
+       min(n_chars)::DOUBLE AS min_v,
+       max(n_chars)::DOUBLE AS max_v,
+       round(sum(n_chars), 6)::DOUBLE AS sum_v,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v
+FROM documents
+"""
+
+_SORT_TOPK_SQL = f"""
+SELECT doc_id, n_chars::DOUBLE AS sort_value
+FROM documents WHERE doc_id IN ({_MATCHED})
+ORDER BY n_chars DESC, doc_id
+LIMIT {K}
+"""
+
+
+def _bm25_boosting_sql(positive: str, negative: str, boost: float, k: int = K) -> str:
+    """Boosting-query oracle: positive BM25 scores, ×boost for docs
+    containing any negative term (demoted, not excluded)."""
+    import re
+
+    neg_terms = sorted(set(re.findall(r"[a-z0-9]+", negative.lower())))
+    neg_list = ", ".join(f"'{t}'" for t in neg_terms)
+    return _bm25_variant_sql(
+        positive,
+        f"""SELECT doc_id,
+       row_number() OVER (ORDER BY adj DESC, doc_id) AS rank,
+       round(adj, 4) AS score_r
+FROM (
+  SELECT s.doc_id,
+         CASE WHEN s.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_list}))
+              THEN s.score * {boost} ELSE s.score END AS adj
+  FROM scored s
+)
+ORDER BY adj DESC, doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
 _EXPLAIN_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -1804,6 +1928,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_cardinality": _AGG_CARD_SQL,
         "agg_top_hits": _AGG_TOPHITS_SQL,
         "agg_terms_metric": _AGG_TERMS_METRIC_SQL,
+        "agg_nested_terms": _AGG_NESTED_TERMS_SQL,
+        "agg_filters": _AGG_FILTERS_SQL,
+        "agg_global": _AGG_GLOBAL_SQL,
+        "sort_topk": _SORT_TOPK_SQL,
+        "boosting_topk": _bm25_boosting_sql(BM25_QUERY, BM25_AND_QUERY, 0.2),
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,

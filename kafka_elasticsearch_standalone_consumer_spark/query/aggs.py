@@ -178,6 +178,105 @@ def terms_metric(
     )
 
 
+def nested_terms(
+    df: DataFrame,
+    parent_field: str,
+    child_field: str,
+    metric_field: str | None = None,
+    metrics: tuple[str, ...] = (),
+    size: int = 10,
+    child_size: int = 10,
+) -> DataFrame:
+    """ES two-level bucket aggregation: ``terms(parent) → terms(child)``
+    with optional metric sub-aggs on the leaves — the `group by country,
+    then browser per country` idiom (ES 1.5.1's nested-aggregation API,
+    reference ``pom.xml:22``; the reference's ES mappings invite exactly
+    this over index/type routing fields, reference ``IndexHandler.java``).
+
+    Either field may be a SQL *expression* (e.g. a ``date_trunc``), which
+    is how ES nests date_histogram under terms — the expression is
+    aliased to ``parent`` / ``child`` in the output.
+
+    One groupBy on the composite (parent, child) key computes every leaf
+    (map-side partial aggregation, key cardinality = bucket product);
+    parent totals and ranks ride TWO windows keyed on the parent only.
+    At 100 TB that is one exchange on the composite key plus one on the
+    parent key over *bucket rows* (not doc rows) — the post-aggregation
+    data is tiny, so the windows are free relative to the scan.
+
+    Output: (parent, child, n, [metric_v...], parent_n), ordered ES-style:
+    parent buckets by total count desc (parent asc ties), children inside
+    a parent by count desc (child asc ties); top ``size`` parents ×
+    ``child_size`` children."""
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    agg_cols = [F.count("*").cast("long").alias("n")]
+    if metric_field is not None:
+        c = F.col(metric_field).cast("double")
+        agg_cols += [F.round(fns[m](c), 6).alias(f"{m}_v") for m in metrics]
+    leaves = df.groupBy(
+        F.expr(parent_field).alias("parent"), F.expr(child_field).alias("child")
+    ).agg(*agg_cols)
+    wp = Window.partitionBy("parent")
+    leaves = leaves.withColumn("parent_n", F.sum("n").over(wp).cast("long"))
+    pw = Window.orderBy(F.desc("parent_n"), F.asc("parent"))
+    cw = Window.partitionBy("parent").orderBy(F.desc("n"), F.asc("child"))
+    return (
+        leaves.withColumn("parent_rank", F.dense_rank().over(pw))
+        .withColumn("child_rank", F.row_number().over(cw))
+        .filter((F.col("parent_rank") <= size) & (F.col("child_rank") <= child_size))
+        .drop("parent_rank", "child_rank")
+        .orderBy(F.desc("parent_n"), F.asc("parent"), F.desc("n"), F.asc("child"))
+    )
+
+
+def filters_counts(
+    df: DataFrame, filters: dict[str, str], other_bucket: bool = True
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per SQL predicate,
+    counted over the scoped docs, plus ES's optional ``_other_`` bucket
+    (docs matching none of the filters). Buckets may overlap, exactly as
+    in ES — each predicate is evaluated independently.
+
+    A single pass: every bucket is a conditional count inside ONE
+    aggregation (no per-filter jobs, no second scan for ``_other_``), then
+    the 1-row wide result is unpivoted to (bucket, n) rows with ``stack``
+    — driver-cheap and scan-minimal at any scale.
+
+    Output: (bucket, n) ordered by bucket name asc (``_other_`` first by
+    its ES-reserved name)."""
+    names = sorted(filters)
+    conds = {n: F.expr(filters[n]) for n in names}
+    agg_cols = [
+        F.sum(F.when(conds[n], 1).otherwise(0)).cast("long").alias(f"b{i}")
+        for i, n in enumerate(names)
+    ]
+    if other_bucket:
+        none_match = None
+        for n in names:
+            none_match = ~conds[n] if none_match is None else (none_match & ~conds[n])
+        agg_cols.append(
+            F.sum(F.when(none_match, 1).otherwise(0)).cast("long").alias("b_other")
+        )
+    wide = df.agg(*agg_cols)
+    pairs = [f"'{n}', b{i}" for i, n in enumerate(names)]
+    if other_bucket:
+        pairs.append("'_other_', b_other")
+    n_cols = len(pairs)
+    return (
+        wide.select(
+            F.expr(f"stack({n_cols}, {', '.join(pairs)}) AS (bucket, n)")
+        ).orderBy("bucket")
+    )
+
+
+def missing_count(df: DataFrame, field: str) -> DataFrame:
+    """ES ``missing`` aggregation: how many scoped docs lack a value for
+    ``field`` (NULL). One conditional count — a single aggregation."""
+    return df.agg(
+        F.sum(F.when(F.col(field).isNull(), 1).otherwise(0)).cast("long").alias("n_missing")
+    )
+
+
 def date_histogram(df: DataFrame, ts_field: str, unit: str = "day") -> DataFrame:
     """ES date_histogram: calendar-interval buckets (day/month/year/hour),
     emitted as strings so cross-engine comparisons are timezone-stable

@@ -397,8 +397,14 @@ class Index:
         mode: str = "bmw",
         where: str | None = None,
         min_should_match: int = 1,
+        min_score: float | None = None,
     ) -> DataFrame:
         """Top-k BM25 (OR semantics). mode: bmw | exact | intersect.
+
+        ``min_score`` (ES query option): drop hits scoring below the
+        threshold. Applied AFTER the top-k — equivalent to ES's
+        pre-top-k filter because the score order is total: every doc
+        below ``min_score`` ranks below every kept hit anyway.
 
         ``where`` is an optional SQL predicate over the document columns
         (e.g. ``"role = 'user' AND ts >= '2026-01-02'"``) — the ES bool
@@ -493,7 +499,10 @@ class Index:
                 .cogroup(mask_df.groupBy("shard"))
                 .applyInPandas(cg, schema=TOPK_SCHEMA)
             )
-        return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        out = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if min_score is not None:
+            out = out.filter(F.col("score") >= float(min_score))
+        return out
 
     def search_local(
         self, query_text: str, k: int = 10, mode: str = "bmw"
@@ -1464,6 +1473,81 @@ class Index:
             return self.spark.createDataFrame([], schema)
         return aggs.terms_metric(scoped, bucket_by, metric_field, metrics, size)
 
+    def nested_terms_agg(
+        self,
+        query_text: str,
+        parent_by: str,
+        child_by: str,
+        metric_field: str | None = None,
+        metrics: tuple[str, ...] = (),
+        size: int = 10,
+        child_size: int = 10,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES two-level bucket aggregation over the matching docs:
+        ``terms(parent_by) → terms(child_by)`` with optional leaf metric
+        sub-aggs. Either level may be a SQL expression, which is how ES
+        nests date_histogram under terms (see aggs.nested_terms)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            schema = "parent string, child string, n long, " + "".join(
+                f"{m}_v double, " for m in metrics
+            ) + "parent_n long"
+            return self.spark.createDataFrame([], schema)
+        return aggs.nested_terms(
+            scoped, parent_by, child_by, metric_field, metrics, size, child_size
+        )
+
+    def filters_agg(
+        self,
+        query_text: str,
+        filters: dict[str, str],
+        other_bucket: bool = True,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``filters`` aggregation over the matching docs: one named
+        bucket per SQL predicate (+ ES's ``_other_`` bucket), all counted
+        in a single pass (see aggs.filters_counts)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "bucket string, n long")
+        return aggs.filters_counts(scoped, filters, other_bucket)
+
+    def global_agg(self, field: str) -> DataFrame:
+        """ES ``global`` bucket: statistics over ALL live documents,
+        escaping the query scope entirely (the `compare matches vs the
+        whole corpus` idiom). Deletes still apply — a global bucket never
+        resurrects tombstoned docs."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        docs = self._docs_df()
+        deletes = self._deletes_df()
+        if deletes is not None:
+            docs = docs.join(deletes, "doc_id", "left_anti")
+        return aggs.stats_summary(docs, field)
+
+    def missing_agg(
+        self,
+        query_text: str,
+        field: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``missing`` aggregation: count of matching docs with a NULL
+        ``field`` (one conditional count over the scoped set)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "n_missing long")
+        return aggs.missing_count(scoped, field)
+
     def explain_score(self, query_text: str, doc_id: int) -> DataFrame:
         """ES ``_explain`` parity: the per-term BM25 breakdown of one
         document's score for a query — (term, w, tf, df, idf,
@@ -1683,6 +1767,68 @@ class Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_sort(
+        self,
+        query_text: str,
+        sort_by: str,
+        k: int = 10,
+        ascending: bool = False,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``sort``-by-field search: the top ``k`` matching documents
+        ordered by a document field instead of relevance (ES skips
+        scoring entirely when a field sort replaces ``_score``; so do we
+        — no BM25 work at all). Ties break by doc_id asc, ES's
+        deterministic tiebreak.
+
+        Declarative: term-pruned match set → semi-join the (doc_id,
+        field) projection → TakeOrderedAndProject. No global sort — at
+        100 TB this is a per-partition top-k + a k-row merge on the
+        driver side of the exchange."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "doc_id long, sort_value double")
+        order = F.asc(sort_by) if ascending else F.desc(sort_by)
+        return (
+            scoped.select("doc_id", F.col(sort_by).cast("double").alias("sort_value"))
+            .orderBy(order, F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.2,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``boosting`` query: docs matching the ``positive`` query
+        keep their BM25 score unless they also match the ``negative``
+        query, in which case the score is multiplied by
+        ``negative_boost`` (demoted, never excluded — the difference
+        from a ``must_not`` clause).
+
+        Declarative: the score-all path for the positive query, a
+        term-pruned match set for the negative terms, one left-semi-
+        shaped left join to flag demotions, TopK. The negative side never
+        scores — membership only — so its cost is a pruned tokens scan +
+        one aggregation regardless of corpus width."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        scored = self.search_oracle(positive, None, where=where)
+        neg_terms = sorted(set(tokenize_text(negative)))
+        if neg_terms:
+            neg = self._match_set(neg_terms, 1).withColumn("neg", F.lit(True))
+            scored = scored.join(neg, "doc_id", "left").select(
+                "doc_id",
+                F.when(
+                    F.col("neg"), F.col("score") * F.lit(float(negative_boost))
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def rescore(
         self,

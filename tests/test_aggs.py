@@ -163,3 +163,79 @@ def test_agg_scope_respects_filter_and_msm(spark, built_index):
     assert got == dict(want)
     # empty query -> empty result, stable schema
     assert idx.histogram("", "turn_idx", 5.0).count() == 0
+
+
+def test_nested_terms_matches_python(spark, built_index):
+    """Two-level terms agg (parent=role, child=expression) vs a pure-
+    Python recomputation, including ES bucket ordering and the
+    parent_n window total."""
+    idx, _ = built_index
+    got = idx.nested_terms_agg(
+        Q, "role", "cast(turn_idx % 3 as string)", "turn_idx", ("avg",),
+        size=2, child_size=2,
+    ).collect()
+
+    leaves: dict = {}
+    for r in _matched_rows(idx, Q):
+        leaves.setdefault((r["role"], str(r["turn_idx"] % 3)), []).append(r["turn_idx"])
+    parent_n = Counter()
+    for (p, _c), vs in leaves.items():
+        parent_n[p] += len(vs)
+    # top-2 parents by total desc (name asc ties), top-2 children by n desc
+    parents = sorted(parent_n, key=lambda p: (-parent_n[p], p))[:2]
+    want = []
+    for p in parents:
+        kids = sorted(
+            ((c, vs) for (pp, c), vs in leaves.items() if pp == p),
+            key=lambda x: (-len(x[1]), x[0]),
+        )[:2]
+        for c, vs in kids:
+            want.append((p, c, len(vs), round(sum(vs) / len(vs), 6), parent_n[p]))
+    assert [
+        (r["parent"], r["child"], r["n"], r["avg_v"], r["parent_n"]) for r in got
+    ] == want and got
+
+
+def test_filters_agg_matches_python(spark, built_index):
+    """Named predicate buckets + _other_ over the match scope; buckets
+    may overlap (each predicate independent, ES semantics)."""
+    idx, _ = built_index
+    got = {
+        r["bucket"]: r["n"]
+        for r in idx.filters_agg(
+            Q, {"early": "turn_idx < 3", "assistant": "role = 'assistant'"}
+        ).collect()
+    }
+    rows = _matched_rows(idx, Q)
+    want = {
+        "early": sum(1 for r in rows if r["turn_idx"] < 3),
+        "assistant": sum(1 for r in rows if r["role"] == "assistant"),
+        "_other_": sum(
+            1 for r in rows if not (r["turn_idx"] < 3) and r["role"] != "assistant"
+        ),
+    }
+    assert got == want and got["early"] > 0
+    # overlap is allowed: bucket sums may exceed the scope size
+    assert sum(want.values()) >= len(rows) or sum(want.values()) <= 3 * len(rows)
+
+
+def test_global_agg_escapes_query_scope(spark, built_index):
+    idx, _ = built_index
+    row = idx.global_agg("turn_idx").collect()[0]
+    vals = [r["turn_idx"] for r in idx._docs_df().collect()]
+    assert row["n"] == len(vals) and row["min_v"] == min(vals)
+    assert row["max_v"] == max(vals)
+    # and it is WIDER than any query scope
+    assert row["n"] >= len(_matched_rows(idx, Q))
+
+
+def test_missing_agg_counts_nulls(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "x"), (1, "alpha gamma", None), (2, "alpha beta", None)],
+        "doc_id long, text string, tag string",
+    )
+    idx = Index.ephemeral(docs, docs_per_shard=8, n_buckets=4)
+    assert idx.missing_agg("alpha", "tag").collect()[0]["n_missing"] == 2
+    assert idx.missing_agg("beta", "tag").collect()[0]["n_missing"] == 1

@@ -415,3 +415,68 @@ def test_suggest_complete(spark, built_index):
     )[:5]
     assert got == want and got
     assert idx.suggest_complete("zzz", 5).count() == 0
+
+
+def test_search_sort_by_field(spark, built_index):
+    """ES sort-by-field: matching docs ordered by the field (desc,
+    doc_id-asc ties), no scoring — verified against a Python sort of the
+    fetched match set."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    got = [(r["doc_id"], r["sort_value"]) for r in idx.search_sort(q, "turn_idx", 7).collect()]
+    terms = set(tokenize_text(q))
+    rows = [
+        (r["doc_id"], float(r["turn_idx"]))
+        for r in idx._docs_df().collect()
+        if terms & set(tokenize_text(r["text"]))
+    ]
+    want = sorted(rows, key=lambda x: (-x[1], x[0]))[:7]
+    assert got == want and got
+    # ascending flips the order
+    got_asc = [(r["doc_id"], r["sort_value"]) for r in idx.search_sort(q, "turn_idx", 7, ascending=True).collect()]
+    assert got_asc == sorted(rows, key=lambda x: (x[1], x[0]))[:7]
+
+
+def test_boosting_query_demotes_not_excludes(spark, built_index):
+    """ES boosting query: positive scores ×negative_boost for docs
+    matching the negative query; rank-checked against the score-all
+    oracle + a Python demotion."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    pos, neg, nb = "w00000 w00003", "w00001", 0.25
+    scored = {r["doc_id"]: r["score"] for r in idx.search_oracle(pos, None).collect()}
+    neg_terms = set(tokenize_text(neg))
+    neg_docs = {
+        r["doc_id"]
+        for r in idx._docs_df().collect()
+        if neg_terms & set(tokenize_text(r["text"]))
+    }
+    want = sorted(
+        ((d, s * nb if d in neg_docs else s) for d, s in scored.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [(r["doc_id"], r["score"]) for r in idx.search_boosting(pos, neg, nb, 10).collect()]
+    assert [(d, round(s, 9)) for d, s in got] == [(d, round(s, 9)) for d, s in want]
+    # demoted docs are still present somewhere in the full order (never excluded)
+    full = idx.search_boosting(pos, neg, nb, len(scored)).collect()
+    assert {r["doc_id"] for r in full} == set(scored)
+    # empty negative == plain search
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_oracle(pos, 10).collect()]
+    got_empty = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_boosting(pos, "", nb, 10).collect()]
+    assert got_empty == plain
+
+
+def test_min_score_filters_topk(spark, built_index):
+    idx, _ = built_index
+    q = "w00000 w00003"
+    base = idx.search(q, 10).collect()
+    cut = base[4]["score"]  # threshold between hit 5 and 6
+    got = idx.search(q, 10, min_score=cut).collect()
+    want = [r for r in base if r["score"] >= cut]
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert len(got) >= 5 and len(got) <= len(base)
