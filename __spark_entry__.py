@@ -496,6 +496,24 @@ def q_boosting_topk(spark, sf_dir):
     )
 
 
+def q_common_terms_topk(spark, sf_dir):
+    """ES common_terms query: 'dup' (df 5%) selects, 'join hash' (df
+    ~79%) only score docs already containing 'dup' — cutoff 0.5."""
+    out = _cached_idx(spark, sf_dir).search_common_terms(
+        "dup join hash", K, cutoff_frequency=0.5
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester: 'the strem tabel' → 'the stream table' via
+    per-slot dictionary candidates + Laplace bigram LM + edit channel."""
+    out = _cached_idx(spark, sf_dir).suggest_phrase("the strem tabel", size=3)
+    return out.select("suggestion", F.round("score", 4).alias("score_r"))
+
+
 def q_agg_terms_metric(spark, sf_dir):
     """ES terms aggregation with nested avg/max metric sub-aggs: per-lang
     doc count + n_chars stats over the match set (count-desc buckets)."""
@@ -957,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global": q_agg_global,
         "sort_topk": q_sort_topk,
         "boosting_topk": q_boosting_topk,
+        "common_terms_topk": q_common_terms_topk,
+        "suggest_phrase": q_suggest_phrase,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -1782,6 +1802,123 @@ LIMIT {k}
     )
 
 
+def _bm25_common_terms_sql(query: str, cutoff: float, k: int = K) -> str:
+    """common_terms oracle: scored docs restricted to those containing a
+    low-frequency query term — the low/high split derived in SQL from the
+    SAME df/n rule the engine plans driver-side."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+WHERE doc_id IN (
+  SELECT DISTINCT t.doc_id
+  FROM toks t JOIN df ON t.term = df.term CROSS JOIN corpus
+  WHERE df.df / corpus.n <= {cutoff}
+)
+ORDER BY score DESC, doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _phrase_suggest_sql(
+    text: str,
+    size: int = 3,
+    gen_size: int = 5,
+    rwel: float = 0.95,
+    err: float = 0.5,
+) -> str:
+    """Phrase-suggester oracle: mirrors Index.suggest_phrase exactly —
+    per-slot candidates (first-char prefix, |len diff| ≤ 1, Damerau-
+    Levenshtein ≤ 1, ranked dist asc / df desc / term asc, top gen_size,
+    original always kept), Laplace bigram LM + edit channel, confidence
+    gate vs the input phrase's own score."""
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    n = len(toks)
+    cands = []
+    for i, tok in enumerate(toks):
+        cands.append(f"""cand{i} AS (
+  SELECT term, dist FROM (
+    SELECT d.term, damerau_levenshtein('{tok}', d.term) AS dist,
+           row_number() OVER (
+             ORDER BY damerau_levenshtein('{tok}', d.term), d.df DESC, d.term
+           ) AS rn
+    FROM dict d
+    WHERE d.term <> '{tok}' AND left(d.term, 1) = '{tok[0]}'
+      AND abs(len(d.term) - {len(tok)}) <= 1
+      AND damerau_levenshtein('{tok}', d.term) <= 1
+  ) WHERE rn <= {gen_size}
+  UNION ALL SELECT '{tok}', 0
+)""")
+    combo_cols = ", ".join(
+        f"c{i}.term AS w{i}, c{i}.dist AS d{i}" for i in range(n)
+    )
+    combo_from = " CROSS JOIN ".join(f"cand{i} c{i}" for i in range(n))
+    sugg = " || ' ' || ".join(f"w{i}" for i in range(n))
+    uni_joins = "\n  ".join(
+        f"LEFT JOIN uni u{i} ON u{i}.term = w{i}" for i in range(n)
+    )
+    big_joins = "\n  ".join(
+        f"LEFT JOIN big b{i} ON b{i}.pair = w{i} || ' ' || w{i + 1}"
+        for i in range(n - 1)
+    )
+    score = [f"ln((coalesce(u0.c, 0) + 0.5) / (corpus.n + 0.5 * corpus.v))"]
+    for i in range(n - 1):
+        score.append(
+            f"ln((coalesce(b{i}.c, 0) + 0.5) / (coalesce(u{i}.c, 0) + 0.5 * corpus.v))"
+        )
+    for i, tok in enumerate(toks):
+        score.append(
+            f"(CASE WHEN w{i} = '{tok}' THEN ln({rwel}) ELSE d{i} * ln({err}) END)"
+        )
+    score_expr = "\n    + ".join(score)
+    input_phrase = " ".join(toks)
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT term, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY term
+),
+corpus AS (
+  SELECT sum(len(toks))::DOUBLE AS n,
+         (SELECT count(*) FROM dict)::DOUBLE AS v
+  FROM t
+),
+big AS (
+  SELECT a || ' ' || b AS pair, count(*)::DOUBLE AS c
+  FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  ) GROUP BY 1
+),
+{", ".join(cands)},
+combos AS (SELECT {combo_cols} FROM {combo_from}),
+scored AS (
+  SELECT {sugg} AS suggestion,
+    {score_expr} AS score
+  FROM combos
+  {uni_joins}
+  {big_joins}
+  CROSS JOIN corpus
+)
+SELECT suggestion, round(score, 4) AS score_r
+FROM scored
+WHERE suggestion <> '{input_phrase}'
+  AND score > (SELECT score FROM scored WHERE suggestion = '{input_phrase}')
+ORDER BY score DESC, suggestion
+LIMIT {size}
+"""
+
+
 _EXPLAIN_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -1933,6 +2070,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_global": _AGG_GLOBAL_SQL,
         "sort_topk": _SORT_TOPK_SQL,
         "boosting_topk": _bm25_boosting_sql(BM25_QUERY, BM25_AND_QUERY, 0.2),
+        "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
+        "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,

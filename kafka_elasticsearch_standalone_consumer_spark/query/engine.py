@@ -1675,6 +1675,155 @@ class Index:
             [(t, int(f)) for t, f in ranked], out_schema
         )
 
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 3,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        gen_size: int = 5,
+        real_word_error_likelihood: float = 0.95,
+        error_likelihood: float = 0.5,
+        confidence: float = 1.0,
+        max_combinations: int = 10_000,
+    ) -> DataFrame:
+        """ES phrase suggester ("did you mean" for whole phrases): per-slot
+        candidates from the term dictionary (prefix-pruned, Damerau-
+        Levenshtein ≤ ``max_edits`` — the same direct generator as
+        :meth:`suggest_terms`), candidate *sequences* ranked by a
+        Laplace-smoothed bigram language model over the corpus plus an
+        edit channel:
+
+        * ``P(w_0) = (uni(w_0)+0.5)/(N+0.5·V)``;
+          ``P(w_i|w_{i-1}) = (big(w_{i-1},w_i)+0.5)/(uni(w_{i-1})+0.5·V)``
+          (uni = total occurrences, big = adjacent-pair count, N = corpus
+          token count, V = vocabulary size);
+        * channel: a kept token contributes ``ln(real_word_error_
+          likelihood)`` (ES's knob of the same name), a replaced token
+          ``dist·ln(error_likelihood)``;
+        * only sequences beating the input phrase's own score ×
+          ``confidence`` are returned (ES's confidence gate), the input
+          sequence itself never is.
+
+        Distribution shape: candidate generation is a driver-side pruned
+        dictionary read; the LM needs ONE term-pruned tokens aggregation
+        (unigrams) and ONE corpus pass producing adjacent pairs filtered
+        to the ~|slots|·gen_size² candidate bigrams before the count —
+        both scan-heavy but reduction-light, fine at 100 TB (a production
+        deployment would persist the bigram table once; the on-demand
+        pass is the same plan reading it). Sequence enumeration is over
+        ≤ gen_size^|slots| driver-side combinations, capped."""
+        import math
+
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            tokenize_col,
+            tokenize_text,
+        )
+
+        out_schema = "suggestion string, score double"
+        toks = tokenize_text(text)
+        if not toks or prefix_length < 1:
+            return self.spark.createDataFrame([], out_schema)
+
+        # per-slot candidates: original always kept; near terms ranked
+        # (dist asc, df desc, term asc) top gen_size — suggest_terms' rule
+        slot_cands: dict[str, list[tuple[str, int]]] = {}
+        for tok in dict.fromkeys(toks):
+            cands = [(tok, 0)]
+            if len(tok) >= prefix_length:
+                near = [
+                    (t, _damerau_levenshtein(tok, t, max_edits))
+                    for t in self._expand_prefix(tok[:prefix_length], 1 << 20)
+                    if t != tok and abs(len(t) - len(tok)) <= max_edits
+                ]
+                near = [(t, d) for t, d in near if d <= max_edits]
+                if near:
+                    rows = self._lookup_terms_arrow([t for t, _ in near])
+                    if rows is None:
+                        rows = self._lookup_terms_spark([t for t, _ in near])
+                    df_by: dict[str, int] = {}
+                    for term, df, _b in rows:
+                        df_by[term] = df_by.get(term, 0) + int(df)
+                    near.sort(key=lambda td: (td[1], -df_by.get(td[0], 0), td[0]))
+                    cands += near[:gen_size]
+            slot_cands[tok] = cands
+
+        all_terms = sorted({t for cs in slot_cands.values() for t, _ in cs})
+        pair_keys = set()
+        for a_tok, b_tok in zip(toks, toks[1:]):
+            for ta, _ in slot_cands[a_tok]:
+                for tb, _ in slot_cands[b_tok]:
+                    pair_keys.add(f"{ta} {tb}")
+
+        # LM counts: one pruned tokens aggregation + one corpus pair pass
+        tokens = self._tokens_full_df()
+        uni = {
+            r["term"]: float(r["c"])
+            for r in tokens.filter(F.col("term").isin(all_terms))
+            .groupBy("term").agg(F.sum("tf").alias("c")).collect()
+        }
+        n_tokens = float(
+            tokens.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0.0
+        )
+        vocab = float(self.term_stats.select("term").distinct().count()) or 1.0
+        big: dict[str, float] = {}
+        if pair_keys:
+            pairs = (
+                self._docs_df()
+                .select(tokenize_col(F.col("text")).alias("w"))
+                .select(
+                    F.explode(
+                        # sequence() counts DOWN when stop < start, so docs
+                        # with <2 tokens must short-circuit to an empty array
+                        F.expr(
+                            "CASE WHEN size(w) >= 2 THEN "
+                            "transform(sequence(0, size(w) - 2), "
+                            "i -> concat(w[i], ' ', w[i + 1])) "
+                            "ELSE array() END"
+                        )
+                    ).alias("pair")
+                )
+                .filter(F.col("pair").isin(sorted(pair_keys)))
+                .groupBy("pair").agg(F.count("*").alias("c"))
+            )
+            big = {r["pair"]: float(r["c"]) for r in pairs.collect()}
+
+        def lm(seq: list[str]) -> float:
+            s = math.log((uni.get(seq[0], 0.0) + 0.5) / (n_tokens + 0.5 * vocab))
+            for a, b in zip(seq, seq[1:]):
+                s += math.log(
+                    (big.get(f"{a} {b}", 0.0) + 0.5) / (uni.get(a, 0.0) + 0.5 * vocab)
+                )
+            return s
+
+        def channel(seq: list[str]) -> float:
+            s = 0.0
+            for inp, w in zip(toks, seq):
+                if w == inp:
+                    s += math.log(real_word_error_likelihood)
+                else:
+                    d = _damerau_levenshtein(inp, w, max_edits)
+                    s += d * math.log(error_likelihood)
+            return s
+
+        base = lm(toks) + channel(toks)
+        combos: list[list[str]] = [[]]
+        for tok in toks:
+            nxt = [c + [t] for c in combos for t, _ in slot_cands[tok]]
+            if len(nxt) > max_combinations:
+                nxt = nxt[:max_combinations]
+            combos = nxt
+        scored = []
+        thresh = base + math.log(confidence) if confidence > 0 else -math.inf
+        for seq in combos:
+            if seq == toks:
+                continue
+            sc = lm(seq) + channel(seq)
+            if sc > thresh:
+                scored.append((" ".join(seq), sc))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return self.spark.createDataFrame(scored[:size], out_schema)
+
     def search_after(
         self,
         query_text: str,
@@ -1796,6 +1945,44 @@ class Index:
             .orderBy(order, F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_common_terms(
+        self,
+        query_text: str,
+        k: int = 10,
+        cutoff_frequency: float = 0.01,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``common`` (common_terms) query: query terms are split by
+        document frequency at ``cutoff_frequency`` (fraction of the
+        corpus). LOW-frequency terms *select* — a doc must contain at
+        least one — while HIGH-frequency terms only *score* docs already
+        selected (ES 1.x's dynamic stopword strategy: "the brown fox"
+        never scans the "the" postings list for selection).
+
+        The split is planned driver-side from the broadcast term_stats
+        (tiny); docs then come from a low-term-pruned match set — at
+        100 TB the selection scan touches only the SHORT postings lists,
+        which is the entire point of the operator — and the score-all
+        aggregation over all query terms is semi-joined down to it.
+        With no low-frequency term, ES scores everything: plain BM25."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs = float(self.meta["n_docs"]) or 1.0
+        dfs = {
+            r["term"]: float(r["df"])
+            for r in self.term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        }
+        low = [t for t in terms if dfs.get(t, 0.0) / n_docs <= cutoff_frequency]
+        scored = self.search_oracle(query_text, None, where=where)
+        if low and len(low) < len(terms):
+            scored = scored.join(self._match_set(low, 1), "doc_id", "left_semi")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_boosting(
         self,

@@ -480,3 +480,118 @@ def test_min_score_filters_topk(spark, built_index):
         (r["doc_id"], r["score"]) for r in want
     ]
     assert len(got) >= 5 and len(got) <= len(base)
+
+
+def test_common_terms_query(spark, built_index):
+    """common_terms: low-df terms select, high-df terms only score.
+    Results must be exactly the full-query scores semi-joined to docs
+    containing ≥1 low term; an all-high split falls back to plain BM25."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    n = idx.meta["n_docs"]
+    dfs = {r["term"]: r["df"] for r in idx.term_stats.select("term", "df").collect()}
+    # pick a genuinely rare and a genuinely hot term from this corpus
+    rare = min(dfs, key=lambda t: (dfs[t], t))
+    hot = max(dfs, key=lambda t: (dfs[t], t))
+    assert dfs[rare] / n < 0.05 and dfs[hot] / n > 0.2
+    q, cutoff = f"{rare} {hot}", 0.1
+
+    got = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_common_terms(q, 10, cutoff).collect()]
+    scored = {r["doc_id"]: r["score"] for r in idx.search_oracle(q, None).collect()}
+    rare_docs = {
+        r["doc_id"] for r in idx._docs_df().collect()
+        if rare in set(tokenize_text(r["text"]))
+    }
+    want = sorted(
+        ((d, round(s, 9)) for d, s in scored.items() if d in rare_docs),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want and got
+    # every hit contains the rare (selecting) term
+    assert {d for d, _ in got} <= rare_docs
+    # cutoff above every df -> all terms "low" -> plain BM25 ranking
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_oracle(q, 10).collect()]
+    allow_all = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_common_terms(q, 10, 1.0).collect()]
+    assert allow_all == plain
+
+
+def test_suggest_phrase_matches_python_lm(spark, built_index):
+    """Phrase suggester vs a full pure-Python recomputation: per-slot
+    dictionary candidates (DL≤1, dist/df/term ranking), Laplace bigram
+    LM + edit channel, confidence gate. The engine's list must equal the
+    Python argmax list exactly."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+
+    idx, _ = built_index
+    text, gen, size = "w00000 w0001", 5, 3
+
+    # corpus model in Python
+    docs = [r["text"] for r in idx._docs_df().select("text").collect()]
+    uni: dict = {}
+    big: dict = {}
+    n_tokens = 0
+    for d in docs:
+        ws = tokenize_text(d)
+        n_tokens += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    dfs: dict = {}
+    for d in docs:
+        for w in set(tokenize_text(d)):
+            dfs[w] = dfs.get(w, 0) + 1
+    vocab = float(len(uni))
+
+    toks = tokenize_text(text)
+    slots = []
+    for tok in toks:
+        near = [
+            (t, _damerau_levenshtein(tok, t, 1))
+            for t in sorted(uni)
+            if t != tok and t[0] == tok[0] and abs(len(t) - len(tok)) <= 1
+        ]
+        near = [(t, d) for t, d in near if d <= 1]
+        near.sort(key=lambda td: (td[1], -dfs.get(td[0], 0), td[0]))
+        slots.append([(tok, 0)] + near[:gen])
+
+    def score(seq):
+        s = math.log((uni.get(seq[0], 0) + 0.5) / (n_tokens + 0.5 * vocab))
+        for a, b in zip(seq, seq[1:]):
+            s += math.log((big.get((a, b), 0) + 0.5) / (uni.get(a, 0) + 0.5 * vocab))
+        for inp, w in zip(toks, seq):
+            s += math.log(0.95) if w == inp else _damerau_levenshtein(inp, w, 1) * math.log(0.5)
+        return s
+
+    import itertools
+
+    base = score(toks)
+    want = sorted(
+        (
+            (" ".join(seq), score(list(seq)))
+            for seq in itertools.product(*[[t for t, _ in s] for s in slots])
+            if list(seq) != toks and score(list(seq)) > base
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:size]
+    got = [
+        (r["suggestion"], r["score"])
+        for r in idx.suggest_phrase(text, size=size, gen_size=gen).collect()
+    ]
+    assert [(s, round(v, 9)) for s, v in got] == [(s, round(v, 9)) for s, v in want]
+    assert got, "expected at least one correction for the misspelled slot"
+    # the confidence gate: every suggestion beats the input's own score,
+    # and the input sequence itself is never returned
+    assert all(s != " ".join(toks) and v > base for s, v in got)
+    # with real_word_error_likelihood=1 and err→0 no real-word phrase can
+    # be "corrected": keeping every in-vocab token dominates
+    kept = idx.suggest_phrase(
+        "w00000 w00001", size=3, real_word_error_likelihood=1.0, error_likelihood=1e-9
+    )
+    assert kept.count() == 0
