@@ -507,6 +507,20 @@ def q_common_terms_topk(spark, sf_dir):
     )
 
 
+def q_agg_composite(spark, sf_dir):
+    """ES composite aggregation: (lang, source) buckets in key order with
+    an avg-n_chars sub-agg, page of 5 resuming AFTER the ('en', 'src2')
+    key — the paginate-all-buckets idiom."""
+    return _cached_idx(spark, sf_dir).composite_agg(
+        BM25_QUERY,
+        [("lang", "lang"), ("source", "source")],
+        size=5,
+        after=("en", "src2"),
+        metric_field="n_chars",
+        metrics=("avg",),
+    )
+
+
 def q_suggest_phrase(spark, sf_dir):
     """ES phrase suggester: 'the strem tabel' → 'the stream table' via
     per-slot dictionary candidates + Laplace bigram LM + edit channel."""
@@ -977,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
+        "agg_composite": q_agg_composite,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -1824,6 +1839,17 @@ LIMIT {k}
     )
 
 
+_AGG_COMPOSITE_SQL = f"""
+SELECT lang, source, count(*)::BIGINT AS n,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v
+FROM documents WHERE doc_id IN ({_MATCHED})
+GROUP BY lang, source
+HAVING (lang, source) > ('en', 'src2')
+ORDER BY lang, source
+LIMIT 5
+"""
+
+
 def _phrase_suggest_sql(
     text: str,
     size: int = 3,
@@ -2072,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         "boosting_topk": _bm25_boosting_sql(BM25_QUERY, BM25_AND_QUERY, 0.2),
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
+        "agg_composite": _AGG_COMPOSITE_SQL,
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,

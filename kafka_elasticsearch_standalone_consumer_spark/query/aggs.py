@@ -269,6 +269,53 @@ def filters_counts(
     )
 
 
+def composite_buckets(
+    df: DataFrame,
+    sources: list[tuple[str, str]],
+    size: int = 10,
+    after: tuple | None = None,
+    metric_field: str | None = None,
+    metrics: tuple[str, ...] = (),
+) -> DataFrame:
+    """ES ``composite`` aggregation: stream ALL buckets of a multi-source
+    key in deterministic key order, ``size`` at a time, resuming from an
+    ``after`` key — ES's answer to paging through millions of buckets
+    without the terms-agg top-N truncation.
+
+    ``sources`` is an ordered list of (name, SQL expression) — terms /
+    histogram / date_histogram sources are all just expressions here.
+    ``after`` is the last key tuple of the previous page; buckets
+    strictly greater (lexicographically, each source asc) come back.
+
+    This is the RIGHT shape at 100 TB: one map-side-partial aggregation
+    on the composite key, the after-key predicate applied BEFORE the
+    ordering so a deep page still only sorts surviving buckets, and a
+    TakeOrderedAndProject for the page — never a global sort of the
+    corpus, never a driver-side bucket spill."""
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    keys = [n for n, _ in sources]
+    agg_cols = [F.count("*").cast("long").alias("n")]
+    if metric_field is not None:
+        c = F.col(metric_field).cast("double")
+        agg_cols += [F.round(fns[m](c), 6).alias(f"{m}_v") for m in metrics]
+    buckets = df.groupBy(
+        *[F.expr(e).alias(n) for n, e in sources]
+    ).agg(*agg_cols)
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError("after key arity must match sources")
+        # lexicographic strictly-greater: (k0 > a0) OR (k0 = a0 AND (k1 > a1)) ...
+        pred = None
+        for i in range(len(keys) - 1, -1, -1):
+            gt = F.col(keys[i]) > F.lit(after[i])
+            if pred is None:
+                pred = gt
+            else:
+                pred = gt | ((F.col(keys[i]) == F.lit(after[i])) & pred)
+        buckets = buckets.filter(pred)
+    return buckets.orderBy(*[F.asc(k) for k in keys]).limit(size)
+
+
 def missing_count(df: DataFrame, field: str) -> DataFrame:
     """ES ``missing`` aggregation: how many scoped docs lack a value for
     ``field`` (NULL). One conditional count — a single aggregation."""

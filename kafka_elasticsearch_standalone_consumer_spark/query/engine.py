@@ -1519,6 +1519,33 @@ class Index:
             return self.spark.createDataFrame([], "bucket string, n long")
         return aggs.filters_counts(scoped, filters, other_bucket)
 
+    def composite_agg(
+        self,
+        query_text: str,
+        sources: list[tuple[str, str]],
+        size: int = 10,
+        after: tuple | None = None,
+        metric_field: str | None = None,
+        metrics: tuple[str, ...] = (),
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``composite`` aggregation over the matching docs: all
+        buckets of the multi-source key in key order, paged by ``size``
+        and resumable from the ``after`` key (see aggs.composite_buckets
+        for the scale argument)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            schema = ", ".join(f"{n} string" for n, _ in sources) + ", n long" + "".join(
+                f", {m}_v double" for m in metrics
+            )
+            return self.spark.createDataFrame([], schema)
+        return aggs.composite_buckets(
+            scoped, sources, size, after, metric_field, metrics
+        )
+
     def global_agg(self, field: str) -> DataFrame:
         """ES ``global`` bucket: statistics over ALL live documents,
         escaping the query scope entirely (the `compare matches vs the

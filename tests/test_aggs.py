@@ -239,3 +239,27 @@ def test_missing_agg_counts_nulls(spark):
     idx = Index.ephemeral(docs, docs_per_shard=8, n_buckets=4)
     assert idx.missing_agg("alpha", "tag").collect()[0]["n_missing"] == 2
     assert idx.missing_agg("beta", "tag").collect()[0]["n_missing"] == 1
+
+
+def test_composite_agg_pages_reconstruct_all_buckets(spark, built_index):
+    """ES composite agg: walking pages via after-keys must reconstruct
+    EVERY (role, turn_idx%4) bucket exactly once, in key order, with
+    counts matching a Python recomputation."""
+    idx, _ = built_index
+    sources = [("role", "role"), ("bucket4", "cast(turn_idx % 4 as string)")]
+    pages, after = [], None
+    while True:
+        page = idx.composite_agg(Q, sources, size=3, after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["role"], page[-1]["bucket4"])
+        assert len(page) <= 3
+    got = [(r["role"], r["bucket4"], r["n"]) for r in pages]
+    want = Counter((r["role"], str(r["turn_idx"] % 4)) for r in _matched_rows(idx, Q))
+    want_rows = sorted((ro, b, n) for (ro, b), n in want.items())
+    assert got == want_rows and got
+    # resuming mid-stream skips everything <= the after key
+    mid = got[2][:2]
+    resumed = idx.composite_agg(Q, sources, size=100, after=mid).collect()
+    assert [(r["role"], r["bucket4"], r["n"]) for r in resumed] == got[3:]

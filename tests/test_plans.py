@@ -110,3 +110,30 @@ def test_significant_terms_sizes_are_broadcast(spark, built_index):
     idx, _ = built_index
     plan = _plan(idx.significant_terms("w00000 w00412", size=5))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_search_sort_is_topk_not_global_sort(spark, built_index):
+    """Field-sorted search must compile to TakeOrderedAndProject (per-
+    partition top-k + k-row merge), never a global Sort, and must not
+    touch the text column after the match set is built."""
+    idx, _ = built_index
+    df = idx.search_sort("w00000 w00412", "turn_idx", 10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_composite_agg_is_paged_topk(spark, built_index):
+    """Composite agg: partial (map-side) aggregation on the composite
+    key, the after-key predicate applied before the ordering, and a
+    TakeOrderedAndProject page — no global bucket sort."""
+    idx, _ = built_index
+    df = idx.composite_agg(
+        "w00000 w00412",
+        [("role", "role"), ("b4", "cast(turn_idx % 4 as string)")],
+        size=3,
+        after=("assistant", "1"),
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # two-phase aggregation: a partial_ merge mode appears before the final
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -150,6 +150,35 @@ def main() -> None:
         )
     )
 
+    srt = idx.search_sort("w00000 w00412", "turn_idx", 10)
+    sections.append(
+        (
+            "Field-sorted search (ES sort)",
+            "No scoring at all: term-pruned match set → semi join → "
+            "TakeOrderedAndProject. A deep corpus pays per-partition top-k "
+            "plus a k-row merge — never a global sort.",
+            plan_of(srt),
+        )
+    )
+
+    comp = idx.composite_agg(
+        "w00000 w00412",
+        [("role", "role"), ("b4", "cast(turn_idx % 4 as string)")],
+        size=3,
+        after=("assistant", "1"),
+    )
+    sections.append(
+        (
+            "Composite aggregation (paged bucket streaming)",
+            "One map-side-partial aggregation on the composite key, the "
+            "after-key predicate filtering buckets BEFORE the ordering, and "
+            "a TakeOrderedAndProject for the page — paging through millions "
+            "of buckets never sorts them globally or spills them to the "
+            "driver.",
+            plan_of(comp),
+        )
+    )
+
     pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
     sections.append(
         (
