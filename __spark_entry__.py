@@ -507,6 +507,24 @@ def q_common_terms_topk(spark, sf_dir):
     )
 
 
+PERCOLATE_QUERIES = [
+    (1, "dup"),                 # rare-term alert
+    (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
+    (3, "vector stream"),       # conjunctive via 'and' handled in oracle by required
+]
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator: 3 registered queries matched against every doc —
+    (doc_id, query_id, n_matched) pairs; q2 needs ≥2 of its 3 terms
+    (minimum_should_match=2)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+
+    return percolate(
+        _docs(spark, sf_dir), PERCOLATE_QUERIES, minimum_should_match=2
+    )
+
+
 def q_agg_composite(spark, sf_dir):
     """ES composite aggregation: (lang, source) buckets in key order with
     an avg-n_chars sub-agg, page of 5 resuming AFTER the ('en', 'src2')
@@ -992,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
+        "percolate": q_percolate,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -1839,6 +1858,23 @@ LIMIT {k}
     )
 
 
+_PERCOLATE_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+),
+q(query_id, term, required) AS (VALUES
+  (1, 'dup', 1),
+  (2, 'filter', 2), (2, 'hash', 2), (2, 'join', 2),
+  (3, 'stream', 2), (3, 'vector', 2)
+)
+SELECT doc_id, query_id, count(*)::BIGINT AS n_matched
+FROM dt JOIN q USING (term)
+GROUP BY doc_id, query_id, required
+HAVING count(*) >= required
+ORDER BY doc_id, query_id
+"""
+
+
 _AGG_COMPOSITE_SQL = f"""
 SELECT lang, source, count(*)::BIGINT AS n,
        round(avg(n_chars), 6)::DOUBLE AS avg_v
@@ -2099,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "agg_composite": _AGG_COMPOSITE_SQL,
+        "percolate": _PERCOLATE_SQL,
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,

@@ -1546,6 +1546,25 @@ class Index:
             scoped, sources, size, after, metric_field, metrics
         )
 
+    def percolate(
+        self,
+        queries: list[tuple[int, str]],
+        operator: str = "or",
+        minimum_should_match: int = 1,
+    ) -> DataFrame:
+        """ES percolator over the live doc store: which registered
+        queries match each document (see query/percolate.py). Deletes
+        are honored — tombstoned docs never match."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+
+        docs = self._docs_df()
+        deletes = self._deletes_df()
+        if deletes is not None:
+            docs = docs.join(deletes, "doc_id", "left_anti")
+        return percolate(
+            docs, queries, operator=operator, minimum_should_match=minimum_should_match
+        )
+
     def global_agg(self, field: str) -> DataFrame:
         """ES ``global`` bucket: statistics over ALL live documents,
         escaping the query scope entirely (the `compare matches vs the

@@ -1,0 +1,94 @@
+"""ES percolator — reverse search: registered queries matched against a
+document stream (the alerting/classification primitive Elasticsearch has
+shipped since 0.x; the reference's ES 1.5.1, reference ``pom.xml:22``,
+exposes it as the ``.percolator`` type on every index).
+
+Forward search asks "which docs match this query"; the percolator asks
+"which of my registered queries match this doc". Spark-first shape: the
+registered query set is TINY relative to the corpus (alert rules, routing
+rules), so its exploded (query_id, term) table is **broadcast** — the
+document side never shuffles for the join. Matching is one aggregation on
+(doc key, query_id) with map-side partials; the key cardinality is
+|docs| × (avg queries sharing a term), not |docs| × |queries|, because the
+join only materializes (doc, query) pairs that share ≥1 term. At 100 TB
+of documents this is a single broadcast-join + aggregation pass — the
+same plan a Structured Streaming micro-batch runs unchanged
+(``foreachBatch(lambda b, _: percolate(b, queries, ...))``).
+
+Semantics (per registered query):
+
+* ``operator='or'`` (ES match default): a doc matches when it contains
+  ≥ ``minimum_should_match`` DISTINCT query terms (1 by default);
+* ``operator='and'``: all the query's distinct terms must appear.
+
+Queries with no tokens never match (ES rejects empty percolator queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+QUERIES_SCHEMA = "query_id long, terms array<string>, required long"
+
+
+def compile_queries(
+    queries: list[tuple[int, str]],
+    operator: str = "or",
+    minimum_should_match: int = 1,
+) -> list[tuple[int, list[str], int]]:
+    """Parse registered queries driver-side: (query_id, distinct sorted
+    terms, required-match count). ``operator='and'`` requires every
+    distinct term; ``'or'`` requires ``minimum_should_match``."""
+    if operator not in ("or", "and"):
+        raise ValueError(f"unknown percolator operator: {operator}")
+    out = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            continue  # ES rejects empty percolator queries
+        req = len(terms) if operator == "and" else min(minimum_should_match, len(terms))
+        out.append((int(qid), terms, int(req)))
+    return out
+
+
+def percolate(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    operator: str = "or",
+    minimum_should_match: int = 1,
+) -> DataFrame:
+    """Match every registered query against every document: returns
+    (doc_id, query_id, n_matched) for matching pairs, ordered doc_id asc,
+    query_id asc.
+
+    Plan: docs → distinct (doc, term) pairs (one narrow pass) →
+    broadcast-join the exploded query-term table → one (doc, query)
+    aggregation → required-count filter. Never materializes the
+    |docs| × |queries| cross product.
+    """
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    spark = docs.sparkSession
+    compiled = compile_queries(queries, operator, minimum_should_match)
+    if not compiled:
+        return spark.createDataFrame([], f"{id_col} long, query_id long, n_matched long")
+    qdf = spark.createDataFrame(compiled, QUERIES_SCHEMA)
+    qterms = F.broadcast(
+        qdf.select("query_id", "required", F.explode("terms").alias("term"))
+    )
+    doc_terms = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term")
+    )
+    return (
+        doc_terms.join(qterms, "term")
+        .groupBy(id_col, "query_id", "required")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select(id_col, "query_id", "n_matched")
+        .orderBy(F.asc(id_col), F.asc("query_id"))
+    )

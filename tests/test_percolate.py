@@ -1,0 +1,115 @@
+"""ES percolator (reverse search): registered queries matched against a
+document stream — semantics vs a pure-Python recomputation, operator
+modes, delete handling through Index.percolate, the broadcast plan, and
+the streaming foreachBatch composition."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+    compile_queries,
+    percolate,
+)
+
+QUERIES = [(1, "w00000"), (2, "w00000 w00001 w00002"), (3, "w00003 w00004")]
+
+
+def _python_matches(rows, queries, operator="or", msm=1):
+    out = []
+    compiled = compile_queries(queries, operator, msm)
+    for r in rows:
+        toks = set(tokenize_text(r["text"]))
+        for qid, terms, req in compiled:
+            n = len(toks & set(terms))
+            if n >= req:
+                out.append((r["doc_id"], qid, n))
+    return sorted(out)
+
+
+def test_percolate_matches_python(spark, built_index):
+    idx, _ = built_index
+    rows = idx._docs_df().select("doc_id", "text").collect()
+    for op, msm in (("or", 1), ("or", 2), ("and", 1)):
+        got = [
+            (r["doc_id"], r["query_id"], r["n_matched"])
+            for r in percolate(
+                idx._docs_df(), QUERIES, operator=op, minimum_should_match=msm
+            ).collect()
+        ]
+        assert got == _python_matches(rows, QUERIES, op, msm) and got
+
+
+def test_percolate_empty_and_invalid(spark, built_index):
+    idx, _ = built_index
+    import pytest
+
+    # queries with no tokens are rejected (dropped), never match-all
+    assert percolate(idx._docs_df(), [(9, "...")]).count() == 0
+    with pytest.raises(ValueError, match="operator"):
+        percolate(idx._docs_df(), QUERIES, operator="xor")
+
+
+def test_percolate_plan_broadcasts_queries(spark, built_index):
+    """The registered-query side must broadcast: the doc stream never
+    shuffles for the join (only the (doc, query) aggregation exchanges)."""
+    idx, _ = built_index
+    df = percolate(idx._docs_df(), QUERIES)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_index_percolate_honors_deletes(spark, transcripts, tmp_path):
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_docs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = str(tmp_path / "idx")
+    build_index(spark, transcripts, wh, docs_per_shard=512, n_buckets=8)
+    idx = Index(spark, wh)
+    before = idx.percolate(QUERIES).collect()
+    victims = sorted({r["doc_id"] for r in before})[:5]
+    delete_docs(spark, wh, f"doc_id IN ({', '.join(str(v) for v in victims)})")
+    after = Index(spark, wh).percolate(QUERIES).collect()
+    gone = {r["doc_id"] for r in before} - {r["doc_id"] for r in after}
+    assert set(victims) <= gone | set()
+    assert all(r["doc_id"] not in victims for r in after)
+
+
+def test_percolate_in_streaming_foreachbatch(spark, transcripts, tmp_path):
+    """The percolator composes with Structured Streaming: each micro-batch
+    of documents is matched against the registered queries and appended to
+    an alert sink — batch results must equal percolating the union."""
+    import glob
+
+    raw = transcripts.limit(40).collect()
+    rows = [{"doc_id": i, "text": r["text"]} for i, r in enumerate(raw)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "stream_src")
+    sink = str(tmp_path / "alerts")
+    spark.createDataFrame(rows[:20], schema).write.parquet(src + "/b0")
+    spark.createDataFrame(rows[20:], schema).write.parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+
+    def handle(batch, _bid):
+        percolate(batch, QUERIES).write.mode("append").parquet(sink)
+
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert glob.glob(sink + "/*.parquet")
+    got = sorted(
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = _python_matches(rows, QUERIES)
+    assert got == want and got
