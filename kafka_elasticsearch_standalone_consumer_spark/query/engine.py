@@ -1876,6 +1876,7 @@ class Index:
         after: tuple[float, int],
         k: int = 10,
         where: str | None = None,
+        mode: str = "oracle",
     ) -> DataFrame:
         """ES ``search_after`` deep pagination: the next ``k`` hits
         strictly after the cursor ``(score, doc_id)`` in the total order
@@ -1883,8 +1884,33 @@ class Index:
         the honest cost model for deep pagination (ES pays the same
         deepening cost; its own docs route deep pages through
         search_after for exactly this reason), while page one stays on the
-        pruned WAND path."""
+        pruned WAND path.
+
+        ``mode='bmw'`` instead reuses the block-max WAND kernel with a
+        doubling top-K: run WAND top-kk, keep the rows strictly after the
+        cursor; if fewer than ``k`` survive, quadruple kk and retry. The
+        result is provably the true next page — every doc outside the
+        WAND top-kk ranks below ALL kk returned rows, so it cannot
+        displace any kept hit. Shallow-to-moderate pages stay on the
+        pruned postings scan (cost ~pages·|q|·n_shards rows) and only
+        pathologically deep cursors degrade toward the score-all cost ES
+        itself pays."""
         s0, d0 = float(after[0]), int(after[1])
+        if mode == "bmw":
+            n = int(self.meta["n_docs"]) or 1
+            kk = max(4 * k, 40)
+            while True:
+                top = self.search(query_text, kk, mode="bmw", where=where).collect()
+                nxt = [
+                    r for r in top
+                    if r["score"] < s0 or (r["score"] == s0 and r["doc_id"] > d0)
+                ]
+                if len(nxt) >= k or len(top) < kk or kk >= n:
+                    break
+                kk *= 4
+            return self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in nxt[:k]], TOPK_SCHEMA
+            )
         scored = self.search_oracle(query_text, None, where=where)
         nxt = scored.filter(
             (F.col("score") < s0) | ((F.col("score") == s0) & (F.col("doc_id") > d0))

@@ -595,3 +595,32 @@ def test_suggest_phrase_matches_python_lm(spark, built_index):
         "w00000 w00001", size=3, real_word_error_likelihood=1.0, error_likelihood=1e-9
     )
     assert kept.count() == 0
+
+
+def test_search_after_bmw_matches_oracle_path(spark, built_index):
+    """The pruned WAND search_after (doubling top-K) must be row- and
+    score-identical to the score-all path on every page, including the
+    final partial page and an exhausted cursor."""
+    idx, _ = built_index
+    q, k = "w00000 w00003", 7
+    p1 = idx.search(q, k).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    # pages 2 and 3: identical rows and scores on both paths
+    for _ in range(2):
+        a_rows = idx.search_after(q, cursor, k).collect()
+        b_rows = idx.search_after(q, cursor, k, mode="bmw").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a_rows] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b_rows
+        ]
+        assert len(a_rows) == k
+        cursor = (a_rows[-1]["score"], a_rows[-1]["doc_id"])  # raw, never rounded
+    # deep cursor near the end: the final PARTIAL page must match too
+    full = idx.search(q, 10_000).collect()
+    deep = (full[-3]["score"], full[-3]["doc_id"])
+    a = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_after(q, deep, k).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_after(q, deep, k, mode="bmw").collect()]
+    assert a == b and len(a) == 2
+    # exhausted cursor: both paths return empty
+    end = (full[-1]["score"], full[-1]["doc_id"])
+    assert idx.search_after(q, end, k).count() == 0
+    assert idx.search_after(q, end, k, mode="bmw").count() == 0
