@@ -507,6 +507,19 @@ def q_common_terms_topk(spark, sf_dir):
     )
 
 
+def q_terms_query_topk(spark, sf_dir):
+    """ES terms query (constant_score): docs containing 'dup' OR
+    'vector', score 1.0, first K by doc_id."""
+    return _cached_idx(spark, sf_dir).search_terms(["dup", "vector"], K)
+
+
+def q_scan_export(spark, sf_dir):
+    """ES 1.x scan search type: EVERY doc matching ≥2 of the BM25_QUERY
+    terms, unscored/unsorted (bulk export) — projected to stable columns."""
+    out = _cached_idx(spark, sf_dir).scan_all(BM25_QUERY, min_should_match=2)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 PERCOLATE_QUERIES = [
     (1, "dup"),                 # rare-term alert
     (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
@@ -1011,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
         "percolate": q_percolate,
+        "terms_query_topk": q_terms_query_topk,
+        "scan_export": q_scan_export,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -2136,6 +2151,21 @@ def oracle_sql() -> dict[str, str]:
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "agg_composite": _AGG_COMPOSITE_SQL,
         "percolate": _PERCOLATE_SQL,
+        "terms_query_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "
+            f"ORDER BY doc_id LIMIT {K}"
+        ),
+        "scan_export": f"""
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE (
+  SELECT count(DISTINCT term) FROM (
+    SELECT unnest({SQL_TOKS}) AS term
+  ) WHERE term IN ('filter', 'hash', 'join')
+) >= 2
+ORDER BY doc_id
+""",
         "significant_terms": _SIGTERMS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,

@@ -189,6 +189,15 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         quality_features(docs).count()
         t["quality"] = time.monotonic() - t0
 
+        from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+
+        # reverse search: 32 registered alert queries against every doc
+        vocab = "join hash filter vector stream table row scan".split()
+        perc_qs = [(i, f"{vocab[i % 8]} {vocab[(i + 3) % 8]} dup") for i in range(32)]
+        t0 = time.monotonic()
+        percolate(docs, perc_qs, minimum_should_match=2).count()
+        t["percolate"] = time.monotonic() - t0
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
         t0 = time.monotonic()

@@ -650,6 +650,40 @@ class Index:
             self._expand_prefix(prefix, max_expansions), k, where
         )
 
+    def search_terms(
+        self,
+        values: list[str],
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``terms`` query (constant_score): docs containing ANY of the
+        given literal terms, score 1.0, doc_id-asc ties — the multi-value
+        keyword filter of every ES dashboard. Same pruned-match-set plan
+        as prefix/wildcard, minus the dictionary expansion."""
+        return self._constant_score_multi_term(
+            sorted({t.lower() for t in values}), k, where
+        )
+
+    def scan_all(
+        self,
+        query_text: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES 1.x ``scan`` search type: EVERY matching document, unscored
+        and unsorted (ES's bulk-export path — scan explicitly disables
+        scoring and ordering so the engine never builds a top-k heap).
+        Returns the full document rows; compose with ``.foreachPartition``
+        or a parquet write for exports.
+
+        This is the honest 100 TB export plan: a term-pruned match set,
+        one semi join, NO orderBy/limit anywhere — the output streams
+        straight from the scan partitions to the sink."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self._docs_df().limit(0)
+        return scoped
+
     def search_wildcard(
         self,
         pattern: str,

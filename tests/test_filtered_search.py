@@ -624,3 +624,30 @@ def test_search_after_bmw_matches_oracle_path(spark, built_index):
     end = (full[-1]["score"], full[-1]["doc_id"])
     assert idx.search_after(q, end, k).count() == 0
     assert idx.search_after(q, end, k, mode="bmw").count() == 0
+
+
+def test_terms_query_and_scan(spark, built_index):
+    """terms query: constant-score docs containing any listed term;
+    scan_all: every matching doc row, unscored, equal to the Python match
+    set — and its plan has no TakeOrdered/Sort (export never sorts)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    vals = ["w00000", "w00005"]
+    got = idx.search_terms(vals, 10_000).collect()
+    texts = {r["doc_id"]: set(tokenize_text(r["text"])) for r in idx._docs_df().collect()}
+    want = sorted(d for d, toks in texts.items() if toks & set(vals))
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 1.0 for r in got)
+    # k truncates by doc_id asc
+    assert [r["doc_id"] for r in idx.search_terms(vals, 5).collect()] == want[:5]
+
+    q = "w00000 w00003"
+    rows = idx.scan_all(q, min_should_match=2).collect()
+    terms = set(tokenize_text(q))
+    want_scan = {d for d, toks in texts.items() if len(toks & terms) >= 2}
+    assert {r["doc_id"] for r in rows} == want_scan and want_scan
+    plan = idx.scan_all(q)._sc._jvm.PythonSQLUtils.explainString(
+        idx.scan_all(q)._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" not in plan and "Sort " not in plan
