@@ -520,6 +520,22 @@ def q_scan_export(spark, sf_dir):
     return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_count_matches(spark, sf_dir):
+    """ES _count API: matching-doc count for BM25_QUERY at msm=2, no
+    scoring, no fetch."""
+    return _cached_idx(spark, sf_dir).count_matches(BM25_QUERY, min_should_match=2)
+
+
+def q_term_vectors(spark, sf_dir):
+    """ES _termvectors API: doc 1's (term, tf, global df) rows."""
+    return _cached_idx(spark, sf_dir).term_vectors(1)
+
+
+def q_analyze(spark, sf_dir):
+    """ES _analyze API: the indexed token stream for a debug text."""
+    return _cached_idx(spark, sf_dir).analyze("The Quick  BROWN-fox; 42 jumps!")
+
+
 PERCOLATE_QUERIES = [
     (1, "dup"),                 # rare-term alert
     (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
@@ -1026,6 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "terms_query_topk": q_terms_query_topk,
         "scan_export": q_scan_export,
+        "count_matches": q_count_matches,
+        "term_vectors": q_term_vectors,
+        "analyze": q_analyze,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
         "suggest_terms": q_suggest_terms,
@@ -1890,6 +1909,34 @@ ORDER BY doc_id, query_id
 """
 
 
+_COUNT_MATCHES_SQL = f"""
+SELECT count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  WHERE term IN ('filter', 'hash', 'join')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+)
+"""
+
+_TERM_VECTORS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT t.term, t.tf::BIGINT AS tf, df.df::BIGINT AS df
+FROM tf t JOIN df USING (term)
+WHERE t.doc_id = 1
+ORDER BY t.term
+"""
+
+_ANALYZE_SQL = """
+WITH s AS (
+  SELECT regexp_extract_all(lower('The Quick  BROWN-fox; 42 jumps!'), '[a-z0-9]+') AS a
+)
+SELECT (i - 1)::BIGINT AS position, a[i] AS token
+FROM s, LATERAL unnest(generate_series(1, len(a))) AS g(i)
+ORDER BY position
+"""
+
+
 _AGG_COMPOSITE_SQL = f"""
 SELECT lang, source, count(*)::BIGINT AS n,
        round(avg(n_chars), 6)::DOUBLE AS avg_v
@@ -2156,6 +2203,9 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "
             f"ORDER BY doc_id LIMIT {K}"
         ),
+        "count_matches": _COUNT_MATCHES_SQL,
+        "term_vectors": _TERM_VECTORS_SQL,
+        "analyze": _ANALYZE_SQL,
         "scan_export": f"""
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents

@@ -684,6 +684,58 @@ class Index:
             return self._docs_df().limit(0)
         return scoped
 
+    def count_matches(
+        self,
+        query_text: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``_count`` API: how many live docs match, no scoring, no
+        fetch — one term-pruned aggregation (count of the match set after
+        filter/tombstone masks). Returns a single (n) row."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([(0,)], "n long")
+        return scoped.agg(F.count("*").cast("long").alias("n"))
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """ES ``_termvectors`` API: one document's (term, tf, df) rows,
+        term asc — term stats are global (df across the whole index),
+        exactly what ES returns with ``term_statistics=true``. The doc's
+        terms come from a doc-pruned tokens scan; their dfs ride the
+        driver-side dictionary lookup (no second corpus pass)."""
+        toks = (
+            self._tokens_full_df()
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("term", F.col("tf").cast("long").alias("tf"))
+        )
+        rows = toks.collect()  # one doc: bounded by its length
+        terms = sorted({r["term"] for r in rows})
+        if not terms:
+            return self.spark.createDataFrame([], "term string, tf long, df long")
+        stats = self._lookup_terms_arrow(terms)
+        if stats is None:
+            stats = self._lookup_terms_spark(terms)
+        df_by: dict[str, int] = {}
+        for term, df, _b in stats:
+            df_by[term] = df_by.get(term, 0) + int(df)
+        out = sorted(
+            (r["term"], int(r["tf"]), int(df_by.get(r["term"], 0))) for r in rows
+        )
+        return self.spark.createDataFrame(out, "term string, tf long, df long")
+
+    def analyze(self, text: str) -> DataFrame:
+        """ES ``_analyze`` API: the token stream the analysis chain emits
+        for a text — (position, token) rows. What you index is what you
+        debug with; this is the introspection surface ES users reach for
+        first when a query mysteriously misses."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        toks = tokenize_text(text)
+        return self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "position long, token string"
+        )
+
     def search_wildcard(
         self,
         pattern: str,

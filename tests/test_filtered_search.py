@@ -651,3 +651,33 @@ def test_terms_query_and_scan(spark, built_index):
         idx.scan_all(q)._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" not in plan and "Sort " not in plan
+
+
+def test_count_termvectors_analyze(spark, built_index):
+    """_count equals the match-set size; _termvectors carries per-doc tf
+    with GLOBAL df; _analyze shows exactly the indexed token stream."""
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    terms = set(tokenize_text(q))
+    rows = idx._docs_df().select("doc_id", "text").collect()
+    want_n = sum(1 for r in rows if len(terms & set(tokenize_text(r["text"]))) >= 2)
+    assert idx.count_matches(q, min_should_match=2).collect()[0]["n"] == want_n
+
+    target = rows[3]
+    tv = idx.term_vectors(target["doc_id"]).collect()
+    tf_want = Counter(tokenize_text(target["text"]))
+    assert {r["term"]: r["tf"] for r in tv} == dict(tf_want)
+    dfs = Counter()
+    for r in rows:
+        for t in set(tokenize_text(r["text"])):
+            dfs[t] += 1
+    assert all(r["df"] == dfs[r["term"]] for r in tv)
+
+    an = idx.analyze("The Quick  BROWN-fox; 42 jumps!").collect()
+    assert [(r["position"], r["token"]) for r in an] == [
+        (0, "the"), (1, "quick"), (2, "brown"), (3, "fox"), (4, "42"), (5, "jumps")
+    ]
