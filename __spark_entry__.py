@@ -536,6 +536,49 @@ def q_analyze(spark, sf_dir):
     return _cached_idx(spark, sf_dir).analyze("The Quick  BROWN-fox; 42 jumps!")
 
 
+def _split_indexes(spark, sf_dir):
+    """Two ephemeral indexes over the even/odd doc_id halves — the
+    multi-index (alias) fixture. Cached per sf_dir."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::split"
+    pair = _IDX_CACHE.get(key)
+    if pair is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+        even = Index.ephemeral(docs.filter("doc_id % 2 = 0"), docs_per_shard=128, n_buckets=16)
+        odd = Index.ephemeral(docs.filter("doc_id % 2 = 1"), docs_per_shard=128, n_buckets=16)
+        pair = (even, odd)
+        _IDX_CACHE[key] = pair
+    return pair
+
+
+def q_msearch_qtf(spark, sf_dir):
+    """ES multi-index search, query_then_fetch (default): each half-index
+    scores with its OWN stats; merged top-K tagged by index."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+
+    mi = MultiIndex(list(_split_indexes(spark, sf_dir)))
+    out = mi.search(BM25_QUERY, K)
+    w = Window.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "idx", "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_msearch_dfs(spark, sf_dir):
+    """ES multi-index search, dfs_query_then_fetch: df/N/avgdl merged
+    across indexes first — scores globally comparable (equal to scoring
+    the union corpus)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+
+    mi = MultiIndex(list(_split_indexes(spark, sf_dir)))
+    out = mi.search(BM25_QUERY, K, mode="dfs_query_then_fetch")
+    w = Window.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "idx", "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, "dup"),                 # rare-term alert
     (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
@@ -1043,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_query_topk": q_terms_query_topk,
         "scan_export": q_scan_export,
         "count_matches": q_count_matches,
+        "msearch_qtf": q_msearch_qtf,
+        "msearch_dfs": q_msearch_dfs,
         "term_vectors": q_term_vectors,
         "analyze": q_analyze,
         "significant_terms": q_significant_terms,
@@ -1909,6 +1954,69 @@ ORDER BY doc_id, query_id
 """
 
 
+def _msearch_qtf_sql(query: str, k: int = K) -> str:
+    """query_then_fetch oracle: each doc_id-parity half is its own corpus
+    (own df/N/avgdl), halves scored independently, merged top-k with
+    (score desc, idx asc, doc_id asc) order."""
+    import re
+    from collections import Counter
+
+    terms = Counter(re.findall(r"[a-z0-9]+", query.lower()))
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    halves = []
+    for i in (0, 1):
+        halves.append(f"""h{i} AS (SELECT * FROM documents WHERE doc_id % 2 = {i}),
+tf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM h{i}) GROUP BY doc_id, term
+),
+dl{i} AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM h{i}),
+corpus{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl{i}),
+df{i} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{i}
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+scored{i} AS (
+  SELECT {i}::BIGINT AS idx, tf{i}.doc_id,
+         sum(q.w * ln(1 + (corpus{i}.n - df{i}.df + 0.5) / (df{i}.df + 0.5))
+             * tf{i}.tf / (tf{i}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{i}.dl / corpus{i}.avgdl))) AS score
+  FROM tf{i}
+  JOIN q ON tf{i}.term = q.term
+  JOIN df{i} ON tf{i}.term = df{i}.term
+  JOIN dl{i} ON tf{i}.doc_id = dl{i}.doc_id
+  CROSS JOIN corpus{i}
+  GROUP BY tf{i}.doc_id
+)""")
+    return f"""
+WITH q(term, w) AS (VALUES {qvals}),
+{halves[0]},
+{halves[1]}
+SELECT idx, doc_id,
+       row_number() OVER (ORDER BY score DESC, idx, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM (SELECT * FROM scored0 UNION ALL SELECT * FROM scored1)
+ORDER BY score DESC, idx, doc_id
+LIMIT {k}
+"""
+
+
+def _msearch_dfs_sql(query: str, k: int = K) -> str:
+    """dfs_query_then_fetch oracle: merged stats equal scoring the union
+    corpus — the single-index scored CTE, tagged by doc_id parity, with
+    the multi-index (score desc, idx asc, doc_id asc) merge order."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT (doc_id % 2)::BIGINT AS idx, doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id % 2, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored
+ORDER BY score DESC, idx, doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
 _COUNT_MATCHES_SQL = f"""
 SELECT count(*)::BIGINT AS n FROM (
   SELECT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
@@ -2204,6 +2312,8 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY doc_id LIMIT {K}"
         ),
         "count_matches": _COUNT_MATCHES_SQL,
+        "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
+        "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "term_vectors": _TERM_VECTORS_SQL,
         "analyze": _ANALYZE_SQL,
         "scan_export": f"""

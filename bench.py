@@ -240,6 +240,25 @@ def run_scaling(sf: float) -> dict:
     """
     import subprocess
 
+    # the headline phase's stopped SparkSession leaves its py4j-gatewayed
+    # JVM alive until THIS python exits — observed burning ~0.5 CPU during
+    # the pinned legs. Tear the gateway down so the legs run clean.
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass  # scaling must run even if the gateway is already gone
+
     reps = int(os.environ.get("KESC_SCALING_REPS", "3"))
     out = {"n_turns": None, "cores": list(SCALING_CORES), "reps": reps}
     for cores in SCALING_CORES:
