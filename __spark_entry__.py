@@ -449,6 +449,26 @@ def q_function_score_topk(spark, sf_dir):
     )
 
 
+def q_decay_gauss_topk(spark, sf_dir):
+    """ES function_score gauss decay: BM25 × exp(−d²/2σ²) of n_chars
+    from origin 300, scale 150, decay 0.5 — proximity-to-length boost."""
+    out = _cached_idx(spark, sf_dir).decay_score(
+        BM25_QUERY, "n_chars", origin=300.0, scale=150.0, k=K, decay=0.5, fn="gauss"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_random_score_topk(spark, sf_dir):
+    """ES function_score random_score: deterministic (seed, doc_id)
+    portable-hash score over the match set — seed 42."""
+    out = _cached_idx(spark, sf_dir).random_score(BM25_QUERY, seed=42, k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 6).alias("score_r")
+    )
+
+
 def q_collapse_topk(spark, sf_dir):
     """ES field collapsing: the best BM25 hit per lang, groups ranked by
     their best hit's score."""
@@ -1088,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_matches": q_count_matches,
         "msearch_qtf": q_msearch_qtf,
         "msearch_dfs": q_msearch_dfs,
+        "decay_gauss_topk": q_decay_gauss_topk,
+        "random_score_topk": q_random_score_topk,
         "term_vectors": q_term_vectors,
         "analyze": q_analyze,
         "significant_terms": q_significant_terms,
@@ -1954,6 +1976,45 @@ ORDER BY doc_id, query_id
 """
 
 
+def _bm25_decay_gauss_sql(
+    query: str, origin: float, scale: float, decay: float, k: int = K
+) -> str:
+    """Gauss-decay oracle: BM25 × exp(−d²/2σ²); σ² embedded as the SAME
+    Python-computed double the engine uses."""
+    import math
+
+    sigma2 = -(scale**2) / (2.0 * math.log(decay))
+    mult = f"exp(-((abs(d.n_chars - {origin!r}) * abs(d.n_chars - {origin!r})) / {2.0 * sigma2!r}))"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * {mult} DESC, s.doc_id) AS rank,
+       round(s.score * {mult}, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {mult} DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _bm25_random_score_sql(query: str, seed: int, k: int = K) -> str:
+    """random_score oracle: the portable md5-prefix hash on (doc_id, seed)
+    over the match set."""
+    r = f"('0x' || substr(md5(doc_id::VARCHAR || ':{seed}'), 1, 8))::UBIGINT / 4294967296.0"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT doc_id,
+       row_number() OVER (ORDER BY r DESC, doc_id) AS rank,
+       round(r, 6) AS score_r
+FROM (SELECT doc_id, {r} AS r FROM scored)
+ORDER BY r DESC, doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
 def _msearch_qtf_sql(query: str, k: int = K) -> str:
     """query_then_fetch oracle: each doc_id-parity half is its own corpus
     (own df/N/avgdl), halves scored independently, merged top-k with
@@ -2314,6 +2375,8 @@ def oracle_sql() -> dict[str, str]:
         "count_matches": _COUNT_MATCHES_SQL,
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
+        "decay_gauss_topk": _bm25_decay_gauss_sql(BM25_QUERY, 300.0, 150.0, 0.5),
+        "random_score_topk": _bm25_random_score_sql(BM25_QUERY, 42),
         "term_vectors": _TERM_VECTORS_SQL,
         "analyze": _ANALYZE_SQL,
         "scan_export": f"""

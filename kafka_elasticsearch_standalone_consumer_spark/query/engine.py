@@ -2052,6 +2052,90 @@ class Index:
             .limit(k)
         )
 
+    def decay_score(
+        self,
+        query_text: str,
+        field: str,
+        origin: float,
+        scale: float,
+        k: int = 10,
+        decay: float = 0.5,
+        offset: float = 0.0,
+        fn: str = "gauss",
+        boost_mode: str = "multiply",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` decay functions (gauss | exp | linear):
+        multiply each match's BM25 score by a distance decay of a numeric
+        field from ``origin`` — ES's standard recency/proximity boost.
+        Exactly ES's formulas: with ``d = max(0, |field − origin| −
+        offset)``,
+
+        * gauss:  ``exp(−d² / (2σ²))``, ``σ² = −scale²/(2·ln(decay))``
+        * exp:    ``exp(λ·d)``, ``λ = ln(decay)/scale``
+        * linear: ``max(0, (s − d)/s)``, ``s = scale/(1 − decay)``
+
+        so a doc at distance ``scale`` gets exactly ``decay``. Same plan
+        shape as field_value_factor: score-all + one column-pruned doc
+        join + TopK — never a rerank pass."""
+        import math
+
+        scored = self.search_oracle(query_text, None, where=where)
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(field).cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        )
+        if fn == "gauss":
+            sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+            mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif fn == "exp":
+            lam = math.log(float(decay)) / float(scale)
+            mult = F.exp(F.lit(lam) * d)
+        elif fn == "linear":
+            s = float(scale) / (1.0 - float(decay))
+            mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+        else:
+            raise ValueError(f"unknown decay function: {fn}")
+        docs = self._docs_df().select("doc_id", field)
+        j = scored.join(docs, "doc_id")
+        if boost_mode == "multiply":
+            new_score = F.col("score") * mult
+        elif boost_mode == "sum":
+            new_score = F.col("score") + mult
+        else:
+            raise ValueError(f"unknown boost_mode: {boost_mode}")
+        return (
+            j.select("doc_id", new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def random_score(
+        self,
+        query_text: str,
+        seed: int = 0,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` random_score: a deterministic per-doc
+        pseudo-random score in [0, 1) keyed on (seed, doc_id) — ES seeds
+        on the doc's _id the same way so pagination stays consistent.
+        Implemented as a JVM-side portable hash (md5 prefix → unit
+        interval — the same cross-engine trick as ops/dedup.py's
+        simhash); the BM25 match set only gates WHICH docs participate
+        (ES: the query still selects, the function replaces the score)."""
+        scored = self.search_oracle(query_text, None, where=where).select("doc_id")
+        key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(int(seed))))
+        r = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+        )
+        return (
+            scored.select("doc_id", r.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_collapse(
         self,
         query_text: str,

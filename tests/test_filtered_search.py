@@ -681,3 +681,46 @@ def test_count_termvectors_analyze(spark, built_index):
     assert [(r["position"], r["token"]) for r in an] == [
         (0, "the"), (1, "quick"), (2, "brown"), (3, "fox"), (4, "42"), (5, "jumps")
     ]
+
+
+def test_decay_and_random_score(spark, built_index):
+    """Decay functions hit ES's exact formulas (value at distance=scale
+    is decay, at origin is 1); random_score is deterministic in the seed
+    and score-independent."""
+    import math
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    scored = {r["doc_id"]: r["score"] for r in idx.search_oracle(q, None).collect()}
+    fields = {r["doc_id"]: float(r["turn_idx"]) for r in idx._docs_df().collect()}
+    origin, scale, decay = 5.0, 4.0, 0.5
+
+    def mult(fn, v):
+        d = max(0.0, abs(v - origin))
+        if fn == "gauss":
+            s2 = -(scale**2) / (2.0 * math.log(decay))
+            return math.exp(-(d * d) / (2.0 * s2))
+        if fn == "exp":
+            return math.exp(math.log(decay) / scale * d)
+        s = scale / (1.0 - decay)
+        return max(0.0, (s - d) / s)
+
+    for fn in ("gauss", "exp", "linear"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.decay_score(q, "turn_idx", origin, scale, 10, decay, fn=fn).collect()
+        ]
+        want = sorted(
+            ((d, round(s * mult(fn, fields[d]), 9)) for d, s in scored.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert got == want and got, fn
+        # the ES contract: multiplier is exactly `decay` at distance=scale
+        assert abs(mult(fn, origin + scale) - decay) < 1e-12, fn
+
+    r1 = [(r["doc_id"], r["score"]) for r in idx.random_score(q, seed=7, k=20).collect()]
+    r2 = [(r["doc_id"], r["score"]) for r in idx.random_score(q, seed=7, k=20).collect()]
+    r3 = [(r["doc_id"], r["score"]) for r in idx.random_score(q, seed=8, k=20).collect()]
+    assert r1 == r2 and r1 != r3
+    assert all(0.0 <= s < 1.0 for _, s in r1)
+    assert {d for d, _ in r1} <= set(scored)
