@@ -617,6 +617,17 @@ def q_percolate(spark, sf_dir):
     )
 
 
+def q_agg_pipeline(spark, sf_dir):
+    """ES pipeline aggs (cumulative_sum / derivative / moving_avg window
+    3) over the events date_histogram day series."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import (
+        date_histogram,
+        pipeline_metrics,
+    )
+
+    return pipeline_metrics(date_histogram(_events(spark, sf_dir), "ts", "day"))
+
+
 def q_agg_composite(spark, sf_dir):
     """ES composite aggregation: (lang, source) buckets in key order with
     an avg-n_chars sub-agg, page of 5 resuming AFTER the ('en', 'src2')
@@ -1102,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
+        "agg_pipeline": q_agg_pipeline,
         "percolate": q_percolate,
         "terms_query_topk": q_terms_query_topk,
         "scan_export": q_scan_export,
@@ -2366,6 +2378,17 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "agg_composite": _AGG_COMPOSITE_SQL,
+        "agg_pipeline": """
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT bucket, n,
+       sum(n::DOUBLE) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_sum,
+       (n::DOUBLE - lag(n::DOUBLE, 1) OVER (ORDER BY bucket)) AS derivative,
+       round(avg(n::DOUBLE) OVER (ORDER BY bucket ROWS 2 PRECEDING), 6) AS moving_avg
+FROM b ORDER BY bucket
+""",
         "percolate": _PERCOLATE_SQL,
         "terms_query_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "

@@ -316,6 +316,35 @@ def composite_buckets(
     return buckets.orderBy(*[F.asc(k) for k in keys]).limit(size)
 
 
+def pipeline_metrics(
+    buckets: DataFrame,
+    bucket_col: str = "bucket",
+    value_col: str = "n",
+    moving_window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over an ordered bucket series (the
+    histogram/date_histogram output): per bucket the ``cumulative_sum``,
+    ``derivative`` (difference vs the previous bucket; NULL for the
+    first, ES's behavior), and ``moving_avg`` (simple model over the
+    trailing ``moving_window`` buckets INCLUDING the current one).
+
+    Pipeline aggs post-process *bucket rows*, not documents — the three
+    windows share one unpartitioned ordering over at most thousands of
+    rows, so at 100 TB their cost is invisible next to the histogram
+    aggregation that feeds them."""
+    w = Window.orderBy(bucket_col)
+    v = F.col(value_col).cast("double")
+    return buckets.select(
+        bucket_col,
+        value_col,
+        F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_sum"),
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        F.round(
+            F.avg(v).over(w.rowsBetween(-(moving_window - 1), 0)), 6
+        ).alias("moving_avg"),
+    ).orderBy(bucket_col)
+
+
 def missing_count(df: DataFrame, field: str) -> DataFrame:
     """ES ``missing`` aggregation: how many scoped docs lack a value for
     ``field`` (NULL). One conditional count — a single aggregation."""

@@ -263,3 +263,29 @@ def test_composite_agg_pages_reconstruct_all_buckets(spark, built_index):
     mid = got[2][:2]
     resumed = idx.composite_agg(Q, sources, size=100, after=mid).collect()
     assert [(r["role"], r["bucket4"], r["n"]) for r in resumed] == got[3:]
+
+
+def test_pipeline_metrics_matches_python(spark, built_index):
+    """cumulative_sum / derivative / moving_avg over the date_histogram
+    series vs a pure-Python recomputation (first derivative NULL, window
+    includes current bucket)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import (
+        date_histogram,
+        pipeline_metrics,
+    )
+
+    idx, _ = built_index
+    base = date_histogram(idx._docs_df(), "ts", "day")
+    got = pipeline_metrics(base, moving_window=3).collect()
+    series = sorted((r["bucket"], r["n"]) for r in base.collect())
+    cum, out = 0.0, []
+    for i, (b, n) in enumerate(series):
+        cum += n
+        prev = float(series[i - 1][1]) if i else None
+        window = [float(x) for _, x in series[max(0, i - 2) : i + 1]]
+        out.append((b, n, cum, None if prev is None else n - prev,
+                    round(sum(window) / len(window), 6)))
+    assert [
+        (r["bucket"], r["n"], r["cum_sum"], r["derivative"], r["moving_avg"])
+        for r in got
+    ] == out and out
