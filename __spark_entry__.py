@@ -476,6 +476,24 @@ def q_collapse_topk(spark, sf_dir):
     return out.select("lang", "doc_id", F.round("score", 4).alias("score_r"))
 
 
+def q_bm25_stop_topk(spark, sf_dir):
+    """ES stop analyzer end-to-end: an index built with analyzer='stop'
+    (stopwords excluded from terms AND field norms) answering a query
+    that carries stopwords — query analysis strips them symmetrically."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::stop"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="stop")
+        _IDX_CACHE[key] = idx
+    out = idx.search("the join hash", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_nested_terms(spark, sf_dir):
     """ES two-level bucket agg: terms(lang) → terms(source) with an avg
     n_chars leaf metric over the match set — top 3 langs × 2 sources,
@@ -1110,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global": q_agg_global,
         "sort_topk": q_sort_topk,
         "boosting_topk": q_boosting_topk,
+        "bm25_stop_topk": q_bm25_stop_topk,
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
@@ -1988,6 +2007,23 @@ ORDER BY doc_id, query_id
 """
 
 
+def _bm25_stop_sql(query: str, k: int = K) -> str:
+    """Stop-analyzer oracle: the BM25 template with the token stream
+    filtered through SQL_STOPLIST (dl therefore counts surviving tokens)
+    and the query analyzed with the same stop filter."""
+    import re
+    from collections import Counter
+
+    terms = Counter(
+        t for t in re.findall(r"[a-z0-9]+", query.lower()) if t not in _STOP
+    )
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    toks = f"list_filter({SQL_TOKS}, t -> NOT list_contains({SQL_STOPLIST}, t))"
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def _bm25_decay_gauss_sql(
     query: str, origin: float, scale: float, decay: float, k: int = K
 ) -> str:
@@ -2398,6 +2434,7 @@ FROM b ORDER BY bucket
         "count_matches": _COUNT_MATCHES_SQL,
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
+        "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "decay_gauss_topk": _bm25_decay_gauss_sql(BM25_QUERY, 300.0, 150.0, 0.5),
         "random_score_topk": _bm25_random_score_sql(BM25_QUERY, 42),
         "term_vectors": _TERM_VECTORS_SQL,

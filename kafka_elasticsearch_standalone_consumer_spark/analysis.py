@@ -30,10 +30,34 @@ from pyspark.sql import types as T
 TOKEN_PATTERN = r"[a-z0-9]+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+# ES ``stop`` analyzer token filter: the classic Lucene English stop set
+# (ES's _english_ default) restricted to our [a-z0-9]+ token space. The
+# list is shared verbatim with the DuckDB oracle (SQL_STOPLIST in
+# __spark_entry__.py) so cross-engine checks see the same analysis chain.
+STOP_WORDS = frozenset(
+    "the of and to in a is that it for on as are with be this was at by an "
+    "or from has had have not but they you his her its we our their".split()
+)
 
-def tokenize_text(text: str | None) -> list[str]:
-    """Single-string tokenizer (driver-side, for query analysis)."""
-    return _TOKEN_RE.findall((text or "").lower())
+ANALYZERS = ("standard", "stop")
+
+
+def _check_analyzer(analyzer: str) -> None:
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS})")
+
+
+def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
+    """Single-string tokenizer (driver-side, for query analysis).
+
+    ``analyzer='stop'`` applies the ES stop token filter after
+    tokenization — the same chain the index build runs, so query and
+    index analysis stay symmetric (ES's invariant)."""
+    _check_analyzer(analyzer)
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if analyzer == "stop":
+        toks = [t for t in toks if t not in STOP_WORDS]
+    return toks
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -41,10 +65,16 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(_TOKEN_RE)
 
 
-def tokenize_col(c: Column) -> Column:
-    """JVM-side tokenizer: split on non-token runs, drop empties."""
+def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
+    """JVM-side tokenizer: split on non-token runs, drop empties.
+    ``analyzer='stop'`` additionally drops STOP_WORDS (order and
+    duplicate tokens preserved — a token FILTER, not a set op)."""
+    _check_analyzer(analyzer)
     parts = F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9]+")
-    return F.filter(parts, lambda x: x != F.lit(""))
+    toks = F.filter(parts, lambda x: x != F.lit(""))
+    if analyzer == "stop":
+        toks = F.filter(toks, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+    return toks
 
 
 def tokens_from(
@@ -52,6 +82,7 @@ def tokens_from(
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
     method: str = "sql",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(id..., term, tf) term frequencies per document.
 
@@ -63,11 +94,17 @@ def tokens_from(
     with no tokens produce no rows here (their dl=0 is still tracked by
     doc_stats).
     """
+    _check_analyzer(analyzer)
     if method == "fused":
         if id_cols != ("doc_id",):
             raise ValueError("fused tokenizer requires id_cols=('doc_id',)")
-        return doc_term_freqs(df, text_col=text_col).drop("dl")
-    tok = tokenize_udf(F.col(text_col)) if method == "pandas" else tokenize_col(F.col(text_col))
+        return doc_term_freqs(df, text_col=text_col, analyzer=analyzer).drop("dl")
+    if method == "pandas":
+        tok = tokenize_udf(F.col(text_col))
+        if analyzer == "stop":
+            tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+    else:
+        tok = tokenize_col(F.col(text_col), analyzer=analyzer)
     exploded = df.select(*id_cols, F.explode(tok).alias("term"))
     return exploded.groupBy(*id_cols, "term").agg(F.count("*").alias("tf"))
 
@@ -77,6 +114,7 @@ def doc_term_freqs(
     text_col: str = "text",
     id_col: str = "doc_id",
     positions: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(doc_id, term, tf, dl[, positions]) in ONE narrow pass — the
     index-build hot path.
@@ -93,10 +131,20 @@ def doc_term_freqs(
     ``positions=True`` additionally emits each term's in-document token
     offsets (ascending array<int>) — the Lucene positions stream that
     phrase queries need.
+
+    ``analyzer='stop'`` filters STOP_WORDS after tokenization, Lucene
+    stop-filter style: ``dl`` counts surviving tokens only (field norms
+    exclude stopped tokens) while ``positions`` keep their ORIGINAL
+    in-document offsets (position increments preserved, so phrase gaps
+    behave like Lucene's). The filter is a vectorized np.isin over the
+    flattened token stream — zero cost on the default analyzer.
     """
     from itertools import chain
 
     import numpy as np
+
+    _check_analyzer(analyzer)
+    stop_arr = np.array(sorted(STOP_WORDS), dtype=object) if analyzer == "stop" else None
 
     schema = f"{id_col} long, term string, tf int, dl int"
     if positions:
@@ -114,16 +162,36 @@ def doc_term_freqs(
                 continue
             flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
             rep_ids = np.repeat(ids, lens)
+            if stop_arr is not None:
+                # original in-doc offsets BEFORE filtering (Lucene position
+                # increments), then drop stopped tokens everywhere
+                orig_pos = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                ).astype(np.int32)
+                keep = ~np.isin(flat, stop_arr)
+                flat, rep_ids, orig_pos = flat[keep], rep_ids[keep], orig_pos[keep]
+                total = int(flat.shape[0])
+                if total == 0:
+                    continue
+                kept_ids, kept_counts = np.unique(rep_ids, return_counts=True)
+                dl_map = pd.Series(kept_counts, index=kept_ids)
+            else:
+                orig_pos = None
+                dl_map = pd.Series(lens, index=ids)
             if positions:
                 # fully vectorized (doc, term) grouping: factorize terms to
                 # int codes, lexsort (doc, code, pos), then group boundaries
                 # by change detection and position lists via np.split — no
                 # pandas .agg(list) (per-group Python list building was the
                 # dominant cost of the positions build)
-                pos = (
-                    np.arange(total, dtype=np.int64)
-                    - np.repeat(np.cumsum(lens) - lens, lens)
-                ).astype(np.int32)
+                if orig_pos is not None:
+                    pos = orig_pos
+                else:
+                    pos = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(lens) - lens, lens)
+                    ).astype(np.int32)
                 codes, uniq_terms = pd.factorize(flat, sort=False)
                 order = np.lexsort((pos, codes, rep_ids))
                 ids_s, codes_s, pos_s = rep_ids[order], codes[order], pos[order]
@@ -147,7 +215,7 @@ def doc_term_freqs(
                     .size()
                     .reset_index(name="tf")
                 )
-            g["dl"] = g[id_col].map(pd.Series(lens, index=ids)).astype(np.int32)
+            g["dl"] = g[id_col].map(dl_map).astype(np.int32)
             g["tf"] = g["tf"].astype(np.int32)
             if positions:
                 g = g[[id_col, "term", "tf", "dl", "positions"]]

@@ -59,6 +59,7 @@ def build_index(
     materialize_tokens: bool = True,
     positions: bool = False,
     max_retries: int = 0,
+    analyzer: str = "standard",
 ) -> "StepRunner":
     """Build (or resume building) the full index under ``warehouse_path``.
 
@@ -83,7 +84,7 @@ def build_index(
 
     if dry_run:
         docs = assign_dense_ids(transcripts, num_partitions=num_partitions)
-        runner.dry_run_rows = tokens_from(docs, method=tokenizer).count()
+        runner.dry_run_rows = tokens_from(docs, method=tokenizer, analyzer=analyzer).count()
         spark.catalog.clearCache()
         return runner
 
@@ -98,8 +99,9 @@ def build_index(
             return wh.read(spark, "tokens")
         docs = wh.read(spark, "docs")
         if tokenizer == "fused" or positions:
-            return doc_term_freqs(docs, positions=positions)  # zero-shuffle
-        return tokens_from(docs, method=tokenizer)
+            # zero-shuffle
+            return doc_term_freqs(docs, positions=positions, analyzer=analyzer)
+        return tokens_from(docs, method=tokenizer, analyzer=analyzer)
 
     def step_tokens():
         wh.write(_tokens_df(), "tokens")
@@ -130,6 +132,7 @@ def build_index(
             "b": B,
             "tokenizer": tokenizer,
             "positions": positions,
+            "analyzer": analyzer,
         }
         wh.write_meta("sys_meta", meta)
         return 1

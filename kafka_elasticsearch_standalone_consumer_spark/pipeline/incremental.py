@@ -191,7 +191,10 @@ def append_segment(
         # positions parity with the base build: a segment of a positions
         # index must pack positions too, or the query-time unionByName of
         # base + segment postings throws on the missing pos columns
-        toks = doc_term_freqs(swh.read(spark, "docs"), positions=positions)
+        toks = doc_term_freqs(
+            swh.read(spark, "docs"), positions=positions,
+            analyzer=str(meta.get("analyzer", "standard")),
+        )
         swh.write(toks, "tokens")
         return swh.count_rows("tokens")
 
@@ -336,6 +339,7 @@ def compact(
         # to a one-shot build with the SAME knobs — in particular a
         # positions index must stay phrase-queryable after auto-compaction
         positions=bool(meta.get("positions", False)),
+        analyzer=str(meta.get("analyzer", "standard")),
         materialize_tokens=wh.exists("tokens"),
     )
     retired = len(segs) - 1

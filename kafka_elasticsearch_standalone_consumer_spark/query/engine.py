@@ -123,6 +123,7 @@ class Index:
         n_buckets: int = 64,
         tokenizer: str = "fused",
         positions: bool = False,
+        analyzer: str = "standard",
     ) -> "Index":
         """Build an in-memory index over docs(doc_id, text) — no warehouse.
 
@@ -145,9 +146,9 @@ class Index:
 
         spark = docs.sparkSession
         if tokenizer == "fused" or positions:
-            tokens = doc_term_freqs(docs, positions=positions).persist()
+            tokens = doc_term_freqs(docs, positions=positions, analyzer=analyzer).persist()
         else:
-            tokens = tokens_from(docs, method=tokenizer).persist()
+            tokens = tokens_from(docs, method=tokenizer, analyzer=analyzer).persist()
         doc_stats = build_doc_stats(docs, tokens).persist()
         row = build_corpus_stats(doc_stats).collect()[0]
         meta = {
@@ -160,6 +161,7 @@ class Index:
             "b": B,
             "tokenizer": tokenizer,
             "positions": positions,
+            "analyzer": analyzer,
         }
         tokens_with_dl = tokens if "dl" in tokens.columns else tokens.join(doc_stats, "doc_id")
         postings = (
@@ -210,7 +212,7 @@ class Index:
 
         from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
-        terms = sorted(set(tokenize_text(query_text)), key=len, reverse=True)
+        terms = sorted(set(self._analyze(query_text)), key=len, reverse=True)
         fetched = self.fetch(hits)
         if not terms:
             return fetched.withColumn("snippet", F.lit(None).cast("string"))
@@ -267,6 +269,34 @@ class Index:
         return out
 
     # -- planning ---------------------------------------------------------
+    def _analyze(self, text: str) -> list[str]:
+        """Query-time analysis with the INDEX's analyzer (meta-recorded
+        at build) — ES's invariant that query and index analysis agree.
+        Standard-analyzer indexes are byte-identical to tokenize_text."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        return tokenize_text(text, self.meta.get("analyzer", "standard"))
+
+    def _analyze_phrase(self, phrase: str) -> tuple[list[str], list[int]]:
+        """Phrase analysis with Lucene position increments: returns the
+        surviving slot terms AND their original in-phrase offsets, so a
+        stop analyzer's gaps carry into phrase matching ("quick the fox"
+        → slots [quick, fox] at offsets [0, 2])."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            STOP_WORDS,
+            tokenize_text,
+        )
+
+        raw = tokenize_text(phrase)
+        if self.meta.get("analyzer", "standard") != "stop":
+            return raw, list(range(len(raw)))
+        slots, offsets = [], []
+        for i, t in enumerate(raw):
+            if t not in STOP_WORDS:
+                slots.append(t)
+                offsets.append(i)
+        return slots, offsets
+
     def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
         """Query analysis + idf·weight per present term + bucket list.
 
@@ -423,7 +453,7 @@ class Index:
         idfw, buckets = self._plan_terms(query_text)
         if not idfw:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        if mode == "intersect" and len(idfw) < len(bm25.query_term_weights(query_text)):
+        if mode == "intersect" and len(idfw) < len(set(self._analyze(query_text))):
             # a query term is absent from the corpus → conjunction is empty
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         meta = self.meta
@@ -468,9 +498,7 @@ class Index:
 
         allowed_docs = None
         if min_should_match > 1:
-            from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-            terms = sorted(set(tokenize_text(query_text)))
+            terms = sorted(set(self._analyze(query_text)))
             if min_should_match > len(terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             allowed_docs = self._match_set(terms, min_should_match)
@@ -541,7 +569,7 @@ class Index:
         idfw, buckets = self._plan_terms(query_text)
         if not idfw:
             return []
-        if mode == "intersect" and len(idfw) < len(bm25.query_term_weights(query_text)):
+        if mode == "intersect" and len(idfw) < len(set(self._analyze(query_text))):
             return []
         meta = self.meta
         docs_per_shard = int(meta["docs_per_shard"])
@@ -728,12 +756,11 @@ class Index:
         """ES ``_analyze`` API: the token stream the analysis chain emits
         for a text — (position, token) rows. What you index is what you
         debug with; this is the introspection surface ES users reach for
-        first when a query mysteriously misses."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        toks = tokenize_text(text)
+        first when a query mysteriously misses. Position gaps from a stop
+        analyzer are preserved, exactly like ES's token positions."""
+        slots, offsets = self._analyze_phrase(text)
         return self.spark.createDataFrame(
-            [(i, t) for i, t in enumerate(toks)], "position long, token string"
+            list(zip(offsets, slots)), "position long, token string"
         )
 
     def search_wildcard(
@@ -866,16 +893,15 @@ class Index:
         clauses summed ES-bool-should style with the term clause,
         ``filters`` are (column, value) metadata filter clauses. Corpus
         statistics stay global under every restriction."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
         from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
             ParsedQuery,
             run_parsed,
         )
 
         parsed = ParsedQuery(
-            should=[t for s in (should or []) for t in tokenize_text(s)],
-            must=[t for s in (must or []) for t in tokenize_text(s)],
-            must_not=[t for s in (must_not or []) for t in tokenize_text(s)],
+            should=[t for s in (should or []) for t in self._analyze(s)],
+            must=[t for s in (must or []) for t in self._analyze(s)],
+            must_not=[t for s in (must_not or []) for t in self._analyze(s)],
             phrases=[(p, int(slop)) for p, slop in (phrases or [])],
             filters=list(filters or []),
         )
@@ -914,7 +940,7 @@ class Index:
         )
         if not row:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        tf = Counter(tokenize_text(row[0]["text"]))
+        tf = Counter(self._analyze(row[0]["text"]))
         cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
         if not cand:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -970,13 +996,11 @@ class Index:
         scoring, so idf is globally exact), k1/b/avgdl as configured.
         Deterministic ties by doc_id. ``where`` filters like :meth:`search`.
         """
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        slots = tokenize_text(phrase)
+        slots, offsets = self._analyze_phrase(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         # every slot must be present for an exact phrase to exist
-        return self._phrase_topk([[t] for t in slots], k, where, slop)
+        return self._phrase_topk([[t] for t in slots], k, where, slop, offsets)
 
     def search_phrase_prefix(
         self,
@@ -993,18 +1017,23 @@ class Index:
         df = docs containing such a match) — the position kernel already
         unions multiple postings runs per slot, so the expansion costs one
         wider term predicate on the postings scan, not extra jobs."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        slots = tokenize_text(phrase)
+        slots, offsets = self._analyze_phrase(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         exp = self._expand_prefix(slots[-1], max_expansions)
         if not exp:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        return self._phrase_topk([[t] for t in slots[:-1]] + [exp], k, where, 0)
+        return self._phrase_topk(
+            [[t] for t in slots[:-1]] + [exp], k, where, 0, offsets
+        )
 
     def _phrase_topk(
-        self, slot_terms: list[list[str]], k: int, where: str | None, slop: int
+        self,
+        slot_terms: list[list[str]],
+        k: int,
+        where: str | None,
+        slop: int,
+        offsets: list[int] | None = None,
     ) -> DataFrame:
         """Positional-match core shared by match_phrase and
         match_phrase_prefix: slot i matches when ANY of ``slot_terms[i]``
@@ -1045,7 +1074,7 @@ class Index:
             ]
             d, tfp, dl, n = kernels.shard_phrase_matches(
                 runs_by_slot, k, avgdl, k1, b,
-                allowed=allowed, blocked=blocked, slop=slop,
+                allowed=allowed, blocked=blocked, slop=slop, offsets=offsets,
             )
             if n and len(d) == 0:
                 # every match masked out — emit a sentinel row so the
@@ -1116,12 +1145,10 @@ class Index:
         relaxes slot i to ``|pᵢ − p₀ − i| ≤ slop`` via an exploded
         candidate-anchor join (same semantic as the fast path). ``k=None``
         returns the full unranked score set (clause composition)."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        slots = tokenize_text(phrase)
+        slots, offsets = self._analyze_phrase(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        return self._phrase_oracle_slots([[t] for t in slots], k, where, slop)
+        return self._phrase_oracle_slots([[t] for t in slots], k, where, slop, offsets)
 
     def search_phrase_prefix_oracle(
         self,
@@ -1133,18 +1160,23 @@ class Index:
         """Declarative verification path for match_phrase_prefix: the
         last slot is the prefix expansion, matched via the same m-way
         position join as :meth:`search_phrase_oracle`."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        slots = tokenize_text(phrase)
+        slots, offsets = self._analyze_phrase(phrase)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         exp = self._expand_prefix(slots[-1], max_expansions)
         if not exp:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        return self._phrase_oracle_slots([[t] for t in slots[:-1]] + [exp], k, where, 0)
+        return self._phrase_oracle_slots(
+            [[t] for t in slots[:-1]] + [exp], k, where, 0, offsets
+        )
 
     def _phrase_oracle_slots(
-        self, slot_terms: list[list[str]], k: int | None, where: str | None, slop: int
+        self,
+        slot_terms: list[list[str]],
+        k: int | None,
+        where: str | None,
+        slop: int,
+        offsets: list[int] | None = None,
     ) -> DataFrame:
         import math
 
@@ -1157,7 +1189,13 @@ class Index:
             for w in self._seg_whs[1:]:
                 toks = toks.unionByName(w.read(self.spark, "tokens"))
         if "positions" not in toks.columns:
-            toks = doc_term_freqs(self._docs_df(), positions=True)
+            toks = doc_term_freqs(
+                self._docs_df(), positions=True,
+                analyzer=self.meta.get("analyzer", "standard"),
+            )
+        if offsets is None:
+            offsets = list(range(len(slot_terms)))
+        base = offsets[0]
         all_terms = sorted({t for slot in slot_terms for t in slot})
         tp = toks.filter(F.col("term").isin(all_terms)).select(
             "doc_id", "term", F.explode("positions").alias("p")
@@ -1166,15 +1204,16 @@ class Index:
             "doc_id", F.col("p").alias("p0")
         )
         for i, slot in enumerate(slot_terms[1:], start=1):
+            off = offsets[i] - base  # position-increment gap from the anchor
             nxt = tp.filter(F.col("term").isin(slot))
             if slop == 0:
-                nxt = nxt.select("doc_id", (F.col("p") - i).alias("p0"))
+                nxt = nxt.select("doc_id", (F.col("p") - off).alias("p0"))
             else:
                 # every anchor position this occurrence is compatible with
                 nxt = nxt.select(
                     "doc_id",
                     F.explode(
-                        F.sequence(F.col("p") - i - slop, F.col("p") - i + slop)
+                        F.sequence(F.col("p") - off - slop, F.col("p") - off + slop)
                     ).alias("p0"),
                 ).distinct()
             m = m.join(nxt, ["doc_id", "p0"])
@@ -1349,7 +1388,10 @@ class Index:
             t = (
                 w.read(spark, "tokens")
                 if w.exists("tokens")
-                else doc_term_freqs(w.read(spark, "docs"))
+                else doc_term_freqs(
+                    w.read(spark, "docs"),
+                    analyzer=self.meta.get("analyzer", "standard"),
+                )
             )
             t = t.select("doc_id", "term")
             toks = t if toks is None else toks.unionByName(t)
@@ -1368,7 +1410,10 @@ class Index:
             t = (
                 w.read(spark, "tokens")
                 if w.exists("tokens")
-                else doc_term_freqs(w.read(spark, "docs"))
+                else doc_term_freqs(
+                    w.read(spark, "docs"),
+                    analyzer=self.meta.get("analyzer", "standard"),
+                )
             )
             t = t.select("doc_id", "term", "tf", "dl")
             toks = t if toks is None else toks.unionByName(t)
@@ -1394,9 +1439,7 @@ class Index:
         over. Declarative: term-pruned tokens scan → distinct matching
         docs → left-semi join the (column-pruned) doc store. Returns None
         for an empty query."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._analyze(query_text)))
         if not terms:
             return None
         matched = self._match_set(terms, min_should_match)
@@ -1648,7 +1691,11 @@ class Index:
         if deletes is not None:
             docs = docs.join(deletes, "doc_id", "left_anti")
         return percolate(
-            docs, queries, operator=operator, minimum_should_match=minimum_should_match
+            docs,
+            queries,
+            operator=operator,
+            minimum_should_match=minimum_should_match,
+            analyzer=self.meta.get("analyzer", "standard"),
         )
 
     def global_agg(self, field: str) -> DataFrame:
@@ -1753,7 +1800,7 @@ class Index:
                 "whole term dictionary (same guard as search_fuzzy)"
             )
         out_schema = "input string, suggestion string, dist int, freq long"
-        toks = sorted(set(tokenize_text(text)))
+        toks = sorted(set(self._analyze(text)))
         if not toks:
             return self.spark.createDataFrame([], out_schema)
         present_rows = self._lookup_terms_arrow(toks)
@@ -1853,7 +1900,7 @@ class Index:
         )
 
         out_schema = "suggestion string, score double"
-        toks = tokenize_text(text)
+        toks = self._analyze(text)
         if not toks or prefix_length < 1:
             return self.spark.createDataFrame([], out_schema)
 
@@ -1902,7 +1949,11 @@ class Index:
         if pair_keys:
             pairs = (
                 self._docs_df()
-                .select(tokenize_col(F.col("text")).alias("w"))
+                .select(
+                    tokenize_col(
+                        F.col("text"), analyzer=self.meta.get("analyzer", "standard")
+                    ).alias("w")
+                )
                 .select(
                     F.explode(
                         # sequence() counts DOWN when stop < start, so docs
@@ -2208,9 +2259,7 @@ class Index:
         which is the entire point of the operator — and the score-all
         aggregation over all query terms is semi-joined down to it.
         With no low-frequency term, ES scores everything: plain BM25."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._analyze(query_text)))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_docs = float(self.meta["n_docs"]) or 1.0
@@ -2245,10 +2294,8 @@ class Index:
         shaped left join to flag demotions, TopK. The negative side never
         scores — membership only — so its cost is a pruned tokens scan +
         one aggregation regardless of corpus width."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
         scored = self.search_oracle(positive, None, where=where)
-        neg_terms = sorted(set(tokenize_text(negative)))
+        neg_terms = sorted(set(self._analyze(negative)))
         if neg_terms:
             neg = self._match_set(neg_terms, 1).withColumn("neg", F.lit(True))
             scored = scored.join(neg, "doc_id", "left").select(
@@ -2313,9 +2360,7 @@ class Index:
         does for df stats, not a per-term loop. Returns
         (term, fg_n, bg_n, score_r) — score desc, term asc, top ``size``.
         """
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._analyze(query_text)))
         out_schema = "term string, fg_n long, bg_n long, score_r double"
         if not terms:
             return self.spark.createDataFrame([], out_schema)
@@ -2378,7 +2423,10 @@ class Index:
                 # recompute the zero-shuffle fused pass from the doc store
                 if w.exists("tokens"):
                     return w.read(self.spark, "tokens")
-                return doc_term_freqs(w.read(self.spark, "docs"))
+                return doc_term_freqs(
+                    w.read(self.spark, "docs"),
+                    analyzer=self.meta.get("analyzer", "standard"),
+                )
 
             tokens = _toks(self._seg_whs[0])
             doc_stats = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
@@ -2406,9 +2454,7 @@ class Index:
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
             )
         if min_should_match > 1:
-            from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
-
-            terms = sorted(set(tokenize_text(query_text)))
+            terms = sorted(set(self._analyze(query_text)))
             if min_should_match > len(terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             scores = scores.join(

@@ -285,8 +285,15 @@ def shard_phrase_matches(
     allowed: np.ndarray | None = None,
     blocked: np.ndarray | None = None,
     slop: int = 0,
+    offsets: list[int] | None = None,
 ):
     """Phrase matching over position streams (ES match_phrase).
+
+    ``offsets`` gives each slot's expected position offset from the
+    anchor (default ``0..n-1`` = consecutive). Non-consecutive offsets
+    are how a stop analyzer's position gaps behave: "quick the fox"
+    analyzed to [quick@0, fox@2] matches with offsets [0, 2], exactly
+    Lucene's position-increment semantics.
 
     ``slop=0`` is the exact adjacent phrase. ``slop=s`` relaxes each
     non-anchor slot by ±s token positions around its expected offset: a
@@ -325,16 +332,20 @@ def shard_phrase_matches(
             return (np.empty(0, np.int64), np.empty(0, np.int64),
                     np.empty(0, np.int64), 0)
         keys_by_slot.append(np.concatenate(parts))
+    if offsets is None:
+        offsets = list(range(len(runs_by_slot)))
+    base = offsets[0]
     s = keys_by_slot[0]
     for i in range(1, len(keys_by_slot)):
+        off = offsets[i] - base  # expected distance from the anchor slot
         if s.size == 0:
             break
         if slop == 0:
-            s = s[np.isin(s + i, keys_by_slot[i])]
+            s = s[np.isin(s + off, keys_by_slot[i])]
             continue
         hit = np.zeros(s.size, dtype=bool)
         pos0 = s & ((np.int64(1) << POS_BITS) - 1)
-        for d in range(i - slop, i + slop + 1):
+        for d in range(off - slop, off + slop + 1):
             # pos0 + d must stay a valid in-doc offset, or the int64 key
             # arithmetic would wrap into a neighbouring doc's key space
             valid = (pos0 + d >= 0) & (pos0 + d < (np.int64(1) << POS_BITS))

@@ -38,6 +38,7 @@ def compile_queries(
     queries: list[tuple[int, str]],
     operator: str = "or",
     minimum_should_match: int = 1,
+    analyzer: str = "standard",
 ) -> list[tuple[int, list[str], int]]:
     """Parse registered queries driver-side: (query_id, distinct sorted
     terms, required-match count). ``operator='and'`` requires every
@@ -46,7 +47,7 @@ def compile_queries(
         raise ValueError(f"unknown percolator operator: {operator}")
     out = []
     for qid, text in queries:
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(tokenize_text(text, analyzer)))
         if not terms:
             continue  # ES rejects empty percolator queries
         req = len(terms) if operator == "and" else min(minimum_should_match, len(terms))
@@ -61,6 +62,7 @@ def percolate(
     text_col: str = "text",
     operator: str = "or",
     minimum_should_match: int = 1,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Match every registered query against every document: returns
     (doc_id, query_id, n_matched) for matching pairs, ordered doc_id asc,
@@ -74,7 +76,7 @@ def percolate(
     from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
 
     spark = docs.sparkSession
-    compiled = compile_queries(queries, operator, minimum_should_match)
+    compiled = compile_queries(queries, operator, minimum_should_match, analyzer)
     if not compiled:
         return spark.createDataFrame([], f"{id_col} long, query_id long, n_matched long")
     qdf = spark.createDataFrame(compiled, QUERIES_SCHEMA)
@@ -82,7 +84,10 @@ def percolate(
         qdf.select("query_id", "required", F.explode("terms").alias("term"))
     )
     doc_terms = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term")
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokenize_col(F.col(text_col), analyzer=analyzer))
+        ).alias("term"),
     )
     return (
         doc_terms.join(qterms, "term")
