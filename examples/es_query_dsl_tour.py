@@ -1,0 +1,103 @@
+"""Tour of the Elasticsearch query-DSL surface, Spark-side — the
+"switch from the reference" checklist in executable form.
+
+    python examples/es_query_dsl_tour.py [n_convs]
+
+Every section is one library call a reference user would recognize from
+the ES 1.5.1 API their pipeline wrote to (reference ``pom.xml:22``,
+``MessageHandler.java:135-139``): full-text queries, structured bool,
+multi-term rewrites, scoring functions, aggregations, suggesters, the
+percolator, pagination, and the serving path. Run it end to end as an
+integration smoke.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def show(title, df, n=3):
+    print(f"\n-- {title}")
+    for r in df.limit(n).collect():
+        print("  ", tuple(r))
+
+
+def main(n_convs: int = 300) -> None:
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+    from kafka_elasticsearch_standalone_consumer_spark.session import get_spark
+
+    spark = get_spark("es-dsl-tour", master="local[8]")
+    wh = tempfile.mkdtemp() + "/idx"
+    tr = generate_transcripts(spark, n_convs=n_convs, seed=42)
+    build_index(spark, tr, wh, docs_per_shard=1024, n_buckets=16, positions=True)
+    idx = Index(spark, wh)
+    q = "w00000 w00003"
+
+    # --- full-text queries ---------------------------------------------
+    show("match (BM25, block-max WAND)", idx.search(q, 5, mode="bmw"))
+    show("match_phrase", idx.search_phrase("w00000 w00003", 3))
+    show("match_phrase slop=2", idx.search_phrase("w00000 w00003", 3, slop=2))
+    show("bool (must/should/must_not + filter)", idx.search_bool(
+        must=["w00000"], should=["w00003"], must_not=["w00007"],
+        filters=[("role", "user")], k=5,
+    ))
+    show("minimum_should_match=2", idx.search(q + " w00005", 5, min_should_match=2))
+    show("prefix", idx.search_prefix("w0000", 3))
+    show("fuzzy (DL<=1)", idx.search_fuzzy("w0000x", 3))
+    show("common_terms", idx.search_common_terms(q, 5, cutoff_frequency=0.5))
+    show("boosting (demote w00007)", idx.search_boosting(q, "w00007", 0.3, 5))
+    show("terms query", idx.search_terms(["w00000", "w00005"], 5))
+    show("more_like_this(doc 7)", idx.more_like_this(7, 5))
+
+    # --- scoring functions ---------------------------------------------
+    show("function_score field_value_factor", idx.function_score(q, "turn_idx", 5, modifier="log1p"))
+    show("function_score gauss decay", idx.decay_score(q, "turn_idx", 5.0, 4.0, 5))
+    show("function_score random_score", idx.random_score(q, seed=7, k=5))
+    show("rescore window by phrase", idx.rescore(q, "w00000 w00003", 5))
+    show("sort by field (no scoring)", idx.search_sort(q, "turn_idx", 5))
+    show("collapse by role", idx.search_collapse(q, "role", 5))
+    show("_explain doc 7", idx.explain_score(q, 7))
+
+    # --- aggregations ---------------------------------------------------
+    show("terms agg + metric", idx.terms_agg(q, "role", "turn_idx", ("avg",)))
+    show("nested terms buckets", idx.nested_terms_agg(q, "role", "cast(turn_idx % 3 as string)", size=2, child_size=2))
+    show("filters agg", idx.filters_agg(q, {"early": "turn_idx < 3"}))
+    show("composite agg page", idx.composite_agg(q, [("role", "role")], size=3))
+    show("significant_terms", idx.significant_terms(q, size=3))
+
+    # --- suggesters / introspection -------------------------------------
+    show("term suggester", idx.suggest_terms("w0000x"))
+    show("completion suggester", idx.suggest_complete("w000", 3))
+    show("phrase suggester", idx.suggest_phrase("w00000 w0001"))
+    show("_analyze", idx.analyze("The W00000 and W00003!"))
+    show("_termvectors doc 7", idx.term_vectors(7))
+    show("_count", idx.count_matches(q))
+
+    # --- percolator / pagination / export -------------------------------
+    show("percolate 2 registered queries", idx.percolate([(1, "w00000"), (2, q)]))
+    p1 = idx.search(q, 5).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    show("search_after page 2 (pruned WAND)", idx.search_after(q, cur, 5, mode="bmw"))
+    print("\n-- scan export rows:", idx.scan_all(q).count())
+
+    # --- multi-index & serving ------------------------------------------
+    docs = idx._docs_df().select("doc_id", "text")
+    even = Index.ephemeral(docs.filter("doc_id % 2 = 0"), docs_per_shard=1024, n_buckets=8)
+    odd = Index.ephemeral(docs.filter("doc_id % 2 = 1"), docs_per_shard=1024, n_buckets=8)
+    show("multi-index dfs_query_then_fetch",
+         MultiIndex([even, odd]).search(q, 5, mode="dfs_query_then_fetch"))
+    print("\n-- search_local (zero Spark jobs):", idx.search_local(q, 3))
+    print("\nDSL tour complete.")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)

@@ -179,6 +179,20 @@ def main() -> None:
         )
     )
 
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+
+    perc = percolate(idx._docs_df(), [(1, "w00000"), (2, "w00412 w00003")])
+    sections.append(
+        (
+            "Percolator (reverse search)",
+            "The registered-query term table is BROADCAST — the document "
+            "stream never shuffles for the join; the only exchange is the "
+            "(doc, query) aggregation with map-side partials, and the join "
+            "materializes only pairs sharing a term (never docs×queries).",
+            plan_of(perc),
+        )
+    )
+
     pack = build_postings(toks, avgdl=50.0, docs_per_shard=512, n_buckets=8)
     sections.append(
         (
