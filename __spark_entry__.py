@@ -469,6 +469,24 @@ def q_random_score_topk(spark, sf_dir):
     )
 
 
+def q_script_score_topk(spark, sf_dir):
+    """ES script_score: _score * log1p(n_chars/100) + n_chars/1000 — an
+    arbitrary SQL expression over score and doc fields."""
+    out = _cached_idx(spark, sf_dir).script_score(
+        BM25_QUERY, "_score * log1p(n_chars / 100.0) + n_chars / 1000.0", K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_mget(spark, sf_dir):
+    """ES _mget: fetch docs by id (missing ids absent), projected to the
+    stable columns."""
+    out = _cached_idx(spark, sf_dir).get_docs([3, 7, 11, 999_999_999])
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_collapse_topk(spark, sf_dir):
     """ES field collapsing: the best BM25 hit per lang, groups ranked by
     their best hit's score."""
@@ -1141,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_dfs": q_msearch_dfs,
         "decay_gauss_topk": q_decay_gauss_topk,
         "random_score_topk": q_random_score_topk,
+        "script_score_topk": q_script_score_topk,
+        "mget": q_mget,
         "term_vectors": q_term_vectors,
         "analyze": q_analyze,
         "significant_terms": q_significant_terms,
@@ -2435,6 +2455,20 @@ FROM b ORDER BY bucket
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
+        "script_score_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * ln(1 + d.n_chars / 100.0) + d.n_chars / 1000.0 DESC, s.doc_id) AS rank,
+       round(s.score * ln(1 + d.n_chars / 100.0) + d.n_chars / 1000.0, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1 + d.n_chars / 100.0) + d.n_chars / 1000.0 DESC, s.doc_id
+LIMIT {K}
+""",
+        ),
+        "mget": (
+            "SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents "
+            "WHERE doc_id IN (3, 7, 11, 999999999) ORDER BY doc_id"
+        ),
         "decay_gauss_topk": _bm25_decay_gauss_sql(BM25_QUERY, 300.0, 150.0, 0.5),
         "random_score_topk": _bm25_random_score_sql(BM25_QUERY, 42),
         "term_vectors": _TERM_VECTORS_SQL,

@@ -724,3 +724,31 @@ def test_decay_and_random_score(spark, built_index):
     assert r1 == r2 and r1 != r3
     assert all(0.0 <= s < 1.0 for _, s in r1)
     assert {d for d, _ in r1} <= set(scored)
+
+
+def test_script_score_and_mget(spark, built_index):
+    """script_score: arbitrary SQL over _score and doc fields, checked
+    against a Python recomputation; _mget returns exactly the requested
+    live docs."""
+    import math
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    scored = {r["doc_id"]: r["score"] for r in idx.search_oracle(q, None).collect()}
+    fields = {r["doc_id"]: r["turn_idx"] for r in idx._docs_df().collect()}
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.script_score(q, "_score * log1p(turn_idx) + 0.01 * turn_idx", 10).collect()
+    ]
+    want = sorted(
+        (
+            (d, round(s * math.log1p(fields[d]) + 0.01 * fields[d], 9))
+            for d, s in scored.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want and got
+
+    rows = idx.get_docs([2, 5, 10**12]).collect()
+    assert [r["doc_id"] for r in rows] == [2, 5]
+    assert all("text" in r.asDict() for r in rows)
