@@ -512,6 +512,39 @@ def q_bm25_stop_topk(spark, sf_dir):
     )
 
 
+def q_reindex_stop(spark, sf_dir):
+    """ES _reindex with a query + mapping change: rebuild the English
+    subset of the corpus into a stop-analyzer index (ids densely
+    reassigned in doc_id order) and answer a stopword-carrying query."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import reindex
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::reindexed"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "lang")
+            # zero-padded conv_id so dense-id assignment (string-ordered)
+            # follows numeric doc_id order — the oracle's row_number rule
+            .withColumn("conv_id", F.format_string("c%010d", F.col("doc_id")))
+            .withColumn("turn_idx", F.lit(0))
+        )
+        src = tempfile.mkdtemp() + "/src"
+        dst = tempfile.mkdtemp() + "/dst"
+        build_index(spark, docs.drop("doc_id"), src, docs_per_shard=128, n_buckets=16)
+        reindex(spark, src, dst, where="lang = 'en'", analyzer="stop")
+        idx = Index(spark, dst)
+        _IDX_CACHE[key] = idx
+    out = idx.search("the join hash", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_nested_terms(spark, sf_dir):
     """ES two-level bucket agg: terms(lang) → terms(source) with an avg
     n_chars leaf metric over the match set — top 3 langs × 2 sources,
@@ -1147,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": q_sort_topk,
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
+        "reindex_stop": q_reindex_stop,
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
@@ -2044,6 +2078,22 @@ def _bm25_stop_sql(query: str, k: int = K) -> str:
     )
 
 
+def _reindex_stop_sql(query: str, where_sql: str, k: int = K) -> str:
+    """Reindex oracle: the stop-analyzer BM25 SQL over the ``where_sql``
+    subset of documents with doc_ids densely reassigned in doc_id order
+    (the dense-id rule reindex applies via the zero-padded conv_id)."""
+    base = _bm25_stop_sql(query, k)
+    assert base.count("FROM documents") == 2
+    base = base.replace("FROM documents", "FROM fdocs")
+    fdocs = (
+        f"WITH fdocs AS (\n"
+        f"  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text\n"
+        f"  FROM documents WHERE {where_sql}\n"
+        f"),\ntoks AS"
+    )
+    return base.replace("WITH toks AS", fdocs, 1)
+
+
 def _bm25_decay_gauss_sql(
     query: str, origin: float, scale: float, decay: float, k: int = K
 ) -> str:
@@ -2455,6 +2505,7 @@ FROM b ORDER BY bucket
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
+        "reindex_stop": _reindex_stop_sql("the join hash", "lang = 'en'"),
         "script_score_topk": _bm25_variant_sql(
             BM25_QUERY,
             f"""SELECT s.doc_id,

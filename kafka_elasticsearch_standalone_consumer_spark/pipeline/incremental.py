@@ -296,6 +296,55 @@ def delete_docs(spark: SparkSession, warehouse_path: str, where: str) -> int:
     return wh.count_rows(DELETES_TABLE) - before  # NEW tombstones only
 
 
+def reindex(
+    spark: SparkSession,
+    src_warehouse: str,
+    dst_warehouse: str,
+    where: str | None = None,
+    analyzer: str | None = None,
+    positions: bool | None = None,
+    docs_per_shard: int | None = None,
+    n_buckets: int | None = None,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> int:
+    """ES ``_reindex``: rebuild a NEW index from the source's live
+    documents — optionally filtered (``where``, ES's reindex query) and
+    with different "mappings" (``analyzer``/``positions``/layout knobs; ES
+    users reindex precisely to change analysis or sharding). Deletes are
+    purged, segment structure flattened, doc_ids reassigned densely.
+    Returns the number of documents indexed.
+
+    Same distributed shape as :func:`compact` (which is reindex-in-place):
+    one union of the per-segment doc stores, one filter, one build — no
+    per-doc driver work."""
+    src = Warehouse(src_warehouse)
+    meta = src.read_meta("sys_meta")
+    segs = list_segments(src)
+    docs_all = src.read(spark, "docs")
+    for s in segs[1:]:
+        docs_all = docs_all.unionByName(
+            seg_warehouse(src, s["seg_id"]).read(spark, "docs")
+        )
+    if src.exists(DELETES_TABLE):
+        docs_all = docs_all.join(src.read(spark, DELETES_TABLE), "doc_id", "left_anti")
+    if where is not None:
+        docs_all = docs_all.filter(where)
+    build_index(
+        spark,
+        docs_all.drop("doc_id"),
+        dst_warehouse,
+        docs_per_shard=int(docs_per_shard or meta["docs_per_shard"]),
+        n_buckets=int(n_buckets or meta["n_buckets"]),
+        tokenizer=meta.get("tokenizer", "fused"),
+        num_partitions=num_partitions,
+        run_id=run_id,
+        positions=bool(meta.get("positions", False) if positions is None else positions),
+        analyzer=str(meta.get("analyzer", "standard") if analyzer is None else analyzer),
+    )
+    return int(Warehouse(dst_warehouse).read_meta("sys_meta")["n_docs"])
+
+
 def compact(
     spark: SparkSession,
     warehouse_path: str,

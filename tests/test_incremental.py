@@ -282,3 +282,42 @@ def test_streaming_dedup_ingest(spark, corpora, tmp_path):
     assert len({r["text"] for r in texts}) == len(
         {r["text"] for r in a.unionByName(b).collect()}
     )
+
+
+def test_reindex_filters_and_remaps(spark, transcripts, tmp_path):
+    """ES _reindex: the destination holds exactly the filtered live docs
+    with densely reassigned ids, optionally re-analyzed — and querying it
+    equals querying a one-shot build over the same filtered corpus."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_docs,
+        reindex,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    src = str(tmp_path / "src")
+    build_index(spark, transcripts.limit(300), src, docs_per_shard=128, n_buckets=8)
+    # tombstone a few docs — reindex must purge them
+    delete_docs(spark, src, "doc_id < 5")
+
+    dst = str(tmp_path / "dst")
+    n = reindex(spark, src, dst, where="role = 'user'", analyzer="stop")
+    idx = Index(spark, dst)
+    assert idx.meta["analyzer"] == "stop" and idx.meta["n_docs"] == n
+
+    src_docs = Index(spark, src)._docs_df().collect()
+    survivors = [r for r in src_docs if r["role"] == "user" and r["doc_id"] >= 5]
+    assert n == len(survivors)
+
+    # equivalence with a one-shot build over the same filtered corpus
+    ref = str(tmp_path / "ref")
+    keep = spark.createDataFrame(survivors, Index(spark, src)._docs_df().schema)
+    build_index(
+        spark, keep.drop("doc_id"), ref,
+        docs_per_shard=int(idx.meta["docs_per_shard"]),
+        n_buckets=int(idx.meta["n_buckets"]), analyzer="stop",
+    )
+    q = "the w00000 w00003"
+    a = [(r["doc_id"], round(r["score"], 9)) for r in idx.search(q, 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in Index(spark, ref).search(q, 10).collect()]
+    assert a == b and a
