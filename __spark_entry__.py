@@ -512,6 +512,19 @@ def q_bm25_stop_topk(spark, sf_dir):
     )
 
 
+def q_validate_query(spark, sf_dir):
+    """ES _validate/query?explain: the Lucene-style clause rewrite for a
+    valid, a structured, and an unparseable query_string."""
+    from pyspark.sql import Row
+
+    idx = _cached_idx(spark, sf_dir)
+    rows = []
+    for q in ("join hash", '+join -hash lang:en "hash table"~1', "!!! ???"):
+        r = idx.validate_query(q).collect()[0]
+        rows.append(Row(q=q, valid=r["valid"], explanation=r["explanation"]))
+    return spark.createDataFrame(rows, "q string, valid boolean, explanation string")
+
+
 def q_reindex_stop(spark, sf_dir):
     """ES _reindex with a query + mapping change: rebuild the English
     subset of the corpus into a stop-analyzer index (ids densely
@@ -1181,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
         "reindex_stop": q_reindex_stop,
+        "validate_query": q_validate_query,
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "agg_composite": q_agg_composite,
@@ -2506,6 +2520,15 @@ FROM b ORDER BY bucket
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "reindex_stop": _reindex_stop_sql("the join hash", "lang = 'en'"),
+        "validate_query": """
+SELECT * FROM (VALUES
+  ('join hash', true, 'text:join text:hash'),
+  ('+join -hash lang:en "hash table"~1', true,
+   '+text:join -text:hash text:"hash table"~1 #lang:en'),
+  ('!!! ???', false, NULL)
+) AS t(q, valid, explanation)
+ORDER BY q
+""",
         "script_score_topk": _bm25_variant_sql(
             BM25_QUERY,
             f"""SELECT s.doc_id,

@@ -969,6 +969,28 @@ class Index:
             .limit(k)
         )
 
+    def validate_query(self, q: str) -> DataFrame:
+        """ES ``_validate/query?explain=true``: parse the query_string DSL
+        without executing it and render the Lucene-style clause rewrite
+        (``text:foo +text:must -text:not text:"phrase"~slop #field:v``).
+        A query that analyzes to no clause at all is invalid — the same
+        emptiness ES reports for an unparseable body."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            parse_query_string,
+        )
+
+        parsed = parse_query_string(q)
+        clauses = [f"text:{t}" for t in parsed.should]
+        clauses += [f"+text:{t}" for t in parsed.must]
+        clauses += [f"-text:{t}" for t in parsed.must_not]
+        clauses += [f'text:"{p}"~{s}' for p, s in parsed.phrases]
+        clauses += [f"#{f}:{v}" for f, v in parsed.filters]
+        valid = bool(clauses)
+        return self.spark.createDataFrame(
+            [(bool(valid), " ".join(clauses) if valid else None)],
+            "valid boolean, explanation string",
+        )
+
     def query_string(self, q: str, k: int = 10) -> DataFrame:
         """ES ``query_string`` mini-DSL: bare terms (OR), ``+must``,
         ``-must_not``, ``"exact phrase"``/``"phrase"~slop``, ``field:value``

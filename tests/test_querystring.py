@@ -143,3 +143,19 @@ def test_search_bool_structured_equals_dsl(spark, transcripts, tmp_path):
     for got_df, want_df in pairs:
         assert _rows(got_df) == _rows(want_df)
         assert _rows(got_df)
+
+
+def test_validate_query_explain(spark, built_index):
+    """_validate/query: the clause rewrite matches the parser, invalid
+    (clause-free) input reports valid=false, and a valid explanation's
+    query actually executes."""
+    idx, _ = built_index
+    r = idx.validate_query("+w00000 -w00001 role:user \"w00000 w00003\"~1").collect()[0]
+    assert r["valid"]
+    assert r["explanation"] == (
+        '+text:w00000 -text:w00001 text:"w00000 w00003"~1 #role:user'
+    )
+    bad = idx.validate_query("??? !!!").collect()[0]
+    assert not bad["valid"] and bad["explanation"] is None
+    # a validated query runs
+    assert idx.query_string("+w00000 -w00001 role:user", 5).count() >= 0
