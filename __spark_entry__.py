@@ -1900,7 +1900,8 @@ SELECT CASE WHEN n_chars < 200 THEN '*-200'
             WHEN n_chars < 400 THEN '200-400'
             ELSE '400-*' END AS range_label,
        count(*)::BIGINT AS n
-FROM documents WHERE doc_id IN ({_MATCHED}) GROUP BY 1 ORDER BY 1
+FROM documents WHERE doc_id IN ({_MATCHED}) AND n_chars IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """
 
 _AGG_STATS_SQL = f"""

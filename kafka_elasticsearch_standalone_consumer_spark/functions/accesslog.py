@@ -27,8 +27,15 @@ from pyspark.sql import types as T
 N_FIELDS = 9
 DATE_IN_FMT = "dd/MMM/yyyy:HH:mm:ss"
 # P6: the reference emits yyyy-MM-dd'T'HH:mm:ss.SSSZ
-# (``AccessLogMessageHandler.java:19-22,86``); the zone offset renders
-# against the pinned session timezone (session.py sets UTC → "+0000")
+# (``AccessLogMessageHandler.java:19-22,86``). Two DELIBERATE deviations:
+# (a) the zone offset renders against the pinned session timezone
+#     (session.py sets UTC → "+0000"); the reference formats in the JVM
+#     default zone (Europe/London → "+0100" during DST) — pinning keeps
+#     output cluster-independent;
+# (b) the reference PARSES with 12-hour ``hh`` against log timestamps
+#     that carry no am/pm marker (``AccessLogMessageHandler.java:19-20``)
+#     — arguably a reference bug (13:00 fails to parse there); we parse
+#     24-hour ``HH`` (DATE_IN_FMT above).
 DATE_OUT_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSZ"
 
 

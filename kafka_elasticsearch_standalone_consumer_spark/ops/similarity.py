@@ -70,6 +70,34 @@ def _hyperplanes(dim: int, bits: int, seed: int = _PLANE_SEED) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def _py_signature(planes: np.ndarray, qv: np.ndarray) -> int:
+    """Driver-side signature with the SAME int64 two's-complement
+    convention as :func:`lsh_signature` (bit 63 encodes as −2^63), so
+    probe sets match the stored/computed ``sig`` values at any
+    ``bits ≤ 64``. Shared by every query-side probe builder."""
+    u = np.uint64(0)
+    for i, p in enumerate(planes):
+        if float(p @ qv) > 0:
+            u |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(u))
+
+
+def _flip_bit(sig: int, i: int) -> int:
+    """Hamming-neighbor signature: flip bit ``i`` in uint64 space and map
+    back to the int64 value the ``sig`` column stores."""
+    return int(np.int64(np.uint64(np.int64(sig)) ^ (np.uint64(1) << np.uint64(i))))
+
+
+def _probe_sigs(planes: np.ndarray, qv: np.ndarray, probe_hamming: int) -> list[int]:
+    """Query probe set: the query's signature plus all Hamming-1
+    neighbors when ``probe_hamming ≥ 1`` — int64-convention-safe."""
+    qsig = _py_signature(planes, qv)
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {_flip_bit(qsig, i) for i in range(len(planes))}
+    return sorted(probe)
+
+
 def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
     """Sign-of-projection signature (int): bit i = 1 iff plane_i · v > 0.
 
@@ -108,12 +136,8 @@ def lsh_topk(
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
-    probe = {qsig}
-    if probe_hamming >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(bits)}
     cand = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes)).filter(
-        F.col("sig").isin(sorted(probe))
+        F.col("sig").isin(_probe_sigs(planes, qv, probe_hamming))
     )
     scored = cand.select(
         F.col(id_col).alias("vec_id"), _cosine(F.col(vec_col), query_vec).alias("cosine")
@@ -280,11 +304,9 @@ def ann_topk_indexed(
     bits = int(meta["bits"])
     planes = _hyperplanes(int(meta["dim"]), bits)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
-    probe = {qsig}
-    if probe_hamming >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(bits)}
-    cand = wh.read(spark, ANN_TABLE).filter(F.col("sig").isin(sorted(probe)))
+    cand = wh.read(spark, ANN_TABLE).filter(
+        F.col("sig").isin(_probe_sigs(planes, qv, probe_hamming))
+    )
     scored = cand.select(
         F.col(meta["id_col"]).alias("vec_id"),
         _cosine(F.col(meta["vec_col"]), list(map(float, query_vec))).alias("cosine"),

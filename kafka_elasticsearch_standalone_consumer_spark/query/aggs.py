@@ -48,13 +48,39 @@ def _range_label(field: str, bounds: list[float]) -> Column:
     return expr
 
 
+def _range_lower(field: str, bounds: list[float]) -> Column:
+    """Numeric lower bound of each bucket (−inf for the open start) —
+    the ordering key, since labels sort lexicographically ('10-20'
+    before '5-10')."""
+    c = F.col(field)
+    expr = F.lit(float(bounds[-1]))
+    for lo, hi in reversed(list(zip([None] + list(bounds), list(bounds) + [None]))):
+        if hi is None:
+            continue
+        lower = float("-inf") if lo is None else float(lo)
+        cond = c < F.lit(float(hi)) if lo is None else (
+            (c >= F.lit(float(lo))) & (c < F.lit(float(hi)))
+        )
+        expr = F.when(cond, F.lit(lower)).otherwise(expr)
+    return expr
+
+
 def range_counts(df: DataFrame, field: str, bounds: list[float]) -> DataFrame:
     """ES range agg: half-open [lo, hi) buckets with open ends,
-    (range_label, n) for non-empty buckets, label ascending."""
+    (range_label, n) for non-empty buckets, in bucket order (numeric
+    lower bound asc, not label-lexicographic). Docs with a NULL field
+    value are excluded — ES's range aggregation ignores docs missing
+    the field."""
+    bs = sorted(bounds)
     return (
-        df.groupBy(_range_label(field, sorted(bounds)).alias("range_label"))
+        df.filter(F.col(field).isNotNull())
+        .groupBy(
+            _range_lower(field, bs).alias("_lo"),
+            _range_label(field, bs).alias("range_label"),
+        )
         .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("range_label")
+        .orderBy("_lo")
+        .select("range_label", "n")
     )
 
 
@@ -258,7 +284,9 @@ def filters_counts(
             F.sum(F.when(none_match, 1).otherwise(0)).cast("long").alias("b_other")
         )
     wide = df.agg(*agg_cols)
-    pairs = [f"'{n}', b{i}" for i, n in enumerate(names)]
+    # bucket names are user strings — escape quotes so a name like
+    # "it's" can't break (or inject into) the stack() expression
+    pairs = [f"'{n.replace(chr(39), chr(39) * 2)}', b{i}" for i, n in enumerate(names)]
     if other_bucket:
         pairs.append("'_other_', b_other")
     n_cols = len(pairs)

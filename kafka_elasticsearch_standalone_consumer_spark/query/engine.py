@@ -979,7 +979,7 @@ class Index:
             parse_query_string,
         )
 
-        parsed = parse_query_string(q)
+        parsed = parse_query_string(q, self.meta.get("analyzer", "standard"))
         clauses = [f"text:{t}" for t in parsed.should]
         clauses += [f"+text:{t}" for t in parsed.must]
         clauses += [f"-text:{t}" for t in parsed.must_not]

@@ -58,8 +58,13 @@ class ParsedQuery:
     filters: list[tuple[str, str]] = field(default_factory=list)
 
 
-def parse_query_string(q: str) -> ParsedQuery:
-    """Parse the DSL; AND between two bare words promotes both to must."""
+def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
+    """Parse the DSL; AND between two bare words promotes both to must.
+
+    ``analyzer`` is the INDEX's analyzer (ES analyzes query_string text
+    with the field's search analyzer): on a stop-analyzer index a
+    ``+the`` clause analyzes to nothing and is dropped, instead of
+    compiling into a filter requiring a literal stopword."""
     out = ParsedQuery()
     words: list[str] = []  # bare words in order, for AND handling
     pending_and = False
@@ -69,25 +74,25 @@ def parse_query_string(q: str) -> ParsedQuery:
         elif m.group("field"):
             out.filters.append((m.group("field"), m.group("value")))
         elif m.group("plus"):
-            out.must.extend(tokenize_text(m.group("mterm")))
+            out.must.extend(tokenize_text(m.group("mterm"), analyzer))
         elif m.group("minus"):
-            out.must_not.extend(tokenize_text(m.group("nterm")))
+            out.must_not.extend(tokenize_text(m.group("nterm"), analyzer))
         elif m.group("word"):
             w = m.group("word")
             if w == "AND":
                 # promote the previous bare word; the next one joins must too
                 if words:
-                    out.must.extend(tokenize_text(words.pop()))
+                    out.must.extend(tokenize_text(words.pop(), analyzer))
                 pending_and = True
             elif w == "OR":
                 pending_and = False
             elif pending_and:
-                out.must.extend(tokenize_text(w))
+                out.must.extend(tokenize_text(w, analyzer))
                 pending_and = False
             else:
                 words.append(w)
     for w in words:
-        out.should.extend(tokenize_text(w))
+        out.should.extend(tokenize_text(w, analyzer))
     return out
 
 
@@ -111,8 +116,11 @@ def compile_filter(parsed: ParsedQuery, text_col: str = "text") -> str | None:
 
 
 def run_query_string(index, q: str, k: int = 10):
-    """Execute a query_string against an :class:`Index` (see module doc)."""
-    return run_parsed(index, parse_query_string(q), k)
+    """Execute a query_string against an :class:`Index` (see module doc).
+    Parsing analyzes with the index's analyzer (ES's search-analyzer
+    symmetry)."""
+    analyzer = index.meta.get("analyzer", "standard")
+    return run_parsed(index, parse_query_string(q, analyzer), k)
 
 
 def run_parsed(index, parsed: ParsedQuery, k: int = 10):

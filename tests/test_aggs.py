@@ -289,3 +289,28 @@ def test_pipeline_metrics_matches_python(spark, built_index):
         (r["bucket"], r["n"], r["cum_sum"], r["derivative"], r["moving_avg"])
         for r in got
     ] == out and out
+
+
+def test_range_agg_excludes_nulls_and_orders_numerically(spark):
+    """ADVICE r2: ES's range agg ignores docs missing the field (NULL must
+    not land in the top open bucket), and buckets come back in numeric
+    lower-bound order — '5-10' before '10-*', not lexicographic."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import range_counts
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 7.0), (3, 12.0), (4, None), (5, 8.0)],
+        "doc_id long, v double",
+    )
+    rows = range_counts(df, "v", [5, 10]).collect()
+    assert [r["range_label"] for r in rows] == ["*-5", "5-10", "10-*"]
+    assert {r["range_label"]: r["n"] for r in rows} == {"*-5": 1, "5-10": 2, "10-*": 1}
+
+
+def test_filters_agg_quoted_bucket_name(spark):
+    """ADVICE r2: a bucket name containing a single quote must not break
+    (or inject into) the stack() unpivot expression."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import filters_counts
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    rows = {r["bucket"]: r["n"] for r in filters_counts(df, {"it's big": "v >= 2"}).collect()}
+    assert rows == {"it's big": 2, "_other_": 1}

@@ -325,3 +325,33 @@ def test_train_centroids_improves_objective(spark, emb, tmp_path):
     qv = [float(x) for x in vecs[3]]
     hits = ivf_search(spark, wh, qv, 5, nprobe=2).collect()
     assert hits and hits[0]["vec_id"] == 3 and abs(hits[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_lsh_probe_convention_matches_column_at_bits64(emb):
+    """ADVICE r2: the driver-side probe signature must use the same int64
+    two's-complement convention as the lsh_signature Column (bit 63 →
+    −2^63) or probes silently miss at bits=64. Assert bit-for-bit parity
+    between the Column-computed sig and _py_signature for every vector,
+    and that a 64-bit probe still finds the query's own bucket."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        _hyperplanes,
+        _probe_sigs,
+        _py_signature,
+        lsh_signature,
+        lsh_topk,
+    )
+
+    df, vecs = emb
+    planes = _hyperplanes(16, 64)
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select("vec_id", lsh_signature(F.col("embedding"), planes).alias("sig")).collect()
+    }
+    for i in range(len(vecs)):
+        assert got[i] == _py_signature(planes, vecs[i].astype(np.float64)), i
+    # some signature must use bit 63 somewhere in 40 random vectors
+    assert any(s < 0 for s in got.values())
+    qv = vecs[3].astype(np.float64)
+    assert _py_signature(planes, qv) in _probe_sigs(planes, qv, probe_hamming=1)
+    out = lsh_topk(df, [float(x) for x in qv], 5, bits=64).collect()
+    assert out and out[0]["vec_id"] == 3 and abs(out[0]["cosine"] - 1.0) < 1e-9

@@ -159,3 +159,20 @@ def test_validate_query_explain(spark, built_index):
     assert not bad["valid"] and bad["explanation"] is None
     # a validated query runs
     assert idx.query_string("+w00000 -w00001 role:user", 5).count() >= 0
+
+
+def test_query_string_uses_index_analyzer_for_must(spark, transcripts, tmp_path):
+    """ADVICE r2: on a stop-analyzer index, '+the' must analyze to nothing
+    (ES drops the stopword at query analysis) instead of compiling into a
+    filter requiring a literal stopword — so '+the w00000' ≡ 'w00000'."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    path = str(tmp_path / "qs_stop_idx")
+    build_index(
+        spark, transcripts, path, docs_per_shard=256, n_buckets=8, analyzer="stop"
+    )
+    idx = Index(spark, path)
+    with_stop = [(r["doc_id"], round(r["score"], 9)) for r in idx.query_string("+the w00000", 10).collect()]
+    plain = [(r["doc_id"], round(r["score"], 9)) for r in idx.query_string("w00000", 10).collect()]
+    assert with_stop == plain and plain
