@@ -631,14 +631,42 @@ class Index:
         top = np.lexsort((dd, -ss))[:k]
         return [(int(dd[i]), float(ss[i])) for i in top]
 
-    def _expand_prefix(self, prefix: str, max_expansions: int) -> list[str]:
+    # Hard ceiling on terms materialized driver-side by ONE dictionary
+    # expansion. At a 10^8-term vocabulary a 1-char prefix range can cover
+    # millions of terms; rather than silently pulling them onto the driver
+    # we fail loudly and tell the caller to narrow the query (longer
+    # prefix_length / a length band). ES's own multi-term rewrites carry
+    # the same class of guard (max_expansions / maxClauseCount).
+    MAX_EXPANSION_SCAN = 1 << 20
+
+    def _expand_prefix(
+        self,
+        prefix: str,
+        max_expansions: int,
+        length_band: tuple[int, int] | None = None,
+        max_scan: int | None = None,
+    ) -> list[str]:
         """Term-dictionary expansion of a literal prefix: a driver-side
         pyarrow RANGE read of the term-sorted term_stats files (footer
         min/max prunes to the covering row groups — same no-Spark-job path
         as _lookup_terms_arrow), first ``max_expansions`` terms in term
-        order (ES's multi-term rewrite cap)."""
+        order (ES's multi-term rewrite cap).
+
+        ``length_band=(lo, hi)`` additionally pushes ``term_len BETWEEN lo
+        AND hi`` into the parquet read (the ``term_len`` column is written
+        by build_term_stats) — the edit-distance pigeonhole for fuzzy /
+        suggest expansions: a term whose length differs from the query's by
+        more than the fuzziness can never be within distance, so it is
+        filtered inside the C++ scan instead of materialized driver-side.
+        Layouts predating ``term_len`` fall back to filtering the term
+        strings after the prefix-pruned read (same results, less pruning).
+
+        The materialized candidate count is capped at ``max_scan``
+        (default :data:`MAX_EXPANSION_SCAN`) with an explicit error —
+        never a silent driver-side OOM at vocabulary scale."""
         if not prefix:
             raise ValueError("prefix expansion requires ≥1 literal character")
+        cap = self.MAX_EXPANSION_SCAN if max_scan is None else int(max_scan)
         hi = prefix + "￿"
         out: set[str] = set()
         if self.wh is not None:
@@ -646,20 +674,39 @@ class Index:
 
             for w in self._seg_whs:
                 data = pads.dataset(w.path("term_stats"), format="parquet")
-                tbl = data.to_table(
-                    columns=["term"],
-                    filter=(pads.field("term") >= prefix) & (pads.field("term") < hi),
-                )
+                flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+                if length_band is not None and "term_len" in data.schema.names:
+                    lo_l, hi_l = int(length_band[0]), int(length_band[1])
+                    flt = (
+                        flt
+                        & (pads.field("term_len") >= lo_l)
+                        & (pads.field("term_len") <= hi_l)
+                    )
+                tbl = data.to_table(columns=["term"], filter=flt)
                 out.update(tbl.column("term").to_pylist())
+                if len(out) > cap:
+                    raise ValueError(
+                        f"prefix expansion of {prefix!r} exceeds {cap} terms — "
+                        "narrow the query (longer prefix_length or a length "
+                        "band) instead of materializing the dictionary"
+                    )
         else:
-            rows = (
-                self.term_stats.filter(
-                    (F.col("term") >= prefix) & (F.col("term") < hi)
+            cond = (F.col("term") >= prefix) & (F.col("term") < hi)
+            if length_band is not None:
+                cond = cond & F.length("term").between(
+                    int(length_band[0]), int(length_band[1])
                 )
-                .select("term")
-                .collect()
-            )
+            rows = self.term_stats.filter(cond).select("term").limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise ValueError(
+                    f"prefix expansion of {prefix!r} exceeds {cap} terms — "
+                    "narrow the query instead of materializing the dictionary"
+                )
             out.update(r["term"] for r in rows)
+        if length_band is not None:
+            # legacy layouts without term_len: enforce the band post-read
+            lo_l, hi_l = int(length_band[0]), int(length_band[1])
+            out = {t for t in out if lo_l <= len(t) <= hi_l}
         return sorted(out)[:max_expansions]
 
     def search_prefix(
@@ -816,7 +863,11 @@ class Index:
             )
         if len(term) < prefix_length:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        cand = self._expand_prefix(term[:prefix_length], 1 << 20)
+        cand = self._expand_prefix(
+            term[:prefix_length],
+            1 << 20,
+            length_band=(len(term) - fuzziness, len(term) + fuzziness),
+        )
         near = [
             t
             for t in cand
@@ -1835,7 +1886,11 @@ class Index:
                 continue
             if len(tok) < prefix_length:
                 continue
-            cand = self._expand_prefix(tok[:prefix_length], 1 << 20)
+            cand = self._expand_prefix(
+                tok[:prefix_length],
+                1 << 20,
+                length_band=(len(tok) - max_edits, len(tok) + max_edits),
+            )
             near = [
                 (t, _damerau_levenshtein(tok, t, max_edits))
                 for t in cand
@@ -1934,7 +1989,11 @@ class Index:
             if len(tok) >= prefix_length:
                 near = [
                     (t, _damerau_levenshtein(tok, t, max_edits))
-                    for t in self._expand_prefix(tok[:prefix_length], 1 << 20)
+                    for t in self._expand_prefix(
+                        tok[:prefix_length],
+                        1 << 20,
+                        length_band=(len(tok) - max_edits, len(tok) + max_edits),
+                    )
                     if t != tok and abs(len(t) - len(tok)) <= max_edits
                 ]
                 near = [(t, d) for t, d in near if d <= max_edits]

@@ -37,8 +37,14 @@ def build_term_stats(tokens: DataFrame, n_buckets: int | None = None) -> DataFra
     from kafka_elasticsearch_standalone_consumer_spark.index.build import term_bucket_col
 
     num = tokens.sparkSession.sparkContext.defaultParallelism
+    # term_len rides along so multi-term expansions (fuzzy / suggesters)
+    # can push `abs(len(term) − len(q)) ≤ fuzziness` into the pyarrow
+    # dictionary read next to the prefix range — at 10^8-term vocab a
+    # 1-char prefix alone would otherwise materialize millions of terms
+    # driver-side (see Index._expand_prefix)
     return (
         ts.withColumn("term_bucket", term_bucket_col("term", n_buckets))
+        .withColumn("term_len", F.length("term").cast("int"))
         .repartitionByRange(num, "term")
         .sortWithinPartitions("term")
     )
