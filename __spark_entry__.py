@@ -731,6 +731,35 @@ def q_suggest_phrase(spark, sf_dir):
     return out.select("suggestion", F.round("score", 4).alias("score_r"))
 
 
+def q_suggest_phrase_lm(spark, sf_dir):
+    """ES phrase suggester served from the MATERIALIZED bigram LM tables
+    (index/lm.py): persisted index + build_lm_tables, then the same
+    suggestion resolved via zero-Spark-job pyarrow point reads of
+    lm_unigrams/lm_bigrams — must match the on-demand oracle exactly."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.index.lm import build_lm_tables
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::lm"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .withColumn("conv_id", F.format_string("c%010d", F.col("doc_id")))
+            .withColumn("turn_idx", F.lit(0))
+        )
+        wh = tempfile.mkdtemp() + "/lmidx"
+        build_index(spark, docs.drop("doc_id"), wh, docs_per_shard=128, n_buckets=16)
+        build_lm_tables(spark, wh)
+        idx = Index(spark, wh)
+        _IDX_CACHE[key] = idx
+    out = idx.suggest_phrase("the strem tabel", size=3)
+    return out.select("suggestion", F.round("score", 4).alias("score_r"))
+
+
 def q_agg_terms_metric(spark, sf_dir):
     """ES terms aggregation with nested avg/max metric sub-aggs: per-lang
     doc count + n_chars stats over the match set (count-desc buckets)."""
@@ -1197,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_query": q_validate_query,
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
+        "suggest_phrase_lm": q_suggest_phrase_lm,
         "agg_composite": q_agg_composite,
         "agg_pipeline": q_agg_pipeline,
         "percolate": q_percolate,
@@ -2498,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
         "boosting_topk": _bm25_boosting_sql(BM25_QUERY, BM25_AND_QUERY, 0.2),
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
+        "suggest_phrase_lm": _phrase_suggest_sql("the strem tabel"),
         "agg_composite": _AGG_COMPOSITE_SQL,
         "agg_pipeline": """
 WITH b AS (

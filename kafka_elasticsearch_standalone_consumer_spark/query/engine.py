@@ -1962,13 +1962,19 @@ class Index:
           sequence itself never is.
 
         Distribution shape: candidate generation is a driver-side pruned
-        dictionary read; the LM needs ONE term-pruned tokens aggregation
-        (unigrams) and ONE corpus pass producing adjacent pairs filtered
-        to the ~|slots|·gen_size² candidate bigrams before the count —
-        both scan-heavy but reduction-light, fine at 100 TB (a production
-        deployment would persist the bigram table once; the on-demand
-        pass is the same plan reading it). Sequence enumeration is over
-        ≤ gen_size^|slots| driver-side combinations, capped."""
+        dictionary read. LM counts come from the MATERIALIZED
+        ``lm_unigrams``/``lm_bigrams`` tables when the warehouse has them
+        (index/lm.py: built once, then resolved per call with driver-side
+        footer-pruned pyarrow point reads — zero Spark jobs, cost
+        independent of corpus size). Without them — ephemeral indexes, or
+        a warehouse with post-LM appended segments whose counts the LM
+        tables don't cover — the on-demand fallback runs ONE term-pruned
+        tokens aggregation (unigrams) and ONE corpus pass producing
+        adjacent pairs filtered to the ~|slots|·gen_size² candidate
+        bigrams before the count. Both paths yield identical counts on
+        the same corpus, so scores are bit-for-bit equal (asserted in
+        tests). Sequence enumeration is over ≤ gen_size^|slots|
+        driver-side combinations, capped."""
         import math
 
         from kafka_elasticsearch_standalone_consumer_spark.analysis import (
@@ -2015,42 +2021,55 @@ class Index:
                 for tb, _ in slot_cands[b_tok]:
                     pair_keys.add(f"{ta} {tb}")
 
-        # LM counts: one pruned tokens aggregation + one corpus pair pass
-        tokens = self._tokens_full_df()
-        uni = {
-            r["term"]: float(r["c"])
-            for r in tokens.filter(F.col("term").isin(all_terms))
-            .groupBy("term").agg(F.sum("tf").alias("c")).collect()
-        }
-        n_tokens = float(
-            tokens.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0.0
-        )
-        vocab = float(self.term_stats.select("term").distinct().count()) or 1.0
-        big: dict[str, float] = {}
-        if pair_keys:
-            pairs = (
-                self._docs_df()
-                .select(
-                    tokenize_col(
-                        F.col("text"), analyzer=self.meta.get("analyzer", "standard")
-                    ).alias("w")
-                )
-                .select(
-                    F.explode(
-                        # sequence() counts DOWN when stop < start, so docs
-                        # with <2 tokens must short-circuit to an empty array
-                        F.expr(
-                            "CASE WHEN size(w) >= 2 THEN "
-                            "transform(sequence(0, size(w) - 2), "
-                            "i -> concat(w[i], ' ', w[i + 1])) "
-                            "ELSE array() END"
-                        )
-                    ).alias("pair")
-                )
-                .filter(F.col("pair").isin(sorted(pair_keys)))
-                .groupBy("pair").agg(F.count("*").alias("c"))
+        # LM counts: prefer the materialized tables (pyarrow point reads,
+        # no Spark job); fall back to the on-demand corpus passes. The
+        # materialized path is only trusted while the warehouse has no
+        # appended segments beyond the base the LM was built over.
+        looked = None
+        if self.wh is not None and len(self._seg_whs) == 1:
+            from kafka_elasticsearch_standalone_consumer_spark.index import lm as lm_mod
+
+            looked = lm_mod.lookup_counts(self.wh, all_terms, sorted(pair_keys))
+        if looked is not None:
+            uni, big, n_tokens, vocab = looked
+            vocab = vocab or 1.0
+        else:
+            # one pruned tokens aggregation + one corpus pair pass
+            tokens = self._tokens_full_df()
+            uni = {
+                r["term"]: float(r["c"])
+                for r in tokens.filter(F.col("term").isin(all_terms))
+                .groupBy("term").agg(F.sum("tf").alias("c")).collect()
+            }
+            n_tokens = float(
+                tokens.select("doc_id", "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0.0
             )
-            big = {r["pair"]: float(r["c"]) for r in pairs.collect()}
+            vocab = float(self.term_stats.select("term").distinct().count()) or 1.0
+            big = {}
+            if pair_keys:
+                pairs = (
+                    self._docs_df()
+                    .select(
+                        tokenize_col(
+                            F.col("text"), analyzer=self.meta.get("analyzer", "standard")
+                        ).alias("w")
+                    )
+                    .select(
+                        F.explode(
+                            # sequence() counts DOWN when stop < start, so docs
+                            # with <2 tokens must short-circuit to an empty array
+                            F.expr(
+                                "CASE WHEN size(w) >= 2 THEN "
+                                "transform(sequence(0, size(w) - 2), "
+                                "i -> concat(w[i], ' ', w[i + 1])) "
+                                "ELSE array() END"
+                            )
+                        ).alias("pair")
+                    )
+                    .filter(F.col("pair").isin(sorted(pair_keys)))
+                    .groupBy("pair").agg(F.count("*").alias("c"))
+                )
+                big = {r["pair"]: float(r["c"]) for r in pairs.collect()}
 
         def lm(seq: list[str]) -> float:
             s = math.log((uni.get(seq[0], 0.0) + 0.5) / (n_tokens + 0.5 * vocab))
