@@ -731,6 +731,54 @@ def q_suggest_phrase(spark, sf_dir):
     return out.select("suggestion", F.round("score", 4).alias("score_r"))
 
 
+def _conv_idx(spark, sf_dir):
+    """Ephemeral index whose docs carry a synthetic parent key: 50 docs
+    per 'conversation' (conv_key = doc_id % 50) — the parent/child shape
+    the transcripts schema has natively, reconstructible in DuckDB."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::conv"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text", (F.col("doc_id") % 50).cast("string").alias("conv_key")
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_has_child_topk(spark, sf_dir):
+    """ES has_child (score_mode=max): top conversations by their best
+    matching turn's BM25 score, with the matching-turn count."""
+    out = _conv_idx(spark, sf_dir).search_has_child(
+        BM25_QUERY, K, score_mode="max", group_col="conv_key"
+    )
+    return out.select(
+        "conv_key", F.round("score", 4).alias("score_r"), "n_hits"
+    )
+
+
+def q_has_child_sum_topk(spark, sf_dir):
+    """ES has_child (score_mode=sum, min_children=2): conversations
+    ranked by the SUM of matching turns' scores, at least 2 matches."""
+    out = _conv_idx(spark, sf_dir).search_has_child(
+        BM25_QUERY, K, score_mode="sum", min_children=2, group_col="conv_key"
+    )
+    return out.select(
+        "conv_key", F.round("score", 4).alias("score_r"), "n_hits"
+    )
+
+
+def q_has_parent_topk(spark, sf_dir):
+    """ES has_parent (score=false): every turn of any conversation that
+    contains a match — first K by doc_id, constant score."""
+    out = _conv_idx(spark, sf_dir).search_has_parent(
+        BM25_AND_QUERY, K, group_col="conv_key"
+    )
+    return out.select("doc_id", "conv_key", "score")
+
+
 def q_suggest_phrase_lm(spark, sf_dir):
     """ES phrase suggester served from the MATERIALIZED bigram LM tables
     (index/lm.py): persisted index + build_lm_tables, then the same
@@ -1227,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "suggest_phrase_lm": q_suggest_phrase_lm,
+        "has_child_topk": q_has_child_topk,
+        "has_child_sum_topk": q_has_child_sum_topk,
+        "has_parent_topk": q_has_parent_topk,
         "agg_composite": q_agg_composite,
         "agg_pipeline": q_agg_pipeline,
         "percolate": q_percolate,
@@ -2529,6 +2580,41 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "suggest_phrase_lm": _phrase_suggest_sql("the strem tabel"),
+        "has_child_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,
+       round(max(s.score), 4) AS score_r,
+       count(*)::BIGINT AS n_hits
+FROM scored s
+GROUP BY 1
+ORDER BY max(s.score) DESC, conv_key
+LIMIT {K}
+""",
+        ),
+        "has_child_sum_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,
+       round(sum(s.score), 4) AS score_r,
+       count(*)::BIGINT AS n_hits
+FROM scored s
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY sum(s.score) DESC, conv_key
+LIMIT {K}
+""",
+        ),
+        "has_parent_topk": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+  ) WHERE term IN ('stream', 'vector')
+)
+SELECT d.doc_id, (d.doc_id % 50)::VARCHAR AS conv_key, 1.0::DOUBLE AS score
+FROM documents d
+WHERE (d.doc_id % 50) IN (SELECT DISTINCT doc_id % 50 FROM m)
+ORDER BY d.doc_id
+LIMIT {K}
+""",
         "agg_composite": _AGG_COMPOSITE_SQL,
         "agg_pipeline": """
 WITH b AS (

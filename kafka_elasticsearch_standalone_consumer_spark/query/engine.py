@@ -2346,6 +2346,93 @@ class Index:
             .limit(k)
         )
 
+    def search_has_child(
+        self,
+        query_text: str,
+        k: int = 10,
+        score_mode: str = "max",
+        min_children: int = 1,
+        group_col: str = "conv_id",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``has_child`` over the transcripts' natural parent/child
+        shape (``conv_id`` parent, turns children): the top ``k``
+        conversations ranked by an aggregate of their matching turns'
+        BM25 scores — "conversations containing a matching turn", the
+        first query a transcripts user reaches for. ES 1.x served this
+        via parent/child mappings behind the same ``prepareIndex``
+        boundary the reference delegates to (ref:
+        ``MessageHandler.java:135-139``).
+
+        ``score_mode``: max (ES default) | sum | avg | min | none (count
+        matches, parents score 1.0). ``min_children``: parents with fewer
+        matching children are dropped (ES's knob of the same name).
+        ``where`` filters the scored children like :meth:`search`.
+
+        Plan shape: the declarative score-all BM25 aggregation → one
+        column-pruned join to (doc_id, conv_id) → ONE groupBy on the
+        parent key (map-side partial aggregation; key cardinality =
+        n_conversations) → TakeOrderedAndProject. No window, no global
+        sort — the same cost class as a terms aggregation at 100 TB.
+
+        Returns (``group_col``, score, n_hits), score desc / parent asc.
+        """
+        fns = {"max": F.max, "sum": F.sum, "avg": F.avg, "min": F.min}
+        if score_mode not in fns and score_mode != "none":
+            raise ValueError(f"unknown has_child score_mode: {score_mode}")
+        scored = self.search_oracle(query_text, None, where=where)
+        docs = self._docs_df().select("doc_id", group_col)
+        j = scored.join(docs, "doc_id")
+        if score_mode == "none":
+            grouped = j.groupBy(group_col).agg(
+                F.count("*").cast("long").alias("n_hits")
+            ).withColumn("score", F.lit(1.0))
+        else:
+            grouped = j.groupBy(group_col).agg(
+                fns[score_mode]("score").alias("score"),
+                F.count("*").cast("long").alias("n_hits"),
+            )
+        return (
+            grouped.filter(F.col("n_hits") >= int(min_children))
+            .select(group_col, "score", "n_hits")
+            .orderBy(F.desc("score"), F.asc(group_col))
+            .limit(k)
+        )
+
+    def search_has_parent(
+        self,
+        query_text: str,
+        k: int = 10,
+        group_col: str = "conv_id",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``has_parent`` (default ``score=false``): every child turn
+        belonging to a conversation that contains ≥1 matching turn —
+        "give me the whole conversation around any hit", constant score
+        1.0, first ``k`` by doc_id (the deterministic unscored order,
+        same as the constant_score multi-term rewrites).
+
+        Declarative: the live filtered match set (one term-pruned tokens
+        scan) → distinct parent keys → one left-semi join back to the doc
+        store on the parent key. Two aggregation-sized shuffles keyed on
+        conv_id; the doc-store scan is column-pruned and never widens."""
+        scoped = self._agg_scope(query_text, where, 1)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, {group_col} string, score double"
+            )
+        groups = scoped.select(group_col).distinct()
+        docs = self._docs_df()
+        deletes = self._deletes_df()
+        if deletes is not None:
+            docs = docs.join(deletes, "doc_id", "left_anti")
+        return (
+            docs.join(groups, group_col, "left_semi")
+            .select("doc_id", group_col, F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sort(
         self,
         query_text: str,

@@ -802,3 +802,56 @@ def test_suggest_phrase_materialized_lm_identical(spark, built_index):
     finally:
         idx._tokens_full_df = orig
     assert after == before and after
+
+
+def test_has_child_matches_python_recompute(spark, built_index):
+    """has_child over the real conv_id parent key: every score_mode must
+    agree with a Python recomputation over the full score set, and
+    min_children must drop small parents."""
+    idx, _ = built_index
+    q = "w00000 w00003"
+    scores = {r["doc_id"]: r["score"] for r in idx.search_oracle(q, None).collect()}
+    conv = {r["doc_id"]: r["conv_id"] for r in idx._docs_df().select("doc_id", "conv_id").collect()}
+    by_conv: dict[str, list[float]] = {}
+    for d, s in scores.items():
+        by_conv.setdefault(conv[d], []).append(s)
+
+    def py_top(mode, min_children=1, k=10):
+        rows = []
+        for c, ss in by_conv.items():
+            if len(ss) < min_children:
+                continue
+            v = {"max": max, "min": min, "sum": sum, "avg": lambda x: sum(x) / len(x)}[mode](ss)
+            rows.append((c, v, len(ss)))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return [(c, round(v, 9), n) for c, v, n in rows[:k]]
+
+    for mode in ("max", "sum", "avg", "min"):
+        got = [
+            (r["conv_id"], round(r["score"], 9), r["n_hits"])
+            for r in idx.search_has_child(q, 10, score_mode=mode).collect()
+        ]
+        assert got == py_top(mode), mode
+    got2 = [
+        (r["conv_id"], round(r["score"], 9), r["n_hits"])
+        for r in idx.search_has_child(q, 10, score_mode="sum", min_children=3).collect()
+    ]
+    assert got2 == py_top("sum", min_children=3)
+    assert all(n >= 3 for _, _, n in got2)
+
+
+def test_has_parent_returns_whole_conversations(spark, built_index):
+    """has_parent: returned turns' conversations must each contain >=1
+    matching turn, and every turn of a returned conversation is eligible
+    (first-k by doc_id)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00007"
+    rows = idx.search_has_parent(q, 25).collect()
+    assert rows and [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
+    docs = idx._docs_df().collect()
+    match_convs = {r["conv_id"] for r in docs if "w00007" in tokenize_text(r["text"])}
+    eligible = sorted(r["doc_id"] for r in docs if r["conv_id"] in match_convs)
+    assert [r["doc_id"] for r in rows] == eligible[:25]
+    assert all(r["score"] == 1.0 and r["conv_id"] in match_convs for r in rows)
