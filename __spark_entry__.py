@@ -512,6 +512,29 @@ def q_bm25_stop_topk(spark, sf_dir):
     )
 
 
+def q_bm25_porter_topk(spark, sf_dir):
+    """ES porter/snowball stemming analyzer end-to-end: an index built
+    with analyzer='porter' answering 'merging tables values' — query
+    analysis stems it to (merg, tabl, valu), matching docs containing
+    merge/table/value. The DuckDB oracle recomputes BM25 over the
+    stemmed corpus using a HAND-DERIVED Porter map of the corpus's
+    complete 31-term vocabulary (see _PORTER_VOCAB_CASE): if the engine's
+    stemmer disagrees with the published algorithm on any corpus term,
+    the hash fails."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::porter"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="porter")
+        _IDX_CACHE[key] = idx
+    out = idx.search("merging tables values", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_validate_query(spark, sf_dir):
     """ES _validate/query?explain: the Lucene-style clause rewrite for a
     valid, a structured, and an unparseable query_string."""
@@ -1270,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": q_sort_topk,
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
+        "bm25_porter_topk": q_bm25_porter_topk,
         "reindex_stop": q_reindex_stop,
         "validate_query": q_validate_query,
         "common_terms_topk": q_common_terms_topk,
@@ -2174,6 +2198,40 @@ def _bm25_stop_sql(query: str, k: int = K) -> str:
     )
 
 
+# HAND-DERIVED Porter map of the documents corpus's complete 31-term
+# vocabulary (the vocab is fixed across scale factors — verified at
+# sf0.001/0.01/0.1). Derivations against the published algorithm:
+#   customer → custom  (step 4: -er with m(custom)=2 > 1)
+#   key      → kei     (step 1c: final y with a vowel in the stem)
+#   merge    → merg    (step 5a: m(merg)=1 and 'erg' is not c-v-c)
+#   query    → queri   (step 1c)
+#   table    → tabl    (step 5a: m(tabl)=1 and 'abl' is not c-v-c)
+#   value    → valu    (step 5a: m(valu)=1 and 'alu' is not c-v-c)
+# Every other term is a no-op: no step-1a plurals exist, and candidates
+# like filter/order (-er with m=1), line (c-v-c guard keeps the e),
+# small/roll (5b needs m>1), vector (-or is not a Porter suffix) all
+# fail their conditions. If the engine's stemmer deviates on ANY corpus
+# term, tf/df/dl shift and the hash comparison fails.
+_PORTER_MAP_SQL = (
+    "CASE t WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei' "
+    "WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' "
+    "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE t END"
+)
+
+
+def _bm25_porter_sql(query_stems: list[str], k: int = K) -> str:
+    """Porter-analyzer oracle: the BM25 template over the stemmed token
+    stream (list_transform through the hand-derived vocab map; dl is
+    unchanged — stemming is 1:1, unlike the stop filter). ``query_stems``
+    are the hand-stemmed query terms (merging→merg via step 1b,
+    tables→tabl / values→valu via step 1a then 5a)."""
+    qvals = ", ".join(f"('{t}', 1.0)" for t in sorted(query_stems))
+    toks = f"list_transform({SQL_TOKS}, t -> {_PORTER_MAP_SQL})"
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def _reindex_stop_sql(query: str, where_sql: str, k: int = K) -> str:
     """Reindex oracle: the stop-analyzer BM25 SQL over the ``where_sql``
     subset of documents with doc_ids densely reassigned in doc_id order
@@ -2637,6 +2695,7 @@ FROM b ORDER BY bucket
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
+        "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "reindex_stop": _reindex_stop_sql("the join hash", "lang = 'en'"),
         "validate_query": """
 SELECT * FROM (VALUES

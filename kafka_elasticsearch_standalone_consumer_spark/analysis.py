@@ -39,7 +39,7 @@ STOP_WORDS = frozenset(
     "or from has had have not but they you his her its we our their".split()
 )
 
-ANALYZERS = ("standard", "stop")
+ANALYZERS = ("standard", "stop", "porter")
 
 
 def _check_analyzer(analyzer: str) -> None:
@@ -47,16 +47,163 @@ def _check_analyzer(analyzer: str) -> None:
         raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS})")
 
 
+# -- Porter stemmer ---------------------------------------------------------
+# From-scratch implementation of the published Porter (1980) algorithm —
+# the stemmer behind ES 1.x's snowball/porter analyzers, which the
+# reference's documents passed through implicitly via ``prepareIndex``
+# (ref: MessageHandler.java:135-139). The ``porter`` analyzer here is
+# standard tokenization + this stemmer (no stop filter), applied
+# identically at index and query time. Longest-matching-suffix-wins
+# within each step: if the longest match's condition fails, the step
+# makes NO change (the spec's rule — 'replacement' must not fall through
+# from -ement to -ment).
+
+_P_VOWELS = frozenset("aeiou")
+
+
+def _p_is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _P_VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _p_is_cons(w, i - 1)
+    return True
+
+
+def _p_measure(stem: str) -> int:
+    """m in the [C](VC)^m[V] decomposition."""
+    n, i, m = len(stem), 0, 0
+    while i < n and _p_is_cons(stem, i):
+        i += 1
+    while True:
+        if i >= n:
+            return m
+        while i < n and not _p_is_cons(stem, i):
+            i += 1
+        if i >= n:
+            return m
+        m += 1
+        while i < n and _p_is_cons(stem, i):
+            i += 1
+
+
+def _p_has_vowel(stem: str) -> bool:
+    return any(not _p_is_cons(stem, i) for i in range(len(stem)))
+
+
+def _p_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _p_is_cons(w, len(w) - 1)
+
+
+def _p_cvc(w: str) -> bool:
+    """*o: ends consonant-vowel-consonant, final consonant not w/x/y."""
+    n = len(w)
+    return (
+        n >= 3
+        and _p_is_cons(w, n - 3)
+        and not _p_is_cons(w, n - 2)
+        and _p_is_cons(w, n - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _p_rules(w: str, rules: tuple[tuple[str, str], ...], min_m: int) -> str:
+    """Longest matching suffix wins; apply iff m(stem) > min_m−1."""
+    for suf, rep in rules:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _p_measure(stem) >= min_m:
+                return stem + rep
+            return w
+    return w
+
+
+_P_STEP2 = (  # pre-sorted longest-first
+    ("ational", "ate"), ("ization", "ize"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("tional", "tion"),
+    ("biliti", "ble"), ("entli", "ent"), ("ousli", "ous"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("iviti", "ive"),
+    ("enci", "ence"), ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+    ("alli", "al"), ("ator", "ate"), ("eli", "e"),
+)
+_P_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ness", ""), ("ful", ""),
+)
+_P_STEP4 = (
+    ("ement", ""), ("ance", ""), ("ence", ""), ("able", ""), ("ible", ""),
+    ("ment", ""), ("ant", ""), ("ent", ""), ("ism", ""), ("ate", ""),
+    ("iti", ""), ("ous", ""), ("ive", ""), ("ize", ""), ("ion", ""),
+    ("al", ""), ("er", ""), ("ic", ""), ("ou", ""),
+)
+
+
+def porter_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stripped = False
+        if w.endswith("ed") and _p_has_vowel(w[:-2]):
+            w, stripped = w[:-2], True
+        elif w.endswith("ing") and _p_has_vowel(w[:-3]):
+            w, stripped = w[:-3], True
+        if stripped:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _p_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _p_measure(w) == 1 and _p_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    w = _p_rules(w, _P_STEP2, 1)
+    w = _p_rules(w, _P_STEP3, 1)
+    # step 4 (the -ion rule additionally requires the stem to end s/t)
+    for suf, _rep in _P_STEP4:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _p_measure(stem) > 1 and (suf != "ion" or (stem and stem[-1] in "st")):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _p_measure(w[:-1])
+        if m > 1 or (m == 1 and not _p_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if w.endswith("l") and _p_double_cons(w) and _p_measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
 def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     """Single-string tokenizer (driver-side, for query analysis).
 
     ``analyzer='stop'`` applies the ES stop token filter after
-    tokenization — the same chain the index build runs, so query and
+    tokenization; ``analyzer='porter'`` applies the Porter stemmer to
+    every token — the same chain the index build runs, so query and
     index analysis stay symmetric (ES's invariant)."""
     _check_analyzer(analyzer)
     toks = _TOKEN_RE.findall((text or "").lower())
     if analyzer == "stop":
         toks = [t for t in toks if t not in STOP_WORDS]
+    elif analyzer == "porter":
+        toks = [porter_stem(t) for t in toks]
     return toks
 
 
@@ -65,15 +212,41 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(_TOKEN_RE)
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _porter_arr_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched Porter pass over array<string> token columns. The
+    per-batch memo means each distinct surface form is stemmed once per
+    batch (Zipf makes the vocab tiny next to the token count)."""
+    memo: dict = {}
+
+    def stem_list(toks):
+        out = []
+        for t in toks:
+            v = memo.get(t)
+            if v is None:
+                v = porter_stem(t)
+                memo[t] = v
+            out.append(v)
+        return out
+
+    return s.apply(stem_list)
+
+
 def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
     """JVM-side tokenizer: split on non-token runs, drop empties.
     ``analyzer='stop'`` additionally drops STOP_WORDS (order and
-    duplicate tokens preserved — a token FILTER, not a set op)."""
+    duplicate tokens preserved — a token FILTER, not a set op).
+    ``analyzer='porter'`` stems every token; the stem step routes
+    through an Arrow pandas UDF (a real stemmer is not expressible as a
+    Column), so this path is vectorized but not whole-stage-codegen —
+    the fused kernel remains the build hot path."""
     _check_analyzer(analyzer)
     parts = F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
     if analyzer == "stop":
         toks = F.filter(toks, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+    elif analyzer == "porter":
+        toks = _porter_arr_udf(toks)
     return toks
 
 
@@ -103,6 +276,8 @@ def tokens_from(
         tok = tokenize_udf(F.col(text_col))
         if analyzer == "stop":
             tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+        elif analyzer == "porter":
+            tok = _porter_arr_udf(tok)
     else:
         tok = tokenize_col(F.col(text_col), analyzer=analyzer)
     exploded = df.select(*id_cols, F.explode(tok).alias("term"))
@@ -138,6 +313,14 @@ def doc_term_freqs(
     in-document offsets (position increments preserved, so phrase gaps
     behave like Lucene's). The filter is a vectorized np.isin over the
     flattened token stream — zero cost on the default analyzer.
+
+    ``analyzer='porter'`` stems every token in place (1:1 — ``dl`` and
+    positions are unchanged): the flat token stream is factorized so
+    each distinct surface form in the batch is stemmed ONCE, then mapped
+    back through the integer codes — the stemmer's cost scales with the
+    batch vocabulary, not the token count. Two surface forms stemming to
+    the same term within a document merge into one (doc, term) row with
+    summed tf and unioned positions, exactly Lucene's behavior.
     """
     from itertools import chain
 
@@ -179,6 +362,10 @@ def doc_term_freqs(
             else:
                 orig_pos = None
                 dl_map = pd.Series(lens, index=ids)
+            if analyzer == "porter":
+                codes, uniq = pd.factorize(flat, sort=False)
+                stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
+                flat = stemmed[codes]
             if positions:
                 # fully vectorized (doc, term) grouping: factorize terms to
                 # int codes, lexsort (doc, code, pos), then group boundaries

@@ -24,9 +24,11 @@ from kafka_elasticsearch_standalone_consumer_spark import B, K1
 from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
 
-def query_term_weights(query_text: str) -> dict[str, int]:
-    """Query analysis: same tokenizer as the index path, with multiplicity."""
-    return dict(Counter(tokenize_text(query_text)))
+def query_term_weights(query_text: str, analyzer: str = "standard") -> dict[str, int]:
+    """Query analysis: same chain as the index path (ES's symmetry
+    invariant — a stemming analyzer must stem the query too), with
+    multiplicity (two query tokens sharing a stem weight it ×2)."""
+    return dict(Counter(tokenize_text(query_text, analyzer)))
 
 
 def idf_expr(n_docs: int):
@@ -43,6 +45,7 @@ def bm25_scores_oracle(
     k1: float = K1,
     b: float = B,
     idfw: dict[str, float] | None = None,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """scores(doc_id, score) for every matching doc — declarative plan.
 
@@ -54,7 +57,7 @@ def bm25_scores_oracle(
     bit-identical term weights.
     """
     spark = tokens.sparkSession
-    weights = query_term_weights(query_text)
+    weights = query_term_weights(query_text, analyzer)
     if not weights:
         return spark.createDataFrame([], "doc_id long, score double")
     if idfw is not None:

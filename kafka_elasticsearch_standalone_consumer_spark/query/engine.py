@@ -216,7 +216,16 @@ class Index:
         fetched = self.fetch(hits)
         if not terms:
             return fetched.withColumn("snippet", F.lit(None).cast("string"))
-        pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        if self.meta.get("analyzer", "standard") == "porter":
+            # analyzed terms are stems that may not appear literally in the
+            # raw text ("tabl" vs "tables"): match any surface form sharing
+            # the stem as a prefix — an approximation (Lucene re-analyzes
+            # the stored field instead), good for the common suffix stems
+            pat = (
+                "(?i)\\b((?:" + "|".join(_re.escape(t) for t in terms) + ")[a-z0-9]*)"
+            )
+        else:
+            pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
         first = F.regexp_instr(F.col("text"), F.lit(pat))  # 1-based; 0 = no match
         start = F.greatest(first - F.lit(n_chars // 2), F.lit(1))
         window = F.substring(F.col("text"), start.cast("int"), n_chars)
@@ -287,9 +296,11 @@ class Index:
             tokenize_text,
         )
 
+        analyzer = self.meta.get("analyzer", "standard")
         raw = tokenize_text(phrase)
-        if self.meta.get("analyzer", "standard") != "stop":
-            return raw, list(range(len(raw)))
+        if analyzer != "stop":
+            # porter (like standard) maps tokens 1:1 — offsets are identity
+            return tokenize_text(phrase, analyzer), list(range(len(raw)))
         slots, offsets = [], []
         for i, t in enumerate(raw):
             if t not in STOP_WORDS:
@@ -310,7 +321,9 @@ class Index:
         """
         import math
 
-        weights = bm25.query_term_weights(query_text)
+        weights = bm25.query_term_weights(
+            query_text, self.meta.get("analyzer", "standard")
+        )
         if not weights:
             return {}, []
         terms = sorted(weights)
@@ -394,15 +407,22 @@ class Index:
         where: str | None,
         docs_per_shard: int,
         allowed_docs: DataFrame | None = None,
+        blocked_docs: DataFrame | None = None,
     ):
         """(mask_df_with_shard, kind) for the per-shard doc mask:
         kind='allowed' ships the filtered live set, kind='blocked' ships
-        only the tombstones (cheaper when there is no filter clause);
+        only the exclusions (cheaper when there is no filter clause);
         (None, None) when no mask applies. ``allowed_docs`` optionally
-        intersects an extra doc_id set (min_should_match)."""
+        intersects an extra doc_id set (min_should_match / bool must);
+        ``blocked_docs`` unions an exclusion set (bool must_not) with the
+        delete tombstones."""
         from kafka_elasticsearch_standalone_consumer_spark.index.build import with_shard
 
         deletes = self._deletes_df()
+        blocked = deletes.select("doc_id") if deletes is not None else None
+        if blocked_docs is not None:
+            b = blocked_docs.select("doc_id")
+            blocked = b if blocked is None else blocked.unionByName(b).distinct()
         allowed = None
         if where is not None:
             allowed = self._docs_df().filter(where).select("doc_id")
@@ -413,11 +433,11 @@ class Index:
                 else allowed.join(allowed_docs, "doc_id", "left_semi")
             )
         if allowed is not None:
-            if deletes is not None:
-                allowed = allowed.join(deletes, "doc_id", "left_anti")
+            if blocked is not None:
+                allowed = allowed.join(blocked, "doc_id", "left_anti")
             return with_shard(allowed, docs_per_shard), "allowed"
-        if deletes is not None:
-            return with_shard(deletes.select("doc_id"), docs_per_shard), "blocked"
+        if blocked is not None:
+            return with_shard(blocked, docs_per_shard), "blocked"
         return None, None
 
     def search(
@@ -428,8 +448,15 @@ class Index:
         where: str | None = None,
         min_should_match: int = 1,
         min_score: float | None = None,
+        _allowed_docs: DataFrame | None = None,
+        _blocked_docs: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k BM25 (OR semantics). mode: bmw | exact | intersect.
+
+        ``_allowed_docs`` / ``_blocked_docs`` are internal doc-set hooks
+        (bool must / must_not compiled by querystring.run_parsed): they
+        restrict the scored doc set through the same per-shard cogroup
+        mask as the filter clause — corpus statistics stay global.
 
         ``min_score`` (ES query option): drop hits scoring below the
         threshold. Applied AFTER the top-k — equivalent to ES's
@@ -496,13 +523,19 @@ class Index:
                 )
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        allowed_docs = None
+        allowed_docs = _allowed_docs
         if min_should_match > 1:
             terms = sorted(set(self._analyze(query_text)))
             if min_should_match > len(terms):
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
-            allowed_docs = self._match_set(terms, min_should_match)
-        mask_df, mask_kind = self._mask_plan(where, docs_per_shard, allowed_docs)
+            ms = self._match_set(terms, min_should_match)
+            allowed_docs = (
+                ms if allowed_docs is None
+                else allowed_docs.join(ms, "doc_id", "left_semi")
+            )
+        mask_df, mask_kind = self._mask_plan(
+            where, docs_per_shard, allowed_docs, _blocked_docs
+        )
         empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": np.int64, "score": np.float64}
         )
@@ -1817,7 +1850,9 @@ class Index:
         out_schema = (
             "term string, w double, tf double, df double, idf double, contribution double"
         )
-        weights = bm25.query_term_weights(query_text)
+        weights = bm25.query_term_weights(
+            query_text, self.meta.get("analyzer", "standard")
+        )
         if not weights:
             return self.spark.createDataFrame([], out_schema)
         terms = sorted(weights)
@@ -2671,6 +2706,7 @@ class Index:
             k1=self.meta["k1"],
             b=self.meta["b"],
             idfw=idfw or None,
+            analyzer=self.meta.get("analyzer", "standard"),
         )
         if where is not None:
             scores = scores.join(

@@ -76,7 +76,12 @@ class MultiIndex:
     def _combined_stats(self, query_text: str):
         """dfs_query_then_fetch planning: merged df/N/avgdl across all
         indexes — driver-side pruned dictionary lookups only."""
-        weights = bm25.query_term_weights(query_text)
+        # msearch merges df across indexes keyed by term, which assumes a
+        # homogeneous analysis chain — analyze with the first index's
+        # analyzer (mixed-analyzer msearch would need per-index analysis)
+        weights = bm25.query_term_weights(
+            query_text, self.indexes[0].meta.get("analyzer", "standard")
+        )
         if not weights:
             return None, 0.0
         terms = sorted(weights)

@@ -20,9 +20,10 @@ engine and documents its semantics precisely:
 
 Routing: a pure-phrase query goes to ``Index.search_phrase`` (the fast
 positions kernel); pure-term queries go to ``Index.search`` (block-max
-WAND) with must/must_not compiled into the filter clause (token-boundary
-regexes over the text — the same token alphabet as the analyzer, so
-``contains term`` agrees with the index). A query mixing terms and
+WAND) with must/must_not compiled into analyzed doc match sets riding
+the same per-shard cogroup mask as the filter clause (term-pruned token
+scans — analyzer-consistent and cheaper than a text regex at scale; see
+run_parsed). A query mixing terms and
 phrases composes like an ES bool ``should``: each clause's FULL score set
 (terms via the declarative BM25 oracle, each phrase via the m-way join
 oracle) is summed per doc over the union of matching docs — a doc
@@ -101,13 +102,24 @@ def _term_regex(term: str) -> str:
     return f"(^|[^a-z0-9]){re.escape(term)}([^a-z0-9]|$)"
 
 
+def compile_field_filter(parsed: ParsedQuery) -> str | None:
+    """The parsed field:value clauses as ONE SQL predicate for the
+    engine's ``where=`` surface (doc-level restriction; corpus
+    statistics stay global, matching ES bool filter)."""
+    clauses = [f"{f} = '{v.replace(chr(39), chr(39) * 2)}'" for f, v in parsed.filters]
+    return " AND ".join(clauses) if clauses else None
+
+
 def compile_filter(parsed: ParsedQuery, text_col: str = "text") -> str | None:
-    """The parsed must/must_not/field clauses as ONE SQL predicate string
-    for the engine's ``where=`` filter surface (doc-level restriction;
-    corpus statistics stay global, matching ES bool filter)."""
+    """LEGACY single-predicate compilation (field clauses + token-boundary
+    RLIKE for must/must_not). Kept for callers that want one SQL string;
+    the executor no longer uses the RLIKE forms — must/must_not now ride
+    analyzer-consistent match sets (see :func:`run_parsed`): an RLIKE on
+    the raw text scans every document's text AND disagrees with stemming
+    analyzers (the stem 'tabl' never appears literally in "tables")."""
     clauses: list[str] = []
-    for f, v in parsed.filters:
-        clauses.append(f"{f} = '{v}'")
+    if (ff := compile_field_filter(parsed)) is not None:
+        clauses.append(ff)
     for t in parsed.must:
         clauses.append(f"lower({text_col}) RLIKE '{_term_regex(t)}'")
     for t in parsed.must_not:
@@ -126,18 +138,35 @@ def run_query_string(index, q: str, k: int = 10):
 def run_parsed(index, parsed: ParsedQuery, k: int = 10):
     """Execute a :class:`ParsedQuery` — the shared executor behind the
     query_string DSL and the structured ``Index.search_bool`` API (both
-    are views of the same ES bool semantics)."""
+    are views of the same ES bool semantics).
+
+    must / must_not compile into ANALYZED doc match sets (one term-pruned
+    tokens scan each), not text regexes: that keeps them correct under
+    every analyzer (a stemmed must-clause matches all surface forms, a
+    stop-analyzed one drops out at parse) and is the 100 TB plan — the
+    match set reads only the clause terms' token rows, where an RLIKE
+    filter would regex-scan every document's text. must terms still
+    score together with should (ES bool must + should); must_not only
+    excludes. Field filters stay a ``where=`` predicate."""
     from pyspark.sql import functions as F
 
     terms = parsed.should + parsed.must
-    where = compile_filter(parsed)
-    if not terms and len(parsed.phrases) == 1:
+    where = compile_field_filter(parsed)
+    must_terms = sorted(set(parsed.must))
+    not_terms = sorted(set(parsed.must_not))
+    allowed = index._match_set(must_terms, len(must_terms)) if must_terms else None
+    blocked = index._match_set(not_terms, 1) if not_terms else None
+    if not terms and len(parsed.phrases) == 1 and allowed is None and blocked is None:
         phrase, slop = parsed.phrases[0]
         return index.search_phrase(phrase, k, where=where, slop=slop)
     if not parsed.phrases:
-        return index.search(" ".join(terms), k, mode="bmw", where=where)
+        return index.search(
+            " ".join(terms), k, mode="bmw", where=where,
+            _allowed_docs=allowed, _blocked_docs=blocked,
+        )
     # mixed clauses — ES bool should composition: sum each clause's full
-    # score set per doc over the UNION of matching docs, then top-k
+    # score set per doc over the UNION of matching docs, then top-k;
+    # must/must_not masks apply to the summed set
     parts = []
     if terms:
         parts.append(index.search_oracle(" ".join(terms), k=None, where=where))
@@ -147,4 +176,8 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
     for p in parts[1:]:
         allp = allp.unionByName(p)
     scores = allp.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if allowed is not None:
+        scores = scores.join(allowed, "doc_id", "left_semi")
+    if blocked is not None:
+        scores = scores.join(blocked, "doc_id", "left_anti")
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -155,6 +155,119 @@ def test_analyzer_survives_append_and_compact(spark, docs_df, tmp_path):
 
 def test_unknown_analyzer_rejected(spark, docs_df):
     with pytest.raises(ValueError, match="analyzer"):
-        tokenize_text("x", "porter")
+        tokenize_text("x", "snowball_klingon")
     with pytest.raises(ValueError, match="analyzer"):
         tokens_from(docs_df, analyzer="nope").collect()
+
+
+# -- Porter analyzer --------------------------------------------------------
+
+PDOCS = [
+    (0, "merging tables quickly while values agreed"),
+    (1, "the merge of a table with another table value"),
+    (2, "queries against keyed columns"),
+    (3, "nothing relevant here at all"),
+    (4, "hopping hoped hopeful hopefulness"),  # shared stem family
+]
+
+
+@pytest.fixture(scope="module")
+def pdocs_df(spark):
+    return spark.createDataFrame(PDOCS, "doc_id long, text string")
+
+
+def test_porter_stem_full_algorithm_vectors():
+    """Full-algorithm (all steps chained) outputs for the classic Porter
+    examples — the published 1980 algorithm, longest-suffix-wins."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import porter_stem
+
+    vec = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss", "failing": "fail",
+        "filing": "file", "denied": "deni", "mules": "mule", "happy": "happi",
+        "sky": "sky", "electricity": "electr", "controlling": "control",
+        "generalization": "gener", "oscillators": "oscil", "rational": "ration",
+        "roll": "roll", "rate": "rate", "cease": "ceas", "relational": "relat",
+        "conditional": "condit", "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "replacement": "replac", "triplicate": "triplic",
+        "formative": "form", "communism": "commun", "effective": "effect",
+        "hopefulness": "hope", "goodness": "good", "allowance": "allow",
+        "inference": "infer", "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "meetings": "meet", "feudalism": "feudal",
+        "enjoy": "enjoi", "a": "a",
+    }
+    for w, want in vec.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_tokenizers_identical_with_porter(spark, pdocs_df):
+    """fused ≡ sql ≡ pandas token streams under analyzer='porter'."""
+    want = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in tokens_from(pdocs_df, method="sql", analyzer="porter").collect()
+    )
+    for method in ("fused", "pandas"):
+        got = sorted(
+            (r["doc_id"], r["term"], r["tf"])
+            for r in tokens_from(pdocs_df, method=method, analyzer="porter").collect()
+        )
+        assert got == want, method
+    # driver-side symmetry
+    assert tokenize_text("merging tables values", "porter") == ["merg", "tabl", "valu"]
+
+
+def test_porter_merges_surface_forms_and_keeps_dl(spark, pdocs_df):
+    """Two surface forms sharing a stem merge into one (doc, term) row
+    with summed tf and unioned ascending positions; dl counts ALL tokens
+    (stemming is 1:1, unlike the stop filter)."""
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in doc_term_freqs(pdocs_df, positions=True, analyzer="porter").collect()
+    }
+    # doc 1: 'table' twice → tabl tf=2; dl = all 9 tokens (stemming is 1:1)
+    r = rows[(1, "tabl")]
+    assert r["tf"] == 2 and r["dl"] == 9
+    assert r["positions"] == sorted(r["positions"])
+    # doc 4: hopping→hop, hoped→hope, hopeful→hope, hopefulness→hope
+    assert rows[(4, "hope")]["tf"] == 3 and rows[(4, "hop")]["tf"] == 1
+    assert rows[(4, "hope")]["positions"] == [1, 2, 3]
+
+
+def test_porter_index_query_surfaces(spark, pdocs_df):
+    """End-to-end on a porter index: a morphologically different query
+    matches ('merging tables' finds 'merge...table'), bmw ≡ exact ≡
+    oracle, phrase matching works on stems, and query_string must/
+    must_not clauses are analyzer-consistent."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(
+        pdocs_df, docs_per_shard=4, n_buckets=4, positions=True, analyzer="porter"
+    )
+    assert idx.meta["analyzer"] == "porter"
+    got = {}
+    for mode in ("bmw", "exact"):
+        got[mode] = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search("merging tables", 10, mode=mode).collect()
+        ]
+    oracle = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_oracle("merging tables", 10).collect()
+    ]
+    assert got["bmw"] == got["exact"] == oracle
+    assert {d for d, _ in oracle} == {0, 1}  # both docs match via stems
+    # phrase: "merging tables" → slots (merg, tabl): doc 0 adjacency only
+    ph = idx.search_phrase("merging tables", 10).collect()
+    assert [r["doc_id"] for r in ph] == [0]
+    ph_o = idx.search_phrase_oracle("merging tables", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in ph] == [
+        (r["doc_id"], round(r["score"], 9)) for r in ph_o
+    ]
+    # query_string: +value must match doc 0 (values) and doc 1 (value)
+    qs = idx.query_string("+value merge", 10).collect()
+    assert {r["doc_id"] for r in qs} == {0, 1}
+    # must_not excludes by stem family too
+    qs2 = idx.query_string("merge -queried", 10).collect()
+    assert {r["doc_id"] for r in qs2} <= {0, 1, 4}
