@@ -802,6 +802,54 @@ def q_has_parent_topk(spark, sf_dir):
     return out.select("doc_id", "conv_key", "score")
 
 
+def q_snapshot_restore(spark, sf_dir):
+    """ES snapshot/restore + aliases: build a persisted index, snapshot
+    it into a repository, restore into a fresh warehouse, swap the
+    'prod' alias onto the restored copy, then TOMBSTONE a top document
+    in the ORIGINAL — the alias-opened restore must still rank the
+    pre-mutation top-k (point-in-time isolation), matching the plain
+    BM25 oracle."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_docs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        create_snapshot,
+        open_alias,
+        restore_snapshot,
+        set_alias,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::snap"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            # zero-padded conv_id → dense ids follow numeric doc_id order
+            .withColumn("conv_id", F.format_string("c%010d", F.col("doc_id")))
+            .withColumn("turn_idx", F.lit(0))
+        )
+        root = tempfile.mkdtemp()
+        src = root + "/src"
+        build_index(spark, docs.drop("doc_id"), src, docs_per_shard=128, n_buckets=16)
+        create_snapshot(src, root + "/repo", "snap1")
+        restore_snapshot(root + "/repo", "snap1", root + "/restored")
+        set_alias(root + "/reg", "prod", root + "/restored")
+        # mutate the ORIGINAL after the snapshot: tombstone the best hit
+        top = Index(spark, src).search(BM25_QUERY, 1).collect()
+        delete_docs(spark, src, f"doc_id = {int(top[0]['doc_id'])}")
+        idx = open_alias(spark, root + "/reg", "prod")
+        _IDX_CACHE[key] = idx
+    out = idx.search(BM25_QUERY, K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_suggest_phrase_lm(spark, sf_dir):
     """ES phrase suggester served from the MATERIALIZED bigram LM tables
     (index/lm.py): persisted index + build_lm_tables, then the same
@@ -1294,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
         "bm25_porter_topk": q_bm25_porter_topk,
+        "snapshot_restore": q_snapshot_restore,
         "reindex_stop": q_reindex_stop,
         "validate_query": q_validate_query,
         "common_terms_topk": q_common_terms_topk,
@@ -2696,6 +2745,7 @@ FROM b ORDER BY bucket
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
+        "snapshot_restore": _bm25_sql(BM25_QUERY),
         "reindex_stop": _reindex_stop_sql("the join hash", "lang = 'en'"),
         "validate_query": """
 SELECT * FROM (VALUES
