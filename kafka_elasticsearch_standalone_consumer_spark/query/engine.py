@@ -565,8 +565,189 @@ class Index:
             out = out.filter(F.col("score") >= float(min_score))
         return out
 
+    # conjunction ops supported by the serving-path filter surface
+    _LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+
+    def _local_blocked(self) -> "np.ndarray | None":
+        """Tombstoned doc_ids as a sorted int64 array (driver-side read
+        of the small tombstone table), or None."""
+        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+            DELETES_TABLE,
+        )
+
+        if self.wh is None or not self.wh.exists(DELETES_TABLE):
+            return None
+        rows = self.wh.read_rows(DELETES_TABLE)
+        if not rows:
+            return None
+        return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+    def _local_postings(self, buckets: list[int], terms: list[str]) -> pd.DataFrame | None:
+        """Pruned postings rows for (buckets, terms) via cached pyarrow
+        datasets — the serving-path scan (term_bucket hive partitions
+        pruned, term row-groups pruned inside the bucket-sorted files).
+        Rows carry the per-segment baked_avgdl the distributed plan
+        attaches. None when nothing matched."""
+        import pyarrow.dataset as pads
+
+        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        frames = []
+        for w, baked in zip(self._seg_whs, self._seg_baked):
+            key = w.path("postings")
+            ds = self._pads_cache.get(key)
+            if ds is None:
+                ds = pads.dataset(key, format="parquet", partitioning="hive")
+                self._pads_cache[key] = ds
+            tbl = ds.to_table(filter=flt)
+            if tbl.num_rows:
+                frames.append(tbl.to_pandas().assign(baked_avgdl=float(baked)))
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    def _local_allowed(self, where: list[tuple]) -> "np.ndarray":
+        """doc_ids satisfying a conjunction of ``(col, op, value)``
+        filters — a driver-side pyarrow read of the doc store pruned to
+        the doc_id column with the predicate pushed into the scan. The
+        serving-path filter surface: meant for SELECTIVE predicates (the
+        allowed set is materialized driver-side); broad analytical
+        filters belong on :meth:`search`'s SQL ``where=``, which stays
+        distributed."""
+        import pyarrow.dataset as pads
+
+        expr = None
+        for col, op, val in where:
+            f = pads.field(col)
+            if op == "=":
+                e = f == val
+            elif op == "!=":
+                e = f != val
+            elif op == "<":
+                e = f < val
+            elif op == "<=":
+                e = f <= val
+            elif op == ">":
+                e = f > val
+            elif op == ">=":
+                e = f >= val
+            elif op == "in":
+                e = f.isin(list(val))
+            else:
+                raise ValueError(f"unsupported local filter op {op!r} (use {self._LOCAL_OPS})")
+            expr = e if expr is None else expr & e
+        parts = []
+        for w in self._seg_whs:
+            tbl = pads.dataset(w.path("docs"), format="parquet").to_table(
+                columns=["doc_id"], filter=expr
+            )
+            if tbl.num_rows:
+                parts.append(np.asarray(tbl.column("doc_id"), dtype=np.int64))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def get_docs_local(self, doc_ids: list[int]) -> list[dict]:
+        """ES ``_mget`` on the zero-Spark-job serving path: pyarrow point
+        reads of the doc store with the doc_id set pushed into the
+        parquet filter (docs are written in doc_id order, so footer
+        min/max prunes to the covering row groups). Missing ids are
+        silently absent and tombstoned docs are never returned — same
+        contract as :meth:`get_docs`. Rows come back doc_id-ascending."""
+        import pyarrow.dataset as pads
+
+        if self.wh is None:
+            raise ValueError("get_docs_local serves from warehouse files — use get_docs()")
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return []
+        blocked = self._local_blocked()
+        if blocked is not None:
+            dead = set(blocked.tolist())
+            ids = [d for d in ids if d not in dead]
+            if not ids:
+                return []
+        out: list[dict] = []
+        for w in self._seg_whs:
+            tbl = pads.dataset(w.path("docs"), format="parquet").to_table(
+                filter=pads.field("doc_id").isin(ids)
+            )
+            out.extend(tbl.to_pylist())
+        return sorted(out, key=lambda r: r["doc_id"])
+
+    def search_phrase_local(
+        self, phrase: str, k: int = 10, slop: int = 0,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """match_phrase on the zero-Spark-job serving path: the same
+        pruned postings read and position kernel as :meth:`search_phrase`
+        executed driver-side — rank/score-identical to the distributed
+        path (same synthetic-term BM25: df aggregated over UNMASKED
+        matches across shards, so filters/tombstones never shift idf).
+        ``where`` is the serving-path filter surface (see
+        :meth:`_local_allowed`)."""
+        import math
+
+        if self.wh is None:
+            raise ValueError("search_phrase_local serves from warehouse files")
+        if not self.meta.get("positions"):
+            raise ValueError("index built without positions=True — no phrase support")
+        slots, offsets = self._analyze_phrase(phrase)
+        if not slots:
+            return []
+        all_terms = sorted(set(slots))
+        rows = self._lookup_terms_arrow(all_terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(all_terms)
+        present = {term for term, _, _ in rows}
+        if any(t not in present for t in slots):
+            return []
+        buckets = sorted({int(b) for _, _, b in rows})
+        pdf = self._local_postings(buckets, sorted(present))
+        if pdf is None:
+            return []
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        blocked = self._local_blocked()
+        allowed = None
+        if where is not None:
+            allowed = self._local_allowed(where)
+            if blocked is not None:
+                allowed = np.setdiff1d(allowed, blocked)
+            blocked = None  # allowed mask subsumes the tombstones
+        out_d, out_t, out_l = [], [], []
+        n_total = 0
+        for shard, g in pdf.groupby("shard", sort=False):
+            shard_lo = int(shard) * docs_per_shard
+            by_term: dict[str, list] = {}
+            for row in g.itertuples(index=False):
+                by_term.setdefault(row.term, []).append(
+                    kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                )
+            runs_by_slot = [by_term.get(t, []) for t in slots]
+            d, tfp, dl, n = kernels.shard_phrase_matches(
+                runs_by_slot, k, avgdl, k1, b,
+                allowed=allowed, blocked=blocked, slop=slop, offsets=offsets,
+            )
+            n_total += int(n)
+            if len(d):
+                out_d.append(np.asarray(d, dtype=np.int64))
+                out_t.append(np.asarray(tfp, dtype=np.float64))
+                out_l.append(np.asarray(dl, dtype=np.float64))
+        if n_total == 0 or not out_d:
+            return []
+        idf = math.log(1.0 + (float(meta["n_docs"]) - n_total + 0.5) / (n_total + 0.5))
+        dd = np.concatenate(out_d)
+        tf = np.concatenate(out_t)
+        dl = np.concatenate(out_l)
+        ss = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
     def search_local(
-        self, query_text: str, k: int = 10, mode: str = "bmw"
+        self, query_text: str, k: int = 10, mode: str = "bmw",
+        where: list[tuple] | None = None,
     ) -> list[tuple[int, float]]:
         """Zero-Spark-job serving path for a single query: the same plan
         as :meth:`search` (term-dictionary lookup → pruned postings read →
@@ -582,18 +763,17 @@ class Index:
         the bucket-sorted files), so its cost is |q|·n_shards posting runs
         — independent of corpus width, the same contract ES's own
         single-node query path offers. Delete tombstones are honored
-        (driver-side read of the small tombstone table); for filter
-        clauses / min_should_match use ``search()`` — they need the doc
-        store, which is the executors' job.
+        (driver-side read of the small tombstone table). ``where`` is the
+        serving-path filter surface — a conjunction of ``(col, op, value)``
+        tuples resolved to an allowed-doc set by a pruned pyarrow read of
+        the doc store (see :meth:`_local_allowed`); scores are identical
+        to the unfiltered ranks of surviving docs, exactly like
+        ``search(where=...)`` (ES keeps corpus statistics global under a
+        filter clause). For broad analytical predicates or
+        min_should_match use ``search()`` — those belong on executors.
 
         Returns ``[(doc_id, score), ...]`` best-first (len ≤ k).
         """
-        import pyarrow.dataset as pads
-
-        from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
-            DELETES_TABLE,
-        )
-
         if self.wh is None:
             raise ValueError(
                 "search_local serves from warehouse files; ephemeral indexes "
@@ -608,28 +788,16 @@ class Index:
         docs_per_shard = int(meta["docs_per_shard"])
         avgdl = float(meta["avgdl"]) or 1e-9
         k1, b = float(meta["k1"]), float(meta["b"])
-        terms = sorted(idfw)
-        flt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
-        frames = []
-        for w, baked in zip(self._seg_whs, self._seg_baked):
-            key = w.path("postings")
-            ds = self._pads_cache.get(key)
-            if ds is None:
-                ds = pads.dataset(key, format="parquet", partitioning="hive")
-                self._pads_cache[key] = ds
-            tbl = ds.to_table(filter=flt)
-            if tbl.num_rows:
-                # same per-segment baked_avgdl the distributed plan attaches,
-                # so the kernel's safe-bound substitution fires identically
-                frames.append(tbl.to_pandas().assign(baked_avgdl=float(baked)))
-        if not frames:
+        pdf = self._local_postings(buckets, sorted(idfw))
+        if pdf is None:
             return []
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        blocked = None
-        if self.wh.exists(DELETES_TABLE):
-            rows = self.wh.read_rows(DELETES_TABLE)
-            if rows:
-                blocked = np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        blocked = self._local_blocked()
+        allowed = None
+        if where is not None:
+            allowed = self._local_allowed(where)
+            if blocked is not None:
+                allowed = np.setdiff1d(allowed, blocked)
+            blocked = None  # allowed mask subsumes the tombstones
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
         for shard, g in pdf.groupby("shard", sort=False):
@@ -640,7 +808,9 @@ class Index:
                 for row in rows_it
             ]
             if mode == "exact":
-                d, s = kernels.shard_topk_exact(runs, k, avgdl, k1, b, blocked=blocked)
+                d, s = kernels.shard_topk_exact(
+                    runs, k, avgdl, k1, b, allowed=allowed, blocked=blocked
+                )
             elif mode == "intersect":
                 by_term: dict[str, list] = {}
                 for row, r in zip(rows_it, runs):
@@ -648,11 +818,12 @@ class Index:
                 if len(by_term) < len(idfw):
                     continue
                 d, s = kernels.shard_topk_intersect(
-                    by_term, k, avgdl, k1, b, blocked=blocked
+                    by_term, k, avgdl, k1, b, allowed=allowed, blocked=blocked
                 )
             else:
                 d, s = kernels.shard_topk_bmw(
-                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b, blocked=blocked
+                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b,
+                    allowed=allowed, blocked=blocked,
                 )
             if len(d):
                 out_d.append(np.asarray(d, dtype=np.int64))

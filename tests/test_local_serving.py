@@ -61,3 +61,120 @@ def test_local_rejects_ephemeral(spark, transcripts):
     )
     with pytest.raises(ValueError, match="warehouse"):
         idx.search_local(Q, 10)
+
+
+# -- round-3 serving surfaces: filters, phrase, mget ----------------------
+
+
+def test_local_filtered_identical(spark, built_index):
+    """search_local(where=) must equal search(where=) — same allowed-set
+    semantics (scores unchanged for survivors, idf global) on every mode."""
+    idx, _ = built_index
+    for mode in ("bmw", "exact", "intersect"):
+        dist = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in idx.search(Q, 10, mode=mode, where="role = 'user'").collect()
+        ]
+        loc = [
+            (d, round(s, 10))
+            for d, s in idx.search_local(Q, 10, mode=mode, where=[("role", "=", "user")])
+        ]
+        assert loc == dist, mode
+        assert dist, mode
+    # conjunction + IN, against the equivalent SQL
+    dist = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in idx.search(
+            Q, 10, where="role IN ('user','assistant') AND turn_idx >= 1"
+        ).collect()
+    ]
+    loc = [
+        (d, round(s, 10))
+        for d, s in idx.search_local(
+            Q, 10, where=[("role", "in", ("user", "assistant")), ("turn_idx", ">=", 1)]
+        )
+    ]
+    assert loc == dist
+    assert idx.search_local(Q, 10, where=[("role", "=", "nosuchrole")]) == []
+    with pytest.raises(ValueError, match="unsupported local filter op"):
+        idx.search_local(Q, 10, where=[("role", "like", "u%")])
+
+
+@pytest.fixture(scope="module")
+def local_pos_wh(spark, transcripts, tmp_path_factory):
+    """Positions index + an appended segment + one tombstone, for the
+    local phrase/mget surfaces (multi-segment: baked-avgdl + pruned reads
+    must span segments)."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+
+    wh = str(tmp_path_factory.mktemp("locpos") / "idx")
+    build_index(spark, transcripts, wh, docs_per_shard=256, n_buckets=8, positions=True)
+    append_segment(
+        spark, generate_transcripts(spark, n_convs=30, seed=7), wh, idempotency_key="s1"
+    )
+    return wh
+
+
+def _phrase_from(idx):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    row = idx._docs_df().orderBy("doc_id").select("text").first()
+    toks = tokenize_text(row["text"])
+    return " ".join(toks[1:3])
+
+
+def test_local_phrase_identical(spark, local_pos_wh):
+    idx = Index(spark, local_pos_wh)
+    phrase = _phrase_from(idx)
+    for slop in (0, 1):
+        dist = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in idx.search_phrase(phrase, 10, slop=slop).collect()
+        ]
+        loc = [(d, round(s, 10)) for d, s in idx.search_phrase_local(phrase, 10, slop=slop)]
+        assert loc == dist, slop
+        assert dist, slop
+    assert idx.search_phrase_local("zzabsent w00000", 10) == []
+
+
+def test_local_phrase_filter_and_deletes(spark, local_pos_wh):
+    idx = Index(spark, local_pos_wh)
+    phrase = _phrase_from(idx)
+    dist = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in idx.search_phrase(phrase, 10, where="role IN ('user','assistant')").collect()
+    ]
+    loc = [
+        (d, round(s, 10))
+        for d, s in idx.search_phrase_local(
+            phrase, 10, where=[("role", "in", ("user", "assistant"))]
+        )
+    ]
+    assert loc == dist
+    # tombstone the best hit: both paths drop it, scores stay frozen
+    # (phrase df is counted over unmasked matches)
+    top = idx.search_phrase_local(phrase, 10)
+    delete_docs(spark, idx.wh.root, f"doc_id = {top[0][0]}")
+    idx = Index(spark, local_pos_wh)
+    loc = [(d, round(s, 10)) for d, s in idx.search_phrase_local(phrase, 10)]
+    dist = [
+        (r["doc_id"], round(r["score"], 10)) for r in idx.search_phrase(phrase, 10).collect()
+    ]
+    assert loc == dist
+    assert top[0][0] not in {d for d, _ in loc}
+
+
+def test_local_mget(spark, local_pos_wh):
+    idx = Index(spark, local_pos_wh)
+    ids = [1, 3, 5, 10**9]  # last one missing → silently absent
+    dist = idx.get_docs(ids).collect()
+    loc = idx.get_docs_local(ids)
+    assert [r["doc_id"] for r in loc] == [r["doc_id"] for r in dist]
+    assert [r["text"] for r in loc] == [r["text"] for r in dist]
+    assert loc and 10**9 not in [r["doc_id"] for r in loc]
+    delete_docs(spark, idx.wh.root, "doc_id = 3")
+    idx = Index(spark, local_pos_wh)
+    loc = idx.get_docs_local(ids)
+    assert [r["doc_id"] for r in loc] == [r["doc_id"] for r in idx.get_docs(ids).collect()]
+    assert 3 not in [r["doc_id"] for r in loc]
+    assert idx.get_docs_local([]) == []
