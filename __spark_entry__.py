@@ -535,6 +535,46 @@ def q_bm25_porter_topk(spark, sf_dir):
     )
 
 
+def q_bm25_ws_topk(spark, sf_dir):
+    """ES whitespace analyzer end-to-end: an index built with
+    analyzer='whitespace' over the UPPERCASED documents corpus (the
+    deterministic case probe). Terms keep their case — the uppercase
+    query matches; a lowercase one would find nothing (asserted in
+    tests/test_analyzers.py)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::ws"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", F.upper("text").alias("text"))
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="whitespace")
+        _IDX_CACHE[key] = idx
+    out = idx.search("JOIN HASH FILTER", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_keyword_lookup(spark, sf_dir):
+    """ES keyword analyzer: the whole field is ONE verbatim term, so
+    searching a full field value is an exact-field lookup; BM25
+    degenerates to one constant idf-scaled score per matching doc
+    (tf=1, dl=1), ties by doc_id."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::kw"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="keyword")
+        _IDX_CACHE[key] = idx
+    q = _docs(spark, sf_dir).filter(F.col("doc_id") == 0).first()["text"]
+    out = idx.search(q, K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_validate_query(spark, sf_dir):
     """ES _validate/query?explain: the Lucene-style clause rewrite for a
     valid, a structured, and an unparseable query_string."""
@@ -1342,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
         "bm25_porter_topk": q_bm25_porter_topk,
+        "bm25_ws_topk": q_bm25_ws_topk,
+        "keyword_lookup": q_keyword_lookup,
         "snapshot_restore": q_snapshot_restore,
         "reindex_stop": q_reindex_stop,
         "validate_query": q_validate_query,
@@ -2281,6 +2323,43 @@ def _bm25_porter_sql(query_stems: list[str], k: int = K) -> str:
     )
 
 
+def _bm25_ws_sql(query_terms: list[str], k: int = K) -> str:
+    """Whitespace-analyzer oracle: the BM25 template over the UPPERCASED
+    corpus split on whitespace runs with case PRESERVED (no lowercase
+    step — the probe that distinguishes this chain from the standard
+    analyzer, whose lowercased terms would never equal these)."""
+    qvals = ", ".join(f"('{t}', 1.0)" for t in sorted(query_terms))
+    toks = "list_filter(string_split_regex(upper(text), '\\s+'), t -> t != '')"
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
+# Keyword-analyzer oracle: every doc is one verbatim term (tf=1, dl=1 for
+# non-empty fields), the query is doc 0's full text, so the match set is
+# "docs whose text equals doc 0's" and every match scores the same
+# idf/(1 + k1*(1 - b + b/avgdl)) — recomputed here from first principles
+# rather than via the token template (no unnest needed for 1-token docs).
+_KEYWORD_LOOKUP_SQL = f"""
+WITH dl AS (
+  SELECT doc_id,
+         (CASE WHEN text IS NULL OR text = '' THEN 0 ELSE 1 END)::DOUBLE AS dl
+  FROM documents
+),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT text AS term FROM documents WHERE doc_id = 0),
+m AS (SELECT d.doc_id FROM documents d JOIN q ON d.text = q.term),
+df AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       row_number() OVER (ORDER BY m.doc_id) AS rank,
+       round(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             / (1 + 1.2 * (1 - 0.75 + 0.75 / corpus.avgdl)), 4) AS score_r
+FROM m, corpus, df
+ORDER BY m.doc_id
+LIMIT {K}
+"""
+
+
 def _reindex_stop_sql(query: str, where_sql: str, k: int = K) -> str:
     """Reindex oracle: the stop-analyzer BM25 SQL over the ``where_sql``
     subset of documents with doc_ids densely reassigned in doc_id order
@@ -2745,6 +2824,8 @@ FROM b ORDER BY bucket
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
+        "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),
+        "keyword_lookup": _KEYWORD_LOOKUP_SQL,
         "snapshot_restore": _bm25_sql(BM25_QUERY),
         "reindex_stop": _reindex_stop_sql("the join hash", "lang = 'en'"),
         "validate_query": """

@@ -11,7 +11,8 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
                   compute dominates the fixed session/scheduling
                   overhead, so round-over-round regressions show here
                   before they clear the sf0.1 noise floor
-  bm25_wand       reference query set, block-max WAND fast path (per-query)
+  bm25_wand       reference query set, block-max WAND fast path (per-query);
+                  all query phases are best-of-$KESC_BENCH_QUERY_REPS (default 2)
   bm25_wand_batch the same query set in ONE Spark job (search_many)
   bm25_local      the same query set through the zero-Spark-job serving
                   path (driver-side pyarrow + the same kernels) —
@@ -45,6 +46,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_QUERIES = 20
+
+# Query phases are best-of-N too (builds always were): on this VM's ±30%
+# co-tenant noise a single-shot query wall can't distinguish a real
+# regression from a noisy neighbor — r2's bm25_wand "regression" read
+# 1.34x in one single-run table and 1.10x in another on the same code.
+QUERY_REPS = int(os.environ.get("KESC_BENCH_QUERY_REPS", "2"))
+
+
+def best_of(fn, reps: int = 0) -> float:
+    """Min wall over ``reps`` runs of ``fn`` (measures the engine, not
+    the noisiest co-tenant; queries are warm after rep 1, which is the
+    regime ES serves from anyway)."""
+    walls = []
+    for _ in range(reps or QUERY_REPS):
+        t0 = time.monotonic()
+        fn()
+        walls.append(time.monotonic() - t0)
+    return min(walls)
 
 
 def log(msg: str) -> None:
@@ -104,26 +123,25 @@ def build_and_query(master: str, shuffle_partitions: int, sf: float, measure_que
             idx.postings = idx.postings.persist()
             idx.postings.count()  # warm the postings cache (ES keeps segments hot)
             qs = [q["query"] for q in reference_queries(N_QUERIES)]
-            t0 = time.monotonic()
-            for q in qs:
-                idx.search(q, 10, mode="bmw").collect()
-            t["bm25_wand"] = time.monotonic() - t0
-            t0 = time.monotonic()
-            idx.search_many(qs, 10).collect()  # whole set, ONE Spark job
-            t["bm25_wand_batch"] = time.monotonic() - t0
+
+            def _wand():
+                for q in qs:
+                    idx.search(q, 10, mode="bmw").collect()
+
+            t["bm25_wand"] = best_of(_wand)
+            # whole set, ONE Spark job
+            t["bm25_wand_batch"] = best_of(lambda: idx.search_many(qs, 10).collect())
             # zero-Spark-job serving path (driver-side pyarrow + kernels):
             # same queries, rank-identical results, no scheduling floor
             idx.search_local(qs[0], 10)  # warm the dataset discovery cache
-            t0 = time.monotonic()
-            for q in qs:
-                idx.search_local(q, 10)
-            t["bm25_local"] = time.monotonic() - t0
-            t0 = time.monotonic()
-            idx.facets(qs[0], by="role").collect()
-            t["facets"] = time.monotonic() - t0
-            t0 = time.monotonic()
-            idx.search_oracle(qs[0], 10).collect()
-            t["bm25_oracle"] = time.monotonic() - t0
+
+            def _local():
+                for q in qs:
+                    idx.search_local(q, 10)
+
+            t["bm25_local"] = best_of(_local)
+            t["facets"] = best_of(lambda: idx.facets(qs[0], by="role").collect())
+            t["bm25_oracle"] = best_of(lambda: idx.search_oracle(qs[0], 10).collect())
             timings_q = len(qs)
 
             # phrase path: positions build (ES text fields index positions
@@ -139,12 +157,10 @@ def build_and_query(master: str, shuffle_partitions: int, sf: float, measure_que
             idx_p = Index(spark, wh_pos)
             toks = tokenize_text(idx_p._docs_df().select("text").first()["text"])
             phrase = " ".join(toks[:2]) if len(toks) >= 2 else "w00000"
-            t0 = time.monotonic()
-            idx_p.search_phrase(phrase, 10).collect()
-            t["bm25_phrase"] = time.monotonic() - t0
-            t0 = time.monotonic()
-            idx_p.search_phrase(phrase, 10, slop=2).collect()
-            t["bm25_phrase_slop"] = time.monotonic() - t0
+            t["bm25_phrase"] = best_of(lambda: idx_p.search_phrase(phrase, 10).collect())
+            t["bm25_phrase_slop"] = best_of(
+                lambda: idx_p.search_phrase(phrase, 10, slop=2).collect()
+            )
             shutil.rmtree(wh_pos, ignore_errors=True)
 
             # 8× corpus, one rep: a compute-dominated regression sentinel
@@ -175,34 +191,26 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
     spark = get_spark(app_name="bench-aux", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        t0 = time.monotonic()
-        minhash_lsh_pairs(docs, threshold=0.8).count()
-        t["dedup_minhash"] = time.monotonic() - t0
+        t["dedup_minhash"] = best_of(lambda: minhash_lsh_pairs(docs, threshold=0.8).count())
 
         from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import simhash_pairs
         from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import quality_features
 
-        t0 = time.monotonic()
-        simhash_pairs(docs, max_hamming=3).count()
-        t["dedup_simhash"] = time.monotonic() - t0
-        t0 = time.monotonic()
-        quality_features(docs).count()
-        t["quality"] = time.monotonic() - t0
+        t["dedup_simhash"] = best_of(lambda: simhash_pairs(docs, max_hamming=3).count())
+        t["quality"] = best_of(lambda: quality_features(docs).count())
 
         from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
 
         # reverse search: 32 registered alert queries against every doc
         vocab = "join hash filter vector stream table row scan".split()
         perc_qs = [(i, f"{vocab[i % 8]} {vocab[(i + 3) % 8]} dup") for i in range(32)]
-        t0 = time.monotonic()
-        percolate(docs, perc_qs, minimum_should_match=2).count()
-        t["percolate"] = time.monotonic() - t0
+        t["percolate"] = best_of(
+            lambda: percolate(docs, perc_qs, minimum_should_match=2).count()
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-        t0 = time.monotonic()
-        cosine_topk(emb, qv, 10).collect()
-        t["cosine_topk"] = time.monotonic() - t0
+        t["cosine_topk"] = best_of(lambda: cosine_topk(emb, qv, 10).collect())
     finally:
         spark.stop()
 
@@ -318,7 +326,7 @@ def _round_over_round_md(t: dict) -> str:
     name = os.path.basename(prior[-1])
     return (
         f"\n## Round-over-round (this run vs {name})\n\n"
-        "Single-run walls on a VM with ±30% noise — read trends, not ±20%\n"
+        "Best-of-N walls on a VM with ±30% noise — read trends, not ±20%\n"
         "wiggles; the 8x-corpus build is the compute-dominated sentinel.\n\n"
         "| phase | prev (s) | now (s) | ratio |\n|---|---|---|---|\n"
         + "\n".join(rows) + "\n"

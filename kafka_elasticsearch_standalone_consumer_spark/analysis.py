@@ -39,7 +39,18 @@ STOP_WORDS = frozenset(
     "or from has had have not but they you his her its we our their".split()
 )
 
-ANALYZERS = ("standard", "stop", "porter")
+# ES 1.x built-in analyzers we implement (ref: the reference delegates
+# analysis wholesale to ES at MessageHandler.java:135-139):
+#   standard   — lowercase + [a-z0-9]+ runs (our pinned standard chain)
+#   stop       — standard + English stop filter (Lucene position gaps)
+#   porter     — standard + Porter stemmer (ES snowball/porter English)
+#   whitespace — split on whitespace runs, NO lowercasing, no filters
+#                (Lucene WhitespaceTokenizer: terms keep their case)
+#   keyword    — the entire field value as ONE term, verbatim (Lucene
+#                KeywordTokenizer; empty/null fields emit no token)
+ANALYZERS = ("standard", "stop", "porter", "whitespace", "keyword")
+
+_WS_RE = re.compile(r"\S+")
 
 
 def _check_analyzer(analyzer: str) -> None:
@@ -196,10 +207,17 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
 
     ``analyzer='stop'`` applies the ES stop token filter after
     tokenization; ``analyzer='porter'`` applies the Porter stemmer to
-    every token — the same chain the index build runs, so query and
-    index analysis stay symmetric (ES's invariant)."""
+    every token; ``'whitespace'``/``'keyword'`` use their own tokenizers
+    (case-preserving; see ANALYZERS) — in every case the same chain the
+    index build runs, so query and index analysis stay symmetric (ES's
+    invariant)."""
     _check_analyzer(analyzer)
-    toks = _TOKEN_RE.findall((text or "").lower())
+    s = text or ""
+    if analyzer == "whitespace":
+        return _WS_RE.findall(s)
+    if analyzer == "keyword":
+        return [s] if s else []
+    toks = _TOKEN_RE.findall(s.lower())
     if analyzer == "stop":
         toks = [t for t in toks if t not in STOP_WORDS]
     elif analyzer == "porter":
@@ -210,6 +228,16 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(_TOKEN_RE)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _ws_udf(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.findall(_WS_RE)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _kw_udf(s: pd.Series) -> pd.Series:
+    return s.fillna("").apply(lambda x: [x] if x else [])
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -239,9 +267,15 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
     ``analyzer='porter'`` stems every token; the stem step routes
     through an Arrow pandas UDF (a real stemmer is not expressible as a
     Column), so this path is vectorized but not whole-stage-codegen —
-    the fused kernel remains the build hot path."""
+    the fused kernel remains the build hot path. ``'whitespace'`` and
+    ``'keyword'`` stay pure Column expressions (no lowercasing)."""
     _check_analyzer(analyzer)
-    parts = F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9]+")
+    base = F.coalesce(c, F.lit(""))
+    if analyzer == "whitespace":
+        return F.filter(F.split(base, r"\s+"), lambda x: x != F.lit(""))
+    if analyzer == "keyword":
+        return F.filter(F.array(base), lambda x: x != F.lit(""))
+    parts = F.split(F.lower(base), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
     if analyzer == "stop":
         toks = F.filter(toks, lambda x: ~x.isin(*sorted(STOP_WORDS)))
@@ -273,11 +307,16 @@ def tokens_from(
             raise ValueError("fused tokenizer requires id_cols=('doc_id',)")
         return doc_term_freqs(df, text_col=text_col, analyzer=analyzer).drop("dl")
     if method == "pandas":
-        tok = tokenize_udf(F.col(text_col))
-        if analyzer == "stop":
-            tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
-        elif analyzer == "porter":
-            tok = _porter_arr_udf(tok)
+        if analyzer == "whitespace":
+            tok = _ws_udf(F.col(text_col))
+        elif analyzer == "keyword":
+            tok = _kw_udf(F.col(text_col))
+        else:
+            tok = tokenize_udf(F.col(text_col))
+            if analyzer == "stop":
+                tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+            elif analyzer == "porter":
+                tok = _porter_arr_udf(tok)
     else:
         tok = tokenize_col(F.col(text_col), analyzer=analyzer)
     exploded = df.select(*id_cols, F.explode(tok).alias("term"))
@@ -321,6 +360,11 @@ def doc_term_freqs(
     batch vocabulary, not the token count. Two surface forms stemming to
     the same term within a document merge into one (doc, term) row with
     summed tf and unioned positions, exactly Lucene's behavior.
+
+    ``analyzer='whitespace'`` tokenizes on whitespace runs with NO
+    lowercasing; ``'keyword'`` emits the whole field as one verbatim
+    term (dl=1, position [0]; empty/null fields emit nothing) — both
+    reuse the same count/positions machinery unchanged.
     """
     from itertools import chain
 
@@ -337,7 +381,12 @@ def doc_term_freqs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+            if analyzer == "whitespace":
+                toks = pdf[text_col].fillna("").str.findall(_WS_RE)
+            elif analyzer == "keyword":
+                toks = pdf[text_col].fillna("").map(lambda x: [x] if x else [])
+            else:
+                toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
             lens = toks.str.len().to_numpy(dtype=np.int64)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             total = int(lens.sum())

@@ -271,3 +271,92 @@ def test_porter_index_query_surfaces(spark, pdocs_df):
     # must_not excludes by stem family too
     qs2 = idx.query_string("merge -queried", 10).collect()
     assert {r["doc_id"] for r in qs2} <= {0, 1, 4}
+
+
+# -- whitespace + keyword analyzers -----------------------------------------
+
+WDOCS = [
+    (0, "Quick Brown-Fox  jumps"),
+    (1, "quick brown-fox JUMPS"),
+    (2, "Quick\tBrown-Fox"),
+    (3, ""),                      # empty → no tokens under either analyzer
+    (4, "Quick"),
+]
+
+
+@pytest.fixture(scope="module")
+def wdocs_df(spark):
+    return spark.createDataFrame(WDOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("analyzer", ["whitespace", "keyword"])
+def test_tokenizers_identical_case_preserving(spark, wdocs_df, analyzer):
+    """fused ≡ sql ≡ pandas ≡ python token streams for the two
+    case-preserving analyzers."""
+    base = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokens_from(wdocs_df, method="sql", analyzer=analyzer).collect()
+    }
+    for method in ("pandas", "fused"):
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(wdocs_df, method=method, analyzer=analyzer).collect()
+        }
+        assert got == base, method
+    py = {}
+    for d, text in WDOCS:
+        for t in tokenize_text(text, analyzer):
+            py[(d, t)] = py.get((d, t), 0) + 1
+    assert py == base and base
+
+
+def test_whitespace_semantics(spark, wdocs_df):
+    rows = doc_term_freqs(wdocs_df, analyzer="whitespace").collect()
+    by = {(r["doc_id"], r["term"]): r for r in rows}
+    # case preserved, hyphenated token NOT split, tab is a separator
+    assert ("Quick" in {t for _, t in by} and "Brown-Fox" in {t for _, t in by})
+    assert (0, "quick") not in by and (1, "quick") in by
+    assert by[(2, "Brown-Fox")]["dl"] == 2
+    assert not any(d == 3 for d, _ in by)  # empty doc → no rows
+
+
+def test_keyword_semantics(spark, wdocs_df):
+    rows = doc_term_freqs(wdocs_df, positions=True, analyzer="keyword").collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert set(by) == {0, 1, 2, 4}
+    for d, text in WDOCS:
+        if text:
+            assert by[d]["term"] == text           # verbatim whole field
+            assert by[d]["tf"] == 1 and by[d]["dl"] == 1
+            assert list(by[d]["positions"]) == [0]
+
+
+def test_whitespace_index_end_to_end(spark, wdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(wdocs_df, docs_per_shard=4, n_buckets=4, analyzer="whitespace")
+    assert idx.meta["analyzer"] == "whitespace"
+    up = [r["doc_id"] for r in idx.search("Quick", 10).collect()]
+    lo = [r["doc_id"] for r in idx.search("quick", 10).collect()]
+    assert set(up) == {0, 2, 4} and set(lo) == {1}  # case-sensitive terms
+    bmw = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search("Quick Brown-Fox", 10, mode="bmw").collect()
+    ]
+    oracle = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_oracle("Quick Brown-Fox", 10).collect()
+    ]
+    assert bmw == oracle and bmw
+
+
+def test_keyword_index_end_to_end(spark, wdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(wdocs_df, docs_per_shard=4, n_buckets=4, analyzer="keyword")
+    hit = [r["doc_id"] for r in idx.search("Quick Brown-Fox  jumps", 10).collect()]
+    assert hit == [0]  # exact field match only
+    assert idx.search("Quick Brown-Fox", 10).collect() == [] or [
+        r["doc_id"] for r in idx.search("Quick Brown-Fox", 10).collect()
+    ] == []  # a prefix of the field is a DIFFERENT keyword term
+    assert [r["doc_id"] for r in idx.search("Quick", 10).collect()] == [4]
