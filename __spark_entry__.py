@@ -535,6 +535,26 @@ def q_bm25_porter_topk(spark, sf_dir):
     )
 
 
+def q_bm25_english_topk(spark, sf_dir):
+    """ES english analyzer (stop filter THEN Porter stemming) end-to-end:
+    'the merging tables of values' analyzes to (merg, tabl, valu) with
+    the stopwords dropped on BOTH sides, and dl counts post-stop
+    survivors (the corpus contains 'a'/'the', so english dl ≠ porter dl
+    — the oracle recomputes with the composed chain)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::english"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="english")
+        _IDX_CACHE[key] = idx
+    out = idx.search("the merging tables of values", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_bm25_ws_topk(spark, sf_dir):
     """ES whitespace analyzer end-to-end: an index built with
     analyzer='whitespace' over the UPPERCASED documents corpus (the
@@ -1382,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": q_boosting_topk,
         "bm25_stop_topk": q_bm25_stop_topk,
         "bm25_porter_topk": q_bm25_porter_topk,
+        "bm25_english_topk": q_bm25_english_topk,
         "bm25_ws_topk": q_bm25_ws_topk,
         "keyword_lookup": q_keyword_lookup,
         "snapshot_restore": q_snapshot_restore,
@@ -2323,6 +2344,20 @@ def _bm25_porter_sql(query_stems: list[str], k: int = K) -> str:
     )
 
 
+def _bm25_english_sql(query_stems: list[str], k: int = K) -> str:
+    """English-analyzer oracle: stop filter THEN the hand-derived Porter
+    map, composed inside the BM25 template (dl counts post-stop
+    survivors; stemming stays 1:1 on the survivors)."""
+    qvals = ", ".join(f"('{t}', 1.0)" for t in sorted(query_stems))
+    toks = (
+        f"list_transform(list_filter({SQL_TOKS}, "
+        f"t -> NOT list_contains({SQL_STOPLIST}, t)), t -> {_PORTER_MAP_SQL})"
+    )
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def _bm25_ws_sql(query_terms: list[str], k: int = K) -> str:
     """Whitespace-analyzer oracle: the BM25 template over the UPPERCASED
     corpus split on whitespace runs with case PRESERVED (no lowercase
@@ -2824,6 +2859,7 @@ FROM b ORDER BY bucket
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
+        "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),
         "keyword_lookup": _KEYWORD_LOOKUP_SQL,
         "snapshot_restore": _bm25_sql(BM25_QUERY),

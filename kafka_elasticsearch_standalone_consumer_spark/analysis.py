@@ -44,11 +44,15 @@ STOP_WORDS = frozenset(
 #   standard   — lowercase + [a-z0-9]+ runs (our pinned standard chain)
 #   stop       — standard + English stop filter (Lucene position gaps)
 #   porter     — standard + Porter stemmer (ES snowball/porter English)
+#   english    — stop filter THEN Porter stemming (ES's `english`
+#                analyzer chain; we omit its possessive-'s strip — the
+#                [a-z0-9]+ tokenizer already splits "fox's" → fox, s,
+#                and the trailing bare "s" then stems to itself)
 #   whitespace — split on whitespace runs, NO lowercasing, no filters
 #                (Lucene WhitespaceTokenizer: terms keep their case)
 #   keyword    — the entire field value as ONE term, verbatim (Lucene
 #                KeywordTokenizer; empty/null fields emit no token)
-ANALYZERS = ("standard", "stop", "porter", "whitespace", "keyword")
+ANALYZERS = ("standard", "stop", "porter", "english", "whitespace", "keyword")
 
 _WS_RE = re.compile(r"\S+")
 
@@ -218,9 +222,9 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     if analyzer == "keyword":
         return [s] if s else []
     toks = _TOKEN_RE.findall(s.lower())
-    if analyzer == "stop":
+    if analyzer in ("stop", "english"):
         toks = [t for t in toks if t not in STOP_WORDS]
-    elif analyzer == "porter":
+    if analyzer in ("porter", "english"):
         toks = [porter_stem(t) for t in toks]
     return toks
 
@@ -277,9 +281,9 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
         return F.filter(F.array(base), lambda x: x != F.lit(""))
     parts = F.split(F.lower(base), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
-    if analyzer == "stop":
+    if analyzer in ("stop", "english"):
         toks = F.filter(toks, lambda x: ~x.isin(*sorted(STOP_WORDS)))
-    elif analyzer == "porter":
+    if analyzer in ("porter", "english"):
         toks = _porter_arr_udf(toks)
     return toks
 
@@ -313,9 +317,9 @@ def tokens_from(
             tok = _kw_udf(F.col(text_col))
         else:
             tok = tokenize_udf(F.col(text_col))
-            if analyzer == "stop":
+            if analyzer in ("stop", "english"):
                 tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
-            elif analyzer == "porter":
+            if analyzer in ("porter", "english"):
                 tok = _porter_arr_udf(tok)
     else:
         tok = tokenize_col(F.col(text_col), analyzer=analyzer)
@@ -371,7 +375,11 @@ def doc_term_freqs(
     import numpy as np
 
     _check_analyzer(analyzer)
-    stop_arr = np.array(sorted(STOP_WORDS), dtype=object) if analyzer == "stop" else None
+    stop_arr = (
+        np.array(sorted(STOP_WORDS), dtype=object)
+        if analyzer in ("stop", "english")
+        else None
+    )
 
     schema = f"{id_col} long, term string, tf int, dl int"
     if positions:
@@ -411,7 +419,7 @@ def doc_term_freqs(
             else:
                 orig_pos = None
                 dl_map = pd.Series(lens, index=ids)
-            if analyzer == "porter":
+            if analyzer in ("porter", "english"):
                 codes, uniq = pd.factorize(flat, sort=False)
                 stemmed = np.array([porter_stem(t) for t in uniq], dtype=object)
                 flat = stemmed[codes]

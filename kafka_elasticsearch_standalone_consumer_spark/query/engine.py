@@ -216,7 +216,7 @@ class Index:
         fetched = self.fetch(hits)
         if not terms:
             return fetched.withColumn("snippet", F.lit(None).cast("string"))
-        if self.meta.get("analyzer", "standard") == "porter":
+        if self.meta.get("analyzer", "standard") in ("porter", "english"):
             # analyzed terms are stems that may not appear literally in the
             # raw text ("tabl" vs "tables"): match any surface form sharing
             # the stem as a prefix — an approximation (Lucene re-analyzes
@@ -296,15 +296,19 @@ class Index:
             tokenize_text,
         )
 
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import porter_stem
+
         analyzer = self.meta.get("analyzer", "standard")
-        raw = tokenize_text(phrase)
-        if analyzer != "stop":
-            # porter (like standard) maps tokens 1:1 — offsets are identity
-            return tokenize_text(phrase, analyzer), list(range(len(raw)))
+        if analyzer not in ("stop", "english"):
+            # every other analyzer maps its own tokens 1:1 — offsets are
+            # identity OVER ITS OWN token stream (not the standard one:
+            # whitespace/keyword tokenize differently)
+            slots = tokenize_text(phrase, analyzer)
+            return slots, list(range(len(slots)))
         slots, offsets = [], []
-        for i, t in enumerate(raw):
+        for i, t in enumerate(tokenize_text(phrase)):
             if t not in STOP_WORDS:
-                slots.append(t)
+                slots.append(porter_stem(t) if analyzer == "english" else t)
                 offsets.append(i)
         return slots, offsets
 

@@ -360,3 +360,73 @@ def test_keyword_index_end_to_end(spark, wdocs_df):
         r["doc_id"] for r in idx.search("Quick Brown-Fox", 10).collect()
     ] == []  # a prefix of the field is a DIFFERENT keyword term
     assert [r["doc_id"] for r in idx.search("Quick", 10).collect()] == [4]
+
+
+# -- english analyzer (stop filter THEN Porter stemming) --------------------
+
+
+def test_tokenizers_identical_with_english(spark, pdocs_df):
+    base = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokens_from(pdocs_df, method="sql", analyzer="english").collect()
+    }
+    for method in ("pandas", "fused"):
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(pdocs_df, method=method, analyzer="english").collect()
+        }
+        assert got == base, method
+    py = {}
+    for r in pdocs_df.collect():
+        for t in tokenize_text(r["text"], "english"):
+            py[(r["doc_id"], t)] = py.get((r["doc_id"], t), 0) + 1
+    assert py == base and base
+    assert all(t not in STOP_WORDS for _, t in base)
+    assert ("merg" in {t for _, t in base}) and ("the" not in {t for _, t in base})
+
+
+def test_english_index_end_to_end(spark, pdocs_df):
+    """Stop + stem composed: morphological match AND stopword-robust
+    queries; dl counts post-stop survivors; phrase gaps span stopwords
+    with stemmed slots."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(
+        pdocs_df, docs_per_shard=4, n_buckets=4, positions=True, analyzer="english"
+    )
+    assert idx.meta["analyzer"] == "english"
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search("the merging tables", 10).collect()
+    ]
+    oracle = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_oracle("the merging tables", 10).collect()
+    ]
+    assert got == oracle and {d for d, _ in got} == {0, 1}
+    # doc 1 "the merge of a table...": english dl drops the stopwords
+    rows = doc_term_freqs(pdocs_df, analyzer="english").collect()
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert d1 and d1[0]["dl"] == 5  # merge table another table value kept (the/of/a/with stopped)
+    # phrase across a stop gap with stemmed slots: "merge of a table"
+    # → (merg@0, tabl@3); doc 1 has merg@1, tabl@4
+    ph = idx.search_phrase("merge of a table", 10).collect()
+    assert [r["doc_id"] for r in ph] == [1]
+    ph_o = idx.search_phrase_oracle("merge of a table", 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in ph] == [
+        (r["doc_id"], round(r["score"], 9)) for r in ph_o
+    ]
+
+
+def test_whitespace_phrase_offsets_own_token_stream(spark):
+    """_analyze_phrase offsets must come from the INDEX analyzer's own
+    token stream: a pure-punctuation phrase has ZERO standard tokens but
+    two whitespace tokens (regression: offsets=[] crashed the kernel)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [(0, "--- !!! end"), (1, "!!! --- end")], "doc_id long, text string"
+    )
+    idx = Index.ephemeral(df, docs_per_shard=4, n_buckets=4, positions=True,
+                          analyzer="whitespace")
+    assert [r["doc_id"] for r in idx.search_phrase("--- !!!", 10).collect()] == [0]
