@@ -208,6 +208,19 @@ def q_query_string_topk(spark, sf_dir):
     )
 
 
+def q_query_string_range(spark, sf_dir):
+    """ES query_string range + exists clauses: `n_chars:[100 TO 300]`
+    compiles to an inclusive range filter and `_exists_:lang` to an
+    IS NOT NULL filter on the where= surface (corpus statistics stay
+    global — same semantics as bm25_topk_filtered)."""
+    out = _cached_idx(spark, sf_dir).query_string(
+        "join hash n_chars:[100 TO 300] _exists_:lang", K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_multi_field_bm25(spark, sf_dir):
     """ES most_fields multi-match: title (first 5 tokens, boost 2.0) +
     text (boost 1.0), each field scored with its OWN df/avgdl statistics,
@@ -1384,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "bool_topk": q_bool_topk,
         "query_string_topk": q_query_string_topk,
+        "query_string_range": q_query_string_range,
         "multi_field_bm25": q_multi_field_bm25,
         "multi_best_fields": q_multi_best_fields,
         "facets_by_lang": q_facets_by_lang,
@@ -2772,6 +2786,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
+        "query_string_range": _bm25_sql(
+            "join hash", where="n_chars >= 100 AND n_chars <= 300 AND lang IS NOT NULL"
+        ),
         "multi_field_bm25": _MULTIFIELD_SQL,
         "multi_best_fields": _MULTIFIELD_BEST_SQL,
         "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),

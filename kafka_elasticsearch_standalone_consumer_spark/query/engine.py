@@ -1244,6 +1244,13 @@ class Index:
         clauses += [f"-text:{t}" for t in parsed.must_not]
         clauses += [f'text:"{p}"~{s}' for p, s in parsed.phrases]
         clauses += [f"#{f}:{v}" for f, v in parsed.filters]
+        clauses += [
+            f"#{f}:{'[' if li else '{'}{lo if lo is not None else '*'} TO "
+            f"{hi if hi is not None else '*'}{']' if hi_i else '}'}"
+            for f, lo, hi, li, hi_i in parsed.ranges
+        ]
+        clauses += [f"#_exists_:{f}" for f in parsed.exists]
+        clauses += [f"#_missing_:{f}" for f in parsed.missing]
         valid = bool(clauses)
         return self.spark.createDataFrame(
             [(bool(valid), " ".join(clauses) if valid else None)],
@@ -1253,8 +1260,10 @@ class Index:
     def query_string(self, q: str, k: int = 10) -> DataFrame:
         """ES ``query_string`` mini-DSL: bare terms (OR), ``+must``,
         ``-must_not``, ``"exact phrase"``/``"phrase"~slop``, ``field:value``
-        filters, ``AND``. See query/querystring.py for the precise
-        semantics and the mapping onto search / search_phrase / filters."""
+        filters, ``field:[a TO b]``/``{a TO b}`` ranges (``*`` = open end),
+        ``_exists_:f``/``_missing_:f``, ``AND``. See query/querystring.py
+        for the precise semantics and the mapping onto search /
+        search_phrase / filters."""
         from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
             run_query_string,
         )

@@ -16,6 +16,12 @@ engine and documents its semantics precisely:
     lang:en                field:value — ES filter clause on a document
                            metadata column (restricts the doc set, corpus
                            statistics stay global)
+    n_chars:[100 TO 300]   range filter clause, inclusive ends; {a TO b}
+                           is exclusive, * is an open end — the ES range
+                           query via query_string syntax
+    _exists_:tool          docs where the field has a value (ES exists
+                           filter); _missing_:tool = field IS NULL (ES
+                           missing filter)
     a AND b                equivalent to +a +b
 
 Routing: a pure-phrase query goes to ``Index.search_phrase`` (the fast
@@ -41,6 +47,7 @@ from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 _TOKEN_RE = re.compile(
     r"""
     "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?   # "quoted phrase"[~slop]
+  | (?P<rfield>[A-Za-z_][A-Za-z0-9_]*):(?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}])
   | (?P<field>[A-Za-z_][A-Za-z0-9_]*):(?P<value>[A-Za-z0-9_.-]+)
   | (?P<plus>\+)(?P<mterm>[^\s+\-"]+)
   | (?P<minus>-)(?P<nterm>[^\s+\-"]+)
@@ -57,6 +64,12 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[tuple[str, int]] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)
+    # (field, lo|None, hi|None, lo_inclusive, hi_inclusive); None = open end
+    ranges: list[tuple[str, str | None, str | None, bool, bool]] = field(
+        default_factory=list
+    )
+    exists: list[str] = field(default_factory=list)
+    missing: list[str] = field(default_factory=list)
 
 
 def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
@@ -72,8 +85,22 @@ def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
     for m in _TOKEN_RE.finditer(q or ""):
         if m.group("phrase") is not None:
             out.phrases.append((m.group("phrase"), int(m.group("slop") or 0)))
+        elif m.group("rfield"):
+            out.ranges.append((
+                m.group("rfield"),
+                None if m.group("lo") == "*" else m.group("lo"),
+                None if m.group("hi") == "*" else m.group("hi"),
+                m.group("lb") == "[",
+                m.group("rb") == "]",
+            ))
         elif m.group("field"):
-            out.filters.append((m.group("field"), m.group("value")))
+            f, v = m.group("field"), m.group("value")
+            if f == "_exists_":
+                out.exists.append(v)
+            elif f == "_missing_":
+                out.missing.append(v)
+            else:
+                out.filters.append((f, v))
         elif m.group("plus"):
             out.must.extend(tokenize_text(m.group("mterm"), analyzer))
         elif m.group("minus"):
@@ -102,11 +129,29 @@ def _term_regex(term: str) -> str:
     return f"(^|[^a-z0-9]){re.escape(term)}([^a-z0-9]|$)"
 
 
+def _sql_literal(v: str) -> str:
+    """Numeric values pass through raw (so integer/double columns compare
+    numerically); anything else is a quote-escaped string literal."""
+    try:
+        float(v)
+        return v
+    except ValueError:
+        return "'" + v.replace("'", "''") + "'"
+
+
 def compile_field_filter(parsed: ParsedQuery) -> str | None:
-    """The parsed field:value clauses as ONE SQL predicate for the
-    engine's ``where=`` surface (doc-level restriction; corpus
-    statistics stay global, matching ES bool filter)."""
+    """The parsed field:value / range / exists / missing clauses as ONE
+    SQL predicate for the engine's ``where=`` surface (doc-level
+    restriction; corpus statistics stay global, matching ES bool
+    filter)."""
     clauses = [f"{f} = '{v.replace(chr(39), chr(39) * 2)}'" for f, v in parsed.filters]
+    for f, lo, hi, lo_inc, hi_inc in parsed.ranges:
+        if lo is not None:
+            clauses.append(f"{f} >{'=' if lo_inc else ''} {_sql_literal(lo)}")
+        if hi is not None:
+            clauses.append(f"{f} <{'=' if hi_inc else ''} {_sql_literal(hi)}")
+    clauses += [f"{f} IS NOT NULL" for f in parsed.exists]
+    clauses += [f"{f} IS NULL" for f in parsed.missing]
     return " AND ".join(clauses) if clauses else None
 
 

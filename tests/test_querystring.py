@@ -176,3 +176,50 @@ def test_query_string_uses_index_analyzer_for_must(spark, transcripts, tmp_path)
     with_stop = [(r["doc_id"], round(r["score"], 9)) for r in idx.query_string("+the w00000", 10).collect()]
     plain = [(r["doc_id"], round(r["score"], 9)) for r in idx.query_string("w00000", 10).collect()]
     assert with_stop == plain and plain
+
+
+def test_parse_range_exists_missing():
+    from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+        compile_field_filter,
+    )
+
+    p = parse_query_string(
+        "hash n_chars:[100 TO 300] ts:{2026-01-01 TO *} _exists_:tool _missing_:lang"
+    )
+    assert p.ranges == [
+        ("n_chars", "100", "300", True, True),
+        ("ts", "2026-01-01", None, False, False),
+    ]
+    assert p.exists == ["tool"] and p.missing == ["lang"]
+    assert p.should == ["hash"]
+    sql = compile_field_filter(p)
+    assert "n_chars >= 100" in sql and "n_chars <= 300" in sql
+    assert "ts > '2026-01-01'" in sql          # exclusive bound, quoted string
+    assert "tool IS NOT NULL" in sql and "lang IS NULL" in sql
+
+
+def test_range_and_exists_execute_like_where(spark, built_index):
+    idx, _ = built_index
+    got = _rows(idx.query_string("w00000 w00003 turn_idx:[1 TO 3] _exists_:tool", 10))
+    want = _rows(
+        idx.search(
+            "w00000 w00003", 10,
+            where="turn_idx >= 1 AND turn_idx <= 3 AND tool IS NOT NULL",
+        )
+    )
+    assert got == want and got
+    # _missing_ is the complement filter
+    got_m = _rows(idx.query_string("w00000 w00003 _missing_:tool", 10))
+    want_m = _rows(idx.search("w00000 w00003", 10, where="tool IS NULL"))
+    assert got_m == want_m and got_m
+    # survivors keep their unfiltered scores (corpus stats stay global)
+    base = dict(_rows(idx.search("w00000 w00003", 500)))
+    assert all(base[d] == s for d, s in got)
+
+
+def test_validate_query_renders_range_and_exists(spark, built_index):
+    idx, _ = built_index
+    row = idx.validate_query("hash n_chars:[100 TO *} _exists_:tool").collect()[0]
+    assert row["valid"]
+    assert "#n_chars:[100 TO *}" in row["explanation"]
+    assert "#_exists_:tool" in row["explanation"]
