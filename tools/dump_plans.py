@@ -206,6 +206,35 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Driver-side pyarrow point-read paths (no Spark plan — by design)",
+            "Three query paths deliberately execute with ZERO Spark jobs via\n"
+            "pruned pyarrow parquet reads; their 'plan' is the file layout:\n\n"
+            "* **Serving path** (`search_local` / `search_phrase_local` /\n"
+            "  `get_docs_local`): term_bucket hive-partition pruning + term\n"
+            "  row-group pruning inside bucket-sorted postings files — cost\n"
+            "  ~|q|·n_shards posting runs regardless of corpus width; the doc\n"
+            "  store is doc_id-ordered so `get_docs_local`'s id-set filter\n"
+            "  prunes to the covering row groups. Rank/score-identity with\n"
+            "  the distributed plan: tests/test_local_serving.py.\n"
+            "* **Term-dictionary expansions** (prefix/wildcard/fuzzy/suggest):\n"
+            "  term_stats is term-sorted AND carries a term_len column; the\n"
+            "  read pushes `prefix range AND len within the edit-distance\n"
+            "  pigeonhole` into the parquet filter, and a hard cap\n"
+            "  (MAX_EXPANSION_SCAN) fails loudly rather than materializing a\n"
+            "  vocabulary slice driver-side (tests/test_filtered_search.py\n"
+            "  'term_len' assertions).\n"
+            "* **Phrase-suggester LM** (`suggest_phrase`): lm_unigrams /\n"
+            "  lm_bigrams are range-clustered and sorted so footer min/max\n"
+            "  prunes candidate-count point reads — suggestion cost is\n"
+            "  independent of corpus tokenize cost; the on-demand pass\n"
+            "  remains only as the ephemeral-index fallback.",
+            "(driver-side pyarrow dataset reads; pruning is asserted in the "
+            "tests named above rather than via .explain)",
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
