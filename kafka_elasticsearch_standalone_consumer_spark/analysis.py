@@ -229,6 +229,24 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     return toks
 
 
+def analyze_positions(text: str | None, analyzer: str = "standard") -> tuple[list[str], list[int]]:
+    """(tokens, positions) with Lucene position increments: for the
+    stop/english analyzers, removed stopwords leave GAPS in the position
+    stream (position-increment semantics — what phrase matching and the
+    ES ``_analyze`` API both need); every other analyzer maps its own
+    token stream 1:1 so positions are the identity over it."""
+    _check_analyzer(analyzer)
+    if analyzer not in ("stop", "english"):
+        toks = tokenize_text(text, analyzer)
+        return toks, list(range(len(toks)))
+    slots, offsets = [], []
+    for i, t in enumerate(tokenize_text(text)):
+        if t not in STOP_WORDS:
+            slots.append(porter_stem(t) if analyzer == "english" else t)
+            offsets.append(i)
+    return slots, offsets
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(_TOKEN_RE)

@@ -292,25 +292,10 @@ class Index:
         stop analyzer's gaps carry into phrase matching ("quick the fox"
         → slots [quick, fox] at offsets [0, 2])."""
         from kafka_elasticsearch_standalone_consumer_spark.analysis import (
-            STOP_WORDS,
-            tokenize_text,
+            analyze_positions,
         )
 
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import porter_stem
-
-        analyzer = self.meta.get("analyzer", "standard")
-        if analyzer not in ("stop", "english"):
-            # every other analyzer maps its own tokens 1:1 — offsets are
-            # identity OVER ITS OWN token stream (not the standard one:
-            # whitespace/keyword tokenize differently)
-            slots = tokenize_text(phrase, analyzer)
-            return slots, list(range(len(slots)))
-        slots, offsets = [], []
-        for i, t in enumerate(tokenize_text(phrase)):
-            if t not in STOP_WORDS:
-                slots.append(porter_stem(t) if analyzer == "english" else t)
-                offsets.append(i)
-        return slots, offsets
+        return analyze_positions(phrase, self.meta.get("analyzer", "standard"))
 
     def _plan_terms(self, query_text: str) -> tuple[dict[str, float], list[int]]:
         """Query analysis + idf·weight per present term + bucket list.
@@ -1007,13 +992,22 @@ class Index:
         )
         return self.spark.createDataFrame(out, "term string, tf long, df long")
 
-    def analyze(self, text: str) -> DataFrame:
+    def analyze(self, text: str, analyzer: str | None = None) -> DataFrame:
         """ES ``_analyze`` API: the token stream the analysis chain emits
         for a text — (position, token) rows. What you index is what you
         debug with; this is the introspection surface ES users reach for
         first when a query mysteriously misses. Position gaps from a stop
-        analyzer are preserved, exactly like ES's token positions."""
-        slots, offsets = self._analyze_phrase(text)
+        analyzer are preserved, exactly like ES's token positions.
+        ``analyzer`` overrides the index's chain (ES's ``?analyzer=``
+        parameter — compare what a different chain WOULD emit)."""
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+            analyze_positions,
+        )
+
+        if analyzer is None:
+            slots, offsets = self._analyze_phrase(text)
+        else:
+            slots, offsets = analyze_positions(text, analyzer)
         return self.spark.createDataFrame(
             list(zip(offsets, slots)), "position long, token string"
         )

@@ -430,3 +430,20 @@ def test_whitespace_phrase_offsets_own_token_stream(spark):
     idx = Index.ephemeral(df, docs_per_shard=4, n_buckets=4, positions=True,
                           analyzer="whitespace")
     assert [r["doc_id"] for r in idx.search_phrase("--- !!!", 10).collect()] == [0]
+
+
+def test_analyze_api_analyzer_override(spark, wdocs_df):
+    """ES _analyze?analyzer= — introspect any chain regardless of the
+    index's own analyzer, with position increments preserved."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(wdocs_df, docs_per_shard=4, n_buckets=4, analyzer="whitespace")
+    # index chain: case-preserving whitespace tokens
+    own = [(r["position"], r["token"]) for r in idx.analyze("Quick the Fox").collect()]
+    assert own == [(0, "Quick"), (1, "the"), (2, "Fox")]
+    # override: stop chain drops 'the' and leaves the gap
+    stop = [(r["position"], r["token"]) for r in idx.analyze("Quick the Fox", analyzer="stop").collect()]
+    assert stop == [(0, "quick"), (2, "fox")]
+    # override: english stems with gaps
+    eng = [(r["position"], r["token"]) for r in idx.analyze("the merging of tables", analyzer="english").collect()]
+    assert eng == [(1, "merg"), (3, "tabl")]
