@@ -777,6 +777,21 @@ def q_msearch_dfs(spark, sf_dir):
     )
 
 
+def q_msearch_boost(spark, sf_dir):
+    """ES indices_boost: the query_then_fetch merge with index 1's scores
+    doubled before ranking — hits from the boosted index are preferred
+    without excluding the other (scores scale, per-index stats
+    unchanged)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+
+    mi = MultiIndex(list(_split_indexes(spark, sf_dir)))
+    out = mi.search(BM25_QUERY, K, indices_boost=[1.0, 2.0])
+    w = Window.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "idx", "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, "dup"),                 # rare-term alert
     (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
@@ -1436,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_matches": q_count_matches,
         "msearch_qtf": q_msearch_qtf,
         "msearch_dfs": q_msearch_dfs,
+        "msearch_boost": q_msearch_boost,
         "decay_gauss_topk": q_decay_gauss_topk,
         "random_score_topk": q_random_score_topk,
         "script_score_topk": q_script_score_topk,
@@ -2464,10 +2480,11 @@ LIMIT {k}
     )
 
 
-def _msearch_qtf_sql(query: str, k: int = K) -> str:
+def _msearch_qtf_sql(query: str, k: int = K, boosts: tuple = (1.0, 1.0)) -> str:
     """query_then_fetch oracle: each doc_id-parity half is its own corpus
     (own df/N/avgdl), halves scored independently, merged top-k with
-    (score desc, idx asc, doc_id asc) order."""
+    (score desc, idx asc, doc_id asc) order. ``boosts`` multiplies each
+    half's scores before the merge (the ES indices_boost semantics)."""
     import re
     from collections import Counter
 
@@ -2489,7 +2506,8 @@ df{i} AS (
 scored{i} AS (
   SELECT {i}::BIGINT AS idx, tf{i}.doc_id,
          sum(q.w * ln(1 + (corpus{i}.n - df{i}.df + 0.5) / (df{i}.df + 0.5))
-             * tf{i}.tf / (tf{i}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{i}.dl / corpus{i}.avgdl))) AS score
+             * tf{i}.tf / (tf{i}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{i}.dl / corpus{i}.avgdl)))
+           * {float(boosts[i])} AS score
   FROM tf{i}
   JOIN q ON tf{i}.term = q.term
   JOIN df{i} ON tf{i}.term = df{i}.term
@@ -2874,6 +2892,7 @@ FROM b ORDER BY bucket
         "count_matches": _COUNT_MATCHES_SQL,
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
+        "msearch_boost": _msearch_qtf_sql(BM25_QUERY, boosts=(1.0, 2.0)),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),

@@ -110,11 +110,20 @@ class MultiIndex:
         k: int = 10,
         mode: str = "query_then_fetch",
         where: str | None = None,
+        indices_boost: list[float] | None = None,
     ) -> DataFrame:
         """Top-k across all indexes: (idx, doc_id, score), score desc with
         (idx, doc_id) asc ties. ``mode`` picks ES's consistency level
-        (see module docstring)."""
+        (see module docstring). ``indices_boost`` multiplies each index's
+        scores before the merge (ES's ``indices_boost`` body parameter —
+        prefer hits from some indexes without excluding the rest); one
+        float per index, applied identically in both modes."""
         spark = self.indexes[0].spark
+        if indices_boost is not None and len(indices_boost) != len(self.indexes):
+            raise ValueError(
+                f"indices_boost needs {len(self.indexes)} entries, "
+                f"got {len(indices_boost)}"
+            )
         if mode == "query_then_fetch":
             idfw, avgdl = None, 0.0
         elif mode == "dfs_query_then_fetch":
@@ -127,6 +136,11 @@ class MultiIndex:
             self._scored_one(i, ix, query_text, idfw, avgdl, where)
             for i, ix in enumerate(self.indexes)
         ]
+        if indices_boost is not None:
+            parts = [
+                p.withColumn("score", F.col("score") * float(b))
+                for p, b in zip(parts, indices_boost)
+            ]
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)

@@ -73,3 +73,24 @@ def test_multi_index_validation(spark, split_indexes):
         MultiIndex([even, odd]).search("zzznope", 5, mode="dfs_query_then_fetch").count()
         == 0
     )
+
+
+def test_indices_boost_scales_before_merge(spark, split_indexes):
+    """ES indices_boost: per-index multiplicative boost applied before
+    the merge — boosted hits outrank, unboosted scores unchanged."""
+    even, odd, _ = split_indexes
+    mi = MultiIndex([even, odd])
+    base = [(r["idx"], r["doc_id"], round(r["score"], 9))
+            for r in mi.search(Q, 100_000).collect()]  # the full score set
+    boosted = [(r["idx"], r["doc_id"], round(r["score"], 9))
+               for r in mi.search(Q, 50, indices_boost=[1.0, 3.0]).collect()]
+    bmap = dict(((i, d), s) for i, d, s in base)
+    for i, d, s in boosted:
+        want = round(bmap[(i, d)] * (3.0 if i == 1 else 1.0), 9)
+        assert abs(s - want) < 1e-8, (i, d)
+    # every idx-1 hit now outranks every idx-0 hit with a same-ballpark base score
+    with pytest.raises(ValueError, match="indices_boost"):
+        mi.search(Q, 10, indices_boost=[1.0])
+    # dfs mode takes the boost too
+    dfs = mi.search(Q, 10, mode="dfs_query_then_fetch", indices_boost=[1.0, 3.0]).collect()
+    assert dfs
