@@ -344,6 +344,66 @@ def q_bool_topk(spark, sf_dir):
     )
 
 
+def _pos_idx(spark, sf_dir):
+    """The shared positions-enabled ephemeral index (phrase/span/rescore
+    entries all reuse one build)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = (sf_dir, "pos")
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, positions=True)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_dis_max_topk(spark, sf_dir):
+    """ES dis_max compound: clauses 'join filter' and 'table hash' (each a
+    disjunctive BM25 score set), per-doc score = best clause +
+    0.3 x the other clause (tie_breaker). Exact per-shard kernel over a
+    single union-term postings scan."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search_dis_max(["join filter", PHRASE_QUERY], tie_breaker=0.3, k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_first_topk(spark, sf_dir):
+    """ES span_first: 'table' within the first 5 token positions
+    (0-based pos < 5). Synthetic-term BM25: tf = qualifying occurrences,
+    df = docs with any (globally aggregated)."""
+    out = _pos_idx(spark, sf_dir).search_span_first("table", 5, k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_near_topk(spark, sf_dir):
+    """ES span_near, unordered: 'table' and 'hash' within a 4-token
+    window (n=2 + slop=2, Lucene span-width criterion), either order.
+    tf = distinct qualifying span starts per doc."""
+    out = _pos_idx(spark, sf_dir).search_span_near(
+        ["table", "hash"], slop=2, in_order=False, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_near_ordered_topk(spark, sf_dir):
+    """ES span_near, in_order: 'hash' then 'table' with slop=3 (up to 3
+    filler tokens) — clause order is the REVERSE of the corpus's common
+    "table hash" bigram, so ordering demonstrably changes the match set."""
+    out = _pos_idx(spark, sf_dir).search_span_near(
+        ["hash", "table"], slop=3, in_order=True, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_rescore_topk(spark, sf_dir):
     """ES rescore: BM25 window (50) on 'table hash' terms, rescored by the
     exact phrase "table hash" (score_mode=total, weights 1/1)."""
@@ -1409,6 +1469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "phrase_prefix_topk": q_phrase_prefix_topk,
+        "dis_max_topk": q_dis_max_topk,
+        "span_first_topk": q_span_first_topk,
+        "span_near_topk": q_span_near_topk,
+        "span_near_ordered_topk": q_span_near_ordered_topk,
         "rescore_topk": q_rescore_topk,
         "bool_topk": q_bool_topk,
         "query_string_topk": q_query_string_topk,
@@ -1722,6 +1786,58 @@ _PHRASE_MATCH_SLOP1 = (
     "generate_series(greatest(i, 1), least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
 )
+# span_first 'table' end=5: engine 0-based position < 5 = SQL index <= 5
+_SPAN_FIRST_MATCH = (
+    "len(list_filter(generate_series(1, least(5, len(toks))), "
+    "i -> toks[i] = 'table'))"
+)
+# span_near unordered ('table','hash') slop=2: a span start is any
+# position holding either term with BOTH terms inside [i, i+3]
+# (window = n-1+slop = 3)
+_SPAN_NEAR_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> list_contains(['table','hash'], toks[i]) "
+    "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
+    "j -> toks[j] = 'table')) > 0 "
+    "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0))"
+)
+# span_near in_order ('hash','table') slop=3: for n=2 the greedy chain is
+# simply 'table' at some j in [i+1, i+1+slop]
+_SPAN_NEAR_ORDERED_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> toks[i] = 'hash' AND len(list_filter("
+    "generate_series(least(i + 1, len(toks) + 1), least(i + 4, len(toks))), "
+    "j -> toks[j] = 'table')) > 0))"
+)
+# ES dis_max over clauses ('join filter', 'table hash') tie_breaker=0.3:
+# per-clause disjunctive BM25 score sets, per-doc best + 0.3 x rest
+_DIS_MAX_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(cl, term, w) AS (VALUES (1,'join',1.0),(1,'filter',1.0),(2,'table',1.0),(2,'hash',1.0)),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+cs AS (
+  SELECT q.cl, tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf JOIN q ON tf.term = q.term JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+  GROUP BY q.cl, tf.doc_id
+),
+comb AS (
+  SELECT doc_id, max(score) + 0.3 * (sum(score) - max(score)) AS score
+  FROM cs GROUP BY doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM comb ORDER BY score DESC, doc_id LIMIT {K}
+"""
 # ES rescore: BM25 window of 50 on ('hash','table') OR terms, plus the
 # exact-phrase synthetic-term score for window docs that contain it
 _RESCORE_SQL = f"""
@@ -2803,6 +2919,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id LIMIT 10"
         ),
         "phrase_topk": _phrase_sql(_PHRASE_MATCH_EXACT),
+        "dis_max_topk": _DIS_MAX_SQL,
+        "span_first_topk": _phrase_sql(_SPAN_FIRST_MATCH),
+        "span_near_topk": _phrase_sql(_SPAN_NEAR_MATCH),
+        "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "query_string_range": _bm25_sql(
             "join hash", where="n_chars >= 100 AND n_chars <= 300 AND lang IS NOT NULL"

@@ -1160,6 +1160,99 @@ class Index:
         )
         return run_parsed(self, parsed, k)
 
+    def search_dis_max(
+        self,
+        queries: list[str],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``dis_max`` compound query: each element of ``queries`` is a
+        disjunctive BM25 clause (same scoring as :meth:`search`); a doc's
+        score is its BEST clause score plus ``tie_breaker`` × the sum of
+        its other clauses' scores (ES/Lucene DisjunctionMaxQuery —
+        ``multi_match best_fields`` is this compound over per-field
+        clauses; here the clauses are arbitrary queries against the one
+        indexed text field, the form the reference's ES 1.5 accepts
+        through its indexing boundary, reference
+        ``MessageHandler.java:135-139``).
+
+        Plan shape: clause term plans are resolved driver-side once
+        (shared idf), the postings scan covers the UNION of clause terms
+        (one pruned scan, not one per clause), each shard computes every
+        clause's exact score set over shared decoded postings (_RunView —
+        a term in several clauses is decoded once) and combines per doc;
+        the coordinator unions per-shard top-k partials. Exact, because
+        shards partition docs. ``where`` filters like :meth:`search`."""
+        clause_plans = []
+        buckets: set[int] = set()
+        for q in queries:
+            idfw_c, buckets_c = self._plan_terms(q)
+            if idfw_c:
+                clause_plans.append(idfw_c)
+                buckets.update(buckets_c)
+        if not clause_plans:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        all_terms = sorted({t for c in clause_plans for t in c})
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        tb = float(tie_breaker)
+        hits = self.postings.filter(
+            F.col("term_bucket").isin(sorted(buckets))
+            & F.col("term").isin(all_terms)
+        )
+
+        def score_shard(pdf: pd.DataFrame, allowed, blocked) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            shard_lo = shard * docs_per_shard
+            base_by_term: dict[str, list] = {}
+            for row in pdf.itertuples(index=False):
+                base_by_term.setdefault(row.term, []).append(
+                    kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                )
+            runs_by_clause = [
+                [
+                    kernels._RunView(r, w)
+                    for t, w in c.items()
+                    for r in base_by_term.get(t, [])
+                ]
+                for c in clause_plans
+            ]
+            d, s = kernels.shard_topk_dismax(
+                runs_by_clause, k, avgdl, k1, b,
+                tie_breaker=tb, allowed=allowed, blocked=blocked,
+            )
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        mask_df, mask_kind = self._mask_plan(where, docs_per_shard)
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": np.int64, "score": np.float64}
+        )
+        if mask_df is None:
+            partials = hits.groupBy("shard").applyInPandas(
+                lambda pdf: score_shard(pdf, None, None), schema=TOPK_SCHEMA
+            )
+        else:
+
+            def cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if not len(left):
+                    return empty.copy()
+                ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64)) if len(right) else None
+                if mask_kind == "allowed":
+                    if ids is None:
+                        return empty.copy()
+                    return score_shard(left, ids, None)
+                return score_shard(left, None, ids)
+
+            partials = (
+                hits.groupBy("shard")
+                .cogroup(mask_df.groupBy("shard"))
+                .applyInPandas(cg, schema=TOPK_SCHEMA)
+            )
+        return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def more_like_this(
         self,
         doc_id: int,
@@ -1311,6 +1404,61 @@ class Index:
             [[t] for t in slots[:-1]] + [exp], k, where, 0, offsets
         )
 
+    def search_span_first(
+        self, term: str, end: int, k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """ES ``span_first`` (Lucene SpanFirstQuery): match ``term`` only
+        when it occurs within the first ``end`` token positions of the
+        document (0-based position < end — e.g. the opening words of a
+        turn). Part of the ES 1.x span-query DSL the reference's indexed
+        documents are queried with (reference ``MessageHandler.java:135-139``
+        delegates the whole query surface to ES).
+
+        Scoring: the positional match is one synthetic term — tf = number
+        of qualifying occurrences, df = docs with ≥ 1 (aggregated globally
+        across shards before scoring), BM25 impact with the configured
+        k1/b/avgdl. ``where`` filters like :meth:`search` (corpus
+        statistics stay global). Requires ``positions=True``."""
+        toks = self._analyze(term)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_topk(
+            [[toks[0]]], k, where, 0, span=("first", int(end))
+        )
+
+    def search_span_near(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``span_near`` (Lucene SpanNearQuery) over single-term
+        clauses: docs where all of ``terms`` occur inside a window of
+        ``len(terms) + slop`` tokens — Lucene's span-width − n ≤ slop
+        criterion — optionally in clause order (``in_order``).
+
+        Match counting (the kernel docstring pins the exact deterministic
+        definition; the DuckDB oracle recomputes it): unordered spans
+        anchor on any clause-term position whose window covers every
+        clause; ordered spans anchor on clause-0 positions whose
+        greedy-earliest chain completes within the window. Scoring is the
+        same synthetic-term BM25 as :meth:`search_phrase` (tf = spans per
+        doc, globally aggregated span df → idf). Requires
+        ``positions=True``."""
+        slots = []
+        for t in terms:
+            toks = self._analyze(t)
+            if not toks:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            slots.append([toks[0]])
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_topk(
+            slots, k, where, 0, span=("near", int(slop), bool(in_order))
+        )
+
     def _phrase_topk(
         self,
         slot_terms: list[list[str]],
@@ -1318,11 +1466,15 @@ class Index:
         where: str | None,
         slop: int,
         offsets: list[int] | None = None,
+        span: tuple | None = None,
     ) -> DataFrame:
-        """Positional-match core shared by match_phrase and
-        match_phrase_prefix: slot i matches when ANY of ``slot_terms[i]``
-        occurs at the expected offset (singleton slots = the exact
-        phrase)."""
+        """Positional-match core shared by match_phrase,
+        match_phrase_prefix and the span queries: slot i matches when ANY
+        of ``slot_terms[i]`` occurs at the expected offset (singleton
+        slots = the exact phrase). ``span`` selects a span kernel instead
+        of the phrase kernel: ``('first', end)`` or
+        ``('near', slop, in_order)`` — same (doc, tf, dl, df) contract,
+        same global-df synthetic-term scoring below."""
         import math
 
         if not self.meta.get("positions"):
@@ -1356,10 +1508,22 @@ class Index:
             runs_by_slot = [
                 [r for t in slot for r in by_term.get(t, [])] for slot in slots
             ]
-            d, tfp, dl, n = kernels.shard_phrase_matches(
-                runs_by_slot, k, avgdl, k1, b,
-                allowed=allowed, blocked=blocked, slop=slop, offsets=offsets,
-            )
+            if span is None:
+                d, tfp, dl, n = kernels.shard_phrase_matches(
+                    runs_by_slot, k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked, slop=slop, offsets=offsets,
+                )
+            elif span[0] == "first":
+                d, tfp, dl, n = kernels.shard_span_first(
+                    runs_by_slot[0], span[1], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            else:
+                d, tfp, dl, n = kernels.shard_span_near(
+                    runs_by_slot, k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                    slop=span[1], in_order=span[2],
+                )
             if n and len(d) == 0:
                 # every match masked out — emit a sentinel row so the
                 # shard's UNMASKED match count still reaches the global

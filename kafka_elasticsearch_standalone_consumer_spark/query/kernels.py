@@ -410,3 +410,192 @@ def shard_topk_intersect(
     for d, c in per_term:
         scores += c[np.searchsorted(d, cand)]
     return _select_topk(cand, scores, k)
+
+
+def _rank_span_matches(uniq, tfp, dl_docs, dl_vals, k, avgdl, k1, b,
+                       allowed, blocked):
+    """Shared tail of the span kernels: count the unmasked match set
+    (global df, same policy as shard_phrase_matches), apply the
+    allowed/blocked masks to emitted candidates only, attach dl, and rank
+    by the dl-normalized tf impact (idf is a per-query constant, so the
+    per-shard ranking is exact)."""
+    n_matches = int(uniq.size)
+    keep = _apply_doc_masks(uniq, allowed, blocked)
+    if keep is not None:
+        uniq, tfp = uniq[keep], tfp[keep]
+        if uniq.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), n_matches)
+    order = np.argsort(dl_docs, kind="stable")
+    dl = dl_vals[order][np.searchsorted(dl_docs[order], uniq)]
+    impact = tfp.astype(np.float64) / (
+        tfp + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    )
+    top = np.lexsort((uniq, -impact))[:k]
+    return uniq[top], tfp[top], dl[top], n_matches
+
+
+_SPAN_EMPTY = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.int64), 0)
+
+
+def shard_span_first(
+    runs: list[_Run],
+    end: int,
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
+):
+    """ES/Lucene ``span_first``: occurrences of the term at 0-based
+    position < ``end``. Same synthetic-term contract as
+    shard_phrase_matches: (doc_ids, tf, dl, n_matching_docs) with tf =
+    qualifying occurrences per doc and the match count taken before the
+    allowed/blocked masks (span df feeds a global idf)."""
+    occ, dl_docs, dl_vals = [], [], []
+    for r in runs:
+        d, t, l, p = r.decode_all_with_positions()
+        occ.append(np.repeat(d, t)[p < np.int64(end)])
+        dl_docs.append(d)
+        dl_vals.append(l)
+    if not occ:
+        return _SPAN_EMPTY
+    occ = np.concatenate(occ)
+    if occ.size == 0:
+        return _SPAN_EMPTY
+    uniq, tfp = np.unique(occ, return_counts=True)
+    return _rank_span_matches(
+        uniq, tfp, np.concatenate(dl_docs), np.concatenate(dl_vals),
+        k, avgdl, k1, b, allowed, blocked,
+    )
+
+
+def shard_span_near(
+    runs_by_slot: list[list[_Run]],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
+    slop: int = 0,
+    in_order: bool = False,
+):
+    """ES/Lucene ``span_near`` over single-term clauses: docs where every
+    clause term occurs inside a window of ``len(clauses) + slop`` tokens
+    (Lucene's matchLength = span width − n ≤ slop criterion).
+
+    Match definition (deterministic, oracle-recomputable):
+
+    * unordered — a span START is any position p holding one of the
+      clause terms such that EVERY clause term occurs at some position in
+      ``[p, p + n − 1 + slop]``; tf = number of distinct such starts.
+    * in_order — a start is a clause-0 occurrence at p whose GREEDY chain
+      (each next clause takes its first occurrence strictly after the
+      previous one, same doc) completes with total width − n ≤ slop.
+      Greedy-earliest minimizes the final position, so the existence test
+      is exact; tf = number of matching clause-0 starts.
+
+    Same (doc_ids, tf, dl, n_matching_docs) contract as
+    shard_phrase_matches; scoring happens in the coordinator with the
+    globally aggregated span df."""
+    mask = (np.int64(1) << POS_BITS) - 1
+    keys_by_slot = []
+    dl_docs, dl_vals = None, None
+    for slot, runs in enumerate(runs_by_slot):
+        parts = []
+        for r in runs:
+            d, t, l, p = r.decode_all_with_positions()
+            parts.append((np.repeat(d, t) << POS_BITS) + p)
+            if slot == 0:
+                # every matching doc contains clause 0, so its runs cover
+                # the dl lookup for the whole match set
+                dl_docs = d if dl_docs is None else np.concatenate([dl_docs, d])
+                dl_vals = l if dl_vals is None else np.concatenate([dl_vals, l])
+        if not parts:
+            return _SPAN_EMPTY
+        keys = np.concatenate(parts)
+        keys.sort()
+        keys_by_slot.append(keys)
+    n = len(keys_by_slot)
+    win = np.int64(n - 1 + slop)
+    if in_order:
+        cur = keys_by_slot[0]
+        start = cur
+        for keys in keys_by_slot[1:]:
+            if cur.size == 0:
+                break
+            idx = np.searchsorted(keys, cur + 1)
+            ok = idx < keys.size
+            nxt = keys[np.minimum(idx, keys.size - 1)]
+            ok &= (nxt >> POS_BITS) == (cur >> POS_BITS)
+            cur, start = nxt[ok], start[ok]
+        ok = (cur & mask) - (start & mask) <= win
+        matched = start[ok]
+    else:
+        cand = np.unique(np.concatenate(keys_by_slot))
+        pos0 = cand & mask
+        # window top key, clamped so it cannot wrap into the next doc's
+        # key space (positions are < 2^POS_BITS by the pack-time guard)
+        hi = cand - pos0 + np.minimum(pos0 + win, mask)
+        ok = np.ones(cand.size, dtype=bool)
+        for keys in keys_by_slot:
+            idx = np.searchsorted(keys, cand)
+            found = idx < keys.size
+            kk = keys[np.minimum(idx, keys.size - 1)]
+            ok &= found & (kk <= hi)
+        matched = cand[ok]
+    if matched.size == 0:
+        return _SPAN_EMPTY
+    uniq, tfp = np.unique(matched >> POS_BITS, return_counts=True)
+    return _rank_span_matches(
+        uniq, tfp, dl_docs, dl_vals, k, avgdl, k1, b, allowed, blocked
+    )
+
+
+def shard_topk_dismax(
+    runs_by_clause: list[list],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    tie_breaker: float = 0.0,
+    allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
+):
+    """ES ``dis_max`` compound: per-doc score = best clause score +
+    tie_breaker × (sum of the other clauses' scores). Each clause is a
+    disjunctive BM25 score set computed exactly (term-at-a-time, like
+    shard_topk_exact); clauses share posting decode through _RunView, so
+    a term used by several clauses is decoded once. Exact per shard —
+    shards partition docs, so the coordinator's union + global top-k is
+    the exact dis_max order."""
+    all_docs, all_scores = [], []
+    for runs in runs_by_clause:
+        docs_c, contrib_c = [], []
+        for r in runs:
+            d, t, l = r.decode_all()
+            docs_c.append(d)
+            contrib_c.append(_contrib(r.idfw, t, l, avgdl, k1, b))
+        if not docs_c:
+            continue
+        d = np.concatenate(docs_c)
+        c = np.concatenate(contrib_c)
+        uniq_c, inv = np.unique(d, return_inverse=True)
+        all_docs.append(uniq_c)
+        all_scores.append(np.bincount(inv, weights=c))
+    if not all_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=scores)
+    maxs = np.zeros(uniq.size, dtype=np.float64)
+    np.maximum.at(maxs, inv, scores)
+    combined = maxs + tie_breaker * (sums - maxs)
+    keep = _apply_doc_masks(uniq, allowed, blocked)
+    if keep is not None:
+        uniq, combined = uniq[keep], combined[keep]
+    return _select_topk(uniq, combined, k)

@@ -1,0 +1,227 @@
+"""Span queries (span_first / span_near) and the dis_max compound: the
+position kernels must match a brute-force pure-Python scan of the corpus,
+and the compound identities must hold (ordered span_near slop=0 ==
+match_phrase; single-clause dis_max == plain search)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+K = 10
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("spanwh") / "idx")
+    build_index(
+        spark, transcripts, path, docs_per_shard=256, n_buckets=8, positions=True
+    )
+    return Index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(spark, pos_index):
+    rows = pos_index._docs_df().select("doc_id", "text", "role").collect()
+    return {r["doc_id"]: (tokenize_text(r["text"]), r["role"]) for r in rows}
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def _score_tfp(corpus_texts, tfp, role_filter=None):
+    """Synthetic-term scoring shared by the brute references: global df
+    over the UNFILTERED match set, candidates optionally role-filtered."""
+    dls = {d: len(t) for d, (t, _r) in corpus_texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    if not tfp:
+        return []
+    n = len(corpus_texts)
+    idf = math.log(1.0 + (n - len(tfp) + 0.5) / (len(tfp) + 0.5))
+    scored = [
+        (d, idf * c / (c + K1 * (1 - B + B * dls[d] / avgdl)))
+        for d, c in tfp.items()
+        if role_filter is None or corpus_texts[d][1] == role_filter
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in scored[:K]]
+
+
+def _brute_span_first(corpus_texts, term, end, role=None):
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = sum(1 for i in range(min(end, len(toks))) if toks[i] == term)
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def _brute_span_near(corpus_texts, terms, slop, in_order, role=None):
+    n = len(terms)
+    win = n - 1 + slop
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = 0
+        if in_order:
+            for i, t in enumerate(toks):
+                if t != terms[0]:
+                    continue
+                q = i
+                ok = True
+                for nxt in terms[1:]:
+                    found = next((j for j in range(q + 1, len(toks)) if toks[j] == nxt), None)
+                    if found is None:
+                        ok = False
+                        break
+                    q = found
+                if ok and q - i <= win:
+                    c += 1
+        else:
+            for i, t in enumerate(toks):
+                if t not in terms:
+                    continue
+                window = toks[i : i + win + 1]
+                if all(x in window for x in terms):
+                    c += 1
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def _pick_terms(corpus_texts):
+    """Two terms that co-occur nearby in at least one doc."""
+    for _d, (toks, _r) in sorted(corpus_texts.items()):
+        if len(toks) >= 6:
+            a, b = toks[2], toks[4]
+            if a != b:
+                return a, b
+    raise AssertionError("corpus too small")
+
+
+def test_span_first_equals_brute(spark, pos_index, corpus_texts):
+    term = next(
+        t for _d, (toks, _r) in sorted(corpus_texts.items()) for t in toks[:1]
+    )
+    for end in (1, 3, 8):
+        fast = _rows(pos_index.search_span_first(term, end, k=K))
+        assert fast == _brute_span_first(corpus_texts, term, end), end
+
+
+def test_span_near_unordered_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    for slop in (0, 1, 3):
+        fast = _rows(
+            pos_index.search_span_near([a, b], slop=slop, in_order=False, k=K)
+        )
+        assert fast == _brute_span_near(corpus_texts, [a, b], slop, False), slop
+
+
+def test_span_near_ordered_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    for terms in ([a, b], [b, a]):
+        fast = _rows(
+            pos_index.search_span_near(terms, slop=2, in_order=True, k=K)
+        )
+        assert fast == _brute_span_near(corpus_texts, terms, 2, True), terms
+
+
+def test_span_near_three_terms(spark, pos_index, corpus_texts):
+    for _d, (toks, _r) in sorted(corpus_texts.items()):
+        if len(toks) >= 8 and len({toks[1], toks[3], toks[5]}) == 3:
+            terms = [toks[1], toks[3], toks[5]]
+            break
+    fast = _rows(pos_index.search_span_near(terms, slop=2, in_order=True, k=K))
+    assert fast == _brute_span_near(corpus_texts, terms, 2, True)
+    fastu = _rows(pos_index.search_span_near(terms, slop=2, in_order=False, k=K))
+    assert fastu == _brute_span_near(corpus_texts, terms, 2, False)
+
+
+def test_ordered_span_slop0_equals_phrase(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    # adjacent bigram from the corpus (standard analyzer: offsets 0,1)
+    for _d, (toks, _r) in sorted(corpus_texts.items()):
+        if len(toks) >= 2 and toks[0] != toks[1]:
+            a, b = toks[0], toks[1]
+            break
+    phrase = _rows(pos_index.search_phrase(f"{a} {b}", K))
+    span = _rows(pos_index.search_span_near([a, b], slop=0, in_order=True, k=K))
+    assert phrase == span and phrase
+
+
+def test_span_where_filters_keep_stats_global(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    fast = _rows(
+        pos_index.search_span_near(
+            [a, b], slop=3, in_order=False, k=K, where="role = 'user'"
+        )
+    )
+    assert fast == _brute_span_near(corpus_texts, [a, b], 3, False, role="user")
+    first = _rows(pos_index.search_span_first(a, 4, k=K, where="role = 'user'"))
+    assert first == _brute_span_first(corpus_texts, a, 4, role="user")
+
+
+def _brute_dismax(corpus_texts, clauses, tie_breaker, limit=K):
+    dls = {d: len(t) for d, (t, _r) in corpus_texts.items()}
+    n = len(corpus_texts)
+    avgdl = sum(dls.values()) / len(dls)
+    per_doc: dict[int, list[float]] = {}
+    for clause in clauses:
+        qterms = tokenize_text(clause)
+        weights: dict[str, float] = {}
+        for t in qterms:
+            weights[t] = weights.get(t, 0.0) + 1.0
+        cl_scores: dict[int, float] = {}
+        for t, w in weights.items():
+            df = sum(1 for _d, (toks, _r) in corpus_texts.items() if t in toks)
+            if not df:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, (toks, _r) in corpus_texts.items():
+                tf = toks.count(t)
+                if tf:
+                    cl_scores[d] = cl_scores.get(d, 0.0) + w * idf * tf / (
+                        tf + K1 * (1 - B + B * dls[d] / avgdl)
+                    )
+        for d, s in cl_scores.items():
+            per_doc.setdefault(d, []).append(s)
+    scored = [
+        (d, max(ss) + tie_breaker * (sum(ss) - max(ss))) for d, ss in per_doc.items()
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(d, round(s, 9)) for d, s in scored[:limit]]
+
+
+def test_dismax_single_clause_equals_search(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    q = f"{a} {b}"
+    dm = _rows(pos_index.search_dis_max([q], tie_breaker=0.5, k=K))
+    ex = _rows(pos_index.search(q, K, mode="exact"))
+    assert dm == ex and dm
+
+
+def test_dismax_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    clauses = [f"{a} {b}", b]
+    for tb in (0.0, 0.3, 1.0):
+        dm = _rows(pos_index.search_dis_max(clauses, tie_breaker=tb, k=K))
+        assert dm == _brute_dismax(corpus_texts, clauses, tb), tb
+
+
+def test_dismax_where_filters(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    clauses = [f"{a} {b}", b]
+    dm = _rows(
+        pos_index.search_dis_max(clauses, tie_breaker=0.3, k=K, where="role = 'user'")
+    )
+    # brute restricted to user turns AFTER scoring (stats stay global)
+    full = _brute_dismax(corpus_texts, clauses, 0.3, limit=len(corpus_texts))
+    allowed = {d for d, (_t, r) in corpus_texts.items() if r == "user"}
+    expect = [(d, s) for d, s in full if d in allowed][:K]
+    assert dm == expect and dm
