@@ -1299,6 +1299,18 @@ def q_quality_features(spark, sf_dir):
     )
 
 
+def q_lm_doc_quality(spark, sf_dir):
+    """CCNet-style bigram-LM quality score: per-doc mean -ln P(w2|w1)
+    under the corpus's own add-0.5 Laplace bigram model (low = fluent,
+    high = gibberish) — the perplexity-based filter of web-scale
+    training-data pipelines."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lm_doc_quality
+
+    return lm_doc_quality(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("nll", 4).alias("nll_r"), "n_bigrams"
+    )
+
+
 def q_lang_guess(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
 
@@ -1545,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "cosine_dup_pairs_lsh": q_cosine_dup_pairs_lsh,
         "quality_features": q_quality_features,
+        "lm_doc_quality": q_lm_doc_quality,
         "lang_guess": q_lang_guess,
         "fingerprints": q_fingerprints,
         "events_rollup": q_events_rollup,
@@ -2058,6 +2071,30 @@ p AS (
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
 SELECT id1, id2, round(cosine, 5) AS cosine_r FROM p WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+
+# CCNet-style add-0.5 Laplace bigram-LM doc scoring (ops/textstats.py
+# lm_doc_quality): DuckDB zips the two aligned unnests into bigram rows
+_LM_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+p AS (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM t WHERE len(w) >= 2
+),
+uni AS (
+  SELECT u, count(*)::DOUBLE AS c1
+  FROM (SELECT unnest(w) AS u FROM t) GROUP BY u
+),
+v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+big AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM p GROUP BY w1, w2),
+s AS (
+  SELECT p.doc_id,
+         avg(-ln((big.c2 + 0.5) / (uni.c1 + 0.5 * v.v))) AS nll,
+         count(*)::BIGINT AS n_bigrams
+  FROM p JOIN big USING (w1, w2) JOIN uni ON p.w1 = uni.u CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(nll, 4) AS nll_r, n_bigrams FROM s
 """
 
 _QUALITY_SQL = f"""
@@ -3094,6 +3131,7 @@ ORDER BY doc_id
         "cosine_dup_pairs": _COSINE_DUP_SQL,
         "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,
+        "lm_doc_quality": _LM_QUALITY_SQL,
         "lang_guess": _LANG_SQL,
         "fingerprints": _FINGERPRINT_SQL,
         "events_rollup": (

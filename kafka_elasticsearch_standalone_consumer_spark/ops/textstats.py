@@ -163,3 +163,64 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             yield kernel(carry)
 
     return th.mapInPandas(gen, schema=FP_SCHEMA)
+
+
+def lm_doc_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the CCNet-style
+    perplexity proxy used to quality-filter web-scale training corpora
+    (low nll = fluent/common phrasing, high = gibberish or boilerplate
+    soup). Returns (doc_id, nll, n_bigrams) for docs with >= 2 tokens.
+
+    Model: the same add-0.5 Laplace bigram LM the phrase suggester uses
+    (engine.suggest_phrase / index/lm.py) — P(w2|w1) = (big(w1,w2)+0.5)
+    / (uni(w1)+0.5·V) with counts over THIS corpus; nll is the mean
+    −ln P over the doc's adjacent bigrams.
+
+    100 TB shape: one tokenize pass feeds (a) the unigram aggregation
+    and (b) the adjacent-pair stream; pair probabilities attach via a
+    join on the bigram key against the Zipf-bounded bigram-count table
+    (map-side partial aggregation on both counts, AQE picks
+    broadcast vs shuffle by the table's real size), then one per-doc
+    aggregation. No driver-side data-plane collect — the only scalar is
+    V (one count())."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col), analyzer).alias("w"),
+    )
+    uni = (
+        toks.select(F.explode("w").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("double").alias("c1"))
+    )
+    vocab = float(uni.count())
+    # guard size>=2 BEFORE sequence(): Spark's sequence(a, b) counts DOWN
+    # when b < a, which would fabricate pairs for 1-token docs
+    pairs = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
+    nll = -F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * vocab))
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["u"])
+        .groupBy("doc_id")
+        .agg(
+            F.avg(nll).alias("nll"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )

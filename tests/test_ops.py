@@ -355,3 +355,26 @@ def test_lsh_probe_convention_matches_column_at_bits64(emb):
     assert _py_signature(planes, qv) in _probe_sigs(planes, qv, probe_hamming=1)
     out = lsh_topk(df, [float(x) for x in qv], 5, bits=64).collect()
     assert out and out[0]["vec_id"] == 3 and abs(out[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_lm_doc_quality_hand_computed(spark):
+    """Tiny corpus where the add-0.5 Laplace bigram nll is computable by
+    hand: vocab {a,b,c}, uni(a)=4 (doc 3's lone token counts), uni(b)=2,
+    uni(c)=1."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lm_doc_quality
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["nll"], r["n_bigrams"]) for r in lm_doc_quality(df).collect()}
+    V = 3.0
+    # bigram counts: (a,b)=2, (b,a)=1, (a,c)=1
+    p_ab = (2 + 0.5) / (4 + 0.5 * V)
+    p_ba = (1 + 0.5) / (2 + 0.5 * V)
+    p_ac = (1 + 0.5) / (4 + 0.5 * V)
+    exp1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp2 = -math.log(p_ac)
+    assert out[1][1] == 3 and out[2][1] == 1
+    assert abs(out[1][0] - exp1) < 1e-12
+    assert abs(out[2][0] - exp2) < 1e-12
+    assert 3 not in out  # single-token doc has no bigrams
