@@ -1449,6 +1449,75 @@ def q_delete_tombstones(spark, sf_dir):
     )
 
 
+def q_update_upsert(spark, sf_dir):
+    """ES bulk update/upsert by natural key (update = Lucene
+    delete-plus-add): all 61 tool turns of the n_convs=50/seed=13 corpus
+    are replaced with sentinel-prefixed text plus one brand-new key
+    upserted; counters check replacement count, live-key uniqueness,
+    searchability of new versions, invisibility of old ones, and
+    compaction preserving the live set (mismatch counters 0)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        compact,
+        update_docs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = tempfile.mkdtemp(prefix="kesc_upd_") + "/idx"
+    tr = generate_transcripts(spark, n_convs=50, seed=13, partitions=4)
+    build_index(spark, tr, wh, docs_per_shard=256, n_buckets=8)
+    updated = tr.filter("role = 'tool'").withColumn(
+        "text", F.concat(F.lit("zzupdated "), F.col("text"))
+    )
+    inserted = tr.limit(1).select(
+        F.lit("conv_zz_new").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("zzinserted brand new turn").alias("text"),
+        F.col("tool"),
+        F.col("ts"),
+    )
+    n_replaced, _seg = update_docs(
+        spark, updated.unionByName(inserted), wh, idempotency_key="upd-1"
+    )
+    idx = Index(spark, wh)
+    live = idx.doc_keys()
+    deletes = idx._deletes_df()
+    if deletes is not None:
+        live = live.join(deletes, "doc_id", "left_anti")
+    n_dup_keys = (
+        live.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    )
+    n_updated_live = idx.count_matches("zzupdated").collect()[0]["n"]
+    n_inserted = idx.count_matches("zzinserted").collect()[0]["n"]
+    n_live = live.count()
+    # replay must be a no-op (same idempotency key): no double tombstones
+    n_replay, replay_seg = update_docs(
+        spark, updated.unionByName(inserted), wh, idempotency_key="upd-1"
+    )
+    compact(spark, wh)
+    idx2 = Index(spark, wh)
+    n_live_after = idx2._docs_df().count()
+    return spark.createDataFrame(
+        [(
+            int(n_replaced),
+            int(n_dup_keys),
+            int(n_updated_live - 61),
+            int(n_inserted),
+            int(n_live - 485),
+            int(n_replay) + (0 if replay_seg is None else 1),
+            int(idx2.stats()["n_deleted"]),
+            int(n_live_after - 485),
+        )],
+        "n_replaced long, n_dup_live_keys long, n_updated_live_drift long, "
+        "n_inserted long, n_live_drift long, n_replay_effects long, "
+        "n_tombstones_after_compact long, n_live_after_compact_drift long",
+    )
+
+
 def q_media_features(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
         extract_features,
@@ -1564,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_invariant": q_transcripts_invariant,
         "incremental_segments": q_incremental_segments,
         "delete_tombstones": q_delete_tombstones,
+        "update_upsert": q_update_upsert,
         "media_features": q_media_features,
     }
 
@@ -2282,6 +2352,15 @@ _DELETE_TOMBSTONES_SQL = (
     "SELECT 61::BIGINT AS n_deleted, 0::BIGINT AS n_leaked, "
     "0::BIGINT AS n_score_drift, 0::BIGINT AS n_tool_after_compact, "
     "0::BIGINT AS n_tombstones_after_compact"
+)
+
+
+_UPDATE_UPSERT_SQL = (
+    "SELECT 61::BIGINT AS n_replaced, 0::BIGINT AS n_dup_live_keys, "
+    "0::BIGINT AS n_updated_live_drift, 1::BIGINT AS n_inserted, "
+    "0::BIGINT AS n_live_drift, 0::BIGINT AS n_replay_effects, "
+    "0::BIGINT AS n_tombstones_after_compact, "
+    "0::BIGINT AS n_live_after_compact_drift"
 )
 
 
@@ -3141,5 +3220,6 @@ ORDER BY doc_id
         "transcripts_invariant": _TRANSCRIPTS_INVARIANT_SQL,
         "incremental_segments": _INCREMENTAL_SEGMENTS_SQL,
         "delete_tombstones": _DELETE_TOMBSTONES_SQL,
+        "update_upsert": _UPDATE_UPSERT_SQL,
         "media_features": _MEDIA_SQL,
     }

@@ -296,6 +296,66 @@ def delete_docs(spark: SparkSession, warehouse_path: str, where: str) -> int:
     return wh.count_rows(DELETES_TABLE) - before  # NEW tombstones only
 
 
+def update_docs(
+    spark: SparkSession,
+    updates: DataFrame,
+    warehouse_path: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    idempotency_key: str | None = None,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> tuple[int, int | None]:
+    """ES bulk update / upsert by natural key (ES ``_id``; here the
+    transcript identity ``(conv_id, turn_idx)`` — :meth:`Index.doc_keys`).
+    Each row of ``updates`` REPLACES the live document with the same key,
+    or inserts when no live doc carries it (ES upsert). Exactly Lucene's
+    update-as-delete-plus-add: the old version is tombstoned (frozen
+    stats until :func:`compact`, like :func:`delete_docs`) and the new
+    version is indexed under a fresh internal doc_id in a new segment via
+    :func:`append_segment`. The reference posts bulk index requests into
+    ES (reference ``MessageHandler.java:135-139`` ``prepareBulk``/
+    ``prepareIndex``), where the same request with an explicit id IS the
+    replace operation — this is that id'd-index/upsert surface. Returns
+    ``(n_replaced, seg_id)``.
+
+    Replay-safe: the idempotency check runs BEFORE tombstoning (a
+    replayed batch must not tombstone the versions it itself wrote), and
+    a crash between the tombstone write and the segment commit retries
+    into a no-op tombstone pass (already-tombstoned ids are excluded)
+    plus the append's own checkpoint resume. Keys must be unique within
+    one batch — two versions of a key in the same ``updates`` would both
+    go live (ES applies same-id bulk items sequentially; callers dedupe).
+
+    100 TB shape: one key-projected union scan of the doc stores
+    semi-joined against the (small, broadcastable) update key set for the
+    tombstones, then the standard segment build — no per-doc driver work.
+    """
+    wh = Warehouse(warehouse_path)
+    segs = _ensure_base_segment_row(wh)
+    if idempotency_key is not None and (
+        any(s["idempotency_key"] == idempotency_key for s in segs)
+        or idempotency_key in _retired_keys(wh)
+    ):
+        return 0, None
+    keys = updates.select(*key_cols).distinct()
+    whs = [wh] + [seg_warehouse(wh, s["seg_id"]) for s in segs[1:]]
+    docs = whs[0].read(spark, "docs").select("doc_id", *key_cols)
+    for w in whs[1:]:
+        docs = docs.unionByName(w.read(spark, "docs").select("doc_id", *key_cols))
+    ids = docs.join(F.broadcast(keys), list(key_cols), "left_semi").select("doc_id")
+    if wh.exists(DELETES_TABLE):
+        ids = ids.join(wh.read(spark, DELETES_TABLE), "doc_id", "left_anti")
+    before = wh.count_rows(DELETES_TABLE) if wh.exists(DELETES_TABLE) else 0
+    wh.write(ids, DELETES_TABLE, mode="append")
+    n_replaced = wh.count_rows(DELETES_TABLE) - before
+    seg_id = append_segment(
+        spark, updates, warehouse_path,
+        idempotency_key=idempotency_key,
+        num_partitions=num_partitions, run_id=run_id,
+    )
+    return n_replaced, seg_id
+
+
 def reindex(
     spark: SparkSession,
     src_warehouse: str,

@@ -321,3 +321,58 @@ def test_reindex_filters_and_remaps(spark, transcripts, tmp_path):
     a = [(r["doc_id"], round(r["score"], 9)) for r in idx.search(q, 10).collect()]
     b = [(r["doc_id"], round(r["score"], 9)) for r in Index(spark, ref).search(q, 10).collect()]
     assert a == b and a
+
+
+def test_update_docs_replace_upsert_replay(spark, tmp_path):
+    """ES update-by-key = Lucene delete+add: new version searchable, old
+    invisible, upsert inserts, replay is a no-op, compact preserves the
+    live set and purges tombstones."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import update_docs
+
+    wh = str(tmp_path / "updwh")
+    tr = generate_transcripts(spark, n_convs=20, seed=5, partitions=2).persist()
+    n0 = tr.count()
+    build_index(spark, tr, wh, docs_per_shard=128, n_buckets=8)
+
+    upd = (
+        tr.filter("role = 'user'").limit(3)
+        .withColumn("text", F.concat(F.lit("zzupdated "), F.col("text")))
+    )
+    ins = tr.limit(1).select(
+        F.lit("conv_zz").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"), F.lit("zzinserted fresh").alias("text"),
+        F.col("tool"), F.col("ts"),
+    )
+    batch = upd.unionByName(ins).persist()
+    upd_keys = {(r["conv_id"], r["turn_idx"]) for r in upd.collect()}
+
+    n_replaced, seg = update_docs(spark, batch, wh, idempotency_key="u1")
+    assert n_replaced == 3 and seg == 1
+    idx = Index(spark, wh)
+    # new versions live and searchable by the sentinel token
+    assert idx.count_matches("zzupdated").collect()[0]["n"] == 3
+    assert idx.count_matches("zzinserted").collect()[0]["n"] == 1
+    # old versions invisible: fetching by key returns the sentinel text
+    live = idx.doc_keys()
+    deletes = idx._deletes_df()
+    if deletes is not None:
+        live = live.join(deletes, "doc_id", "left_anti")
+    assert live.count() == n0 + 1
+    assert live.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in live.join(idx._docs_df().filter(F.col("text").startswith("zzupdated")), "doc_id").collect()
+    }
+    assert got == upd_keys
+
+    # replay: same idempotency key -> no tombstones, no segment
+    assert update_docs(spark, batch, wh, idempotency_key="u1") == (0, None)
+    assert idx.count_matches("zzupdated").collect()[0]["n"] == 3
+
+    compact(spark, wh)
+    idx2 = Index(spark, wh)
+    assert idx2.stats()["n_deleted"] == 0
+    assert idx2._docs_df().count() == n0 + 1
+    assert idx2.count_matches("zzupdated").collect()[0]["n"] == 3
