@@ -1455,6 +1455,14 @@ class Index:
             slots.append([toks[0]])
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
+        flat = [s[0] for s in slots]
+        if not in_order and len(set(flat)) != len(flat):
+            # Lucene's unordered SpanNear requires DISTINCT occurrences
+            # per repeated clause; the windowed membership test would
+            # accept one occurrence for both — refuse rather than deviate
+            raise ValueError(
+                "span_near with repeated terms requires in_order=True"
+            )
         return self._phrase_topk(
             slots, k, where, 0, span=("near", int(slop), bool(in_order))
         )

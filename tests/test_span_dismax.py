@@ -225,3 +225,8 @@ def test_dismax_where_filters(spark, pos_index, corpus_texts):
     allowed = {d for d, (_t, r) in corpus_texts.items() if r == "user"}
     expect = [(d, s) for d, s in full if d in allowed][:K]
     assert dm == expect and dm
+
+
+def test_span_near_unordered_repeated_terms_rejected(spark, pos_index):
+    with pytest.raises(ValueError, match="repeated terms"):
+        pos_index.search_span_near(["hash", "hash"], slop=2, in_order=False)
