@@ -404,6 +404,38 @@ def q_span_near_ordered_topk(spark, sf_dir):
     )
 
 
+def q_span_or_topk(spark, sf_dir):
+    """ES span_or at the top level: every occurrence of 'join' or
+    'filter' is a span — tf = total occurrences of either per doc,
+    df = docs containing any, synthetic-term BM25."""
+    out = _pos_idx(spark, sf_dir).search_span_or(["join", "filter"], k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_near_or_topk(spark, sf_dir):
+    """ES span_near with a nested span_or clause: ('table' OR 'index')
+    and 'hash' within a 4-token window (n=2 clauses + slop=2), either
+    order — the or-clause unions postings runs per slot, no extra kernel."""
+    out = _pos_idx(spark, sf_dir).search_span_near(
+        [["table", "index"], "hash"], slop=2, in_order=False, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_not_topk(spark, sf_dir):
+    """ES span_not: occurrences of 'table' with no 'hash' within 1 token
+    before/after (pre=post=1 — adjacency exclusion; notably subtracts the
+    corpus's common "table hash" bigram matches)."""
+    out = _pos_idx(spark, sf_dir).search_span_not("table", "hash", pre=1, post=1, k=K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_rescore_topk(spark, sf_dir):
     """ES rescore: BM25 window (50) on 'table hash' terms, rescored by the
     exact phrase "table hash" (score_mode=total, weights 1/1)."""
@@ -1554,6 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": q_span_first_topk,
         "span_near_topk": q_span_near_topk,
         "span_near_ordered_topk": q_span_near_ordered_topk,
+        "span_or_topk": q_span_or_topk,
+        "span_near_or_topk": q_span_near_or_topk,
+        "span_not_topk": q_span_not_topk,
         "rescore_topk": q_rescore_topk,
         "bool_topk": q_bool_topk,
         "query_string_topk": q_query_string_topk,
@@ -1892,6 +1927,27 @@ _SPAN_NEAR_ORDERED_MATCH = (
     "i -> toks[i] = 'hash' AND len(list_filter("
     "generate_series(least(i + 1, len(toks) + 1), least(i + 4, len(toks))), "
     "j -> toks[j] = 'table')) > 0))"
+)
+# span_or ('join','filter'): every occurrence of either term is a span
+_SPAN_OR_MATCH = "len(list_filter(toks, t -> list_contains(['join','filter'], t)))"
+# span_near unordered with a span_or clause (('table'|'index'),'hash')
+# slop=2: anchor at any position holding any clause term with BOTH
+# clauses satisfied inside [i, i+3] (window = n-1+slop = 3)
+_SPAN_NEAR_OR_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> list_contains(['table','index','hash'], toks[i]) "
+    "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
+    "j -> list_contains(['table','index'], toks[j]))) > 0 "
+    "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0))"
+)
+# span_not 'table' excluding 'hash' with pre=post=1: a 'table' occurrence
+# survives when no 'hash' occurs in [i-1, i+1] (1-indexed, clamped)
+_SPAN_NOT_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> toks[i] = 'table' AND len(list_filter("
+    "generate_series(greatest(i - 1, 1), least(i + 1, len(toks))), "
+    "j -> toks[j] = 'hash')) = 0))"
 )
 # ES dis_max over clauses ('join filter', 'table hash') tie_breaker=0.3:
 # per-clause disjunctive BM25 score sets, per-doc best + 0.3 x rest
@@ -3038,6 +3094,9 @@ def oracle_sql() -> dict[str, str]:
         "dis_max_topk": _DIS_MAX_SQL,
         "span_first_topk": _phrase_sql(_SPAN_FIRST_MATCH),
         "span_near_topk": _phrase_sql(_SPAN_NEAR_MATCH),
+        "span_or_topk": _phrase_sql(_SPAN_OR_MATCH),
+        "span_near_or_topk": _phrase_sql(_SPAN_NEAR_OR_MATCH),
+        "span_not_topk": _phrase_sql(_SPAN_NOT_MATCH),
         "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "query_string_range": _bm25_sql(

@@ -1426,18 +1426,33 @@ class Index:
             [[toks[0]]], k, where, 0, span=("first", int(end))
         )
 
+    def _span_clause(self, clause: str | list[str]) -> list[str]:
+        """Analyze one span clause: a str is a span_term, a list is a
+        span_or over its terms (each analyzed; one analyzed token per
+        alternative — the single-token span model of this engine)."""
+        alts = [clause] if isinstance(clause, str) else list(clause)
+        out: list[str] = []
+        for a in alts:
+            toks = self._analyze(a)
+            if toks and toks[0] not in out:
+                out.append(toks[0])
+        return out
+
     def search_span_near(
         self,
-        terms: list[str],
+        terms: list[str | list[str]],
         slop: int = 0,
         in_order: bool = False,
         k: int = 10,
         where: str | None = None,
     ) -> DataFrame:
-        """ES ``span_near`` (Lucene SpanNearQuery) over single-term
-        clauses: docs where all of ``terms`` occur inside a window of
-        ``len(terms) + slop`` tokens — Lucene's span-width − n ≤ slop
-        criterion — optionally in clause order (``in_order``).
+        """ES ``span_near`` (Lucene SpanNearQuery): docs where every
+        clause occurs inside a window of ``len(terms) + slop`` tokens —
+        Lucene's span-width − n ≤ slop criterion — optionally in clause
+        order (``in_order``). Each clause is a str (span_term) or a list
+        of strs (a nested ``span_or``: any alternative satisfies the
+        clause — the postings runs of the alternatives are unioned per
+        slot, no extra kernel work).
 
         Match counting (the kernel docstring pins the exact deterministic
         definition; the DuckDB oracle recomputes it): unordered spans
@@ -1449,13 +1464,13 @@ class Index:
         ``positions=True``."""
         slots = []
         for t in terms:
-            toks = self._analyze(t)
-            if not toks:
+            slot = self._span_clause(t)
+            if not slot:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
-            slots.append([toks[0]])
+            slots.append(slot)
         if not slots:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        flat = [s[0] for s in slots]
+        flat = [t for s in slots for t in s]
         if not in_order and len(set(flat)) != len(flat):
             # Lucene's unordered SpanNear requires DISTINCT occurrences
             # per repeated clause; the windowed membership test would
@@ -1465,6 +1480,49 @@ class Index:
             )
         return self._phrase_topk(
             slots, k, where, 0, span=("near", int(slop), bool(in_order))
+        )
+
+    def search_span_or(
+        self, terms: list[str], k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """ES ``span_or`` (Lucene SpanOrQuery) at the top level: every
+        occurrence of ANY clause term is a span. Expressed as a
+        single-slot span_near (window checks are vacuous for n=1), so tf
+        = total occurrences of any alternative per doc and df = docs
+        containing any — the same synthetic-term BM25 contract as the
+        rest of the span family. For a single term this is score-identical
+        to :meth:`search` (same tf, df, and length normalization).
+        Requires ``positions=True``."""
+        slot = self._span_clause(list(terms))
+        if not slot:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._phrase_topk([slot], k, where, 0, span=("near", 0, False))
+
+    def search_span_not(
+        self,
+        include: str | list[str],
+        exclude: str | list[str],
+        pre: int = 0,
+        post: int = 0,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``span_not`` (Lucene SpanNotQuery): occurrences of
+        ``include`` (str = span_term, list = span_or) with NO ``exclude``
+        occurrence within ``pre`` tokens before through ``post`` tokens
+        after (Lucene's pre/post overlap window; the default pre=post=0
+        is pure position overlap, vacuous for distinct single-token
+        spans — pass pre/post ≥ 1 for adjacency exclusion). An exclude
+        absent from the dictionary excludes nothing. tf = surviving
+        include occurrences, df = docs with ≥ 1, scored like the rest of
+        the span family. Requires ``positions=True``."""
+        inc = self._span_clause(include)
+        if not inc:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        exc = self._span_clause(exclude)
+        return self._phrase_topk(
+            [inc, exc] if exc else [inc], k, where, 0,
+            span=("not", int(pre), int(post)),
         )
 
     def _phrase_topk(
@@ -1492,7 +1550,10 @@ class Index:
         if rows is None:
             rows = self._lookup_terms_spark(all_terms)
         present = {term for term, _, _ in rows}
-        if any(not (set(slot) & present) for slot in slot_terms):
+        # span_not: only the include slot (0) is required — an absent
+        # exclude slot simply excludes nothing
+        required = slot_terms[:1] if span and span[0] == "not" else slot_terms
+        if any(not (set(slot) & present) for slot in required):
             return self.spark.createDataFrame([], TOPK_SCHEMA)  # a slot is absent
         slots = slot_terms
         buckets = sorted({int(b) for _, _, b in rows})
@@ -1524,6 +1585,13 @@ class Index:
             elif span[0] == "first":
                 d, tfp, dl, n = kernels.shard_span_first(
                     runs_by_slot[0], span[1], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            elif span[0] == "not":
+                d, tfp, dl, n = kernels.shard_span_not(
+                    runs_by_slot[0],
+                    runs_by_slot[1] if len(runs_by_slot) > 1 else [],
+                    span[1], span[2], k, avgdl, k1, b,
                     allowed=allowed, blocked=blocked,
                 )
             else:

@@ -555,6 +555,62 @@ def shard_span_near(
     )
 
 
+def shard_span_not(
+    inc_runs: list[_Run],
+    exc_runs: list[_Run],
+    pre: int,
+    post: int,
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
+):
+    """ES/Lucene ``span_not``: occurrences of the include clause (a union
+    of term runs — a multi-term include is a span_or) with NO exclude
+    occurrence within ``pre`` tokens before through ``post`` tokens after
+    (Lucene SpanNotQuery's pre/post overlap window; pre=post=0 is pure
+    position overlap, vacuous for single-token spans over distinct
+    terms). Empty ``exc_runs`` (exclude absent from the dictionary)
+    excludes nothing. Same synthetic-term (doc_ids, tf, dl,
+    n_matching_docs) contract as the other span kernels; the match count
+    is taken before the allowed/blocked masks (global df policy)."""
+    mask = (np.int64(1) << POS_BITS) - 1
+    inc_parts, dl_docs, dl_vals = [], [], []
+    for r in inc_runs:
+        d, t, l, p = r.decode_all_with_positions()
+        inc_parts.append((np.repeat(d, t) << POS_BITS) + p)
+        dl_docs.append(d)
+        dl_vals.append(l)
+    if not inc_parts:
+        return _SPAN_EMPTY
+    keys = np.concatenate(inc_parts)
+    if keys.size == 0:
+        return _SPAN_EMPTY
+    exc_parts = []
+    for r in exc_runs:
+        d, t, _l, p = r.decode_all_with_positions()
+        exc_parts.append((np.repeat(d, t) << POS_BITS) + p)
+    if exc_parts:
+        ekeys = np.concatenate(exc_parts)
+        ekeys.sort()
+        pos = keys & mask
+        # [p - pre, p + post] clamped to the doc's own position space so
+        # the window never wraps into a neighboring doc's key range
+        lo = keys - np.minimum(pos, np.int64(pre))
+        hi = keys - pos + np.minimum(pos + np.int64(post), mask)
+        ok = np.searchsorted(ekeys, lo) == np.searchsorted(ekeys, hi, side="right")
+        keys = keys[ok]
+        if keys.size == 0:
+            return _SPAN_EMPTY
+    uniq, tfp = np.unique(keys >> POS_BITS, return_counts=True)
+    return _rank_span_matches(
+        uniq, tfp, np.concatenate(dl_docs), np.concatenate(dl_vals),
+        k, avgdl, k1, b, allowed, blocked,
+    )
+
+
 def shard_topk_dismax(
     runs_by_clause: list[list],
     k: int,

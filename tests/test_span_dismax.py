@@ -230,3 +230,118 @@ def test_dismax_where_filters(spark, pos_index, corpus_texts):
 def test_span_near_unordered_repeated_terms_rejected(spark, pos_index):
     with pytest.raises(ValueError, match="repeated terms"):
         pos_index.search_span_near(["hash", "hash"], slop=2, in_order=False)
+    with pytest.raises(ValueError, match="repeated terms"):
+        pos_index.search_span_near([["hash", "join"], "join"], slop=2, in_order=False)
+
+
+def _brute_span_or(corpus_texts, terms, role=None):
+    tset = set(terms)
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = sum(1 for t in toks if t in tset)
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def _brute_span_near_sets(corpus_texts, slots, slop, in_order, role=None):
+    """span_near where each clause is a SET of alternatives (span_or)."""
+    n = len(slots)
+    win = n - 1 + slop
+    anyset = {t for s in slots for t in s}
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = 0
+        if in_order:
+            for i, t in enumerate(toks):
+                if t not in slots[0]:
+                    continue
+                q, ok = i, True
+                for nxt in slots[1:]:
+                    found = next(
+                        (j for j in range(q + 1, len(toks)) if toks[j] in nxt), None
+                    )
+                    if found is None:
+                        ok = False
+                        break
+                    q = found
+                if ok and q - i <= win:
+                    c += 1
+        else:
+            for i, t in enumerate(toks):
+                if t not in anyset:
+                    continue
+                window = toks[i : i + win + 1]
+                if all(any(x in window for x in s) for s in slots):
+                    c += 1
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def _brute_span_not(corpus_texts, include, exclude, pre, post, role=None):
+    inc, exc = set(include), set(exclude)
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        c = 0
+        for i, t in enumerate(toks):
+            if t not in inc:
+                continue
+            lo, hi = max(i - pre, 0), min(i + post, len(toks) - 1)
+            if not any(toks[j] in exc for j in range(lo, hi + 1)):
+                c += 1
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def test_span_or_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    fast = _rows(pos_index.search_span_or([a, b], k=K))
+    assert fast == _brute_span_or(corpus_texts, [a, b]) and fast
+
+
+def test_span_or_single_term_equals_search(spark, pos_index, corpus_texts):
+    a, _b = _pick_terms(corpus_texts)
+    so = _rows(pos_index.search_span_or([a], k=K))
+    ex = _rows(pos_index.search(a, K, mode="exact"))
+    assert so == ex and so
+
+
+def test_span_near_with_or_clause_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    # a third term distinct from both, guaranteed present
+    c = next(
+        t
+        for _d, (toks, _r) in sorted(corpus_texts.items())
+        for t in toks
+        if t not in (a, b)
+    )
+    slots = [{a, c}, {b}]
+    for in_order in (False, True):
+        fast = _rows(
+            pos_index.search_span_near([[a, c], b], slop=2, in_order=in_order, k=K)
+        )
+        assert fast == _brute_span_near_sets(corpus_texts, slots, 2, in_order), in_order
+
+
+def test_span_not_equals_brute(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    for pre, post in ((0, 0), (1, 1), (0, 2)):
+        fast = _rows(pos_index.search_span_not(a, b, pre=pre, post=post, k=K))
+        assert fast == _brute_span_not(corpus_texts, [a], [b], pre, post), (pre, post)
+
+
+def test_span_not_absent_exclude_equals_span_or(spark, pos_index, corpus_texts):
+    a, _b = _pick_terms(corpus_texts)
+    sn = _rows(pos_index.search_span_not(a, "zzqqxxnotaterm", pre=3, post=3, k=K))
+    so = _rows(pos_index.search_span_or([a], k=K))
+    assert sn == so and sn
+
+
+def test_span_not_where_filters_keep_stats_global(spark, pos_index, corpus_texts):
+    a, b = _pick_terms(corpus_texts)
+    fast = _rows(
+        pos_index.search_span_not(a, b, pre=1, post=1, k=K, where="role = 'user'")
+    )
+    assert fast == _brute_span_not(corpus_texts, [a], [b], 1, 1, role="user")
