@@ -1550,6 +1550,58 @@ def q_update_upsert(spark, sf_dir):
     )
 
 
+def q_delete_by_query(spark, sf_dir):
+    """ES 1.x delete-by-query (DELETE /{index}/_query): tombstone every
+    live doc matching >=2 of 'w00000 w00003' among tool turns of the
+    n_convs=50/seed=13 corpus (43 docs; 366 msm=2 matches corpus-wide
+    pre-delete). Counters: pinned delete count, match-set identity with
+    _count, zero scope leftovers, unfiltered survivors = 366-43, no-op
+    replay, frozen scores for surviving top-k docs, purge on compact."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        compact,
+        delete_by_query,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = tempfile.mkdtemp(prefix="kesc_dbq_") + "/idx"
+    tr = generate_transcripts(spark, n_convs=50, seed=13, partitions=4)
+    build_index(spark, tr, wh, docs_per_shard=256, n_buckets=8)
+    q, flt = "w00000 w00003", "role = 'tool'"
+    idx = Index(spark, wh)
+    n_scope_before = idx.count_matches(q, where=flt, min_should_match=2).collect()[0]["n"]
+    probe = "w00001 w00002"
+    before = {r["doc_id"]: round(r["score"], 6) for r in idx.search(probe, 50).collect()}
+    n_del = delete_by_query(spark, wh, q, where=flt, min_should_match=2)
+    idx2 = Index(spark, wh)
+    n_scope_after = idx2.count_matches(q, where=flt, min_should_match=2).collect()[0]["n"]
+    n_remaining = idx2.count_matches(q, min_should_match=2).collect()[0]["n"]
+    after = {r["doc_id"]: round(r["score"], 6) for r in idx2.search(probe, 50).collect()}
+    n_score_drift = sum(1 for d, sc in after.items() if d in before and before[d] != sc)
+    n_replay = delete_by_query(spark, wh, q, where=flt, min_should_match=2)
+    compact(spark, wh)
+    idx3 = Index(spark, wh)
+    n_scope_compact = idx3.count_matches(q, where=flt, min_should_match=2).collect()[0]["n"]
+    return spark.createDataFrame(
+        [(
+            int(n_del),
+            int(n_del - n_scope_before),
+            int(n_scope_after),
+            int(n_remaining),
+            int(n_score_drift),
+            int(n_replay),
+            int(n_scope_compact),
+            int(idx3.stats()["n_deleted"]),
+        )],
+        "n_deleted long, n_match_drift long, n_scope_after long, "
+        "n_remaining_msm2 long, n_score_drift long, n_replay long, "
+        "n_scope_after_compact long, n_tombstones_after_compact long",
+    )
+
+
 def q_media_features(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.multimodal import (
         extract_features,
@@ -1668,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_invariant": q_transcripts_invariant,
         "incremental_segments": q_incremental_segments,
         "delete_tombstones": q_delete_tombstones,
+        "delete_by_query": q_delete_by_query,
         "update_upsert": q_update_upsert,
         "media_features": q_media_features,
     }
@@ -2408,6 +2461,18 @@ _DELETE_TOMBSTONES_SQL = (
     "SELECT 61::BIGINT AS n_deleted, 0::BIGINT AS n_leaked, "
     "0::BIGINT AS n_score_drift, 0::BIGINT AS n_tool_after_compact, "
     "0::BIGINT AS n_tombstones_after_compact"
+)
+
+
+# delete_by_query pinned constants (n_convs=50 seed=13 corpus, standard
+# analyzer, q='w00000 w00003'): 43 tool turns match >=2 terms; 366 docs
+# corpus-wide match >=2 terms pre-delete -> 323 survive. Update these if
+# corpus.py's generator changes (same contract as the 61/485 constants).
+_DELETE_BY_QUERY_SQL = (
+    "SELECT 43::BIGINT AS n_deleted, 0::BIGINT AS n_match_drift, "
+    "0::BIGINT AS n_scope_after, 323::BIGINT AS n_remaining_msm2, "
+    "0::BIGINT AS n_score_drift, 0::BIGINT AS n_replay, "
+    "0::BIGINT AS n_scope_after_compact, 0::BIGINT AS n_tombstones_after_compact"
 )
 
 
@@ -3279,6 +3344,7 @@ ORDER BY doc_id
         "transcripts_invariant": _TRANSCRIPTS_INVARIANT_SQL,
         "incremental_segments": _INCREMENTAL_SEGMENTS_SQL,
         "delete_tombstones": _DELETE_TOMBSTONES_SQL,
+        "delete_by_query": _DELETE_BY_QUERY_SQL,
         "update_upsert": _UPDATE_UPSERT_SQL,
         "media_features": _MEDIA_SQL,
     }

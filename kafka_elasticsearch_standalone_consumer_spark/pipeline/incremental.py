@@ -296,6 +296,33 @@ def delete_docs(spark: SparkSession, warehouse_path: str, where: str) -> int:
     return wh.count_rows(DELETES_TABLE) - before  # NEW tombstones only
 
 
+def delete_by_query(
+    spark: SparkSession,
+    warehouse_path: str,
+    query_text: str,
+    where: str | None = None,
+    min_should_match: int = 1,
+) -> int:
+    """ES 1.x delete-by-query (``DELETE /{index}/_query`` — a first-class
+    API in the ES 1.5.1 the reference writes into, removed in 2.0):
+    tombstone every LIVE doc the analyzed query matches (≥
+    ``min_should_match`` distinct terms, optional ``where`` filter).
+    Same frozen-stats Lucene semantics as :func:`delete_docs`; the match
+    set comes from the engine's term-pruned scope (already tombstone-
+    excluded), so a replay is a no-op. Returns new tombstones written."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    wh = Warehouse(warehouse_path)
+    scoped = Index(spark, warehouse_path)._agg_scope(
+        query_text, where, min_should_match
+    )
+    if scoped is None:
+        return 0
+    before = wh.count_rows(DELETES_TABLE) if wh.exists(DELETES_TABLE) else 0
+    wh.write(scoped.select("doc_id"), DELETES_TABLE, mode="append")
+    return wh.count_rows(DELETES_TABLE) - before
+
+
 def update_docs(
     spark: SparkSession,
     updates: DataFrame,

@@ -92,6 +92,39 @@ def test_compact_purges_tombstones(spark, deleted_wh, tmp_path):
     assert {(c, t) for c, t, _ in got} <= keys_before | {(c, t) for c, t, _ in want}
 
 
+def test_delete_by_query_matches_count_and_replays_noop(spark, tmp_path):
+    """ES 1.x DELETE /_query: the tombstoned set is exactly the live
+    match set (msm respected, where= respected), a replay is a no-op,
+    and survivors keep frozen scores until compact purges."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_by_query,
+    )
+
+    path = str(tmp_path / "dbq")
+    tr = generate_transcripts(spark, n_convs=20, seed=31, partitions=2)
+    build_index(spark, tr, path, docs_per_shard=256, n_buckets=8)
+    idx = Index(spark, path)
+    q = "w00000 w00003"
+    n_scope = idx.count_matches(q, where="role = 'tool'", min_should_match=2).collect()[0]["n"]
+    assert n_scope > 0
+    probe_before = _rows(Index(spark, path).search("w00001 w00002", 50))
+    assert delete_by_query(spark, path, q, where="role = 'tool'", min_should_match=2) == n_scope
+    idx2 = Index(spark, path)
+    assert idx2.count_matches(q, where="role = 'tool'", min_should_match=2).collect()[0]["n"] == 0
+    # survivors of an unrelated query keep their exact pre-delete scores
+    # (docs promoted into the post-delete top-k are new entries, not drift)
+    before_map = dict(probe_before)
+    for d, s in _rows(idx2.search("w00001 w00002", 50)):
+        assert d not in before_map or before_map[d] == s
+    # replay and empty-query are no-ops
+    assert delete_by_query(spark, path, q, where="role = 'tool'", min_should_match=2) == 0
+    assert delete_by_query(spark, path, "...") == 0
+    compact(spark, path)
+    idx3 = Index(spark, path)
+    assert idx3.stats()["n_deleted"] == 0
+    assert idx3.count_matches(q, where="role = 'tool'", min_should_match=2).collect()[0]["n"] == 0
+
+
 def test_delete_docs_returns_delta(spark, tmp_path):
     """ADVICE r01: a second overlapping delete reports only the NEW
     tombstones, not the cumulative table size."""
