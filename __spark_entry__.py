@@ -524,6 +524,48 @@ def q_agg_percentiles(spark, sf_dir):
     )
 
 
+def q_agg_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation: the stats row plus sum_of_squares,
+    POPULATION variance/std-deviation (ES's biased n-divisor form) and the
+    avg ± 2σ std_deviation_bounds, of n_chars over the match set."""
+    return _cached_idx(spark, sf_dir).extended_stats_agg(BM25_QUERY, "n_chars")
+
+
+def q_agg_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks aggregation (exact empirical-CDF definition —
+    pct of matching docs with n_chars ≤ v) at three probe values."""
+    return _cached_idx(spark, sf_dir).percentile_ranks_agg(
+        BM25_QUERY, "n_chars", [200.0, 400.0, 600.0]
+    )
+
+
+def q_agg_date_range(spark, sf_dir):
+    """ES date_range aggregation over the events stream — the operator
+    itself, unscoped (events carry no text to match), half-open [from, to)
+    ISO buckets with open ends."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import date_range_counts
+
+    return date_range_counts(_events(spark, sf_dir), "ts", ["2024-01-10", "2024-01-20"])
+
+
+def q_agg_missing(spark, sf_dir):
+    """ES missing aggregation: count of matching docs whose field is NULL.
+    The fixture documents carry no NULLs, so the entry derives a nullable
+    source_opt column (NULL where n_chars % 7 == 0) and indexes that —
+    the oracle recomputes the same derivation in SQL."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("source_opt"),
+    )
+    idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+    return idx.missing_agg(BM25_QUERY, "source_opt")
+
+
 def q_agg_cardinality(spark, sf_dir):
     """ES cardinality aggregation (exact verification mode; the HLL++
     default is pytest-checked within rsd of this): distinct sources over
@@ -1653,6 +1695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": q_agg_stats,
         "agg_date_histogram": q_agg_date_histogram,
         "agg_percentiles": q_agg_percentiles,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_date_range": q_agg_date_range,
+        "agg_missing": q_agg_missing,
         "agg_cardinality": q_agg_cardinality,
         "agg_top_hits": q_agg_top_hits,
         "agg_terms_metric": q_agg_terms_metric,
@@ -2533,6 +2579,57 @@ FROM documents WHERE doc_id IN ({_MATCHED})
 ORDER BY pct
 """
 
+# ES extended_stats uses POPULATION variance (n divisor). sum/sum_sq are
+# exact (integer n_chars sums stay < 2^53 so fp addition order can't
+# drift); the variance family is rounded to 4 decimals because Spark's
+# Welford merge and DuckDB's accumulator differ in the last ulps.
+_AGG_EXTSTATS_SQL = f"""
+SELECT count(*)::BIGINT AS n,
+       min(n_chars)::DOUBLE AS min_v,
+       max(n_chars)::DOUBLE AS max_v,
+       round(sum(n_chars), 6)::DOUBLE AS sum_v,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v,
+       round(sum(n_chars::DOUBLE * n_chars::DOUBLE), 6)::DOUBLE AS sum_sq,
+       round(var_pop(n_chars), 4)::DOUBLE AS variance,
+       round(stddev_pop(n_chars), 4)::DOUBLE AS std_dev,
+       round(avg(n_chars) + 2.0 * stddev_pop(n_chars), 4)::DOUBLE AS std_upper,
+       round(avg(n_chars) - 2.0 * stddev_pop(n_chars), 4)::DOUBLE AS std_lower
+FROM documents WHERE doc_id IN ({_MATCHED})
+"""
+
+# exact empirical CDF: pct = 100·|{x ≤ v}|/n (same determinism trade the
+# percentiles oracle documents); counts are integers so (c·100)/n is
+# bit-identical across engines
+_AGG_PCTRANKS_SQL = f"""
+SELECT 200.0::DOUBLE AS value,
+       round(count(*) FILTER (WHERE n_chars <= 200.0) * 100.0 / count(*), 6)::DOUBLE AS pct
+FROM documents WHERE doc_id IN ({_MATCHED})
+UNION ALL
+SELECT 400.0::DOUBLE,
+       round(count(*) FILTER (WHERE n_chars <= 400.0) * 100.0 / count(*), 6)::DOUBLE
+FROM documents WHERE doc_id IN ({_MATCHED})
+UNION ALL
+SELECT 600.0::DOUBLE,
+       round(count(*) FILTER (WHERE n_chars <= 600.0) * 100.0 / count(*), 6)::DOUBLE
+FROM documents WHERE doc_id IN ({_MATCHED})
+ORDER BY value
+"""
+
+_AGG_DATERANGE_SQL = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+            WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-10-2024-01-20'
+            ELSE '2024-01-20-*' END AS range_label,
+       count(*)::BIGINT AS n
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1 ORDER BY min(ts)
+"""
+
+# mirrors q_agg_missing's derived nullable column (NULL where n_chars%7==0)
+_AGG_MISSING_SQL = f"""
+SELECT count(*) FILTER (WHERE n_chars % 7 = 0)::BIGINT AS n_missing
+FROM documents WHERE doc_id IN ({_MATCHED})
+"""
+
 _AGG_CARD_SQL = f"""
 SELECT count(DISTINCT source)::BIGINT AS n_distinct
 FROM documents WHERE doc_id IN ({_MATCHED})
@@ -3185,6 +3282,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": _AGG_STATS_SQL,
         "agg_date_histogram": _AGG_DATE_SQL,
         "agg_percentiles": _AGG_PCT_SQL,
+        "agg_extended_stats": _AGG_EXTSTATS_SQL,
+        "agg_percentile_ranks": _AGG_PCTRANKS_SQL,
+        "agg_date_range": _AGG_DATERANGE_SQL,
+        "agg_missing": _AGG_MISSING_SQL,
         "agg_cardinality": _AGG_CARD_SQL,
         "agg_top_hits": _AGG_TOPHITS_SQL,
         "agg_terms_metric": _AGG_TERMS_METRIC_SQL,

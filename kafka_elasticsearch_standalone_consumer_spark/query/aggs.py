@@ -96,6 +96,88 @@ def stats_summary(df: DataFrame, field: str) -> DataFrame:
     )
 
 
+def extended_stats(df: DataFrame, field: str, sigma: float = 2.0) -> DataFrame:
+    """ES extended_stats agg: the stats row plus sum_of_squares,
+    POPULATION variance / std_deviation (ES uses the biased n-divisor
+    form) and the ``avg ± sigma·σ`` std_deviation_bounds. One
+    map-side-combinable pass — every term is an algebraic aggregate, so
+    partial aggregation holds at any scale. Variance-family values are
+    rounded to 4 decimals (one-pass vs Welford fp drift stays below
+    that across engines)."""
+    c = F.col(field).cast("double")
+    std = F.stddev_pop(c)
+    return df.agg(
+        F.count(c).cast("long").alias("n"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.round(F.sum(c), 6).alias("sum_v"),
+        F.round(F.avg(c), 6).alias("avg_v"),
+        F.round(F.sum(c * c), 6).alias("sum_sq"),
+        F.round(F.var_pop(c), 4).alias("variance"),
+        F.round(std, 4).alias("std_dev"),
+        F.round(F.avg(c) + F.lit(float(sigma)) * std, 4).alias("std_upper"),
+        F.round(F.avg(c) - F.lit(float(sigma)) * std, 4).alias("std_lower"),
+    )
+
+
+def percentile_ranks(df: DataFrame, field: str, values: list[float]) -> DataFrame:
+    """ES percentile_ranks agg, exact-CDF definition: for each probe
+    value v, pct = 100 · |{x ≤ v}| / n — the step-function empirical CDF
+    (ES's t-digest interpolates between centroids; the exact form is
+    deterministic and cross-engine comparable, the same trade the
+    percentiles agg documents). One conditional-sum pass over the scoped
+    set, (value, pct) rows in probe order."""
+    c = F.col(field).cast("double")
+    vs = [float(v) for v in values]
+    row = df.agg(
+        F.count(c).alias("_n"),
+        *[
+            F.sum(F.when(c <= F.lit(v), 1).otherwise(0)).alias(f"_c{i}")
+            for i, v in enumerate(vs)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("value"),
+                F.round(F.col(f"_c{i}") * 100.0 / F.col("_n"), 6).alias("pct"),
+            )
+            for i, v in enumerate(vs)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("vp")).select("vp.value", "vp.pct")
+
+
+def date_range_counts(df: DataFrame, ts_field: str, bounds: list[str]) -> DataFrame:
+    """ES date_range agg: half-open [from, to) buckets over ISO timestamp
+    bounds with open ends, (range_label, n) in bucket order; docs with a
+    NULL timestamp are excluded (ES ignores docs missing the field).
+    Bucket labels use the ISO bound strings verbatim."""
+    c = F.col(ts_field).cast("timestamp")
+    bs = sorted(bounds)
+    label = F.lit(f"{bs[-1]}-*")
+    order = F.lit(len(bs))
+    for i, (lo, hi) in reversed(
+        list(enumerate(zip([None] + bs, bs + [None])))
+    ):
+        if hi is None:
+            continue
+        cond = (
+            c < F.lit(hi).cast("timestamp")
+            if lo is None
+            else (c >= F.lit(lo).cast("timestamp")) & (c < F.lit(hi).cast("timestamp"))
+        )
+        label = F.when(cond, F.lit(f"{'*' if lo is None else lo}-{hi}")).otherwise(label)
+        order = F.when(cond, F.lit(i)).otherwise(order)
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(order.alias("_i"), label.alias("range_label"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("_i")
+        .select("range_label", "n")
+    )
+
+
 def percentiles(
     df: DataFrame,
     field: str,

@@ -2063,6 +2063,65 @@ class Index:
             return self.spark.createDataFrame([], "pct double, value double")
         return aggs.percentiles(scoped, by, pcts, exact=exact)
 
+    def extended_stats_agg(
+        self,
+        query_text: str,
+        by: str,
+        sigma: float = 2.0,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES extended_stats aggregation: the stats row plus
+        sum_of_squares, population variance/std-deviation and the
+        ``avg ± sigma·σ`` bounds (see aggs.extended_stats)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [],
+                "n long, min_v double, max_v double, sum_v double, "
+                "avg_v double, sum_sq double, variance double, "
+                "std_dev double, std_upper double, std_lower double",
+            )
+        return aggs.extended_stats(scoped, by, sigma=sigma)
+
+    def percentile_ranks_agg(
+        self,
+        query_text: str,
+        by: str,
+        values: list[float],
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES percentile_ranks aggregation: for each probe value, the
+        percent of matching docs with ``by`` ≤ value (exact empirical
+        CDF — see aggs.percentile_ranks)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "value double, pct double")
+        return aggs.percentile_ranks(scoped, by, values)
+
+    def date_range_agg(
+        self,
+        query_text: str,
+        by: str,
+        bounds: list[str],
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES date_range aggregation: half-open [from, to) buckets over
+        ISO timestamp bounds with open ends; docs missing the timestamp
+        are excluded (see aggs.date_range_counts)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "range_label string, n long")
+        return aggs.date_range_counts(scoped, by, bounds)
+
     def cardinality_agg(
         self,
         query_text: str,

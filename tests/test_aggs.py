@@ -54,6 +54,59 @@ def test_stats_agg_matches_python(spark, built_index):
     assert abs(row["avg_v"] - sum(vals) / len(vals)) < 1e-6
 
 
+def test_extended_stats_matches_python(spark, built_index):
+    idx, _ = built_index
+    row = idx.extended_stats_agg(Q, "turn_idx").collect()[0]
+    vals = [float(r["turn_idx"]) for r in _matched_rows(idx, Q)]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n  # population (ES semantics)
+    assert row["n"] == n
+    assert row["min_v"] == min(vals) and row["max_v"] == max(vals)
+    assert row["sum_sq"] == round(sum(v * v for v in vals), 6)
+    assert abs(row["variance"] - var) < 1e-3
+    assert abs(row["std_dev"] - math.sqrt(var)) < 1e-3
+    assert abs(row["std_upper"] - (mean + 2 * math.sqrt(var))) < 1e-3
+    assert abs(row["std_lower"] - (mean - 2 * math.sqrt(var))) < 1e-3
+
+
+def test_percentile_ranks_matches_python(spark, built_index):
+    idx, _ = built_index
+    probes = [2.0, 5.0, 9.0]
+    got = {
+        r["value"]: r["pct"]
+        for r in idx.percentile_ranks_agg(Q, "turn_idx", probes).collect()
+    }
+    vals = [r["turn_idx"] for r in _matched_rows(idx, Q)]
+    for v in probes:
+        want = 100.0 * sum(1 for x in vals if x <= v) / len(vals)
+        assert abs(got[v] - want) < 1e-6
+    # empirical CDF is monotone
+    assert got[2.0] <= got[5.0] <= got[9.0]
+
+
+def test_date_range_matches_python(spark, built_index):
+    idx, _ = built_index
+    bounds = ["2026-01-02", "2026-01-04"]
+    rows = idx.date_range_agg(Q, "ts", bounds).collect()
+    got = {r["range_label"]: r["n"] for r in rows}
+
+    def label(ts):
+        s = ts.strftime("%Y-%m-%d %H:%M:%S")
+        if s < "2026-01-02 00:00:00":
+            return "*-2026-01-02"
+        if s < "2026-01-04 00:00:00":
+            return "2026-01-02-2026-01-04"
+        return "2026-01-04-*"
+
+    want = Counter(label(r["ts"]) for r in _matched_rows(idx, Q))
+    assert got == dict(want) and got
+    # rows come back in bucket order, not lexicographic
+    labels = [r["range_label"] for r in rows]
+    order = ["*-2026-01-02", "2026-01-02-2026-01-04", "2026-01-04-*"]
+    assert labels == [l for l in order if l in got]
+
+
 def test_date_histogram_matches_python(spark, built_index):
     idx, _ = built_index
     got = {r["bucket"]: r["n"] for r in idx.date_histogram(Q, "ts", "day").collect()}
