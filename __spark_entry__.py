@@ -263,6 +263,30 @@ def q_multi_best_fields(spark, sf_dir):
     )
 
 
+def q_multi_cross_fields(spark, sf_dir):
+    """ES cross_fields multi-match (Lucene BlendedTermQuery): per-term df
+    blended to the MAX across title/text so idf is comparable, each
+    occurrence length-normalized by its own field, per-term dis-max with
+    tie_breaker 0.3 across fields, summed over terms."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        multi_field_bm25,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    out = multi_field_bm25(
+        docs, BM25_QUERY, {"title": 2.0, "text": 1.0}, K,
+        mode="cross_fields", tie_breaker=0.3,
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_facets_by_lang(spark, sf_dir):
     """ES-style terms aggregation: lang facet counts over ALL docs matching
     any BM25_QUERY term (query_string OR semantics)."""
@@ -1689,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_range": q_query_string_range,
         "multi_field_bm25": q_multi_field_bm25,
         "multi_best_fields": q_multi_best_fields,
+        "multi_cross_fields": q_multi_cross_fields,
         "facets_by_lang": q_facets_by_lang,
         "agg_histogram": q_agg_histogram,
         "agg_range": q_agg_range,
@@ -2279,6 +2304,51 @@ scored AS (
   SELECT doc_id, max(fs) + 0.3 * (sum(fs) - max(fs)) AS score
   FROM perf GROUP BY doc_id
 )
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# cross_fields: df blended to max across fields (comparable idf), dl
+# norm stays per-field, per-term dis-max (tie_breaker 0.3), sum over terms
+_MULTIFIELD_CROSS_SQL = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+fields AS (
+  SELECT doc_id, toks, 1.0 AS boost, 'text' AS f FROM base
+  UNION ALL
+  SELECT doc_id, toks[1:5] AS toks, 2.0 AS boost, 'title' AS f FROM base
+),
+tf AS (
+  SELECT f, any_value(boost) AS boost, doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT f, boost, doc_id, unnest(toks) AS term FROM fields)
+  GROUP BY f, doc_id, term
+),
+dl AS (SELECT f, doc_id, len(toks)::DOUBLE AS dl FROM fields),
+corpus AS (SELECT f, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY f),
+q(term, w) AS (VALUES ('join', 1.0), ('hash', 1.0), ('filter', 1.0)),
+dfb AS (
+  SELECT term, max(df) AS df FROM (
+    SELECT f, term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN (SELECT term FROM q) GROUP BY f, term
+  ) GROUP BY term
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM base),
+pertf AS (
+  SELECT tf.doc_id, tf.term, tf.f,
+         tf.boost * q.w * ln(1 + (nd.n - dfb.df + 0.5) / (dfb.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) AS c
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfb ON dfb.term = tf.term
+  JOIN dl ON dl.f = tf.f AND dl.doc_id = tf.doc_id
+  JOIN corpus ON corpus.f = tf.f
+  CROSS JOIN nd
+),
+perterm AS (
+  SELECT doc_id, term, max(c) + 0.3 * (sum(c) - max(c)) AS ts
+  FROM pertf GROUP BY doc_id, term
+),
+scored AS (SELECT doc_id, sum(ts) AS score FROM perterm GROUP BY doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
@@ -3266,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multi_field_bm25": _MULTIFIELD_SQL,
         "multi_best_fields": _MULTIFIELD_BEST_SQL,
+        "multi_cross_fields": _MULTIFIELD_CROSS_SQL,
         "phrase_topk_slop": _phrase_sql(_PHRASE_MATCH_SLOP1),
         "phrase_prefix_topk": _phrase_sql(_PHRASE_MATCH_PREFIX),
         "rescore_topk": _RESCORE_SQL.format(matcher=_PHRASE_MATCH_EXACT),

@@ -47,9 +47,17 @@ def multi_field_bm25(
     aggregation shuffle. ``mode='best_fields'`` is ES's dis-max: the best
     field's score plus ``tie_breaker ×`` the others' sum — a per-(doc,
     field) partial first, then the per-doc combine (two stages on the
-    same doc_id key, so AQE coalesces them into one exchange)."""
+    same doc_id key, so AQE coalesces them into one exchange).
+
+    ``mode='cross_fields'`` treats the fields as one big field
+    term-statistics-wise (Lucene ``BlendedTermQuery``): each term's df is
+    blended to the MAX across fields so idf is comparable, each
+    occurrence is still length-normalized by its OWN field's dl/avgdl,
+    and per term the field scores combine dis-max (best field +
+    ``tie_breaker ×`` rest) before summing over terms — so a term
+    matching in every field counts once, not n_fields times."""
     spark = docs.sparkSession
-    if mode not in ("most_fields", "best_fields"):
+    if mode not in ("most_fields", "best_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match mode: {mode}")
     weights = bm25.query_term_weights(query_text)
     if not weights or not fields:
@@ -60,6 +68,60 @@ def multi_field_bm25(
         )
     )
     n_docs = docs.count()
+    if mode == "cross_fields":
+        field_meta = []
+        df_frames = []
+        for field, boost in sorted(fields.items()):
+            avgdl = (
+                docs.select(F.size(tokenize_col(F.col(field))).alias("dl"))
+                .agg(F.avg("dl"))
+                .collect()[0][0]
+                or 1e-9
+            )
+            toks = doc_term_freqs(docs, text_col=field, id_col=id_col).filter(
+                F.col("term").isin(list(weights))
+            )
+            df_frames.append(toks.groupBy("term").agg(F.count("*").alias("df")))
+            field_meta.append((field, float(boost), float(avgdl), toks))
+        alldf = df_frames[0]
+        for d in df_frames[1:]:
+            alldf = alldf.unionByName(d)
+        # blended df = max across fields (Lucene BlendedTermQuery) — tiny
+        # (≤ |q| rows per field), stays broadcast
+        idfw = (
+            alldf.groupBy("term")
+            .agg(F.max("df").alias("df"))
+            .join(qdf, "term")
+            .withColumn("idfw", bm25.idf_expr(n_docs) * F.col("w"))
+            .select("term", "idfw")
+        )
+        parts = []
+        for field, boost, avgdl, toks in field_meta:
+            parts.append(
+                toks.join(F.broadcast(idfw), "term").select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col("term"),
+                    (
+                        F.lit(boost)
+                        * F.col("idfw")
+                        * F.col("tf")
+                        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+                    ).alias("contrib"),
+                )
+            )
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        # per term: dis-max across fields; then sum over terms — both
+        # aggregations key on doc_id so AQE reuses the exchange
+        per_term = allc.groupBy("doc_id", "term").agg(
+            (
+                F.max("contrib")
+                + F.lit(float(tie_breaker)) * (F.sum("contrib") - F.max("contrib"))
+            ).alias("ts")
+        )
+        scores = per_term.groupBy("doc_id").agg(F.sum("ts").alias("score"))
+        return bm25.topk(scores, k)
     parts = []
     for field, boost in sorted(fields.items()):
         # avgdl over ALL docs (token rows alone would miss dl=0 docs)

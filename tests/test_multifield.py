@@ -94,3 +94,63 @@ def test_most_and_best_fields_match_python(spark, fielded_docs):
     assert got_tb1 == got_most
     with pytest.raises(ValueError, match="mode"):
         multi_field_bm25(fielded_docs, Q, FIELDS, 10, mode="nope")
+
+
+def test_cross_fields_matches_python(spark, fielded_docs):
+    """cross_fields: blended (max) df across fields, per-field length
+    norms, per-term dis-max with tie_breaker, summed over terms."""
+    rows = fielded_docs.collect()
+    terms = tokenize_text(Q)
+    toks = {f: {r["doc_id"]: tokenize_text(r[f]) for r in rows} for f in FIELDS}
+    n = len(rows)
+    avgdl = {f: sum(len(t) for t in toks[f].values()) / n for f in FIELDS}
+    dfb = {
+        q: max(sum(1 for t in toks[f].values() if q in t) for f in FIELDS)
+        for q in terms
+    }
+    combined = {}
+    for d in toks["text"]:
+        s = 0.0
+        for q in terms:
+            if not dfb[q]:
+                continue
+            idf = math.log(1.0 + (n - dfb[q] + 0.5) / (dfb[q] + 0.5))
+            cs = []
+            for f, boost in FIELDS.items():
+                ts = toks[f][d]
+                c = ts.count(q)
+                if c:
+                    cs.append(
+                        boost * idf * c
+                        / (c + 1.2 * (1 - 0.75 + 0.75 * len(ts) / (avgdl[f] or 1e-9)))
+                    )
+            if cs:
+                s += max(cs) + 0.3 * (sum(cs) - max(cs))
+        if s:
+            combined[d] = s
+    want = [
+        (d, round(v, 9))
+        for d, v in sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:10]
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in multi_field_bm25(
+            fielded_docs, Q, FIELDS, 10, mode="cross_fields", tie_breaker=0.3
+        ).collect()
+    ]
+    assert got == want and got
+    # a term present in BOTH fields counts once (dis-max), so cross with
+    # tie_breaker=0 is bounded above by most_fields everywhere
+    cross0 = {
+        r["doc_id"]: r["score"]
+        for r in multi_field_bm25(
+            fielded_docs, Q, FIELDS, 50, mode="cross_fields"
+        ).collect()
+    }
+    most = {
+        r["doc_id"]: r["score"]
+        for r in multi_field_bm25(fielded_docs, Q, FIELDS, 50).collect()
+    }
+    for d, v in cross0.items():
+        if d in most:
+            assert v <= most[d] + 1e-9
