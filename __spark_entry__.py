@@ -869,6 +869,21 @@ def q_terms_query_topk(spark, sf_dir):
     return _cached_idx(spark, sf_dir).search_terms(["dup", "vector"], K)
 
 
+def q_ids_query_topk(spark, sf_dir):
+    """ES ids query: live docs among a literal id set, constant score
+    boost 1.5, first K by doc_id; unknown ids simply absent."""
+    return _cached_idx(spark, sf_dir).search_ids([3, 7, 11, 42, 123456789], K, boost=1.5)
+
+
+def q_constant_score_topk(spark, sf_dir):
+    """ES constant_score wrapping a query + filter: every live doc
+    matching ≥1 BM25_QUERY term with n_chars ≥ 200 scores exactly 2.5
+    (filter context — relevance discarded)."""
+    return _cached_idx(spark, sf_dir).constant_score(
+        BM25_QUERY, where="n_chars >= 200", boost=2.5, k=K
+    )
+
+
 def q_scan_export(spark, sf_dir):
     """ES 1.x scan search type: EVERY doc matching ≥2 of the BM25_QUERY
     terms, unscored/unsorted (bulk export) — projected to stable columns."""
@@ -1750,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pipeline": q_agg_pipeline,
         "percolate": q_percolate,
         "terms_query_topk": q_terms_query_topk,
+        "ids_query_topk": q_ids_query_topk,
+        "constant_score_topk": q_constant_score_topk,
         "scan_export": q_scan_export,
         "count_matches": q_count_matches,
         "msearch_qtf": q_msearch_qtf,
@@ -3419,6 +3436,16 @@ FROM b ORDER BY bucket
         "terms_query_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
             f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "
+            f"ORDER BY doc_id LIMIT {K}"
+        ),
+        "ids_query_topk": (
+            f"SELECT doc_id, 1.5::DOUBLE AS score FROM documents "
+            f"WHERE doc_id IN (3, 7, 11, 42, 123456789) "
+            f"ORDER BY doc_id LIMIT {K}"
+        ),
+        "constant_score_topk": (
+            f"SELECT doc_id, 2.5::DOUBLE AS score FROM documents "
+            f"WHERE doc_id IN ({_MATCHED}) AND n_chars >= 200 "
             f"ORDER BY doc_id LIMIT {K}"
         ),
         "count_matches": _COUNT_MATCHES_SQL,

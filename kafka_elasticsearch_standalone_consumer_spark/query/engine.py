@@ -1111,14 +1111,20 @@ class Index:
         return self._constant_score_multi_term(terms, k, where)
 
     def _constant_score_multi_term(
-        self, terms: list[str], k: int, where: str | None
+        self,
+        terms: list[str],
+        k: int,
+        where: str | None,
+        boost: float = 1.0,
+        min_should_match: int = 1,
     ) -> DataFrame:
-        """Docs containing ≥1 of ``terms`` at constant score 1.0 (the ES
-        multi-term rewrite): one term-pruned tokens scan → distinct doc
-        ids → filter/tombstone masks → first k by doc_id."""
+        """Docs containing ≥``min_should_match`` of ``terms`` at constant
+        score ``boost`` (the ES multi-term rewrite): one term-pruned
+        tokens scan → distinct doc ids → filter/tombstone masks → first k
+        by doc_id."""
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        matched = self._match_set(terms, 1)
+        matched = self._match_set(terms, min_should_match)
         if where is not None:
             matched = matched.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
@@ -1127,7 +1133,55 @@ class Index:
         if deletes is not None:
             matched = matched.join(deletes, "doc_id", "left_anti")
         return matched.select(
-            "doc_id", F.lit(1.0).alias("score")
+            "doc_id", F.lit(float(boost)).alias("score")
+        ).orderBy(F.asc("doc_id")).limit(k)
+
+    def search_ids(self, ids: list[int], k: int = 10, boost: float = 1.0) -> DataFrame:
+        """ES ``ids`` query: live docs whose id is in the given set, each
+        at constant score ``boost`` (filter context — no BM25), first k by
+        doc_id. Unknown ids are simply absent. The id list is a driver
+        literal pushed into the doc-store scan (``isin`` reaches parquet
+        min/max pruning), so cost is the pruned scan — never a shuffle."""
+        if not ids:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        docs = self._docs_df().filter(
+            F.col("doc_id").isin([int(i) for i in ids])
+        ).select("doc_id")
+        deletes = self._deletes_df()
+        if deletes is not None:
+            docs = docs.join(deletes, "doc_id", "left_anti")
+        return docs.select(
+            "doc_id", F.lit(float(boost)).alias("score")
+        ).orderBy(F.asc("doc_id")).limit(k)
+
+    def constant_score(
+        self,
+        query_text: str | None = None,
+        where: str | None = None,
+        boost: float = 1.0,
+        k: int = 10,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``constant_score`` query: wraps a query and/or a filter in
+        filter context — every matching live doc scores exactly ``boost``
+        (relevance is discarded, which is how ES callers skip the scoring
+        cost entirely). With only ``where`` this is the pure filtered
+        match-all; with ``query_text`` the term match set is computed from
+        the pruned postings scan like every multi-term rewrite."""
+        if query_text is not None:
+            terms = self._analyze(query_text)
+            return self._constant_score_multi_term(
+                terms, k, where, boost=boost, min_should_match=min_should_match
+            )
+        docs = self._docs_df()
+        if where is not None:
+            docs = docs.filter(where)
+        matched = docs.select("doc_id")
+        deletes = self._deletes_df()
+        if deletes is not None:
+            matched = matched.join(deletes, "doc_id", "left_anti")
+        return matched.select(
+            "doc_id", F.lit(float(boost)).alias("score")
         ).orderBy(F.asc("doc_id")).limit(k)
 
     def search_bool(

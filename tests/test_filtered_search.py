@@ -653,6 +653,37 @@ def test_terms_query_and_scan(spark, built_index):
     assert "TakeOrderedAndProject" not in plan and "Sort " not in plan
 
 
+def test_ids_query_and_constant_score(spark, built_index):
+    """ids query: live docs among the literal id set at constant boost;
+    constant_score: query+filter wrap where every match scores exactly
+    the boost, rank-set-identical to the scored path's match set."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    rows = idx.search_ids([5, 9, 14, 10**9], k=10, boost=1.5).collect()
+    assert [r["doc_id"] for r in rows] == [5, 9, 14]
+    assert all(r["score"] == 1.5 for r in rows)
+    assert idx.search_ids([], k=10).count() == 0
+    # k truncates by doc_id asc
+    assert [r["doc_id"] for r in idx.search_ids([14, 5, 9], k=2).collect()] == [5, 9]
+
+    q = "w00000 w00003"
+    texts = {r["doc_id"]: r for r in idx._docs_df().collect()}
+    terms = set(tokenize_text(q))
+    want = sorted(
+        d
+        for d, r in texts.items()
+        if set(tokenize_text(r["text"])) & terms and r["turn_idx"] >= 3
+    )
+    got = idx.constant_score(q, where="turn_idx >= 3", boost=2.5, k=10_000).collect()
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 2.5 for r in got)
+    # pure filter form (match_all + filter)
+    got_f = idx.constant_score(where="turn_idx = 0", boost=1.0, k=10_000).collect()
+    want_f = sorted(d for d, r in texts.items() if r["turn_idx"] == 0)
+    assert [r["doc_id"] for r in got_f] == want_f
+
+
 def test_count_termvectors_analyze(spark, built_index):
     """_count equals the match-set size; _termvectors carries per-doc tf
     with GLOBAL df; _analyze shows exactly the indexed token stream."""
