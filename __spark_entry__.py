@@ -113,6 +113,7 @@ def q_corpus_stats(spark, sf_dir):
 
 
 _IDX_CACHE: dict[str, object] = {}
+_NULLIDX_CACHE: dict[str, object] = {}
 
 
 def _bm25_fixed(spark, sf_dir, query, mode, where=None):
@@ -572,22 +573,31 @@ def q_agg_date_range(spark, sf_dir):
     return date_range_counts(_events(spark, sf_dir), "ts", ["2024-01-10", "2024-01-20"])
 
 
-def q_agg_missing(spark, sf_dir):
-    """ES missing aggregation: count of matching docs whose field is NULL.
-    The fixture documents carry no NULLs, so the entry derives a nullable
-    source_opt column (NULL where n_chars % 7 == 0) and indexes that —
-    the oracle recomputes the same derivation in SQL."""
+def _cached_nullable_idx(spark, sf_dir):
+    """Index over documents with a derived nullable source_opt column
+    (NULL where n_chars % 7 == 0) — the fixture has no real NULLs, so the
+    missing/exists surfaces index this; oracles recompute the same
+    derivation in SQL."""
     from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        "text",
-        F.when(F.col("n_chars") % 7 == 0, F.lit(None))
-        .otherwise(F.col("source"))
-        .alias("source_opt"),
-    )
-    idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
-    return idx.missing_agg(BM25_QUERY, "source_opt")
+    idx = _NULLIDX_CACHE.get(sf_dir)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.when(F.col("n_chars") % 7 == 0, F.lit(None))
+            .otherwise(F.col("source"))
+            .alias("source_opt"),
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _NULLIDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_agg_missing(spark, sf_dir):
+    """ES missing aggregation: count of matching docs whose field is NULL
+    (over the derived-nullable index — see _cached_nullable_idx)."""
+    return _cached_nullable_idx(spark, sf_dir).missing_agg(BM25_QUERY, "source_opt")
 
 
 def q_agg_cardinality(spark, sf_dir):
@@ -881,6 +891,33 @@ def q_constant_score_topk(spark, sf_dir):
     (filter context — relevance discarded)."""
     return _cached_idx(spark, sf_dir).constant_score(
         BM25_QUERY, where="n_chars >= 200", boost=2.5, k=K
+    )
+
+
+def q_match_all_topk(spark, sf_dir):
+    """ES match_all: every live doc at constant score 1.0, first K by
+    doc_id (the degenerate constant_score)."""
+    return _cached_idx(spark, sf_dir).match_all(K)
+
+
+def q_exists_query_topk(spark, sf_dir):
+    """ES 1.x exists query: docs with a non-NULL source_opt (derived
+    nullable index), constant score, first K by doc_id."""
+    return _cached_nullable_idx(spark, sf_dir).search_exists("source_opt", K)
+
+
+def q_missing_query_topk(spark, sf_dir):
+    """ES 1.x missing query (removed in ES 5): docs whose source_opt IS
+    NULL, constant score, first K by doc_id."""
+    return _cached_nullable_idx(spark, sf_dir).search_missing("source_opt", K)
+
+
+def q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric aggregation: per-doc SQL map script
+    (n_chars² + 1 as double) reduced with sum over the match set —
+    map runs in the scan's codegen stage, reduce is map-side partial."""
+    return _cached_idx(spark, sf_dir).scripted_metric_agg(
+        BM25_QUERY, "CAST(n_chars AS DOUBLE) * n_chars + 1", "sum(mapped)"
     )
 
 
@@ -1767,6 +1804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_query_topk": q_terms_query_topk,
         "ids_query_topk": q_ids_query_topk,
         "constant_score_topk": q_constant_score_topk,
+        "match_all_topk": q_match_all_topk,
+        "exists_query_topk": q_exists_query_topk,
+        "missing_query_topk": q_missing_query_topk,
+        "scripted_metric": q_scripted_metric,
         "scan_export": q_scan_export,
         "count_matches": q_count_matches,
         "msearch_qtf": q_msearch_qtf,
@@ -3437,6 +3478,22 @@ FROM b ORDER BY bucket
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
             f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "
             f"ORDER BY doc_id LIMIT {K}"
+        ),
+        "match_all_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"ORDER BY doc_id LIMIT {K}"
+        ),
+        "exists_query_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE n_chars % 7 <> 0 ORDER BY doc_id LIMIT {K}"
+        ),
+        "missing_query_topk": (
+            f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+            f"WHERE n_chars % 7 = 0 ORDER BY doc_id LIMIT {K}"
+        ),
+        "scripted_metric": (
+            f"SELECT sum(n_chars::DOUBLE * n_chars + 1)::DOUBLE AS value "
+            f"FROM documents WHERE doc_id IN ({_MATCHED})"
         ),
         "ids_query_topk": (
             f"SELECT doc_id, 1.5::DOUBLE AS score FROM documents "

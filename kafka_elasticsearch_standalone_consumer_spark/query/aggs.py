@@ -455,6 +455,21 @@ def pipeline_metrics(
     ).orderBy(bucket_col)
 
 
+def scripted_metric(
+    df: DataFrame, map_expr: str, reduce_expr: str = "sum(mapped)"
+) -> DataFrame:
+    """ES scripted_metric aggregation, Spark-first: the map script is a
+    per-row SQL expression (column ``mapped``), the combine/reduce pair a
+    SQL aggregate over it — Catalyst runs the map inside the scan's
+    codegen stage and the aggregate map-side-partial, so the shape is one
+    pass + one tiny final combine, same as ES's per-shard combine →
+    coordinator reduce. Like ES, a non-associative reduce is on the
+    caller (ES ships the same caveat for its combine_script)."""
+    return df.selectExpr(f"({map_expr}) AS mapped").agg(
+        F.expr(reduce_expr).alias("value")
+    )
+
+
 def missing_count(df: DataFrame, field: str) -> DataFrame:
     """ES ``missing`` aggregation: how many scoped docs lack a value for
     ``field`` (NULL). One conditional count — a single aggregation."""

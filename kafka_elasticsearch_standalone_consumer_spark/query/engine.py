@@ -1184,6 +1184,24 @@ class Index:
             "doc_id", F.lit(float(boost)).alias("score")
         ).orderBy(F.asc("doc_id")).limit(k)
 
+    def match_all(self, k: int = 10, boost: float = 1.0) -> DataFrame:
+        """ES ``match_all``: every live doc at constant score ``boost``,
+        first k by doc_id (the degenerate constant_score with no wrapped
+        query or filter)."""
+        return self.constant_score(boost=boost, k=k)
+
+    def search_exists(self, field: str, k: int = 10) -> DataFrame:
+        """ES 1.x ``exists`` query: live docs with a non-NULL ``field``,
+        constant score 1.0 (filter context). The NULL check is a pushed
+        parquet predicate — null counts live in the footer stats, so
+        all-null / no-null row groups never read the column."""
+        return self.constant_score(where=f"{field} IS NOT NULL", k=k)
+
+    def search_missing(self, field: str, k: int = 10) -> DataFrame:
+        """ES 1.x ``missing`` query (removed in ES 5, core 1.x surface):
+        live docs with a NULL ``field``, constant score 1.0."""
+        return self.constant_score(where=f"{field} IS NULL", k=k)
+
     def search_bool(
         self,
         must: list[str] | None = None,
@@ -2363,6 +2381,24 @@ class Index:
         if scoped is None:
             return self.spark.createDataFrame([], "n_missing long")
         return aggs.missing_count(scoped, field)
+
+    def scripted_metric_agg(
+        self,
+        query_text: str,
+        map_script: str,
+        reduce_script: str = "sum(mapped)",
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES scripted_metric aggregation over the matching docs:
+        ``map_script`` is a per-doc SQL expression, ``reduce_script`` an
+        aggregate over its ``mapped`` column (see aggs.scripted_metric)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "value double")
+        return aggs.scripted_metric(scoped, map_script, reduce_script)
 
     def explain_score(self, query_text: str, doc_id: int) -> DataFrame:
         """ES ``_explain`` parity: the per-term BM25 breakdown of one

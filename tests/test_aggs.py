@@ -107,6 +107,21 @@ def test_date_range_matches_python(spark, built_index):
     assert labels == [l for l in order if l in got]
 
 
+def test_scripted_metric_matches_python(spark, built_index):
+    idx, _ = built_index
+    row = idx.scripted_metric_agg(
+        Q, "CAST(turn_idx AS DOUBLE) * turn_idx + 1", "sum(mapped)"
+    ).collect()[0]
+    want = sum(float(r["turn_idx"]) ** 2 + 1 for r in _matched_rows(idx, Q))
+    assert row["value"] == want
+    # non-sum reduce scripts work too
+    row2 = idx.scripted_metric_agg(
+        Q, "CAST(turn_idx AS DOUBLE)", "max(mapped) - min(mapped)"
+    ).collect()[0]
+    vals = [r["turn_idx"] for r in _matched_rows(idx, Q)]
+    assert row2["value"] == float(max(vals) - min(vals))
+
+
 def test_date_histogram_matches_python(spark, built_index):
     idx, _ = built_index
     got = {r["bucket"]: r["n"] for r in idx.date_histogram(Q, "ts", "day").collect()}

@@ -684,6 +684,30 @@ def test_ids_query_and_constant_score(spark, built_index):
     assert [r["doc_id"] for r in got_f] == want_f
 
 
+def test_match_all_exists_missing(spark, built_index):
+    """match_all: every live doc at the boost; exists/missing: NULL-field
+    filter-context queries (ES 1.x surface)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx, _ = built_index
+    live = sorted(r["doc_id"] for r in idx._docs_df().select("doc_id").collect())
+    rows = idx.match_all(k=5, boost=0.5).collect()
+    assert [r["doc_id"] for r in rows] == live[:5]
+    assert all(r["score"] == 0.5 for r in rows)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}", None if i % 3 == 0 else "s") for i in range(12)],
+        "doc_id long, text string, tag string",
+    )
+    nidx = Index.ephemeral(docs, docs_per_shard=8, n_buckets=4)
+    assert [r["doc_id"] for r in nidx.search_exists("tag", 100).collect()] == [
+        i for i in range(12) if i % 3 != 0
+    ]
+    assert [r["doc_id"] for r in nidx.search_missing("tag", 100).collect()] == [
+        i for i in range(12) if i % 3 == 0
+    ]
+
+
 def test_count_termvectors_analyze(spark, built_index):
     """_count equals the match-set size; _termvectors carries per-doc tf
     with GLOBAL df; _analyze shows exactly the indexed token stream."""
