@@ -894,6 +894,18 @@ def q_constant_score_topk(spark, sf_dir):
     )
 
 
+def q_fuzzy_like_this(spark, sf_dir):
+    """ES 1.x fuzzy_like_this: fuzzified 'streem filtr' scored with
+    blended per-group idf (max variant df) × edit-similarity weights —
+    a SCORED fuzzy disjunction, unlike fuzzy_topk's constant_score."""
+    out = _cached_idx(spark, sf_dir).fuzzy_like_this(
+        "streem filtr", K, fuzziness=1, prefix_length=1, max_query_terms=50
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_match_all_topk(spark, sf_dir):
     """ES match_all: every live doc at constant score 1.0, first K by
     doc_id (the degenerate constant_score)."""
@@ -1804,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_query_topk": q_terms_query_topk,
         "ids_query_topk": q_ids_query_topk,
         "constant_score_topk": q_constant_score_topk,
+        "fuzzy_like_this": q_fuzzy_like_this,
         "match_all_topk": q_match_all_topk,
         "exists_query_topk": q_exists_query_topk,
         "missing_query_topk": q_missing_query_topk,
@@ -2282,6 +2295,49 @@ scored AS (
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# fuzzy_like_this 'streem filtr': variants within DL 1 sharing the first
+# char and length band; each group's idf is blended from the group's MAX
+# df (Lucene BlendedTermQuery convention), each variant weighted by edit
+# similarity 1 − d/min(len); weights for a variant reached from several
+# source terms sum; standard-BM25 tf norm, global stats
+_FLT_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+src(s) AS (VALUES ('streem'), ('filtr')),
+vars AS (
+  SELECT src.s, dfall.term, dfall.df,
+         1.0 - damerau_levenshtein(src.s, dfall.term)::DOUBLE
+               / least(length(src.s), length(dfall.term)) AS sim
+  FROM dfall CROSS JOIN src
+  WHERE starts_with(dfall.term, src.s[1:1])
+    AND abs(length(dfall.term) - length(src.s)) <= 1
+    AND damerau_levenshtein(src.s, dfall.term) <= 1
+),
+blend AS (SELECT s, max(df) AS dmax FROM vars GROUP BY s),
+q AS (
+  SELECT vars.term,
+         sum(vars.sim * ln(1 + (corpus.n - blend.dmax + 0.5) / (blend.dmax + 0.5))) AS w
+  FROM vars JOIN blend USING (s) CROSS JOIN corpus
+  GROUP BY vars.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT {K}
 """
 
 
@@ -3479,6 +3535,7 @@ FROM b ORDER BY bucket
             f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "
             f"ORDER BY doc_id LIMIT {K}"
         ),
+        "fuzzy_like_this": _FLT_SQL,
         "match_all_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
             f"ORDER BY doc_id LIMIT {K}"

@@ -439,8 +439,15 @@ class Index:
         min_score: float | None = None,
         _allowed_docs: DataFrame | None = None,
         _blocked_docs: DataFrame | None = None,
+        _plan: tuple[dict[str, float], list[int]] | None = None,
     ) -> DataFrame:
         """Top-k BM25 (OR semantics). mode: bmw | exact | intersect.
+
+        ``_plan`` is an internal (idfw, buckets) override for compound
+        queries that compute their own per-term weights driver-side
+        (fuzzy_like_this): the kernel path then scores exactly those
+        terms at exactly those weights (callers must use msm=1 and a
+        non-intersect mode, since those re-analyze ``query_text``).
 
         ``_allowed_docs`` / ``_blocked_docs`` are internal doc-set hooks
         (bool must / must_not compiled by querystring.run_parsed): they
@@ -466,7 +473,7 @@ class Index:
         term-pruned tokens scan and rides the same allowed-doc cogroup
         as the filter clause). ``m = len(terms)`` equals mode='intersect'.
         """
-        idfw, buckets = self._plan_terms(query_text)
+        idfw, buckets = _plan if _plan is not None else self._plan_terms(query_text)
         if not idfw:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         if mode == "intersect" and len(idfw) < len(set(self._analyze(query_text))):
@@ -1385,6 +1392,88 @@ class Index:
             out.filter(F.col("doc_id") != int(doc_id))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def fuzzy_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        fuzziness: int = 1,
+        prefix_length: int = 1,
+        max_query_terms: int = 25,
+        where: str | None = None,
+        mode: str = "bmw",
+    ) -> DataFrame:
+        """ES 1.x ``fuzzy_like_this`` (Lucene FuzzyLikeThisQuery —
+        removed in ES 2): fuzzify every term of ``like_text``, keep the
+        ``max_query_terms`` best variants, and run a SCORED disjunction
+        (unlike the ``fuzzy`` query's constant_score rewrite).
+
+        Lucene semantics kept: a variant does NOT use its own idf
+        ("this would favor rarer terms, such as misspellings") — every
+        variant of a source term shares one blended idf, computed here
+        from the group's max df (the same BlendedTermQuery convention
+        multi_match cross_fields uses); each variant is down-weighted by
+        its edit similarity ``1 − d/min(|src|,|v|)`` (classic
+        FuzzyTermEnum). Variant selection caps at ``max_query_terms`` by
+        (weight desc, term asc) — the best differentiating terms.
+
+        Scale shape: expansion is the same length-banded, prefix-pruned
+        driver-side dictionary read as :meth:`search_fuzzy`; scoring
+        reuses the kernel fast path via a (idfw, buckets) plan override,
+        so the postings scan is pruned to exactly the selected variants."""
+        import math
+
+        if prefix_length < 1:
+            raise ValueError(
+                "prefix_length must be ≥1: an unpruned fuzzy expansion scans "
+                "the whole term dictionary (same scale guard as search_fuzzy)"
+            )
+        src_terms = sorted(set(self._analyze(like_text)))
+        groups: dict[str, dict[str, float]] = {}
+        for t in src_terms:
+            if len(t) < prefix_length:
+                continue
+            cand = self._expand_prefix(
+                t[:prefix_length],
+                1 << 20,
+                length_band=(len(t) - fuzziness, len(t) + fuzziness),
+            )
+            for v in cand:
+                d = _damerau_levenshtein(t, v, fuzziness)
+                if d <= fuzziness:
+                    groups.setdefault(t, {})[v] = 1.0 - d / min(len(t), len(v))
+        allvars = sorted({v for g in groups.values() for v in g})
+        if not allvars:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        rows = self._lookup_terms_arrow(allvars)
+        if rows is None:
+            rows = self._lookup_terms_spark(allvars)
+        df_by: dict[str, int] = {}
+        bucket_by: dict[str, int] = {}
+        for term, df, bucket in rows:
+            df_by[term] = df_by.get(term, 0) + int(df)
+            bucket_by[term] = int(bucket)
+        n = float(self.meta["n_docs"])
+        sel: list[tuple[float, str, str]] = []
+        for t, variants in groups.items():
+            dmax = max(df_by.get(v, 0) for v in variants)
+            if dmax == 0:
+                continue
+            idf = math.log(1.0 + (n - dmax + 0.5) / (dmax + 0.5))
+            for v, sim in variants.items():
+                if v in df_by:
+                    sel.append((sim * idf, v, t))
+        sel.sort(key=lambda x: (-x[0], x[1], x[2]))
+        sel = sel[:max_query_terms]
+        if not sel:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        idfw: dict[str, float] = {}
+        for w, v, _t in sel:
+            idfw[v] = idfw.get(v, 0.0) + w
+        buckets = sorted({bucket_by[v] for v in idfw})
+        return self.search(
+            like_text, k, mode=mode, where=where, _plan=(idfw, buckets)
         )
 
     def validate_query(self, q: str) -> DataFrame:

@@ -197,6 +197,83 @@ def test_fuzzy_query(spark, built_index):
         idx.search_fuzzy("w0000", prefix_length=0)
 
 
+def test_fuzzy_like_this_matches_python(spark, built_index):
+    """fuzzy_like_this: scored fuzzy disjunction — blended per-group idf
+    (max variant df), edit-similarity weights, BM25 tf norm with global
+    stats; max_query_terms keeps the best variants."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+
+    idx, _ = built_index
+    like = "w0000 w00013"
+    rows = idx._docs_df().collect()
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in vocab}
+
+    def variants(src):
+        out = {}
+        for t in vocab:
+            if (
+                t[0] == src[0]
+                and abs(len(t) - len(src)) <= 1
+                and _damerau_levenshtein(src, t, 1) <= 1
+            ):
+                out[t] = 1.0 - _damerau_levenshtein(src, t, 1) / min(len(src), len(t))
+        return out
+
+    idfw = {}
+    for src in sorted(set(tokenize_text(like))):
+        g = variants(src)
+        if not g:
+            continue
+        dmax = max(df[v] for v in g)
+        idf = math.log(1.0 + (n - dmax + 0.5) / (dmax + 0.5))
+        for v, sim in g.items():
+            idfw[v] = idfw.get(v, 0.0) + sim * idf
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for v, w in idfw.items():
+            c = ts.count(v)
+            if c:
+                s += w * c / (c + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.fuzzy_like_this(like, 10, max_query_terms=10_000).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # cap: max_query_terms=1 keeps only the single best (weight, variant)
+    # entry — selection happens BEFORE same-variant weights sum
+    sel = []
+    for src in sorted(set(tokenize_text(like))):
+        g = variants(src)
+        if not g:
+            continue
+        dmax = max(df[v] for v in g)
+        idf = math.log(1.0 + (n - dmax + 0.5) / (dmax + 0.5))
+        for v, sim in g.items():
+            sel.append((sim * idf, v, src))
+    sel.sort(key=lambda x: (-x[0], x[1], x[2]))
+    top_v = sel[0][1]
+    one = idx.fuzzy_like_this(like, 10_000, max_query_terms=1).collect()
+    match_v = sorted(d for d, ts in toks.items() if top_v in ts)
+    assert sorted(r["doc_id"] for r in one) == match_v
+    with pytest.raises(ValueError, match="prefix_length"):
+        idx.fuzzy_like_this(like, prefix_length=0)
+
+
 def test_regexp_query(spark, built_index):
     """ES regexp (constant_score, implicitly anchored): fullmatch against
     the term dictionary, literal-prefix-pruned; leading metacharacters are
