@@ -1337,6 +1337,72 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the 3-gram-Jaccard≥0.8 near-dup graph:
+    (doc_id, cluster_id) for EVERY doc, cluster_id = min id in component
+    (min-label propagation; the oracle walks the same graph with a
+    recursive CTE)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        dup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dup_clusters(docs, jaccard_pairs(docs, threshold=0.8))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination: train docs (doc_id%10≠0) sharing ≥1
+    distinct 3-gram shingle with any test doc (doc_id%10=0) — the n-gram
+    benchmark-leakage scan (production uses n=8–13; n=3 here matches the
+    fixture vocabulary)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=3
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction: synthetic email/IP/phone are appended per doc
+    (fixture text carries none), then the chained regexp scrub runs —
+    the oracle derives the same text and applies the identical RE2/Java
+    shared-dialect patterns."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-123-4567"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep each doc iff the portable
+    md5(doc_id:seed) unit-interval hash lands under its lang's fraction
+    (en 0.3, zh 0.5, de/es/fr 1.0) — reproducible across cluster sizes,
+    unlike sampleBy's partition-order RNG."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.3, "zh": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0},
+        seed=7,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs with the PORTABLE term hash (md5-prefix) so
     the DuckDB oracle recomputes the identical 60-bit fingerprints; the
@@ -1846,6 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_doc": q_json_doc,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "stratified_sample": q_stratified_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "cosine_topk": q_cosine_topk,
@@ -2045,6 +2115,95 @@ FROM inter
 JOIN sz s1 ON s1.doc_id = id1
 JOIN sz s2 ON s2.doc_id = id2
 WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+"""
+
+# connected components of the same 3-gram-Jaccard≥0.8 pair graph the
+# dedup_jaccard entry verifies: min reachable id per node via a recursive
+# CTE over the symmetrized edge list
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+           i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2])))) AS shingle
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz s1 ON s1.doc_id = id1
+  JOIN sz s2 ON s2.doc_id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
+"""
+
+_DECONTAMINATE_SQL = f"""
+WITH tr AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+           i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2])))) AS shingle
+  FROM documents WHERE doc_id % 10 <> 0
+),
+te AS (
+  SELECT DISTINCT doc_id AS test_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+           i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2])))) AS shingle
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT tr.doc_id,
+       count(DISTINCT tr.shingle)::BIGINT AS n_shingles,
+       count(DISTINCT te.test_id)::BIGINT AS n_test_docs
+FROM tr JOIN te USING (shingle)
+GROUP BY tr.doc_id
+"""
+
+# same synthetic PII suffix and the same Java/RE2-shared-dialect patterns
+# as ops/curation.py PII_PATTERNS, applied in the same order against the
+# progressively redacted text (match counts likewise)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_IP = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_REDACT_PII_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@corp.example ip 10.0.' ||
+         (doc_id % 256) || '.1 call 555-123-4567' AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1,
+              len(regexp_split_to_array(t0, '{_PII_EMAIL}')) - 1 AS c1 FROM base),
+s2 AS (SELECT doc_id, regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2,
+              len(regexp_split_to_array(t1, '{_PII_PHONE}')) - 1 AS c2, c1 FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3,
+              len(regexp_split_to_array(t2, '{_PII_SSN}')) - 1 AS c3, c1, c2 FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t3, '{_PII_IP}', '<IP>', 'g') AS t4,
+              len(regexp_split_to_array(t3, '{_PII_IP}')) - 1 AS c4, c1, c2, c3 FROM s3)
+SELECT doc_id, t4 AS text, (c1 + c2 + c3 + c4)::BIGINT AS n_redactions FROM s4
+"""
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+WHERE u < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.5 ELSE 1.0 END
 """
 
 _COSINE_SQL = """
@@ -3635,6 +3794,10 @@ ORDER BY doc_id
             "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
         ),
         "dedup_jaccard": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "redact_pii": _REDACT_PII_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         # minhash-LSH is exact-Jaccard-verified with 100% recall at this
         # operating point (asserted in tests/test_ops.py), so it shares
         # the exact-algorithm SQL

@@ -1,0 +1,89 @@
+"""Corpus-curation operators: PII redaction and deterministic stratified
+sampling — the last-mile steps of a training-data pipeline (after dedup /
+quality filtering, before tokenization).
+
+Both are pure Column algebra (JVM-side, whole-stage codegen; no shuffle at
+all for redaction, none for sampling either since the filter is a per-row
+hash test): at 100 TB they run at scan speed.
+
+The reference has no curation surface (its pipeline is a per-row map into
+ES — MessageHandler.java:135-139); these belong to the training-data half
+of the engine, like ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns stay inside the regex subset Java and RE2 share (char classes,
+# bounded repetition, \b, alternation — no backrefs/lookarounds), so the
+# DuckDB oracles run the IDENTICAL expressions.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails first so their digits never half-match phones
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_col(c: Column) -> Column:
+    """The text column with every PII_PATTERNS match replaced by its tag
+    (chained regexp_replace — one codegen expression, no UDF)."""
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text, n_redactions): the redacted text plus how many
+    substitutions were made (length-delta count of the inserted tags) —
+    the audit column curation pipelines keep."""
+    red = redact_pii_col(F.col(text_col))
+    # count matches per pattern against the PROGRESSIVELY redacted text so
+    # overlapping patterns aren't double-counted (same order as the
+    # replacement chain)
+    cur = F.col(text_col)
+    counts = []
+    for pat, tag in PII_PATTERNS:
+        counts.append(F.size(F.split(cur, pat, -1)) - 1)
+        cur = F.regexp_replace(cur, pat, tag)
+    total = counts[0]
+    for extra in counts[1:]:
+        total = total + extra
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text"),
+        total.cast("long").alias("n_redactions"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep each row iff a
+    portable hash of (id, seed) lands under its stratum's fraction —
+    training-mix rebalancing (e.g. downsample boilerplate-heavy sources,
+    keep all rare-language docs).
+
+    Unlike ``DataFrame.sampleBy`` (partition-order-dependent RNG), the
+    keep decision is a pure function of the row, so the sample is
+    reproducible across cluster sizes, AQE re-plans, and engines (the
+    md5-prefix → unit-interval trick shared with random_score/simhash).
+    Strata missing from ``fractions`` are dropped (fraction 0).
+    """
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    frac = F.lit(0.0)
+    for s, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == s, F.lit(float(p))).otherwise(frac)
+    return df.filter(u < frac)

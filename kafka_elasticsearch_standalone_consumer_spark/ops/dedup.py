@@ -301,3 +301,101 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    ``(doc_id, cluster_id)`` for EVERY document, where ``cluster_id`` is
+    the min doc id in the component (singletons label themselves) — the
+    step that turns pairwise dedup output into "keep one per cluster".
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min label over its closed neighborhood.
+    Fixpoint in O(component diameter) rounds — near-dup clusters are
+    shallow, and for adversarial diameters the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce") is the drop-in replacement built from the
+    same join primitive. Per round: one join of the label table to the
+    edge list + one min-aggregate — two shuffles keyed on doc id, both
+    map-side combinable. ``localCheckpoint`` truncates the iterative
+    lineage so the plan stays bounded; convergence is an exact
+    changed-label count (0 → stop), deterministic throughout.
+    """
+    e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("lbl").alias("lbl_b")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("lbl_b").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias(
+                "new_lbl"
+            ),
+        )
+        stepped = stepped.localCheckpoint()
+        if stepped.filter(F.col("new_lbl") < F.col("lbl")).count() == 0:
+            break
+        labels = stepped.select("id", F.col("new_lbl").alias("lbl"))
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds the bound; switch to star contraction"
+        )
+    edges.unpersist()
+    return stepped.select(
+        F.col("id").alias("doc_id"), F.col("new_lbl").alias("cluster_id")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training-data decontamination: flag train docs sharing ≥
+    ``min_hits`` distinct word n-grams with ANY test/benchmark doc — the
+    standard n-gram-overlap leakage scan run before LLM training
+    (n = 8–13 in practice; callers pick n to match their eval suite).
+
+    Returns ``(doc_id, n_shingles, n_test_docs)`` per contaminated train
+    doc: how many distinct shingles leaked and how many test docs they
+    touch. Shape: two shingle explosions + ONE equi-join on the shingle —
+    candidate generation only touches shared shingles (never a cross
+    join), and the test side's distinct-shingle set is benchmark-sized
+    (millions of rows vs the corpus's trillions), so Spark broadcasts it
+    and the train side never shuffles.
+    """
+    tr = shingle_df(train, text_col, id_col, n)
+    te = (
+        shingle_df(test, text_col, id_col, n)
+        .select("shingle", F.col("doc_id").alias("test_id"))
+        .distinct()
+    )
+    return (
+        tr.join(te, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct("test_id").alias("n_test_docs"),
+        )
+        .filter(F.col("n_shingles") >= int(min_hits))
+    )

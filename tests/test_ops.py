@@ -378,3 +378,99 @@ def test_lm_doc_quality_hand_computed(spark):
     assert abs(out[1][0] - exp1) < 1e-12
     assert abs(out[2][0] - exp2) < 1e-12
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_dup_clusters_components(spark):
+    """Connected components: chain A-B-C (diameter 2), pair D-E, singleton
+    F — every doc labeled with its component's min id; empty pair graph →
+    all singletons."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id1 long, id2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    got0 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, empty).collect()}
+    assert got0 == {i: i for i in range(6)}
+    # a longer chain still converges (diameter 5)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id1 long, id2 long"
+    )
+    gotc = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, chain).collect()}
+    assert gotc == {i: 0 for i in range(6)}
+
+
+def test_decontaminate_overlap(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma' + 'beta gamma delta'
+            (2, "beta gamma delta epsilon"),    # shares 'beta gamma delta'
+            (3, "zeta eta theta iota"),         # clean
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta kappa"), (101, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_test_docs"])
+        for r in decontaminate(train, test, n=3).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2)}
+    # min_hits raises the bar: doc 2's single shared shingle drops out
+    got2 = {
+        r["doc_id"]
+        for r in decontaminate(train, test, n=3, min_hits=2).collect()
+    }
+    assert got2 == {1}
+
+
+def test_redact_pii_patterns(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import redact_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.com or call 555-123-4567"),
+        (1, "ssn 123-45-6789 from host 192.168.0.1"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_redactions"]) for r in redact_pii(df).collect()}
+    assert got[0] == ("mail me at <EMAIL> or call <PHONE>", 2)
+    assert got[1] == ("ssn <SSN> from host <IP>", 2)
+    assert got[2] == ("no pii here at all", 0)
+
+
+def test_stratified_sample_deterministic(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", f"t{i}") for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+    frac = {"en": 0.25, "fr": 1.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, "lang", frac, seed=3).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), "lang", frac, seed=3).collect()
+    )
+    assert a == b and a  # identical across partitionings
+    fr_ids = {i for i in range(400) if i % 2 == 1}
+    assert fr_ids <= set(a)  # fraction 1.0 keeps every fr doc
+    en_kept = len(set(a) - fr_ids)
+    assert 0 < en_kept < 200  # en actually subsampled
+    # a stratum missing from fractions is dropped
+    only_fr = stratified_sample(df, "lang", {"fr": 1.0}, seed=3)
+    assert {r["lang"] for r in only_fr.collect()} == {"fr"}
+    # different seed → different sample
+    c = sorted(r["doc_id"] for r in stratified_sample(df, "lang", frac, seed=4).collect())
+    assert c != a
