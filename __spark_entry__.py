@@ -1403,6 +1403,16 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_pack_shards(spark, sf_dir):
+    """Training-shard packing: shard_id = floor(exclusive prefix-sum of
+    token counts / 2000) in stable doc order — distributed two-pass
+    partition-offset cumsum, never a single-task window (the oracle IS
+    that single-task window, over 500 rows)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import pack_shards
+
+    return pack_shards(_docs(spark, sf_dir), 2000)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs with the PORTABLE term hash (md5-prefix) so
     the DuckDB oracle recomputes the identical 60-bit fingerprints; the
@@ -1916,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "cosine_topk": q_cosine_topk,
@@ -2194,6 +2205,15 @@ s3 AS (SELECT doc_id, regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3,
 s4 AS (SELECT doc_id, regexp_replace(t3, '{_PII_IP}', '<IP>', 'g') AS t4,
               len(regexp_split_to_array(t3, '{_PII_IP}')) - 1 AS c4, c1, c2, c3 FROM s3)
 SELECT doc_id, t4 AS text, (c1 + c2 + c3 + c4)::BIGINT AS n_redactions FROM s4
+"""
+
+_PACK_SHARDS_SQL = f"""
+SELECT doc_id, n::BIGINT AS n_tokens, ((cum - n) // 2000)::BIGINT AS shard_id
+FROM (
+  SELECT doc_id, len({SQL_TOKS})::BIGINT AS n,
+         sum(len({SQL_TOKS})) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
 """
 
 _STRATIFIED_SAMPLE_SQL = """
@@ -3798,6 +3818,7 @@ ORDER BY doc_id
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "pack_shards": _PACK_SHARDS_SQL,
         # minhash-LSH is exact-Jaccard-verified with 100% recall at this
         # operating point (asserted in tests/test_ops.py), so it shares
         # the exact-algorithm SQL

@@ -87,3 +87,68 @@ def stratified_sample(
     for s, p in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == s, F.lit(float(p))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def pack_shards(
+    df: DataFrame,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every doc to a training shard of ~``target_tokens``
+    consecutive tokens in stable ``id_col`` order (the step that turns a
+    curated corpus into fixed-budget training files):
+    ``shard_id = floor(exclusive_prefix_sum(n_tokens) / target)``.
+
+    A naive window cumsum (``sum OVER (ORDER BY id)``) serializes the
+    corpus through one task; this uses the same two-pass
+    partition-offset technique as ids.assign_dense_ids — range-partition
+    + in-partition sort, one column-pruned pass for per-partition token
+    SUMS, broadcast exclusive offsets, then an Arrow pass computing
+    ``(offset + local_cumsum_exclusive) // target``. All-integer
+    arithmetic, deterministic at any parallelism.
+
+    Returns (doc_id, n_tokens, shard_id); token counts use the index
+    tokenizer so shard budgets line up with what gets indexed/tokenized.
+    """
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(num_partitions, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in arranged.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    tgt = int(target_tokens)
+
+    def assign(batches):
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            n = pdf["n_tokens"].to_numpy()
+            excl = base + local + n.cumsum() - n
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["shard_id"] = excl // tgt
+            local += int(n.sum())
+            yield pdf
+
+    return arranged.mapInPandas(
+        assign, schema="doc_id long, n_tokens long, shard_id long"
+    )

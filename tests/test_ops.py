@@ -474,3 +474,32 @@ def test_stratified_sample_deterministic(spark):
     # different seed → different sample
     c = sorted(r["doc_id"] for r in stratified_sample(df, "lang", frac, seed=4).collect())
     assert c != a
+
+
+def test_pack_shards_matches_window_and_partitioning_proof(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import pack_shards
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 17))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(df, 100, num_partitions=7).collect()
+    }
+    cum = 0
+    for i, text in rows:
+        n = len(tokenize_text(text))
+        assert got[i] == (n, cum // 100)
+        cum += n
+    # identical at a different parallelism (the partition-offset pass is
+    # what makes this safe)
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_shards(df.repartition(11), 100, num_partitions=3).collect()
+    }
+    assert got2 == got
+    # shard ids are non-decreasing in doc order and start where the
+    # exclusive prefix sum says they should
+    order = [got[i][1] for i, _ in rows]
+    assert order == sorted(order)
+    assert order[0] == 0 and max(order) > 0
