@@ -49,7 +49,12 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     toks = tokenize_col(F.col(text_col))
     df = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     m = F.size(F.col("toks")) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(m, F.lit(0)))
+    # sequence(1, m) counts DOWN when m < 1 (yielding index 0 → runtime
+    # error in element_at) — docs shorter than n tokens must produce an
+    # EMPTY shingle list instead
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]),

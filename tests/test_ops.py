@@ -503,3 +503,21 @@ def test_pack_shards_matches_window_and_partitioning_proof(spark):
     order = [got[i][1] for i, _ in rows]
     assert order == sorted(order)
     assert order[0] == 0 and max(order) > 0
+
+
+def test_shingles_on_short_and_empty_docs(spark):
+    """Docs with < n tokens yield NO shingles (regression: sequence(1, m)
+    counts down for m < 1 and used to crash element_at with index 0)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        jaccard_pairs,
+        shingle_df,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in shingle_df(df, n=3).collect()}
+    assert got == {3, 4}
+    pairs = jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r["id1"], r["id2"]) for r in pairs] == [(3, 4)]

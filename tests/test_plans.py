@@ -137,3 +137,30 @@ def test_composite_agg_is_paged_topk(spark, built_index):
     assert "TakeOrderedAndProject" in plan
     # two-phase aggregation: a partial_ merge mode appears before the final
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_decontaminate_broadcasts_and_never_cross_joins(spark, built_index):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import decontaminate
+
+    idx, _ = built_index
+    docs = idx._docs_df().select("doc_id", "text")
+    df = decontaminate(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=3
+    )
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_shards_has_no_window_or_single_partition_sort(spark, built_index):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import pack_shards
+
+    idx, _ = built_index
+    df = pack_shards(idx._docs_df().select("doc_id", "text"), 500, num_partitions=4)
+    plan = _plan(df)
+    assert "Window" not in plan  # the naive serial cumsum shape
+    assert "MapInPandas" in plan
+    # the only exchange is the range repartition (plus AQE read stages)
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan

@@ -206,6 +206,41 @@ def main() -> None:
         )
     )
 
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import pack_shards
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import decontaminate
+
+    docs_tbl = idx.wh.read(spark, "docs").select(
+        "doc_id", F.col("text")
+    )
+    decon = decontaminate(
+        docs_tbl.filter("doc_id % 10 != 0"), docs_tbl.filter("doc_id % 10 = 0"), n=3
+    )
+    sections.append(
+        (
+            "Decontamination (train/test shingle overlap)",
+            "Candidate generation is ONE equi-join on the shingle; the test "
+            "side (distinct benchmark shingles) is orders of magnitude "
+            "smaller than the train corpus, so AQE broadcasts it and the "
+            "train-side shingle stream never shuffles — look for "
+            "BroadcastHashJoin below. Never a cross join.",
+            plan_of(decon),
+        )
+    )
+
+    packed = pack_shards(docs_tbl, 2000, num_partitions=4)
+    sections.append(
+        (
+            "Training-shard packing (two-pass cumulative sum)",
+            "A window `sum OVER (ORDER BY doc_id)` would serialize the "
+            "corpus through one task; instead: range repartition + "
+            "in-partition sort, per-partition token sums collected (bounded "
+            "driver data: one long per partition), exclusive offsets "
+            "broadcast into an Arrow pass. The plan has NO Window and no "
+            "single-partition Exchange — only the range Exchange.",
+            plan_of(packed),
+        )
+    )
+
     sections.append(
         (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
