@@ -208,6 +208,20 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
             lambda: percolate(docs, perc_qs, minimum_should_match=2).count()
         )
 
+        from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+            pack_shards,
+            redact_pii,
+        )
+        from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_clusters
+
+        t["dedup_clusters"] = best_of(
+            lambda: dup_clusters(
+                docs, minhash_lsh_pairs(docs, threshold=0.8)
+            ).count()
+        )
+        t["pack_shards"] = best_of(lambda: pack_shards(docs, 4096).count())
+        t["redact_pii"] = best_of(lambda: redact_pii(docs).count())
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
         t["cosine_topk"] = best_of(lambda: cosine_topk(emb, qv, 10).collect())

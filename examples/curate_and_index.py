@@ -9,6 +9,8 @@ Stages (each a library call — nothing here is demo-only logic):
   2. assign dense doc_ids (stable (conv_id, turn_idx) identity)
   3. text-quality scoring → drop low-quality turns
   4. exact dedup → keep one copy per distinct text
+  4b. near-dup clusters → keep the min-id doc per component;
+      PII redaction; benchmark decontamination; token-budget shard packing
   5. resumable index build over the survivors
   6. BM25 / phrase / filtered / facet queries with highlighted hits
 """
@@ -46,8 +48,34 @@ def main(n_convs: int = 400) -> None:
 
     # 4: exact dedup (keep the lowest doc_id of each distinct text)
     keep_d = exact_dedup(turns_q).select(F.col("keep_id").alias("doc_id"))
-    survivors = turns_q.join(keep_d, "doc_id", "left_semi").drop("doc_id")
+    deduped = turns_q.join(keep_d, "doc_id", "left_semi")
+
+    # 4b: near-dup clusters → canonical doc per component; scrub PII;
+    # drop benchmark-contaminated docs; pack the rest into token shards
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        pack_shards,
+        redact_pii,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        decontaminate,
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    clusters = dup_clusters(deduped, minhash_lsh_pairs(deduped, threshold=0.8))
+    canon = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    near_deduped = deduped.join(canon, "doc_id", "left_semi")
+    benchmark = deduped.filter("doc_id % 97 = 0")  # stand-in eval set
+    dirty = decontaminate(near_deduped, benchmark, n=8).select("doc_id")
+    clean = near_deduped.join(dirty, "doc_id", "left_anti")
+    clean = clean.drop("text").join(
+        redact_pii(clean).select("doc_id", "text"), "doc_id"
+    )
+    shards = pack_shards(clean, target_tokens=4096)
+    n_shards = shards.select("shard_id").distinct().count()
+    survivors = clean.drop("doc_id")
     n1 = survivors.count()
+    print(f"shard packing: {n1} docs -> {n_shards} shards of ~4096 tokens")
 
     # 5: resumable index build (with positions: phrase queries)
     wh = tempfile.mkdtemp(prefix="curated_idx_") + "/idx"
