@@ -562,7 +562,7 @@ class Index:
         return out
 
     # conjunction ops supported by the serving-path filter surface
-    _LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+    _LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
     def _local_blocked(self) -> "np.ndarray | None":
         """Tombstoned doc_ids as a sorted int64 array (driver-side read
@@ -628,6 +628,10 @@ class Index:
                 e = f >= val
             elif op == "in":
                 e = f.isin(list(val))
+            elif op == "isnull":
+                e = f.is_null()
+            elif op == "notnull":
+                e = f.is_valid()
             else:
                 raise ValueError(f"unsupported local filter op {op!r} (use {self._LOCAL_OPS})")
             expr = e if expr is None else expr & e
@@ -669,6 +673,85 @@ class Index:
             )
             out.extend(tbl.to_pylist())
         return sorted(out, key=lambda r: r["doc_id"])
+
+    def search_terms_local(
+        self,
+        terms: list[str],
+        k: int = 10,
+        boost: float = 1.0,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``terms`` query on the zero-Spark-job serving path: docs
+        containing ≥1 of the verbatim ``terms`` at constant score
+        ``boost``, first k by doc_id — same contract as
+        :meth:`search_terms`. The postings read is the identical pruned
+        pyarrow scan :meth:`search_local` uses; doc ids are decoded and
+        unioned (no scoring kernel), then filter/tombstone masks apply.
+        ``where`` takes the serving-path (col, op, value) tuples."""
+        if self.wh is None:
+            raise ValueError(
+                "search_terms_local serves from warehouse files — use search_terms()"
+            )
+        ts = sorted({str(t) for t in terms})
+        if not ts:
+            return []
+        rows = self._lookup_terms_arrow(ts)
+        if rows is None:
+            raise ValueError(
+                "legacy warehouse layout without term buckets — use search_terms()"
+            )
+        present = sorted({t for t, _, _ in rows})
+        if not present:
+            return []
+        buckets = sorted({int(bk) for _, _, bk in rows})
+        pdf = self._local_postings(buckets, present)
+        if pdf is None:
+            return []
+        docs_per_shard = int(self.meta["docs_per_shard"])
+        parts = []
+        for row in pdf.itertuples(index=False):
+            run = kernels._Run(row, 0.0, int(row.shard) * docs_per_shard)
+            d, _t, _l = run.decode_all()
+            parts.append(d)
+        uniq = np.unique(np.concatenate(parts))
+        blocked = self._local_blocked()
+        allowed = None
+        if where is not None:
+            allowed = self._local_allowed(where)
+            if blocked is not None:
+                allowed = np.setdiff1d(allowed, blocked)
+            blocked = None
+        keep = kernels._apply_doc_masks(uniq, allowed, blocked)
+        if keep is not None:
+            uniq = uniq[keep]
+        return [(int(d), float(boost)) for d in uniq[:k]]
+
+    def constant_score_local(
+        self,
+        where: list[tuple],
+        k: int = 10,
+        boost: float = 1.0,
+    ) -> list[tuple[int, float]]:
+        """Filter-context queries (ids / exists / missing / filtered
+        match_all) on the zero-Spark-job serving path: the (col, op,
+        value) conjunction resolves to an allowed-doc set via ONE pruned
+        pyarrow doc-store read (:meth:`_local_allowed` — doc_id column +
+        pushed predicate only), tombstones drop, first k by doc_id at
+        constant score ``boost``. The ES surfaces map directly:
+        ids → ``[("doc_id", "in", ids)]``, exists → ``[(f, "notnull",
+        None)]``, missing → ``[(f, "isnull", None)]``. Same caveat as
+        every local filter: meant for SELECTIVE predicates (the allowed
+        set materializes driver-side); broad scans belong on
+        :meth:`constant_score`."""
+        if self.wh is None:
+            raise ValueError(
+                "constant_score_local serves from warehouse files — use constant_score()"
+            )
+        allowed = self._local_allowed(where)
+        blocked = self._local_blocked()
+        if blocked is not None:
+            allowed = np.setdiff1d(allowed, blocked)
+        return [(int(d), float(boost)) for d in allowed[:k]]
 
     def search_phrase_local(
         self, phrase: str, k: int = 10, slop: int = 0,

@@ -178,3 +178,55 @@ def test_local_mget(spark, local_pos_wh):
     assert [r["doc_id"] for r in loc] == [r["doc_id"] for r in idx.get_docs(ids).collect()]
     assert 3 not in [r["doc_id"] for r in loc]
     assert idx.get_docs_local([]) == []
+
+
+def test_local_terms_and_constant_score_identical(spark, built_index):
+    """Serving-path constant-score family: search_terms_local ≡
+    search_terms, constant_score_local covers ids/exists/filter forms —
+    same ids, same boost, doc_id ascending, tombstone-aware."""
+    idx, _ = built_index
+    vals = ["w00000", "w00005"]
+    dist = [(r["doc_id"], r["score"]) for r in idx.search_terms(vals, 10_000).collect()]
+    loc = idx.search_terms_local(vals, 10_000)
+    assert loc == dist and loc
+    # k truncation + boost + absent terms
+    assert idx.search_terms_local(vals, 3) == dist[:3]
+    assert idx.search_terms_local(["zzabsent"], 10) == []
+    assert [s for _, s in idx.search_terms_local(vals, 5, boost=2.5)] == [2.5] * 5
+    # where= tuples restrict like the distributed where=
+    locw = idx.search_terms_local(vals, 10_000, where=[("turn_idx", ">=", 3)])
+    distw = [
+        (r["doc_id"], r["score"])
+        for r in idx._constant_score_multi_term(vals, 10_000, "turn_idx >= 3").collect()
+    ]
+    assert locw == distw and locw
+
+    # ids form
+    want = [(r["doc_id"], r["score"]) for r in idx.search_ids([5, 9, 14, 10**9], 10).collect()]
+    got = idx.constant_score_local([("doc_id", "in", [5, 9, 14, 10**9])], 10)
+    assert got == want and got
+    # filtered match_all form
+    want_f = [
+        (r["doc_id"], r["score"])
+        for r in idx.constant_score(where="turn_idx = 0", k=7, boost=3.0).collect()
+    ]
+    assert idx.constant_score_local([("turn_idx", "=", 0)], 7, boost=3.0) == want_f
+    # exists/missing ops exist on the tuple surface (no NULLs in fixture:
+    # notnull keeps everything, isnull keeps nothing)
+    n_live = idx._docs_df().count()
+    assert len(idx.constant_score_local([("role", "notnull", None)], 10**9)) == n_live
+    assert idx.constant_score_local([("role", "isnull", None)], 10) == []
+
+
+def test_local_terms_honors_tombstones(spark, transcripts, tmp_path):
+    wh = str(tmp_path / "idx")
+    build_index(spark, transcripts, wh, docs_per_shard=256, n_buckets=8)
+    idx = Index(spark, wh)
+    vals = ["w00000"]
+    first = idx.search_terms_local(vals, 5)[0][0]
+    delete_docs(spark, wh, f"doc_id = {first}")
+    idx = Index(spark, wh)
+    assert first not in {d for d, _ in idx.search_terms_local(vals, 10_000)}
+    assert first not in {
+        d for d, _ in idx.constant_score_local([("doc_id", "in", [first])], 10)
+    }
