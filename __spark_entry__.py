@@ -736,6 +736,34 @@ def q_bm25_english_topk(spark, sf_dir):
     )
 
 
+def q_bm25_simple_topk(spark, sf_dir):
+    """ES simple analyzer (LetterTokenizer + lowercase) end-to-end: the
+    corpus gains a derived digit-fused token 'sec<doc_id%5>ref' that the
+    simple chain splits into (sec, ref) while standard would keep whole —
+    and the digit-fused QUERY 'join sec9ref' analyzes to (join, sec, ref),
+    matching every doc on sec/ref and ranking by join."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::simple"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" sec"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("ref"),
+            ).alias("text"),
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="simple")
+        _IDX_CACHE[key] = idx
+    out = idx.search("join sec9ref", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_bm25_ws_topk(spark, sf_dir):
     """ES whitespace analyzer end-to-end: an index built with
     analyzer='whitespace' over the UPPERCASED documents corpus (the
@@ -1875,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stop_topk": q_bm25_stop_topk,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
+        "bm25_simple_topk": q_bm25_simple_topk,
         "bm25_ws_topk": q_bm25_ws_topk,
         "keyword_lookup": q_keyword_lookup,
         "snapshot_restore": q_snapshot_restore,
@@ -3201,6 +3230,25 @@ def _bm25_english_sql(query_stems: list[str], k: int = K) -> str:
     )
 
 
+def _bm25_simple_sql(query: str, k: int = K) -> str:
+    """Simple-analyzer oracle: the BM25 template over the derived
+    digit-fused corpus (text || ' sec' || doc_id%5 || 'ref') tokenized as
+    LETTER runs only — the digit-fused query term splits the same way."""
+    import re
+    from collections import Counter
+
+    terms = Counter(re.findall(r"[a-z]+", query.lower()))
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    toks = (
+        "list_filter(string_split_regex("
+        "lower(text || ' sec' || (doc_id % 5) || 'ref'), '[^a-z]+'), "
+        "t -> t != '')"
+    )
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def _bm25_ws_sql(query_terms: list[str], k: int = K) -> str:
     """Whitespace-analyzer oracle: the BM25 template over the UPPERCASED
     corpus split on whitespace runs with case PRESERVED (no lowercase
@@ -3748,6 +3796,7 @@ FROM b ORDER BY bucket
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
+        "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),
         "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),
         "keyword_lookup": _KEYWORD_LOOKUP_SQL,
         "snapshot_restore": _bm25_sql(BM25_QUERY),

@@ -52,9 +52,14 @@ STOP_WORDS = frozenset(
 #                (Lucene WhitespaceTokenizer: terms keep their case)
 #   keyword    — the entire field value as ONE term, verbatim (Lucene
 #                KeywordTokenizer; empty/null fields emit no token)
-ANALYZERS = ("standard", "stop", "porter", "english", "whitespace", "keyword")
+ANALYZERS = ("standard", "simple", "stop", "porter", "english", "whitespace", "keyword")
 
 _WS_RE = re.compile(r"\S+")
+# ES/Lucene `simple` analyzer: LetterTokenizer + lowercase — token = a
+# maximal LETTER run, so digit-bearing forms split ("sec9ref" → sec, ref)
+# and pure-digit tokens vanish; the probe that distinguishes it from
+# `standard`, whose tokens keep digits.
+_SIMPLE_RE = re.compile(r"[a-z]+")
 
 
 def _check_analyzer(analyzer: str) -> None:
@@ -221,6 +226,8 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         return _WS_RE.findall(s)
     if analyzer == "keyword":
         return [s] if s else []
+    if analyzer == "simple":
+        return _SIMPLE_RE.findall(s.lower())
     toks = _TOKEN_RE.findall(s.lower())
     if analyzer in ("stop", "english"):
         toks = [t for t in toks if t not in STOP_WORDS]
@@ -263,6 +270,11 @@ def _kw_udf(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
+def _simple_udf(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.lower().str.findall(_SIMPLE_RE)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
 def _porter_arr_udf(s: pd.Series) -> pd.Series:
     """Arrow-batched Porter pass over array<string> token columns. The
     per-batch memo means each distinct surface form is stemmed once per
@@ -297,6 +309,10 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
         return F.filter(F.split(base, r"\s+"), lambda x: x != F.lit(""))
     if analyzer == "keyword":
         return F.filter(F.array(base), lambda x: x != F.lit(""))
+    if analyzer == "simple":
+        return F.filter(
+            F.split(F.lower(base), "[^a-z]+"), lambda x: x != F.lit("")
+        )
     parts = F.split(F.lower(base), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
     if analyzer in ("stop", "english"):
@@ -333,6 +349,8 @@ def tokens_from(
             tok = _ws_udf(F.col(text_col))
         elif analyzer == "keyword":
             tok = _kw_udf(F.col(text_col))
+        elif analyzer == "simple":
+            tok = _simple_udf(F.col(text_col))
         else:
             tok = tokenize_udf(F.col(text_col))
             if analyzer in ("stop", "english"):
@@ -411,6 +429,8 @@ def doc_term_freqs(
                 toks = pdf[text_col].fillna("").str.findall(_WS_RE)
             elif analyzer == "keyword":
                 toks = pdf[text_col].fillna("").map(lambda x: [x] if x else [])
+            elif analyzer == "simple":
+                toks = pdf[text_col].fillna("").str.lower().str.findall(_SIMPLE_RE)
             else:
                 toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
             lens = toks.str.len().to_numpy(dtype=np.int64)

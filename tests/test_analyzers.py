@@ -447,3 +447,67 @@ def test_analyze_api_analyzer_override(spark, wdocs_df):
     # override: english stems with gaps
     eng = [(r["position"], r["token"]) for r in idx.analyze("the merging of tables", analyzer="english").collect()]
     assert eng == [(1, "merg"), (3, "tabl")]
+
+
+SDOCS = [
+    (0, "Hello2World build 42 rc1"),   # digit-fused + pure-digit tokens
+    (1, "hello world build rc"),
+    (2, "123 456"),                    # only digits → no tokens under simple
+    (3, ""),
+    (4, "v2 engine v3 engine"),
+]
+
+
+@pytest.fixture(scope="module")
+def sdocs_df(spark):
+    return spark.createDataFrame(SDOCS, "doc_id long, text string")
+
+
+def test_tokenizers_identical_with_simple(spark, sdocs_df):
+    """fused ≡ sql ≡ pandas ≡ python token streams for the simple
+    (letter-runs + lowercase) analyzer."""
+    base = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokens_from(sdocs_df, method="sql", analyzer="simple").collect()
+    }
+    for method in ("pandas", "fused"):
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(sdocs_df, method=method, analyzer="simple").collect()
+        }
+        assert got == base, method
+    py = {}
+    for d, text in SDOCS:
+        for t in tokenize_text(text, "simple"):
+            py[(d, t)] = py.get((d, t), 0) + 1
+    assert py == base and base
+
+
+def test_simple_semantics(spark, sdocs_df):
+    rows = doc_term_freqs(sdocs_df, analyzer="simple").collect()
+    by = {(r["doc_id"], r["term"]): r for r in rows}
+    # digit-fused forms split into letter runs, lowercased
+    assert (0, "hello") in by and (0, "world") in by
+    assert (0, "rc") in by and (0, "hello2world") not in by
+    # pure-digit tokens vanish entirely — and dl counts only survivors
+    assert not any(d == 2 for d, _ in by)
+    assert by[(0, "hello")]["dl"] == 4  # hello world build rc (42 dropped)
+    # standard keeps them — the distinguishing probe
+    std = {(r["doc_id"], r["term"]) for r in doc_term_freqs(sdocs_df).collect()}
+    assert (0, "hello2world") in std and (2, "123") in std
+
+
+def test_simple_index_end_to_end(spark, sdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(sdocs_df, docs_per_shard=4, n_buckets=4, analyzer="simple")
+    assert idx.meta["analyzer"] == "simple"
+    # a digit-fused QUERY term analyzes to its letter runs and matches
+    hits = {r["doc_id"] for r in idx.search("Hello2World", 10).collect()}
+    assert hits == {0, 1}
+    # pure-digit query → no terms → no hits
+    assert idx.search("42 123", 10).count() == 0
+    # oracle path agrees (rank identity through the shared analyzer)
+    bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("hello world", 10).collect()]
+    orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("hello world", 10).collect()]
+    assert bmw == orc and bmw
