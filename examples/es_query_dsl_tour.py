@@ -81,6 +81,19 @@ def main(n_convs: int = 300) -> None:
     show("_termvectors doc 7", idx.term_vectors(7))
     show("_count", idx.count_matches(q))
 
+    # --- round-3 additions: filter-context, spans, FLT, parent/child ----
+    show("ids query", idx.search_ids([3, 7, 11], 5, boost=1.5))
+    show("constant_score (query + filter)", idx.constant_score(q, where="turn_idx >= 2", boost=2.0, k=3))
+    show("match_all", idx.match_all(3))
+    show("exists query", idx.search_exists("role", 3))
+    show("fuzzy_like_this (scored fuzzy)", idx.fuzzy_like_this("w0000x w00003", 5))
+    show("dis_max", idx.search_dis_max(["w00000", "w00003 w00005"], tie_breaker=0.3, k=5))
+    show("span_near (ordered, slop 2)", idx.search_span_near(["w00000", "w00003"], slop=2, in_order=True, k=3))
+    show("has_child (conv by best turn)", idx.search_has_child(q, 3))
+    show("extended_stats agg", idx.extended_stats_agg(q, "turn_idx"))
+    show("percentile_ranks agg", idx.percentile_ranks_agg(q, "turn_idx", [2.0, 6.0]))
+    show("scripted_metric agg", idx.scripted_metric_agg(q, "CAST(turn_idx AS DOUBLE)", "avg(mapped)"))
+
     # --- percolator / pagination / export -------------------------------
     show("percolate 2 registered queries", idx.percolate([(1, "w00000"), (2, q)]))
     p1 = idx.search(q, 5).collect()
