@@ -1848,6 +1848,138 @@ def q_media_features(spark, sf_dir):
     )
 
 
+# round-3b surface: post_filter / named queries / min_score / script_fields /
+# search templates / boost_mode enum / decay variants / ip_range agg /
+# repetition curation features
+
+MIN_SCORE_CUT = 0.516  # sits in the gap between rank-5 and rank-6 at sf0.01
+NAMED_CLAUSES = {"joins": "join filter", "hashing": "hash table"}
+
+
+def q_min_score_topk(spark, sf_dir):
+    """ES min_score: hits below the threshold are dropped from the page
+    (applied post-top-k — equivalent because score order is total)."""
+    out = _cached_idx(spark, sf_dir).search(
+        BM25_QUERY, K, mode="bmw", min_score=MIN_SCORE_CUT
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_post_filter_topk(spark, sf_dir):
+    """ES post_filter: the page is filtered to lang='en' AFTER scoring,
+    while total_prefilter reports the unfiltered match count (the
+    aggregation-scope semantics that distinguish post_filter from a
+    bool filter clause)."""
+    out = _cached_idx(spark, sf_dir).search_post_filter(
+        BM25_QUERY, "lang = 'en'", K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r"), "total_prefilter"
+    )
+
+
+def q_named_queries_topk(spark, sf_dir):
+    """ES named queries (_name on bool should clauses): per-hit
+    matched_queries = sorted names of the clauses that matched; score =
+    ES bool-should sum of clause BM25 scores."""
+    out = _cached_idx(spark, sf_dir).search_named(NAMED_CLAUSES, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r"), "matched_queries"
+    )
+
+
+def q_script_fields(spark, sf_dir):
+    """ES script_fields: per-hit computed fields (SQL expressions over
+    doc columns) attached at fetch time to the top-5 BM25 page."""
+    idx = _cached_idx(spark, sf_dir)
+    hits = idx.search(BM25_QUERY, 5, mode="bmw")
+    out = idx.script_fields(
+        hits,
+        {
+            "chars_per_1k": "n_chars / CAST(1000 AS DOUBLE)",
+            "long_en": "CAST(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END AS BIGINT)",
+        },
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 4).alias("score_r"),
+        F.round("chars_per_1k", 6).alias("chars_per_1k"),
+        "long_en",
+    ).orderBy("doc_id")
+
+
+def q_template_query_topk(spark, sf_dir):
+    """ES /_search/template: mustache {{param}} rendering into the
+    query_string DSL — '{{a}} AND {{b}}' with a=join, b=hash compiles to
+    a two-term must (conjunctive, both terms scored, global stats)."""
+    out = _cached_idx(spark, sf_dir).search_template(
+        "{{a}} AND {{b}}", {"a": "join", "b": "hash"}, K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_decay_linear_topk(spark, sf_dir):
+    """ES function_score linear decay: BM25 × max(0, (s−d)/s) of n_chars
+    from origin 300, scale 200, decay 0.5 (s = scale/(1−decay) = 400)."""
+    out = _cached_idx(spark, sf_dir).decay_score(
+        BM25_QUERY, "n_chars", origin=300.0, scale=200.0, k=K, decay=0.5, fn="linear"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_decay_exp_topk(spark, sf_dir):
+    """ES function_score exp decay: BM25 × exp(λ·d), λ = ln(0.5)/200,
+    d = |n_chars − 100|."""
+    out = _cached_idx(spark, sf_dir).decay_score(
+        BM25_QUERY, "n_chars", origin=100.0, scale=200.0, k=K, decay=0.5, fn="exp"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_function_score_max_topk(spark, sf_dir):
+    """ES function_score boost_mode=max: score = greatest(BM25,
+    log1p(n_chars·0.002)) — the fv and BM25 ranges overlap so the max
+    genuinely mixes both orderings."""
+    out = _cached_idx(spark, sf_dir).function_score(
+        BM25_QUERY, "n_chars", K, factor=0.002, modifier="log1p", boost_mode="max"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_agg_ip_range(spark, sf_dir):
+    """ES ip_range aggregation over the parsed access-log client IPs:
+    half-open dotted-quad buckets split at 10.0.64.0 and 10.0.192.0."""
+    from kafka_elasticsearch_standalone_consumer_spark.functions.accesslog import (
+        parse_access_log,
+        split_quarantine,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import ip_range_counts
+
+    lines = _raw_lines(spark, sf_dir)
+    good, _bad = split_quarantine(parse_access_log(lines, "raw", keep=("event_id",)))
+    return ip_range_counts(good, "ip", ["10.0.64.0", "10.0.192.0"])
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition curation signals per doc: top-2/3-gram
+    token coverage and duplicate-5-gram occurrence fraction."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tok_term_counts": q_tok_term_counts,
@@ -1932,6 +2064,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_dfs": q_msearch_dfs,
         "msearch_boost": q_msearch_boost,
         "decay_gauss_topk": q_decay_gauss_topk,
+        "decay_linear_topk": q_decay_linear_topk,
+        "decay_exp_topk": q_decay_exp_topk,
+        "function_score_max_topk": q_function_score_max_topk,
+        "min_score_topk": q_min_score_topk,
+        "post_filter_topk": q_post_filter_topk,
+        "named_queries_topk": q_named_queries_topk,
+        "script_fields": q_script_fields,
+        "template_query_topk": q_template_query_topk,
+        "agg_ip_range": q_agg_ip_range,
+        "repetition_features": q_repetition_features,
         "random_score_topk": q_random_score_topk,
         "script_score_topk": q_script_score_topk,
         "mget": q_mget,
@@ -3617,6 +3759,219 @@ LIMIT 10
 """
 
 
+def _bm25_min_score_sql(query: str, cut: float, k: int = K) -> str:
+    """min_score oracle: filter-then-topk ≡ the engine's topk-then-filter
+    because the score order is total."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored WHERE score >= {cut!r}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _bm25_post_filter_sql(query: str, k: int = K) -> str:
+    """post_filter oracle: lang='en' page + the UNFILTERED match count."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank,
+       round(s.score, 4) AS score_r,
+       (SELECT count(*) FROM scored)::BIGINT AS total_prefilter
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY s.score DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _named_queries_sql(clauses: dict[str, str], k: int = K) -> str:
+    """Named-queries oracle: per-(doc, clause) BM25 rollup, then per-doc
+    sum + ordered string_agg of matching clause names."""
+    import re
+    from collections import Counter
+
+    rows = []
+    for name in sorted(clauses):
+        for t, w in sorted(Counter(re.findall(r"[a-z0-9]+", clauses[name].lower())).items()):
+            rows.append(f"('{name}', '{t}', {float(w)})")
+    qvals = ", ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(qname, term, w) AS (VALUES {qvals}),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+cl AS (
+  SELECT tf.doc_id, q.qname,
+         sum(q.w * ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id, q.qname
+),
+agg AS (
+  SELECT doc_id, sum(score) AS score,
+         string_agg(qname, ',' ORDER BY qname) AS matched_queries
+  FROM cl GROUP BY doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r,
+       matched_queries
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _script_fields_sql(query: str, page: int = 5) -> str:
+    """script_fields oracle: the top-`page` scored docs with the same
+    computed SQL expressions, ordered by doc_id."""
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       round(s.score, 4) AS score_r,
+       round(d.n_chars / 1000.0, 6)::DOUBLE AS chars_per_1k,
+       (CASE WHEN d.lang = 'en' AND d.n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS long_en
+FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {page}) s
+JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+""",
+    )
+
+
+def _bm25_decay_linear_sql(
+    query: str, origin: float, scale: float, decay: float, k: int = K
+) -> str:
+    """Linear-decay oracle: BM25 × max(0, (s−d)/s), s = scale/(1−decay)
+    embedded as the SAME Python-computed double the engine uses."""
+    s = float(scale) / (1.0 - float(decay))
+    mult = f"greatest(0, ({s!r} - abs(d.n_chars - {origin!r})) / {s!r})"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * {mult} DESC, s.doc_id) AS rank,
+       round(s.score * {mult}, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {mult} DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _bm25_decay_exp_sql(
+    query: str, origin: float, scale: float, decay: float, k: int = K
+) -> str:
+    """Exp-decay oracle: BM25 × exp(λ·d), λ = ln(decay)/scale."""
+    import math
+
+    lam = math.log(float(decay)) / float(scale)
+    mult = f"exp({lam!r} * abs(d.n_chars - {origin!r}))"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * {mult} DESC, s.doc_id) AS rank,
+       round(s.score * {mult}, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {mult} DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+def _bm25_fsmax_sql(query: str, k: int = K) -> str:
+    """boost_mode=max oracle: greatest(BM25, log1p(n_chars·0.002))."""
+    fv = "ln(1 + d.n_chars * 0.002)"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY greatest(s.score, {fv}) DESC, s.doc_id) AS rank,
+       round(greatest(s.score, {fv}), 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY greatest(s.score, {fv}) DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
+# ip_range bounds 10.0.64.0 / 10.0.192.0 as numerics: 10<<24 = 167772160
+_AGG_IP_RANGE_SQL = f"""
+WITH logs AS ({_ACCESS_LOG_SQL}),
+ipn AS (
+  SELECT split_part(ip, '.', 1)::BIGINT * 16777216
+       + split_part(ip, '.', 2)::BIGINT * 65536
+       + split_part(ip, '.', 3)::BIGINT * 256
+       + split_part(ip, '.', 4)::BIGINT AS n
+  FROM logs WHERE ip IS NOT NULL
+)
+SELECT range_label, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN n < 167788544 THEN '*-10.0.64.0'
+              WHEN n < 167821312 THEN '10.0.64.0-10.0.192.0'
+              ELSE '10.0.192.0-*' END AS range_label,
+         CASE WHEN n < 167788544 THEN 0
+              WHEN n < 167821312 THEN 1 ELSE 2 END AS ord
+  FROM ipn)
+GROUP BY range_label, ord
+ORDER BY ord
+"""
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM toks),
+g2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+t2 AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+t3 AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] || ' ' || w[i + 4] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+d5 AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst FROM g5 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       round(least(1.0, coalesce(t2.mx * 2.0 / b.n_tokens, 0)), 6)::DOUBLE AS top2_frac,
+       round(least(1.0, coalesce(t3.mx * 3.0 / b.n_tokens, 0)), 6)::DOUBLE AS top3_frac,
+       round(coalesce((d5.tot - d5.dst) * 1.0 / d5.tot, 0), 6)::DOUBLE AS dup5_frac
+FROM base b
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tok_term_counts": (
@@ -3744,6 +4099,16 @@ WHERE (d.doc_id % 50) IN (SELECT DISTINCT doc_id % 50 FROM m)
 ORDER BY d.doc_id
 LIMIT {K}
 """,
+        "decay_linear_topk": _bm25_decay_linear_sql(BM25_QUERY, 300.0, 200.0, 0.5),
+        "decay_exp_topk": _bm25_decay_exp_sql(BM25_QUERY, 100.0, 200.0, 0.5),
+        "function_score_max_topk": _bm25_fsmax_sql(BM25_QUERY),
+        "min_score_topk": _bm25_min_score_sql(BM25_QUERY, MIN_SCORE_CUT),
+        "post_filter_topk": _bm25_post_filter_sql(BM25_QUERY),
+        "named_queries_topk": _named_queries_sql(NAMED_CLAUSES),
+        "script_fields": _script_fields_sql(BM25_QUERY),
+        "template_query_topk": _bm25_sql("join hash", conjunctive=True),
+        "agg_ip_range": _AGG_IP_RANGE_SQL,
+        "repetition_features": _REPETITION_SQL,
         "agg_composite": _AGG_COMPOSITE_SQL,
         "agg_pipeline": """
 WITH b AS (

@@ -98,6 +98,94 @@ def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _grams(toks: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) — every overlapping word n-gram of the token array
+    (docs shorter than n contribute nothing). The size>=n filter guards
+    sequence(): Spark's sequence(a, b) counts DOWN when b < a."""
+    return toks.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {n})))"
+            )
+        ).alias("g"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1 — the standard
+    web-corpus repetition filters):
+
+    * ``top2_frac`` / ``top3_frac`` — fraction of the doc's tokens
+      covered by its single most frequent word 2-gram / 3-gram
+      (count·n / n_tokens, capped at 1.0 — self-overlapping grams like
+      "c c" in a run of c's would otherwise exceed the token count);
+      boilerplate and chant-like spam score high;
+    * ``dup5_frac`` — duplicate 5-gram fraction: of all overlapping
+      5-gram occurrences, the fraction that are repeats of an earlier
+      one ((total − distinct) / total) — high for copy-paste loops.
+
+    Docs with fewer tokens than n get 0 for that feature. 100 TB shape:
+    one tokenize pass, then per-n groupBys keyed on (doc_id[, gram]) —
+    map-side partial aggregation, no skew (keys are per-doc), and the
+    final assembly is doc_id-keyed left joins Catalyst plans as one
+    shuffle stage per feature."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("w")
+    )
+    base = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    tops = []
+    for n in (2, 3):
+        mx = (
+            _grams(toks, n)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(f"_mx{n}"))
+        )
+        tops.append(mx)
+    d5 = (
+        _grams(toks, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_tot5"),
+            F.count_distinct("g").alias("_dst5"),
+        )
+    )
+    out = base.join(tops[0], "doc_id", "left").join(tops[1], "doc_id", "left").join(
+        d5, "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("_mx2") * 2.0 / F.col("n_tokens"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("top2_frac"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("_mx3") * 3.0 / F.col("n_tokens"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("top3_frac"),
+        F.round(
+            F.coalesce(
+                (F.col("_tot5") - F.col("_dst5")) / F.col("_tot5").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup5_frac"),
+    )
+
+
 FP_SCHEMA = "doc_id long, fingerprint long"
 _FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
 _FP_OFFSET = np.uint64(14695981039346656037)

@@ -84,6 +84,53 @@ def range_counts(df: DataFrame, field: str, bounds: list[float]) -> DataFrame:
     )
 
 
+def _ip4_to_int(s: str) -> int:
+    a, b, c, d = (int(p) for p in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _ip_to_long(c: Column) -> Column:
+    """Dotted-quad IPv4 string → numeric (JVM-side split + shifts)."""
+    p = F.split(c, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def ip_range_counts(df: DataFrame, field: str, bounds: list[str]) -> DataFrame:
+    """ES ``ip_range`` aggregation: half-open [lo, hi) buckets over an
+    IPv4 string field, bounds given as dotted quads, open ends at both
+    sides — same key format as the range agg ("*-b0", "b0-b1", "bn-*"),
+    bucket order = numeric lower bound. NULL / non-IP values are
+    excluded like docs missing the field. The dotted-quad → numeric
+    conversion is pure Column algebra, so the whole agg is one
+    map-side-combined groupBy."""
+    bs = sorted(bounds, key=_ip4_to_int)
+    n = _ip_to_long(F.col(field))
+    label = F.lit(f"{bs[-1]}-*")
+    lower = F.lit(float(_ip4_to_int(bs[-1])))
+    for lo, hi in reversed(list(zip([None] + bs, bs + [None]))):
+        if hi is None:
+            continue
+        lab = f"{'*' if lo is None else lo}-{hi}"
+        hi_n = F.lit(_ip4_to_int(hi))
+        cond = n < hi_n if lo is None else ((n >= F.lit(_ip4_to_int(lo))) & (n < hi_n))
+        label = F.when(cond, F.lit(lab)).otherwise(label)
+        lower = F.when(
+            cond, F.lit(float("-inf") if lo is None else float(_ip4_to_int(lo)))
+        ).otherwise(lower)
+    return (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(lower.alias("_lo"), label.alias("range_label"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("_lo")
+        .select("range_label", "n")
+    )
+
+
 def stats_summary(df: DataFrame, field: str) -> DataFrame:
     """ES stats agg: one row of count / min / max / sum / avg."""
     c = F.col(field).cast("double")

@@ -36,6 +36,22 @@ from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
 TOPK_SCHEMA = "doc_id long, score double"
 
 
+def _boost_combine(score: "F.Column", fv: "F.Column", boost_mode: str) -> "F.Column":
+    """ES function_score ``boost_mode``: combine the query score with the
+    function value — the full ES enum (multiply is ES's default)."""
+    modes = {
+        "multiply": lambda s, f: s * f,
+        "sum": lambda s, f: s + f,
+        "min": F.least,
+        "max": F.greatest,
+        "avg": lambda s, f: (s + f) / 2.0,
+        "replace": lambda s, f: f,
+    }
+    if boost_mode not in modes:
+        raise ValueError(f"unknown boost_mode: {boost_mode}")
+    return modes[boost_mode](score, fv)
+
+
 def _damerau_levenshtein(a: str, b: str, cap: int) -> int:
     """Restricted Damerau-Levenshtein (adjacent transposition counts as
     one edit — ES's fuzziness metric), early-exiting past ``cap``.
@@ -2943,7 +2959,8 @@ class Index:
         rescore every BM25 match by a per-document field value —
         ``fv = modifier(field · factor)`` (modifiers none | log1p | sqrt |
         square | reciprocal, ES's set), combined via ``boost_mode``
-        multiply (ES default) or sum. Nulls take ``missing``.
+        (multiply — ES's default — | sum | min | max | avg | replace, the
+        full ES enum). Nulls take ``missing``.
 
         Declarative end to end: the score-all path joins the (doc_id,
         field) projection of the doc store — one column-pruned join keyed
@@ -2965,12 +2982,7 @@ class Index:
         fv = mods[modifier](fv)
         docs = self._docs_df().select("doc_id", field)
         j = scored.join(docs, "doc_id")
-        if boost_mode == "multiply":
-            new_score = F.col("score") * fv
-        elif boost_mode == "sum":
-            new_score = F.col("score") + fv
-        else:
-            raise ValueError(f"unknown boost_mode: {boost_mode}")
+        new_score = _boost_combine(F.col("score"), fv, boost_mode)
         return (
             j.select("doc_id", new_score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3023,12 +3035,7 @@ class Index:
             raise ValueError(f"unknown decay function: {fn}")
         docs = self._docs_df().select("doc_id", field)
         j = scored.join(docs, "doc_id")
-        if boost_mode == "multiply":
-            new_score = F.col("score") * mult
-        elif boost_mode == "sum":
-            new_score = F.col("score") + mult
-        else:
-            raise ValueError(f"unknown boost_mode: {boost_mode}")
+        new_score = _boost_combine(F.col("score"), mult, boost_mode)
         return (
             j.select("doc_id", new_score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3119,6 +3126,125 @@ class Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_post_filter(
+        self,
+        query_text: str,
+        post_filter: str,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``post_filter``: score the FULL match set (corpus stats and
+        any aggregation scope stay pre-filter — that is the entire point
+        of post_filter vs a bool filter clause), then drop hits failing
+        the predicate before the page is returned. Output carries
+        ``total_prefilter`` — the unfiltered match count ES reports as
+        ``hits.total`` alongside the filtered page.
+
+        Plan shape: one declarative score-all, a column-pruned semi-join
+        against the predicate's doc set for the page, and a count
+        aggregate for the total — both sides reduce before anything wide
+        moves, so this is two cheap passes at 100 TB, never a fetch of
+        the unfiltered page."""
+        scored = self.search_oracle(query_text, None, where=where)
+        total = scored.agg(F.count("*").cast("long").alias("total_prefilter"))
+        allowed = self._docs_df().filter(post_filter).select("doc_id")
+        hits = (
+            scored.join(allowed, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return hits.crossJoin(total)
+
+    def search_named(
+        self,
+        clauses: dict[str, str],
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES named queries: a bool ``should`` where every clause carries
+        ``_name``; each hit reports ``matched_queries`` — the sorted
+        comma-joined names of the clauses that matched it (ES returns the
+        same set as an array per hit). Scores are the ES bool-should sum
+        of the per-clause BM25 scores.
+
+        One pass: clause term plans are resolved driver-side (shared idf
+        via _plan_terms), flattened to a broadcast (qname, term, idfw)
+        map, and the tokens scan — pruned to the UNION of clause terms —
+        is joined once; per-(doc, clause) rollup then per-doc rollup.
+        Never one scan per clause."""
+        rows = []
+        for name in sorted(clauses):
+            idfw_c, _ = self._plan_terms(clauses[name])
+            rows += [(name, t, float(w)) for t, w in sorted(idfw_c.items())]
+        schema = "doc_id long, score double, matched_queries string"
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        tokens, doc_stats = self._oracle_tokens()
+        qmap = self.spark.createDataFrame(rows, "qname string, term string, idfw double")
+        all_terms = sorted({t for _, t, _ in rows})
+        k1, b = float(self.meta["k1"]), float(self.meta["b"])
+        avgdl = float(self.meta["avgdl"]) or 1e-9
+        matched = (
+            tokens.select("doc_id", "term", "tf")
+            .filter(F.col("term").isin(all_terms))
+            .join(F.broadcast(qmap), "term")
+            .join(doc_stats, "doc_id")
+            .withColumn(
+                "contrib",
+                F.col("idfw")
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+            )
+        )
+        per_clause = matched.groupBy("doc_id", "qname").agg(
+            F.sum("contrib").alias("cscore")
+        )
+        if where is not None:
+            per_clause = per_clause.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        deletes = self._deletes_df()
+        if deletes is not None:
+            per_clause = per_clause.join(deletes, "doc_id", "left_anti")
+        return (
+            per_clause.groupBy("doc_id")
+            .agg(
+                F.sum("cscore").alias("score"),
+                F.array_join(F.sort_array(F.collect_set("qname")), ",").alias(
+                    "matched_queries"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def script_fields(self, hits: DataFrame, exprs: dict[str, str]) -> DataFrame:
+        """ES ``script_fields``: per-hit computed fields attached at fetch
+        time — Painless swapped for SQL expressions over the document's
+        columns (same scripting surface as :meth:`script_score`). The
+        expressions compile into the plan (whole-stage codegen) and run
+        only on the fetched page: hits broadcast, doc scan column-pruned
+        to the referenced fields."""
+        j = self._docs_df().join(F.broadcast(hits), "doc_id")
+        cols = [F.col(c) for c in hits.columns] + [
+            F.expr(e).alias(n) for n, e in sorted(exprs.items())
+        ]
+        return j.select(*cols)
+
+    def search_template(
+        self, template: str, params: dict[str, object], k: int = 10
+    ) -> DataFrame:
+        """ES 1.x ``/_search/template``: render the mustache-style
+        ``{{param}}`` placeholders with ``params`` and run the result
+        through the query_string DSL (ES renders into the query body; the
+        DSL string is this engine's query-body surface). Rendering is
+        driver-side string work — the query itself keeps the DSL's plan."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            render_template,
+        )
+
+        return self.query_string(render_template(template, params), k)
 
     def search_has_child(
         self,
@@ -3398,6 +3524,34 @@ class Index:
         )
         return scored.orderBy(F.desc("score_r"), F.asc("term")).limit(size)
 
+    def _oracle_tokens(self) -> tuple[DataFrame, DataFrame]:
+        """(tokens(doc_id, term, tf), doc_stats(doc_id, dl)) for the
+        declarative scoring paths — cached DataFrames on an ephemeral
+        index, the unioned segment tables on a warehouse one (tokens may
+        be unmaterialized: recompute the zero-shuffle fused pass)."""
+        if self.wh is None:
+            return self._tokens, self._doc_stats.select("doc_id", "dl")
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+
+        def _toks(w):
+            if w.exists("tokens"):
+                return w.read(self.spark, "tokens")
+            return doc_term_freqs(
+                w.read(self.spark, "docs"),
+                analyzer=self.meta.get("analyzer", "standard"),
+            )
+
+        tokens = _toks(self._seg_whs[0])
+        doc_stats = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
+        for w in self._seg_whs[1:]:
+            tokens = tokens.select("doc_id", "term", "tf").unionByName(
+                _toks(w).select("doc_id", "term", "tf")
+            )
+            doc_stats = doc_stats.unionByName(
+                w.read(self.spark, "doc_stats").select("doc_id", "dl")
+            )
+        return tokens, doc_stats
+
     def search_oracle(
         self,
         query_text: str,
@@ -3410,30 +3564,7 @@ class Index:
         (left-semi joins) with global stats — same as search().
         ``k=None`` returns the FULL unranked score set (used by clause
         composition, e.g. query_string's term+phrase sum)."""
-        if self.wh is None:
-            tokens, doc_stats = self._tokens, self._doc_stats.select("doc_id", "dl")
-        else:
-            from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
-
-            def _toks(w):
-                # tokens may be unmaterialized (materialize_tokens=False):
-                # recompute the zero-shuffle fused pass from the doc store
-                if w.exists("tokens"):
-                    return w.read(self.spark, "tokens")
-                return doc_term_freqs(
-                    w.read(self.spark, "docs"),
-                    analyzer=self.meta.get("analyzer", "standard"),
-                )
-
-            tokens = _toks(self._seg_whs[0])
-            doc_stats = self._seg_whs[0].read(self.spark, "doc_stats").select("doc_id", "dl")
-            for w in self._seg_whs[1:]:
-                tokens = tokens.select("doc_id", "term", "tf").unionByName(
-                    _toks(w).select("doc_id", "term", "tf")
-                )
-                doc_stats = doc_stats.unionByName(
-                    w.read(self.spark, "doc_stats").select("doc_id", "dl")
-                )
+        tokens, doc_stats = self._oracle_tokens()
         idfw, _buckets = self._plan_terms(query_text)
         scores = bm25.bm25_scores_oracle(
             tokens,

@@ -57,6 +57,25 @@ _TOKEN_RE = re.compile(
 )
 
 
+_TEMPLATE_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+def render_template(template: str, params: dict[str, object]) -> str:
+    """ES 1.x ``/_search/template`` rendering: substitute mustache-style
+    ``{{param}}`` placeholders with the given params (stringified — ES's
+    templates interpolate into the query source the same way). Unknown
+    placeholders raise instead of rendering a literal ``{{x}}`` into the
+    query, and unused params are fine (ES ignores them too)."""
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search template references unbound param: {name}")
+        return str(params[name])
+
+    return _TEMPLATE_RE.sub(sub, template)
+
+
 @dataclass
 class ParsedQuery:
     should: list[str] = field(default_factory=list)

@@ -1,0 +1,236 @@
+"""Round-3b surfaces: post_filter / named queries / min_score /
+script_fields / search templates / boost_mode enum / ip_range agg /
+Gopher repetition features.
+
+Each checked against a pure-Python recomputation (the test_aggs.py
+pattern) or a hand-computed micro-corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.query.querystring import render_template
+
+Q = "w00000 w00003"
+
+
+def _oracle_scores(idx, q, where=None):
+    return {
+        r["doc_id"]: r["score"] for r in idx.search_oracle(q, None, where=where).collect()
+    }
+
+
+# ------------------------------------------------------------- min_score --
+
+
+def test_min_score_drops_below_threshold(spark, built_index):
+    idx, _ = built_index
+    full = idx.search(Q, 10, mode="bmw").collect()
+    assert len(full) == 10
+    cut = full[4]["score"]  # keep ranks 1-5 (ties at the cut stay in)
+    got = idx.search(Q, 10, mode="bmw", min_score=cut).collect()
+    want = [(r["doc_id"], r["score"]) for r in full if r["score"] >= cut]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert all(r["score"] >= cut for r in got) and 0 < len(got) < 10
+
+
+# ----------------------------------------------------------- post_filter --
+
+
+def test_post_filter_page_and_prefilter_total(spark, built_index):
+    idx, _ = built_index
+    scores = _oracle_scores(idx, Q)
+    roles = {r["doc_id"]: r["role"] for r in idx._docs_df().collect()}
+    out = idx.search_post_filter(Q, "role = 'user'", 5).collect()
+    want = sorted(
+        ((d, s) for d, s in scores.items() if roles[d] == "user"),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (d, pytest.approx(s)) for d, s in want
+    ]
+    # the total is the UNFILTERED match count — post_filter's defining trait
+    assert all(r["total_prefilter"] == len(scores) for r in out)
+    assert len(scores) > len([1 for d in scores if roles[d] == "user"])
+
+
+# --------------------------------------------------------- named queries --
+
+
+def test_search_named_matches_clause_composition(spark, built_index):
+    idx, _ = built_index
+    clauses = {"first": "w00000", "third": "w00003 w00007"}
+    per = {name: _oracle_scores(idx, q) for name, q in clauses.items()}
+    want: dict[int, tuple[float, str]] = {}
+    for name in sorted(per):
+        for d, s in per[name].items():
+            old_s, old_m = want.get(d, (0.0, ""))
+            want[d] = (old_s + s, f"{old_m},{name}".lstrip(","))
+    top = sorted(want.items(), key=lambda t: (-t[1][0], t[0]))[:10]
+    got = idx.search_named(clauses, 10).collect()
+    assert [(r["doc_id"], r["matched_queries"]) for r in got] == [
+        (d, m) for d, (_, m) in top
+    ]
+    for r, (_, (s, _)) in zip(got, top):
+        assert r["score"] == pytest.approx(s)
+    # at least one hit must have matched both clauses for this to mean much
+    assert any("," in r["matched_queries"] for r in got)
+
+
+def test_search_named_respects_where(spark, built_index):
+    idx, _ = built_index
+    got = idx.search_named({"a": Q}, 10, where="role = 'user'").collect()
+    roles = {r["doc_id"]: r["role"] for r in idx._docs_df().collect()}
+    assert got and all(roles[r["doc_id"]] == "user" for r in got)
+
+
+# --------------------------------------------------------- script_fields --
+
+
+def test_script_fields_computes_expressions(spark, built_index):
+    idx, _ = built_index
+    hits = idx.search(Q, 5, mode="bmw")
+    out = idx.script_fields(hits, {"ti2": "turn_idx * 2", "r_up": "upper(role)"})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {r["doc_id"]: r for r in idx._docs_df().collect()}
+    assert set(rows) == {r["doc_id"] for r in hits.collect()}
+    for d, r in rows.items():
+        assert r["ti2"] == docs[d]["turn_idx"] * 2
+        assert r["r_up"] == docs[d]["role"].upper()
+        assert r["score"] is not None  # hit columns ride along
+
+
+# ------------------------------------------------------- search template --
+
+
+def test_render_template():
+    assert render_template("{{a}} AND {{ b }}", {"a": "x", "b": "y"}) == "x AND y"
+    assert render_template("no params", {"unused": 1}) == "no params"
+    assert render_template("n:[{{lo}} TO {{hi}}]", {"lo": 1, "hi": 9}) == "n:[1 TO 9]"
+    with pytest.raises(KeyError):
+        render_template("{{missing}}", {})
+
+
+def test_search_template_equals_rendered_query_string(spark, built_index):
+    idx, _ = built_index
+    got = idx.search_template(
+        "{{t1}} role:{{r}}", {"t1": "w00003", "r": "user"}, 10
+    ).collect()
+    want = idx.query_string("w00003 role:user", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert got
+
+
+# ------------------------------------------------------------ boost_mode --
+
+
+def test_function_score_boost_modes(spark, built_index):
+    idx, _ = built_index
+    scores = _oracle_scores(idx, Q)
+    tidx = {r["doc_id"]: r["turn_idx"] for r in idx._docs_df().collect()}
+
+    def fv(d):
+        return float(tidx[d]) * 0.1  # modifier=none, factor=0.1, missing never hit
+
+    combine = {
+        "multiply": lambda s, f: s * f,
+        "sum": lambda s, f: s + f,
+        "min": min,
+        "max": max,
+        "avg": lambda s, f: (s + f) / 2.0,
+        "replace": lambda s, f: f,
+    }
+    for mode, fn in combine.items():
+        got = idx.function_score(Q, "turn_idx", 10, factor=0.1, boost_mode=mode).collect()
+        want = sorted(
+            ((d, fn(s, fv(d))) for d, s in scores.items()), key=lambda t: (-t[1], t[0])
+        )[:10]
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], mode
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s), mode
+    with pytest.raises(ValueError):
+        idx.function_score(Q, "turn_idx", 10, boost_mode="bogus")
+
+
+# ---------------------------------------------------------- ip_range agg --
+
+
+def test_ip_range_counts_buckets_order_and_nulls(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import ip_range_counts
+
+    df = spark.createDataFrame(
+        [
+            ("10.0.0.1",),
+            ("10.0.63.255",),
+            ("10.0.64.0",),  # boundary: belongs to the middle bucket
+            ("10.0.100.7",),
+            ("10.0.192.0",),  # boundary: belongs to the top bucket
+            ("10.0.255.9",),
+            (None,),
+        ],
+        "ip string",
+    )
+    got = [(r["range_label"], r["n"]) for r in
+           ip_range_counts(df, "ip", ["10.0.64.0", "10.0.192.0"]).collect()]
+    assert got == [
+        ("*-10.0.64.0", 2),
+        ("10.0.64.0-10.0.192.0", 2),
+        ("10.0.192.0-*", 2),
+    ]
+
+
+# ----------------------------------------------------------- repetition --
+
+
+def test_repetition_features_hand_computed(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),           # top2 'a b'x3 -> 1.0; dup5: 2 distinct of 2
+            (2, "x y z w v"),             # all grams unique
+            (3, "c c c c c c c c c c"),   # self-overlap: capped at 1.0
+            (4, "p q r s t p q r s t p q r s t"),  # 11 5-grams, 5 distinct
+            (5, ""),                      # empty doc -> all zeros
+            (6, "one"),                   # shorter than every n
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["top2_frac"] == 1.0          # 3*2/6
+    assert got[1]["top3_frac"] == 1.0          # 'a b a'x2 -> 2*3/6
+    assert got[1]["dup5_frac"] == 0.0          # 'a b a b a','b a b a b' distinct
+    assert got[2]["top2_frac"] == pytest.approx(0.4)   # 1*2/5
+    assert got[2]["top3_frac"] == pytest.approx(0.6)   # 1*3/5
+    assert got[2]["dup5_frac"] == 0.0
+    assert got[3]["top2_frac"] == 1.0          # capped (9*2/10 would exceed 1)
+    assert got[3]["dup5_frac"] == pytest.approx(5 / 6)  # 6 occurrences, 1 distinct
+    assert got[4]["dup5_frac"] == pytest.approx(6 / 11)
+    assert got[5]["n_tokens"] == 0
+    assert (got[5]["top2_frac"], got[5]["top3_frac"], got[5]["dup5_frac"]) == (0, 0, 0)
+    assert (got[6]["top2_frac"], got[6]["top3_frac"], got[6]["dup5_frac"]) == (0, 0, 0)
+
+
+def test_repetition_features_flags_loops_over_prose(spark, transcripts):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
+    docs = transcripts.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    ).limit(50)
+    loop = spark.createDataFrame(
+        [(10_000, "the same line " * 40)], "doc_id long, text string"
+    )
+    feats = repetition_features(docs.unionByName(loop)).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    corpus_max = max(r["dup5_frac"] for r in feats if r["doc_id"] != 10_000)
+    assert by_id[10_000]["dup5_frac"] > 0.9 > corpus_max
