@@ -1042,6 +1042,20 @@ def q_msearch_boost(spark, sf_dir):
     )
 
 
+def q_indices_query_topk(spark, sf_dir):
+    """ES 1.x indices query: the even half-index is searched with
+    BM25_QUERY, every other index with no_match_query='hash table' —
+    per-index stats (query_then_fetch), merged by (score, idx, doc_id)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+
+    mi = MultiIndex(list(_split_indexes(spark, sf_dir)))
+    out = mi.indices_query([0], BM25_QUERY, no_match_query=PHRASE_QUERY, k=K)
+    w = Window.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "idx", "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, "dup"),                 # rare-term alert
     (2, "join hash filter"),    # or, msm=2 → ≥2 distinct terms
@@ -2061,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_export": q_scan_export,
         "count_matches": q_count_matches,
         "msearch_qtf": q_msearch_qtf,
+        "indices_query_topk": q_indices_query_topk,
         "msearch_dfs": q_msearch_dfs,
         "msearch_boost": q_msearch_boost,
         "decay_gauss_topk": q_decay_gauss_topk,
@@ -3531,6 +3546,52 @@ LIMIT {k}
 """
 
 
+def _indices_query_sql(query_by_half: dict[int, str], k: int = K) -> str:
+    """indices-query oracle: each doc_id-parity half is its own corpus
+    scored with its OWN query's terms (per-index stats, query_then_fetch),
+    merged with the (score desc, idx asc, doc_id asc) order."""
+    import re
+    from collections import Counter
+
+    halves = []
+    for i in (0, 1):
+        terms = Counter(re.findall(r"[a-z0-9]+", query_by_half[i].lower()))
+        qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+        halves.append(f"""h{i} AS (SELECT * FROM documents WHERE doc_id % 2 = {i}),
+q{i}(term, w) AS (VALUES {qvals}),
+tf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM h{i}) GROUP BY doc_id, term
+),
+dl{i} AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM h{i}),
+corpus{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl{i}),
+df{i} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{i}
+  WHERE term IN (SELECT term FROM q{i}) GROUP BY term
+),
+scored{i} AS (
+  SELECT {i}::BIGINT AS idx, tf{i}.doc_id,
+         sum(q{i}.w * ln(1 + (corpus{i}.n - df{i}.df + 0.5) / (df{i}.df + 0.5))
+             * tf{i}.tf / (tf{i}.tf + 1.2 * (1 - 0.75 + 0.75 * dl{i}.dl / corpus{i}.avgdl))) AS score
+  FROM tf{i}
+  JOIN q{i} ON tf{i}.term = q{i}.term
+  JOIN df{i} ON tf{i}.term = df{i}.term
+  JOIN dl{i} ON tf{i}.doc_id = dl{i}.doc_id
+  CROSS JOIN corpus{i}
+  GROUP BY tf{i}.doc_id
+)""")
+    return f"""
+WITH {halves[0]},
+{halves[1]}
+SELECT idx, doc_id,
+       row_number() OVER (ORDER BY score DESC, idx, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM (SELECT * FROM scored0 UNION ALL SELECT * FROM scored1)
+ORDER BY score DESC, idx, doc_id
+LIMIT {k}
+"""
+
+
 def _msearch_dfs_sql(query: str, k: int = K) -> str:
     """dfs_query_then_fetch oracle: merged stats equal scoring the union
     corpus — the single-index scored CTE, tagged by doc_id parity, with
@@ -4156,6 +4217,7 @@ FROM b ORDER BY bucket
         ),
         "count_matches": _COUNT_MATCHES_SQL,
         "msearch_qtf": _msearch_qtf_sql(BM25_QUERY),
+        "indices_query_topk": _indices_query_sql({0: BM25_QUERY, 1: PHRASE_QUERY}),
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "msearch_boost": _msearch_qtf_sql(BM25_QUERY, boosts=(1.0, 2.0)),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),

@@ -202,20 +202,38 @@ class Index:
         idx._docs = docs
         return idx
 
-    def fetch(self, hits: DataFrame) -> DataFrame:
+    SOURCE_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    def fetch(
+        self,
+        hits: DataFrame,
+        includes: list[str] | None = None,
+        excludes: list[str] | None = None,
+    ) -> DataFrame:
         """Join hits(doc_id, ...) back to the document store — the ES
         ``_source`` fetch phase (the reference posted whole documents,
         ``MessageHandler.java:135-139``; users get them back at query
         time). Broadcast the (tiny) hits side so the docs scan stays
-        pruned and shuffle-free."""
+        pruned and shuffle-free.
+
+        ``includes``/``excludes`` are ES ``_source`` filtering patterns
+        (fnmatch wildcards, e.g. ``includes=["t*"]``): includes selects,
+        excludes then removes — resolved driver-side so the doc scan is
+        column-pruned to exactly the surviving fields. Hit columns
+        (doc_id, score, …) always ride along."""
+        from fnmatch import fnmatch
+
         if self.wh is None:
             raise ValueError("ephemeral index has no document store")
+        src = list(self.SOURCE_COLS)
+        if includes is not None:
+            src = [c for c in src if any(fnmatch(c, p) for p in includes)]
+        if excludes is not None:
+            src = [c for c in src if not any(fnmatch(c, p) for p in excludes)]
         docs = self._seg_whs[0].read(self.spark, "docs")
         for w in self._seg_whs[1:]:
             docs = docs.unionByName(w.read(self.spark, "docs"))
-        return docs.join(F.broadcast(hits), "doc_id").select(
-            *hits.columns, "conv_id", "turn_idx", "role", "text", "tool", "ts"
-        )
+        return docs.join(F.broadcast(hits), "doc_id").select(*hits.columns, *src)
 
     def highlight(
         self, hits: DataFrame, query_text: str, n_chars: int = 80

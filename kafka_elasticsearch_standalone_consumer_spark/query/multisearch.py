@@ -147,3 +147,55 @@ class MultiIndex:
         return allp.orderBy(
             F.desc("score"), F.asc("idx"), F.asc("doc_id")
         ).limit(k)
+
+    def indices_query(
+        self,
+        indices: list[int],
+        query: str,
+        no_match_query: str | None = "all",
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES 1.x ``indices`` query: run ``query`` against the indexes
+        listed in ``indices`` (positions into this alias) and
+        ``no_match_query`` against the rest — ``"all"`` (ES's default)
+        scores every other-index doc a constant 1.0 (match_all),
+        ``"none"``/``None`` excludes the other indexes entirely, and any
+        other string is a query for them. Stats are per-index
+        (query_then_fetch — the mode ES executes this compound in), merge
+        order (score desc, idx asc, doc_id asc) like :meth:`search`.
+
+        Plan: each selected index contributes its one declarative
+        score-all (term-pruned scan, broadcast weights); match_all halves
+        contribute a doc_id projection with a literal score — no scoring
+        work at all. The merge stays a k·N-row TakeOrderedAndProject."""
+        spark = self.indexes[0].spark
+        chosen = set(indices)
+        parts = []
+        for i, index in enumerate(self.indexes):
+            if i in chosen:
+                scored = index.search_oracle(query, None, where=where)
+            elif no_match_query in (None, "none"):
+                continue
+            elif no_match_query == "all":
+                scored = index._docs_df().select("doc_id", F.lit(1.0).alias("score"))
+                if where is not None:
+                    scored = scored.join(
+                        index._docs_df().filter(where).select("doc_id"),
+                        "doc_id",
+                        "left_semi",
+                    )
+                deletes = index._deletes_df()
+                if deletes is not None:
+                    scored = scored.join(deletes, "doc_id", "left_anti")
+            else:
+                scored = index.search_oracle(no_match_query, None, where=where)
+            parts.append(
+                scored.select(F.lit(i).cast("long").alias("idx"), "doc_id", "score")
+            )
+        if not parts:
+            return spark.createDataFrame([], MULTI_SCHEMA)
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        return allp.orderBy(F.desc("score"), F.asc("idx"), F.asc("doc_id")).limit(k)

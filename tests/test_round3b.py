@@ -184,6 +184,66 @@ def test_ip_range_counts_buckets_order_and_nulls(spark):
     ]
 
 
+# --------------------------------------------------------- indices query --
+
+
+@pytest.fixture(scope="module")
+def parity_indexes(spark, transcripts):
+    from kafka_elasticsearch_standalone_consumer_spark.ids import assign_dense_ids
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = assign_dense_ids(transcripts).select("doc_id", "text", "role")
+    even = Index.ephemeral(docs.filter("doc_id % 2 = 0"), docs_per_shard=256, n_buckets=8)
+    odd = Index.ephemeral(docs.filter("doc_id % 2 = 1"), docs_per_shard=256, n_buckets=8)
+    return even, odd
+
+
+def test_indices_query_modes(spark, parity_indexes):
+    from kafka_elasticsearch_standalone_consumer_spark.query.multisearch import MultiIndex
+
+    even, odd = parity_indexes
+    mi = MultiIndex([even, odd])
+    q, nmq = "w00000 w00003", "w00007"
+
+    def merged(parts):
+        rows = [(i, d, s) for i, part in parts for d, s in part.items()]
+        return sorted(rows, key=lambda t: (-t[2], t[0], t[1]))[:10]
+
+    # text no_match_query: other index scored with ITS stats on nmq
+    got = mi.indices_query([0], q, no_match_query=nmq, k=10).collect()
+    want = merged([(0, _oracle_scores(even, q)), (1, _oracle_scores(odd, nmq))])
+    assert [(r["idx"], r["doc_id"]) for r in got] == [(i, d) for i, d, _ in want]
+    for r, (_, _, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s)
+
+    # "none": the other index contributes nothing
+    got_none = mi.indices_query([0], q, no_match_query="none", k=10).collect()
+    assert got_none and all(r["idx"] == 0 for r in got_none)
+
+    # "all" (ES default): other index's docs all match at constant 1.0
+    got_all = mi.indices_query([0], q, no_match_query="all", k=10_000).collect()
+    odd_rows = [r for r in got_all if r["idx"] == 1]
+    assert len(odd_rows) == odd.meta["n_docs"]
+    assert all(r["score"] == 1.0 for r in odd_rows)
+
+
+# ------------------------------------------------------- _source filter --
+
+
+def test_fetch_source_includes_excludes(spark, built_index):
+    idx, _ = built_index
+    hits = idx.search(Q, 3, mode="bmw")
+    assert set(idx.fetch(hits, includes=["t*"]).columns) == {
+        "doc_id", "score", "turn_idx", "text", "tool", "ts"
+    }
+    assert set(idx.fetch(hits, excludes=["text", "t*"]).columns) == {
+        "doc_id", "score", "conv_id", "role"
+    }
+    got = idx.fetch(hits, includes=["role", "conv_*"], excludes=["conv_id"])
+    assert set(got.columns) == {"doc_id", "score", "role"}
+    assert got.count() == 3
+
+
 # ----------------------------------------------------------- repetition --
 
 
