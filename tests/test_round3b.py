@@ -244,6 +244,36 @@ def test_fetch_source_includes_excludes(spark, built_index):
     assert got.count() == 3
 
 
+# ------------------------------------------------------ plan assertions --
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_named_queries_single_scan_and_broadcast(spark, built_index):
+    """N named clauses must cost ONE tokens pass (the clause map rides a
+    broadcast join), not one scan per clause."""
+    idx, _ = built_index
+    plan = _plan(idx.search_named({"a": "w00000 w00412", "b": "w00007"}, 10))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the fused tokenizer pass appears once, not once per clause
+    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") <= 1
+    assert "Window" not in plan
+
+
+def test_repetition_features_plan_no_udf_no_window(spark, built_index):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
+    idx, _ = built_index
+    plan = _plan(repetition_features(idx._docs_df()))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_count" in plan  # map-side combine
+
+
 # ----------------------------------------------------------- repetition --
 
 

@@ -241,6 +241,36 @@ def main() -> None:
         )
     )
 
+    named = idx.search_named({"a": "w00000 w00412", "b": "w00007"}, 10)
+    sections.append(
+        (
+            "Named queries (matched_queries, ONE scan for N clauses)",
+            "All clauses' terms prune one tokens scan; the (qname, term, "
+            "idfw) clause map is a broadcast join — look for a single scan "
+            "and BroadcastHashJoin below, then two map-side-combinable "
+            "aggregations (per-(doc,clause), per-doc). N named clauses never "
+            "cost N scans.",
+            plan_of(named),
+        )
+    )
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
+    rep = repetition_features(docs_tbl)
+    sections.append(
+        (
+            "Repetition features (Gopher filters)",
+            "One tokenize pass feeds the per-n gram streams; every groupBy "
+            "is keyed on (doc_id[, gram]) — per-doc keys, partial_max/"
+            "partial_count map-side combines, no skewable global key — and "
+            "the assembly is doc_id-keyed shuffles Catalyst lays out as "
+            "ordinary SortMergeJoins. No Window, no UDF.",
+            plan_of(rep),
+        )
+    )
+
     sections.append(
         (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
