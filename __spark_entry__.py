@@ -1042,6 +1042,19 @@ def q_msearch_boost(spark, sf_dir):
     )
 
 
+def q_top_children_topk(spark, sf_dir):
+    """ES 1.x top_children (score='avg'): parents ranked by the AVERAGE
+    of their matching children's BM25 scores — the pre-has_child
+    parent/child query (deprecated into has_child in ES 2.0; identical
+    execution here, closing the avg score-mode oracle)."""
+    out = _conv_idx(spark, sf_dir).search_has_child(
+        BM25_QUERY, K, score_mode="avg", group_col="conv_key"
+    )
+    return out.select(
+        "conv_key", F.round("score", 4).alias("score_r"), "n_hits"
+    )
+
+
 def q_indices_query_topk(spark, sf_dir):
     """ES 1.x indices query: the even half-index is searched with
     BM25_QUERY, every other index with no_match_query='hash table' —
@@ -2061,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": q_has_child_topk,
         "has_child_sum_topk": q_has_child_sum_topk,
         "has_parent_topk": q_has_parent_topk,
+        "top_children_topk": q_top_children_topk,
         "agg_composite": q_agg_composite,
         "agg_pipeline": q_agg_pipeline,
         "percolate": q_percolate,
@@ -4145,6 +4159,17 @@ FROM scored s
 GROUP BY 1
 HAVING count(*) >= 2
 ORDER BY sum(s.score) DESC, conv_key
+LIMIT {K}
+""",
+        ),
+        "top_children_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,
+       round(avg(s.score), 4) AS score_r,
+       count(*)::BIGINT AS n_hits
+FROM scored s
+GROUP BY 1
+ORDER BY avg(s.score) DESC, conv_key
 LIMIT {K}
 """,
         ),

@@ -199,6 +199,12 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         t["dedup_simhash"] = best_of(lambda: simhash_pairs(docs, max_hamming=3).count())
         t["quality"] = best_of(lambda: quality_features(docs).count())
 
+        from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+            repetition_features,
+        )
+
+        t["repetition"] = best_of(lambda: repetition_features(docs).count())
+
         from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
 
         # reverse search: 32 registered alert queries against every doc

@@ -7,7 +7,7 @@ story in one file.
 Stages (each a library call — nothing here is demo-only logic):
   1. generate the deterministic synthetic transcripts corpus
   2. assign dense doc_ids (stable (conv_id, turn_idx) identity)
-  3. text-quality scoring → drop low-quality turns
+  3. text-quality scoring + Gopher repetition gate → drop low-quality turns
   4. exact dedup → keep one copy per distinct text
   4b. near-dup clusters → keep the min-id doc per component;
       PII redaction; benchmark decontamination; token-budget shard packing
@@ -41,10 +41,17 @@ def main(n_convs: int = 400) -> None:
     turns = assign_dense_ids(generate_transcripts(spark, n_convs=n_convs, seed=42))
     n0 = turns.count()
 
-    # 3: quality gate (empty/garbage turns score < 0.5)
+    # 3: quality gate (empty/garbage turns score < 0.5) + Gopher
+    # repetition gate (chant/boilerplate loops: dup-5-gram fraction > 0.5)
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        repetition_features,
+    )
+
     scored = quality_features(turns.select("doc_id", "text")).select("doc_id", "quality")
     keep_q = scored.filter(F.col("quality") >= 0.5).select("doc_id")
-    turns_q = turns.join(keep_q, "doc_id", "left_semi")
+    loops = repetition_features(turns.select("doc_id", "text"))
+    keep_r = loops.filter(F.col("dup5_frac") <= 0.5).select("doc_id")
+    turns_q = turns.join(keep_q, "doc_id", "left_semi").join(keep_r, "doc_id", "left_semi")
 
     # 4: exact dedup (keep the lowest doc_id of each distinct text)
     keep_d = exact_dedup(turns_q).select(F.col("keep_id").alias("doc_id"))

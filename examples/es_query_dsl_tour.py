@@ -101,12 +101,28 @@ def main(n_convs: int = 300) -> None:
     show("search_after page 2 (pruned WAND)", idx.search_after(q, cur, 5, mode="bmw"))
     print("\n-- scan export rows:", idx.scan_all(q).count())
 
+    # --- round-3b additions: pages, names, templates ---------------------
+    show("min_score cutoff", idx.search(q, 5, min_score=0.2))
+    show("post_filter (total stays pre-filter)",
+         idx.search_post_filter(q, "role = 'user'", 3))
+    show("named queries (matched_queries)",
+         idx.search_named({"first": "w00000", "third": "w00003"}, 5))
+    show("script_fields on the fetched page",
+         idx.script_fields(idx.search(q, 3), {"ti2": "turn_idx * 2"}))
+    show("search template (mustache)",
+         idx.search_template("{{w}} role:{{r}}", {"w": "w00003", "r": "user"}, 3))
+    show("_source filtering on fetch",
+         idx.fetch(idx.search(q, 2), includes=["role", "turn_idx"]))
+    show("top_children / has_child avg", idx.search_has_child(q, 3, score_mode="avg"))
+
     # --- multi-index & serving ------------------------------------------
     docs = idx._docs_df().select("doc_id", "text")
     even = Index.ephemeral(docs.filter("doc_id % 2 = 0"), docs_per_shard=1024, n_buckets=8)
     odd = Index.ephemeral(docs.filter("doc_id % 2 = 1"), docs_per_shard=1024, n_buckets=8)
     show("multi-index dfs_query_then_fetch",
          MultiIndex([even, odd]).search(q, 5, mode="dfs_query_then_fetch"))
+    show("indices query (per-member routing)",
+         MultiIndex([even, odd]).indices_query([0], q, no_match_query="none", k=5))
     print("\n-- search_local (zero Spark jobs):", idx.search_local(q, 3))
     print("\nDSL tour complete.")
     spark.stop()
