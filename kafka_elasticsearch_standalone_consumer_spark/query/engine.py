@@ -804,24 +804,6 @@ class Index:
             raise ValueError("search_phrase_local serves from warehouse files")
         if not self.meta.get("positions"):
             raise ValueError("index built without positions=True — no phrase support")
-        slots, offsets = self._analyze_phrase(phrase)
-        if not slots:
-            return []
-        all_terms = sorted(set(slots))
-        rows = self._lookup_terms_arrow(all_terms)
-        if rows is None:
-            rows = self._lookup_terms_spark(all_terms)
-        present = {term for term, _, _ in rows}
-        if any(t not in present for t in slots):
-            return []
-        buckets = sorted({int(b) for _, _, b in rows})
-        pdf = self._local_postings(buckets, sorted(present))
-        if pdf is None:
-            return []
-        meta = self.meta
-        docs_per_shard = int(meta["docs_per_shard"])
-        avgdl = float(meta["avgdl"]) or 1e-9
-        k1, b = float(meta["k1"]), float(meta["b"])
         blocked = self._local_blocked()
         allowed = None
         if where is not None:
@@ -829,6 +811,46 @@ class Index:
             if blocked is not None:
                 allowed = np.setdiff1d(allowed, blocked)
             blocked = None  # allowed mask subsumes the tombstones
+        dd, ss = self._phrase_scores_local(phrase, slop, allowed, blocked, per_shard_k=k)
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
+    def _phrase_scores_local(
+        self,
+        phrase: str,
+        slop: int,
+        allowed: "np.ndarray | None",
+        blocked: "np.ndarray | None",
+        per_shard_k: int | None = None,
+    ) -> tuple["np.ndarray", "np.ndarray"]:
+        """Full (doc_ids, scores) of one phrase clause on the serving
+        path — the kernel body shared by :meth:`search_phrase_local`
+        (which cuts top-k) and :meth:`search_bool_local` (which needs the
+        COMPLETE clause score set for ES bool-should summation;
+        ``per_shard_k=None`` keeps every match: shards hold at most
+        docs_per_shard docs). Phrase df counts UNMASKED matches."""
+        import math
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        slots, offsets = self._analyze_phrase(phrase)
+        if not slots:
+            return empty
+        all_terms = sorted(set(slots))
+        rows = self._lookup_terms_arrow(all_terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(all_terms)
+        present = {term for term, _, _ in rows}
+        if any(t not in present for t in slots):
+            return empty
+        buckets = sorted({int(b) for _, _, b in rows})
+        pdf = self._local_postings(buckets, sorted(present))
+        if pdf is None:
+            return empty
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        kk = int(per_shard_k) if per_shard_k is not None else docs_per_shard
         out_d, out_t, out_l = [], [], []
         n_total = 0
         for shard, g in pdf.groupby("shard", sort=False):
@@ -840,7 +862,7 @@ class Index:
                 )
             runs_by_slot = [by_term.get(t, []) for t in slots]
             d, tfp, dl, n = kernels.shard_phrase_matches(
-                runs_by_slot, k, avgdl, k1, b,
+                runs_by_slot, kk, avgdl, k1, b,
                 allowed=allowed, blocked=blocked, slop=slop, offsets=offsets,
             )
             n_total += int(n)
@@ -849,14 +871,13 @@ class Index:
                 out_t.append(np.asarray(tfp, dtype=np.float64))
                 out_l.append(np.asarray(dl, dtype=np.float64))
         if n_total == 0 or not out_d:
-            return []
+            return empty
         idf = math.log(1.0 + (float(meta["n_docs"]) - n_total + 0.5) / (n_total + 0.5))
         dd = np.concatenate(out_d)
         tf = np.concatenate(out_t)
         dl = np.concatenate(out_l)
         ss = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        top = np.lexsort((dd, -ss))[:k]
-        return [(int(dd[i]), float(ss[i])) for i in top]
+        return dd, ss
 
     def search_local(
         self, query_text: str, k: int = 10, mode: str = "bmw",
@@ -892,18 +913,10 @@ class Index:
                 "search_local serves from warehouse files; ephemeral indexes "
                 "have no pruned postings layout to read — use search()"
             )
-        idfw, buckets = self._plan_terms(query_text)
-        if not idfw:
-            return []
-        if mode == "intersect" and len(idfw) < len(set(self._analyze(query_text))):
-            return []
-        meta = self.meta
-        docs_per_shard = int(meta["docs_per_shard"])
-        avgdl = float(meta["avgdl"]) or 1e-9
-        k1, b = float(meta["k1"]), float(meta["b"])
-        pdf = self._local_postings(buckets, sorted(idfw))
-        if pdf is None:
-            return []
+        if mode == "intersect":
+            idfw, _ = self._plan_terms(query_text)
+            if len(idfw) < len(set(self._analyze(query_text))):
+                return []
         blocked = self._local_blocked()
         allowed = None
         if where is not None:
@@ -911,6 +924,36 @@ class Index:
             if blocked is not None:
                 allowed = np.setdiff1d(allowed, blocked)
             blocked = None  # allowed mask subsumes the tombstones
+        dd, ss = self._local_term_scores(
+            query_text, allowed, blocked, per_shard_k=k, mode=mode
+        )
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
+    def _local_term_scores(
+        self,
+        query_text: str,
+        allowed: "np.ndarray | None",
+        blocked: "np.ndarray | None",
+        per_shard_k: int | None = None,
+        mode: str = "bmw",
+    ) -> tuple["np.ndarray", "np.ndarray"]:
+        """(doc_ids, scores) of a term clause on the serving path — the
+        kernel body shared by :meth:`search_local` (top-k per shard) and
+        :meth:`search_bool_local` (``per_shard_k=None`` + mode='exact'
+        keeps the COMPLETE score set for bool-should summation)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        idfw, buckets = self._plan_terms(query_text)
+        if not idfw:
+            return empty
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        kk = int(per_shard_k) if per_shard_k is not None else docs_per_shard
+        pdf = self._local_postings(buckets, sorted(idfw))
+        if pdf is None:
+            return empty
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
         for shard, g in pdf.groupby("shard", sort=False):
@@ -922,7 +965,7 @@ class Index:
             ]
             if mode == "exact":
                 d, s = kernels.shard_topk_exact(
-                    runs, k, avgdl, k1, b, allowed=allowed, blocked=blocked
+                    runs, kk, avgdl, k1, b, allowed=allowed, blocked=blocked
                 )
             elif mode == "intersect":
                 by_term: dict[str, list] = {}
@@ -931,22 +974,125 @@ class Index:
                 if len(by_term) < len(idfw):
                     continue
                 d, s = kernels.shard_topk_intersect(
-                    by_term, k, avgdl, k1, b, allowed=allowed, blocked=blocked
+                    by_term, kk, avgdl, k1, b, allowed=allowed, blocked=blocked
                 )
             else:
                 d, s = kernels.shard_topk_bmw(
-                    runs, k, avgdl, shard_lo, docs_per_shard, k1, b,
+                    runs, kk, avgdl, shard_lo, docs_per_shard, k1, b,
                     allowed=allowed, blocked=blocked,
                 )
             if len(d):
                 out_d.append(np.asarray(d, dtype=np.int64))
                 out_s.append(np.asarray(s, dtype=np.float64))
         if not out_d:
+            return empty
+        return np.concatenate(out_d), np.concatenate(out_s)
+
+    def _local_match_set(self, terms: list[str], min_count: int) -> "np.ndarray":
+        """doc_ids containing ≥ ``min_count`` of the DISTINCT ``terms`` —
+        the serving-path twin of :meth:`_match_set` (pruned postings
+        decode, no Spark job). Used for bool must (min_count = all) and
+        must_not (min_count = 1) doc sets."""
+        ts = sorted(set(terms))
+        if not ts:
+            return np.empty(0, dtype=np.int64)
+        rows = self._lookup_terms_arrow(ts)
+        if rows is None:
+            raise ValueError(
+                "legacy warehouse layout without term buckets — use search_bool()"
+            )
+        present = sorted({t for t, _, _ in rows})
+        if min_count > len(present):
+            return np.empty(0, dtype=np.int64)
+        buckets = sorted({int(bk) for _, _, bk in rows})
+        pdf = self._local_postings(buckets, present)
+        if pdf is None:
+            return np.empty(0, dtype=np.int64)
+        docs_per_shard = int(self.meta["docs_per_shard"])
+        per_term: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            run = kernels._Run(row, 0.0, int(row.shard) * docs_per_shard)
+            d, _t, _l = run.decode_all()
+            per_term.setdefault(row.term, []).append(d)
+        arrs = [np.unique(np.concatenate(v)) for v in per_term.values()]
+        if min_count > len(arrs):
+            return np.empty(0, dtype=np.int64)
+        uniq, counts = np.unique(np.concatenate(arrs), return_counts=True)
+        return uniq[counts >= min_count]
+
+    def search_bool_local(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        phrases: list[tuple[str, int]] | None = None,
+        where: list[tuple] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES ``bool`` on the zero-Spark-job serving path — the serving
+        twin of :meth:`search_bool` / ``run_parsed`` with identical
+        semantics: should+must terms score (BM25 sum, global stats), must
+        restricts to docs containing ALL its analyzed terms, must_not
+        excludes docs containing ANY of its terms, ``phrases`` are
+        (text, slop) match_phrase clauses summed bool-should style, and
+        ``where`` is the serving-path (col, op, value) filter surface.
+        Tombstones honored; corpus statistics never shift under any
+        restriction (phrase df counts unmasked matches).
+
+        Execution: must/must_not doc sets come from the same pruned
+        postings decode the terms query uses; each scoring clause
+        produces its COMPLETE driver-side score set (exact kernel /
+        phrase kernel over the one pruned postings read), summed per doc
+        with NumPy. Everything is |q|-proportional pyarrow point reads —
+        zero Spark jobs, same contract as :meth:`search_local`."""
+        if self.wh is None:
+            raise ValueError(
+                "search_bool_local serves from warehouse files — use search_bool()"
+            )
+        should_toks = [t for s in (should or []) for t in self._analyze(s)]
+        must_toks = [t for s in (must or []) for t in self._analyze(s)]
+        not_toks = sorted({t for s in (must_not or []) for t in self._analyze(s)})
+        allowed = None
+        if must_toks:
+            allowed = self._local_match_set(must_toks, len(set(must_toks)))
+            if not len(allowed):
+                return []
+        if where is not None:
+            wa = self._local_allowed(where)
+            allowed = wa if allowed is None else np.intersect1d(allowed, wa)
+            if not len(allowed):
+                return []
+        blocked = self._local_blocked()
+        if not_toks:
+            ns = self._local_match_set(not_toks, 1)
+            blocked = ns if blocked is None else np.union1d(blocked, ns)
+        if allowed is not None and blocked is not None:
+            allowed = np.setdiff1d(allowed, blocked)
+            blocked = None  # allowed mask subsumes the exclusions
+        score_terms = should_toks + must_toks
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        if score_terms:
+            parts.append(
+                self._local_term_scores(
+                    " ".join(score_terms), allowed, blocked, per_shard_k=None,
+                    mode="exact",
+                )
+            )
+        for phrase, slop in phrases or []:
+            parts.append(
+                self._phrase_scores_local(phrase, int(slop), allowed, blocked)
+            )
+        parts = [(d, s) for d, s in parts if len(d)]
+        if not parts:
             return []
-        dd = np.concatenate(out_d)
-        ss = np.concatenate(out_s)
-        top = np.lexsort((dd, -ss))[:k]
-        return [(int(dd[i]), float(ss[i])) for i in top]
+        dd = np.concatenate([d for d, _ in parts])
+        ss = np.concatenate([s for _, s in parts])
+        # ES bool should: per-doc sum over the union of clause matches
+        uniq, inv = np.unique(dd, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, ss)
+        top = np.lexsort((uniq, -summed))[:k]
+        return [(int(uniq[i]), float(summed[i])) for i in top]
 
     # Hard ceiling on terms materialized driver-side by ONE dictionary
     # expansion. At a 10^8-term vocabulary a 1-char prefix range can cover

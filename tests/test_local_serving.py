@@ -230,3 +230,67 @@ def test_local_terms_honors_tombstones(spark, transcripts, tmp_path):
     assert first not in {
         d for d, _ in idx.constant_score_local([("doc_id", "in", [first])], 10)
     }
+
+
+def test_local_bool_identical(spark, local_pos_wh):
+    """search_bool_local must match search_bool on every clause shape:
+    ranked ids exact, scores approx (clause sums associate differently)."""
+    import pytest as _pytest
+
+    idx = Index(spark, local_pos_wh)
+    phrase = _phrase_from(idx)
+
+    def dist(**kw):
+        return [(r["doc_id"], r["score"]) for r in idx.search_bool(k=10, **kw).collect()]
+
+    def check(loc, want):
+        assert [d for d, _ in loc] == [d for d, _ in want] and loc
+        for (_, s), (_, w) in zip(loc, want):
+            assert s == _pytest.approx(w)
+
+    # should-only terms (pure kernel path both sides: exact equality)
+    assert idx.search_bool_local(should=[Q], k=10) == dist(should=[Q])
+    # must restricts AND scores; must_not excludes; field filter
+    check(
+        idx.search_bool_local(
+            should=["w00000"], must=["w00003"], must_not=["w00015"],
+            where=[("role", "=", "user")], k=10,
+        ),
+        dist(
+            should=["w00000"], must=["w00003"], must_not=["w00015"],
+            filters=[("role", "user")],
+        ),
+    )
+    # mixed terms + phrase clause (bool-should sum of full score sets)
+    check(
+        idx.search_bool_local(should=["w00000"], phrases=[(phrase, 0)], k=10),
+        dist(should=["w00000"], phrases=[(phrase, 0)]),
+    )
+    # pure phrase through the bool surface == the phrase serving path
+    assert idx.search_bool_local(phrases=[(phrase, 1)], k=10) == [
+        (d, _pytest.approx(s)) for d, s in idx.search_phrase_local(phrase, 10, slop=1)
+    ]
+    # empty / absent shapes
+    assert idx.search_bool_local(k=10) == []
+    assert idx.search_bool_local(should=["zzabsent"], k=10) == []
+    assert idx.search_bool_local(should=[Q], must=["zzabsent"], k=10) == []
+
+
+def test_local_bool_tombstones_and_ephemeral(spark, transcripts, tmp_path):
+    wh = str(tmp_path / "idx")
+    build_index(spark, transcripts, wh, docs_per_shard=256, n_buckets=8)
+    idx = Index(spark, wh)
+    top = idx.search_bool_local(should=[Q], k=1)[0][0]
+    delete_docs(spark, wh, f"doc_id = {top}")
+    idx = Index(spark, wh)
+    survivors = idx.search_bool_local(should=[Q], k=10_000)
+    assert top not in {d for d, _ in survivors} and survivors
+    eph = Index.ephemeral(
+        transcripts.selectExpr(
+            "row_number() OVER (ORDER BY conv_id, turn_idx) AS doc_id", "text"
+        ),
+        docs_per_shard=256,
+        n_buckets=8,
+    )
+    with pytest.raises(ValueError):
+        eph.search_bool_local(should=[Q])
