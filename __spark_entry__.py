@@ -1983,6 +1983,31 @@ def q_function_score_max_topk(spark, sf_dir):
     )
 
 
+FS_MULTI_FUNCTIONS = [
+    {
+        "field_value_factor": {"field": "n_chars", "factor": 0.01, "modifier": "log1p"},
+        "filter": "lang = 'en'",
+        "weight": 2.0,
+    },
+    {"gauss": {"field": "n_chars", "origin": 300.0, "scale": 150.0}},
+    {"weight": 0.5, "filter": "source = 'src2'"},
+]
+
+
+def q_function_score_multi_topk(spark, sf_dir):
+    """ES function_score with MULTIPLE filtered functions: a weighted
+    field_value_factor gated on lang='en', an unfiltered gauss decay, and
+    a weight-only function gated on source='src2' — values of the
+    matching functions SUMMED (score_mode=sum), then multiplied into the
+    BM25 score (boost_mode=multiply)."""
+    out = _cached_idx(spark, sf_dir).function_score_multi(
+        BM25_QUERY, FS_MULTI_FUNCTIONS, K, score_mode="sum", boost_mode="multiply"
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_ip_range(spark, sf_dir):
     """ES ip_range aggregation over the parsed access-log client IPs:
     half-open dotted-quad buckets split at 10.0.64.0 and 10.0.192.0."""
@@ -2096,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_linear_topk": q_decay_linear_topk,
         "decay_exp_topk": q_decay_exp_topk,
         "function_score_max_topk": q_function_score_max_topk,
+        "function_score_multi_topk": q_function_score_multi_topk,
         "min_score_topk": q_min_score_topk,
         "post_filter_topk": q_post_filter_topk,
         "named_queries_topk": q_named_queries_topk,
@@ -3984,6 +4010,32 @@ LIMIT {k}
     )
 
 
+def _bm25_fs_multi_sql(query: str, k: int = K) -> str:
+    """Multi-function function_score oracle — mirrors FS_MULTI_FUNCTIONS
+    exactly: per-function CASE values, sum of matching, ×BM25. The gauss
+    σ² is embedded as the SAME Python-computed double the engine uses."""
+    import math
+
+    sigma2 = -(150.0**2) / (2.0 * math.log(0.5))
+    v1 = "CASE WHEN d.lang = 'en' THEN 2.0 * ln(1 + (d.n_chars * 1.0) * 0.01) END"
+    v2 = (
+        f"exp(-((abs(d.n_chars - 300.0) * abs(d.n_chars - 300.0)) / {2.0 * sigma2!r}))"
+    )
+    v3 = "CASE WHEN d.source = 'src2' THEN 0.5 END"
+    factor = f"(coalesce({v1}, 0) + coalesce({v2}, 0) + coalesce({v3}, 0))"
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score * {factor} DESC, s.doc_id) AS rank,
+       round(s.score * {factor}, 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * {factor} DESC, s.doc_id
+LIMIT {k}
+""",
+        k,
+    )
+
+
 # ip_range bounds 10.0.64.0 / 10.0.192.0 as numerics: 10<<24 = 167772160
 _AGG_IP_RANGE_SQL = f"""
 WITH logs AS ({_ACCESS_LOG_SQL}),
@@ -4188,6 +4240,7 @@ LIMIT {K}
         "decay_linear_topk": _bm25_decay_linear_sql(BM25_QUERY, 300.0, 200.0, 0.5),
         "decay_exp_topk": _bm25_decay_exp_sql(BM25_QUERY, 100.0, 200.0, 0.5),
         "function_score_max_topk": _bm25_fsmax_sql(BM25_QUERY),
+        "function_score_multi_topk": _bm25_fs_multi_sql(BM25_QUERY),
         "min_score_topk": _bm25_min_score_sql(BM25_QUERY, MIN_SCORE_CUT),
         "post_filter_topk": _bm25_post_filter_sql(BM25_QUERY),
         "named_queries_topk": _named_queries_sql(NAMED_CLAUSES),

@@ -3153,6 +3153,128 @@ class Index:
             .limit(k)
         )
 
+    def _function_value(self, spec: dict) -> "F.Column":
+        """One function_score function spec → its per-doc value Column
+        (weight already applied). Typed specs, ES's function set:
+
+        * ``{"field_value_factor": {"field", "factor", "modifier",
+          "missing"}}``
+        * ``{"gauss"|"exp"|"linear": {"field", "origin", "scale",
+          "decay", "offset"}}``
+        * ``{"random_score": {"seed"}}`` — the portable (doc_id, seed)
+          hash :meth:`random_score` uses
+        * ``{"script_score": "<sql expr over doc columns>"}``
+        * weight-only (none of the above): value = weight
+
+        plus optional ``"weight"`` (default 1.0) on any of them."""
+        import math
+
+        w = float(spec.get("weight", 1.0))
+        if "field_value_factor" in spec:
+            f = spec["field_value_factor"]
+            fv = F.coalesce(
+                F.col(f["field"]).cast("double"), F.lit(float(f.get("missing", 1.0)))
+            ) * F.lit(float(f.get("factor", 1.0)))
+            mods = {
+                "none": lambda c: c,
+                "log1p": F.log1p,
+                "sqrt": F.sqrt,
+                "square": lambda c: c * c,
+                "reciprocal": lambda c: F.lit(1.0) / c,
+            }
+            return F.lit(w) * mods[f.get("modifier", "none")](fv)
+        for fn in ("gauss", "exp", "linear"):
+            if fn in spec:
+                f = spec[fn]
+                origin, scale = float(f["origin"]), float(f["scale"])
+                decay = float(f.get("decay", 0.5))
+                offset = float(f.get("offset", 0.0))
+                d = F.greatest(
+                    F.lit(0.0),
+                    F.abs(F.col(f["field"]).cast("double") - F.lit(origin))
+                    - F.lit(offset),
+                )
+                if fn == "gauss":
+                    sigma2 = -(scale**2) / (2.0 * math.log(decay))
+                    mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+                elif fn == "exp":
+                    mult = F.exp(F.lit(math.log(decay) / scale) * d)
+                else:
+                    s = scale / (1.0 - decay)
+                    mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+                return F.lit(w) * mult
+        if "random_score" in spec:
+            seed = int(spec["random_score"].get("seed", 0))
+            key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(seed)))
+            r = (
+                F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+                / F.lit(4294967296.0)
+            )
+            return F.lit(w) * r
+        if "script_score" in spec:
+            return F.lit(w) * F.expr(spec["script_score"]).cast("double")
+        return F.lit(w)  # weight-only function
+
+    def function_score_multi(
+        self,
+        query_text: str,
+        functions: list[dict],
+        k: int = 10,
+        score_mode: str = "sum",
+        boost_mode: str = "multiply",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with MULTIPLE functions — the full
+        compound: each function optionally carries a ``"filter"`` (SQL
+        over doc columns; non-matching docs skip that function, ES's
+        filtered-function semantics) and a ``"weight"``; the values of
+        the MATCHING functions combine via ``score_mode`` (multiply |
+        sum | avg | max | min | first — ES's enum), and when NO function
+        matches a doc the factor is 1.0 (ES: the query score passes
+        through). The combined factor then meets the query score via
+        ``boost_mode`` (:func:`_boost_combine`).
+
+        Everything is row-level Column algebra on the score-all + one
+        column-pruned doc join — the N functions add zero extra scans or
+        shuffles at 100 TB."""
+        specs = list(functions)
+        if not specs:
+            raise ValueError("function_score_multi needs at least one function")
+        scored = self.search_oracle(query_text, None, where=where)
+        j = scored.join(self._docs_df(), "doc_id")
+        matches = [
+            F.expr(s["filter"]) if s.get("filter") else F.lit(True) for s in specs
+        ]
+        vals = [
+            F.when(m, self._function_value(s)).otherwise(F.lit(None).cast("double"))
+            for m, s in zip(matches, specs)
+        ]
+        n_matched = sum(m.cast("int") for m in matches)
+        if score_mode == "multiply":
+            combined = vals[0] if len(vals) == 1 else F.coalesce(vals[0], F.lit(1.0))
+            for v in vals[1:]:
+                combined = combined * F.coalesce(v, F.lit(1.0))
+        elif score_mode in ("sum", "avg"):
+            total = F.coalesce(vals[0], F.lit(0.0))
+            for v in vals[1:]:
+                total = total + F.coalesce(v, F.lit(0.0))
+            combined = total if score_mode == "sum" else total / n_matched
+        elif score_mode == "max":
+            combined = F.greatest(*vals) if len(vals) > 1 else vals[0]
+        elif score_mode == "min":
+            combined = F.least(*vals) if len(vals) > 1 else vals[0]
+        elif score_mode == "first":
+            combined = F.coalesce(*vals) if len(vals) > 1 else vals[0]
+        else:
+            raise ValueError(f"unknown function_score score_mode: {score_mode}")
+        factor = F.when(n_matched == F.lit(0), F.lit(1.0)).otherwise(combined)
+        new_score = _boost_combine(F.col("score"), factor, boost_mode)
+        return (
+            j.select("doc_id", new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def decay_score(
         self,
         query_text: str,

@@ -157,6 +157,60 @@ def test_function_score_boost_modes(spark, built_index):
         idx.function_score(Q, "turn_idx", 10, boost_mode="bogus")
 
 
+def test_function_score_multi_score_modes(spark, built_index):
+    """Every score_mode against a pure-Python recomputation, including
+    the filtered-function and no-function-matches (factor=1.0) paths."""
+    idx, _ = built_index
+    scores = _oracle_scores(idx, Q)
+    docs = {r["doc_id"]: r for r in idx._docs_df().collect()}
+    fns = [
+        {"script_score": "turn_idx * 0.1", "filter": "role = 'user'", "weight": 2.0},
+        {"linear": {"field": "turn_idx", "origin": 5.0, "scale": 4.0}},
+        {"weight": 0.25, "filter": "role = 'tool'"},
+    ]
+
+    def vals(d):
+        out = []
+        r = docs[d]
+        out.append(2.0 * r["turn_idx"] * 0.1 if r["role"] == "user" else None)
+        s = 4.0 / 0.5
+        out.append(max(0.0, (s - abs(r["turn_idx"] - 5.0)) / s))
+        out.append(0.25 if r["role"] == "tool" else None)
+        return [v for v in out if v is not None]
+
+    import math
+
+    combine = {
+        "sum": sum,
+        "avg": lambda v: sum(v) / len(v),
+        "max": max,
+        "min": min,
+        "first": lambda v: v[0],
+        "multiply": math.prod,
+    }
+    for mode, fn in combine.items():
+        got = idx.function_score_multi(Q, fns, 10, score_mode=mode).collect()
+        want = sorted(
+            (
+                (d, s * (fn(vals(d)) if vals(d) else 1.0))
+                for d, s in scores.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], mode
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s), mode
+    # boost_mode threads through (replace: score = the combined factor)
+    rep = idx.function_score_multi(Q, fns, 10, boost_mode="replace").collect()
+    for r in rep:
+        v = vals(r["doc_id"])
+        assert r["score"] == pytest.approx(sum(v) if v else 1.0)
+    with pytest.raises(ValueError):
+        idx.function_score_multi(Q, fns, 10, score_mode="bogus")
+    with pytest.raises(ValueError):
+        idx.function_score_multi(Q, [], 10)
+
+
 # ---------------------------------------------------------- ip_range agg --
 
 
