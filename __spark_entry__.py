@@ -979,6 +979,28 @@ def q_term_vectors(spark, sf_dir):
     return _cached_idx(spark, sf_dir).term_vectors(1)
 
 
+def q_term_vectors_positions(spark, sf_dir):
+    """ES _termvectors?positions=true: doc 1's rows exploded to one row
+    per (term, position) — positions carry the analyzer's increments."""
+    out = _cached_idx(spark, sf_dir).term_vectors(1, positions=True)
+    return out.select("term", "tf", "df", F.explode("positions").alias("pos"))
+
+
+MLT_TEXT = "join hash stream pipeline table join"
+
+
+def q_mlt_text_topk(spark, sf_dir):
+    """ES more_like_this with free text in `like`: tf·idf selection of
+    the 3 best analyzed input terms (absent-from-corpus terms drop at
+    the df floor), then disjunctive BM25 — no source-doc exclusion."""
+    out = _cached_idx(spark, sf_dir).more_like_this_text(
+        MLT_TEXT, K, max_query_terms=3
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_analyze(spark, sf_dir):
     """ES _analyze API: the indexed token stream for a debug text."""
     return _cached_idx(spark, sf_dir).analyze("The Quick  BROWN-fox; 42 jumps!")
@@ -2049,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         "mlt_topk": q_mlt_topk,
+        "mlt_text_topk": q_mlt_text_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_slop": q_phrase_topk_slop,
         "phrase_prefix_topk": q_phrase_prefix_topk,
@@ -2133,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_score_topk": q_script_score_topk,
         "mget": q_mget,
         "term_vectors": q_term_vectors,
+        "term_vectors_positions": q_term_vectors_positions,
         "analyze": q_analyze,
         "significant_terms": q_significant_terms,
         "explain_score": q_explain_score,
@@ -2700,6 +2724,48 @@ scored AS (
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _mlt_text_sql(like_text: str, max_terms: int, k: int = K) -> str:
+    """Free-text MLT oracle: the literal's analyzed tf bag (computed at
+    oracle-build time, same trick as _bm25_sql's qvals) joins the corpus
+    df table for the tf·idf selection, then standard BM25 over the
+    selected terms — no doc exclusion."""
+    import re
+    from collections import Counter
+
+    tf = Counter(re.findall(r"[a-z0-9]+", like_text.lower()))
+    tfvals = ", ".join(f"('{t}', {float(c)})" for t, c in sorted(tf.items()))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+liketf(term, ltf) AS (VALUES {tfvals}),
+sel AS (
+  SELECT l.term
+  FROM liketf l JOIN dfall USING (term) CROSS JOIN corpus
+  ORDER BY l.ltf * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5)) DESC,
+           l.term
+  LIMIT {max_terms}
+),
+q AS (SELECT term, 1.0 AS w FROM sel),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfall ON tf.term = dfall.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -4165,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": _RESCORE_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "bool_topk": _BOOL_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "mlt_topk": _MLT_SQL,
+        "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
@@ -4332,6 +4399,20 @@ LIMIT {K}
         "decay_gauss_topk": _bm25_decay_gauss_sql(BM25_QUERY, 300.0, 150.0, 0.5),
         "random_score_topk": _bm25_random_score_sql(BM25_QUERY, 42),
         "term_vectors": _TERM_VECTORS_SQL,
+        "term_vectors_positions": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT {SQL_TOKS} AS a FROM documents WHERE doc_id = 1),
+stream AS (
+  SELECT a[i] AS term, (i - 1)::BIGINT AS pos
+  FROM s, LATERAL unnest(generate_series(1, len(a))) AS g(i)
+)
+SELECT t.term, t.tf::BIGINT AS tf, df.df::BIGINT AS df, stream.pos
+FROM tf t JOIN df USING (term) JOIN stream USING (term)
+WHERE t.doc_id = 1
+ORDER BY t.term, stream.pos
+""",
         "analyze": _ANALYZE_SQL,
         "scan_export": f"""
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars

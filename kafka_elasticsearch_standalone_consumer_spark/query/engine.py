@@ -1236,12 +1236,19 @@ class Index:
             return self.spark.createDataFrame([(0,)], "n long")
         return scoped.agg(F.count("*").cast("long").alias("n"))
 
-    def term_vectors(self, doc_id: int) -> DataFrame:
+    def term_vectors(self, doc_id: int, positions: bool = False) -> DataFrame:
         """ES ``_termvectors`` API: one document's (term, tf, df) rows,
         term asc — term stats are global (df across the whole index),
         exactly what ES returns with ``term_statistics=true``. The doc's
         terms come from a doc-pruned tokens scan; their dfs ride the
-        driver-side dictionary lookup (no second corpus pass)."""
+        driver-side dictionary lookup (no second corpus pass).
+
+        ``positions=True`` adds each term's token positions (ascending,
+        with the analyzer's position increments — stop-analyzer gaps
+        preserved, exactly the positions the phrase kernel indexes):
+        ES's ``?positions=true``. Computed by re-running the index's own
+        analysis chain on the fetched document — one driver-side pass
+        over one doc, never a corpus scan."""
         toks = (
             self._tokens_full_df()
             .filter(F.col("doc_id") == int(doc_id))
@@ -1249,18 +1256,36 @@ class Index:
         )
         rows = toks.collect()  # one doc: bounded by its length
         terms = sorted({r["term"] for r in rows})
+        schema = "term string, tf long, df long" + (
+            ", positions array<long>" if positions else ""
+        )
         if not terms:
-            return self.spark.createDataFrame([], "term string, tf long, df long")
+            return self.spark.createDataFrame([], schema)
         stats = self._lookup_terms_arrow(terms)
         if stats is None:
             stats = self._lookup_terms_spark(terms)
         df_by: dict[str, int] = {}
         for term, df, _b in stats:
             df_by[term] = df_by.get(term, 0) + int(df)
-        out = sorted(
-            (r["term"], int(r["tf"]), int(df_by.get(r["term"], 0))) for r in rows
+        if not positions:
+            out = sorted(
+                (r["term"], int(r["tf"]), int(df_by.get(r["term"], 0))) for r in rows
+            )
+            return self.spark.createDataFrame(out, schema)
+        doc = (
+            self._docs_df().filter(F.col("doc_id") == int(doc_id)).select("text").first()
         )
-        return self.spark.createDataFrame(out, "term string, tf long, df long")
+        pos_by: dict[str, list[int]] = {}
+        if doc is not None:
+            slots, offsets = self._analyze_phrase(doc["text"] or "")
+            for t, p in zip(slots, offsets):
+                pos_by.setdefault(t, []).append(int(p))
+        out = sorted(
+            (r["term"], int(r["tf"]), int(df_by.get(r["term"], 0)),
+             sorted(pos_by.get(r["term"], [])))
+            for r in rows
+        )
+        return self.spark.createDataFrame(out, schema)
 
     def analyze(self, text: str, analyzer: str | None = None) -> DataFrame:
         """ES ``_analyze`` API: the token stream the analysis chain emits
@@ -1628,10 +1653,31 @@ class Index:
         )
         if not row:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        tf = Counter(self._analyze(row[0]["text"]))
+        selected = self._mlt_select(
+            Counter(self._analyze(row[0]["text"])),
+            max_query_terms, min_term_freq, min_doc_freq,
+        )
+        if not selected:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        out = self.search(" ".join(selected), k + 1)
+        return (
+            out.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _mlt_select(
+        self, tf: "Counter", max_query_terms: int, min_term_freq: int, min_doc_freq: int
+    ) -> list[str]:
+        """Classic MLT term selection over a term-frequency bag: the
+        ``max_query_terms`` best terms by tf·idf (BM25 idf, so selection
+        and scoring agree), with the tf/df floors. Driver-side: one
+        footer-pruned term_stats lookup, never a corpus scan."""
+        import math
+
         cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
         if not cand:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return []
         rows = self._lookup_terms_arrow(cand)
         if rows is None:
             rows = self._lookup_terms_spark(cand)
@@ -1647,15 +1693,30 @@ class Index:
             for t in cand
             if df_by.get(t, 0) >= min_doc_freq
         ]
-        selected = [t for _, t in sorted(mlt)[:max_query_terms]]
+        return [t for _, t in sorted(mlt)[:max_query_terms]]
+
+    def more_like_this_text(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+    ) -> DataFrame:
+        """ES ``more_like_this`` with free text in ``like`` (no source
+        document): the same tf·idf term selection over the ANALYZED input
+        text, then the disjunctive BM25 search — nothing excluded from
+        the hits (there is no source doc). Terms absent from the corpus
+        drop at the dictionary lookup, exactly like ES's df floor."""
+        from collections import Counter
+
+        selected = self._mlt_select(
+            Counter(self._analyze(like_text)),
+            max_query_terms, min_term_freq, min_doc_freq,
+        )
         if not selected:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        out = self.search(" ".join(selected), k + 1)
-        return (
-            out.filter(F.col("doc_id") != int(doc_id))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self.search(" ".join(selected), k)
 
     def fuzzy_like_this(
         self,

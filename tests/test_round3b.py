@@ -298,6 +298,44 @@ def test_fetch_source_includes_excludes(spark, built_index):
     assert got.count() == 3
 
 
+# ----------------------------------------------- termvectors / MLT text --
+
+
+def test_term_vectors_positions_match_token_stream(spark, built_index):
+    idx, _ = built_index
+    doc = idx._docs_df().filter(F.col("doc_id") == 7).select("text").first()
+    stream = {}  # term -> positions from the index's own analysis chain
+    slots, offsets = idx._analyze_phrase(doc["text"])
+    for t, p in zip(slots, offsets):
+        stream.setdefault(t, []).append(p)
+    rows = idx.term_vectors(7, positions=True).collect()
+    assert rows and [r["term"] for r in rows] == sorted(r["term"] for r in rows)
+    for r in rows:
+        assert r["positions"] == sorted(stream[r["term"]])
+        assert r["tf"] == len(r["positions"])  # standard analyzer: tf == #positions
+    # the plain surface is unchanged (no positions column)
+    assert "positions" not in idx.term_vectors(7).columns
+
+
+def test_more_like_this_text_matches_selection(spark, built_index):
+    import math
+    from collections import Counter
+
+    idx, _ = built_index
+    like = "w00000 w00003 w00000 zzneverseen"
+    tf = Counter(idx._analyze(like))
+    n = float(idx.meta["n_docs"])
+    dfs = {t: df for t, df, _b in idx._lookup_terms_arrow(sorted(tf))}
+    sel = sorted(
+        (t for t in tf if t in dfs),
+        key=lambda t: (-tf[t] * math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), t),
+    )[:2]
+    want = [(r["doc_id"], r["score"]) for r in idx.search(" ".join(sel), 10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in idx.more_like_this_text(like, 10, max_query_terms=2).collect()]
+    assert got == want and got
+    assert idx.more_like_this_text("zzneverseen", 10).count() == 0
+
+
 # ------------------------------------------------------ plan assertions --
 
 
