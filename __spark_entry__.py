@@ -4110,7 +4110,7 @@ ipn AS (
        + split_part(ip, '.', 2)::BIGINT * 65536
        + split_part(ip, '.', 3)::BIGINT * 256
        + split_part(ip, '.', 4)::BIGINT AS n
-  FROM logs WHERE ip IS NOT NULL
+  FROM logs WHERE regexp_matches(ip, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
 )
 SELECT range_label, count(*)::BIGINT AS n FROM (
   SELECT CASE WHEN n < 167788544 THEN '*-10.0.64.0'

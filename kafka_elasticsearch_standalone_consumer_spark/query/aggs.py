@@ -122,8 +122,11 @@ def ip_range_counts(df: DataFrame, field: str, bounds: list[str]) -> DataFrame:
         lower = F.when(
             cond, F.lit(float("-inf") if lo is None else float(_ip4_to_int(lo)))
         ).otherwise(lower)
+    # NULLs and non-dotted-quad strings are excluded BEFORE the numeric
+    # cast (ANSI mode would throw on a malformed cast, and ES's ip_range
+    # ignores docs missing/invalid in the field)
     return (
-        df.filter(F.col(field).isNotNull())
+        df.filter(F.col(field).rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"))
         .groupBy(lower.alias("_lo"), label.alias("range_label"))
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("_lo")

@@ -226,6 +226,7 @@ def test_ip_range_counts_buckets_order_and_nulls(spark):
             ("10.0.192.0",),  # boundary: belongs to the top bucket
             ("10.0.255.9",),
             (None,),
+            ("not-an-ip",),  # non-parseable: excluded, not top-bucketed
         ],
         "ip string",
     )
