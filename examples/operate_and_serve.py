@@ -72,6 +72,8 @@ def main(n_convs: int = 400) -> None:
     phrase = " ".join(first_text.split()[:2])
     print("phrase local:", idx.search_phrase_local(phrase, 3))
     print("mget local:", [r["doc_id"] for r in idx.get_docs_local([1, 5, 10**9])])
+    print("bool local:", idx.search_bool_local(
+        should=[q], must_not=["w00015"], where=[("role", "=", "user")], k=3))
 
     spark.stop()
 
