@@ -1,0 +1,132 @@
+"""Randomized multi-seed rank-identity armor: adversarially quirky
+corpora (empty docs, punctuation-only, unicode, heavy repetition, huge
+tf skew) must keep every execution path identical — bmw == exact ==
+oracle == local, phrase kernel == m-way-join oracle — across random
+queries including absent and duplicated terms. Fixture corpora can't
+cover these shapes; seeded randomness can, reproducibly."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+    tokenize_text,
+    tokens_from,
+)
+from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "x9", "q", "omega", "Zeta", "η-mix"]
+
+
+def _random_corpus(rng: random.Random, n: int) -> list[tuple[int, str]]:
+    docs = []
+    for i in range(n):
+        shape = rng.randrange(6)
+        if shape == 0:
+            text = ""  # empty doc (dl = 0)
+        elif shape == 1:
+            text = "!!! ;;; --- ..."  # punctuation-only (tokenizes to nothing)
+        elif shape == 2:
+            text = " ".join([rng.choice(VOCAB)] * rng.randint(1, 50))  # tf skew
+        elif shape == 3:
+            text = "naïve café 東京 " + " ".join(
+                rng.choices(VOCAB, k=rng.randint(0, 5))
+            )
+        else:
+            text = " ".join(rng.choices(VOCAB, k=rng.randint(1, 30)))
+        docs.append((i, text))
+    return docs
+
+
+def _queries(rng: random.Random) -> list[str]:
+    qs = []
+    for _ in range(6):
+        terms = rng.choices(VOCAB + ["zzabsent"], k=rng.randint(1, 3))
+        qs.append(" ".join(terms))
+    qs.append("alpha alpha beta")  # duplicate query terms (weight ×2)
+    qs.append("zzabsent")
+    return qs
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_all_paths_rank_identical_on_quirky_corpora(spark, tmp_path, seed):
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng, 120)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eph = Index.ephemeral(docs, docs_per_shard=16, n_buckets=4, positions=True)
+
+    # a persisted twin for the serving path (needs warehouse files)
+    t = docs.selectExpr(
+        "concat('c', lpad(cast(doc_id as string), 6, '0')) AS conv_id",
+        "CAST(0 AS INT) AS turn_idx",
+        "'user' AS role",
+        "text",
+        "CAST(NULL AS STRING) AS tool",
+        "current_timestamp() AS ts",
+    )
+    wh = str(tmp_path / f"idx{seed}")
+    build_index(spark, t, wh, docs_per_shard=16, n_buckets=4)
+    per = Index(spark, wh)
+
+    for q in _queries(rng):
+        oracle = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eph.search_oracle(q, 10).collect()
+        ]
+        for mode in ("bmw", "exact"):
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in eph.search(q, 10, mode=mode).collect()
+            ]
+            assert got == oracle, (seed, q, mode)
+        # serving path on the persisted twin: identical to ITS distributed run
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in per.search(q, 10, mode="bmw").collect()
+        ]
+        loc = [(d, round(s, 9)) for d, s in per.search_local(q, 10)]
+        assert loc == dist, (seed, q)
+
+    # phrase kernel vs m-way-join oracle on a bigram that actually occurs
+    source = next(
+        (txt for _, txt in rows if len(set(tokenize_text(txt))) >= 2), None
+    )
+    if source is not None:
+        toks = tokenize_text(source)
+        phrase = " ".join(toks[:2])
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eph.search_phrase(phrase, 10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eph.search_phrase_oracle(phrase, 10).collect()
+        ]
+        assert got == want and got, (seed, phrase)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_tokenizer_paths_agree_on_quirky_text(spark, seed):
+    """Fused Arrow tokenizer == SQL tokenizer on the quirky corpus, for
+    every analyzer — the invariant CLAUDE.md pins, exercised beyond the
+    fixture corpus."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+
+    rng = random.Random(seed)
+    docs = spark.createDataFrame(_random_corpus(rng, 80), "doc_id long, text string")
+    for analyzer in ("standard", "stop", "porter", "english", "simple",
+                     "whitespace", "keyword"):
+        fused = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in doc_term_freqs(docs, analyzer=analyzer).collect()
+        }
+        sql = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(docs, id_cols=("doc_id",), method="sql",
+                                 analyzer=analyzer).collect()
+        }
+        assert fused == sql, analyzer
