@@ -209,6 +209,19 @@ def q_query_string_topk(spark, sf_dir):
     )
 
 
+SQS_QUERY = "join | hash -vector tab*"
+
+
+def q_simple_query_string_topk(spark, sf_dir):
+    """ES simple_query_string (lenient end-user syntax): 'join | hash'
+    OR-scored, -vector negated, tab* a constant-score 1.0 prefix clause
+    summed bool-should style (Lucene CONSTANT_SCORE prefix rewrite)."""
+    out = _cached_idx(spark, sf_dir).simple_query_string(SQS_QUERY, K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_query_string_range(spark, sf_dir):
     """ES query_string range + exists clauses: `n_chars:[100 TO 300]`
     compiles to an inclusive range filter and `_exists_:lang` to an
@@ -2085,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "bool_topk": q_bool_topk,
         "query_string_topk": q_query_string_topk,
+        "simple_query_string_topk": q_simple_query_string_topk,
         "query_string_range": q_query_string_range,
         "multi_field_bm25": q_multi_field_bm25,
         "multi_best_fields": q_multi_best_fields,
@@ -4220,6 +4234,23 @@ def oracle_sql() -> dict[str, str]:
         "span_not_topk": _phrase_sql(_SPAN_NOT_MATCH),
         "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
+        "simple_query_string_topk": _bm25_variant_sql(
+            "join hash",
+            f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM (
+  SELECT doc_id, sum(score) AS score FROM (
+    SELECT doc_id, score FROM scored
+    UNION ALL
+    SELECT DISTINCT doc_id, 1.0 AS score FROM toks WHERE starts_with(term, 'tab')
+  ) GROUP BY doc_id
+)
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')
+ORDER BY score DESC, doc_id
+LIMIT {K}
+""",
+        ),
         "query_string_range": _bm25_sql(
             "join hash", where="n_chars >= 100 AND n_chars <= 300 AND lang IS NOT NULL"
         ),

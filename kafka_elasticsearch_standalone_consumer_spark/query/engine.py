@@ -1842,6 +1842,27 @@ class Index:
 
         return run_query_string(self, q, k)
 
+    def simple_query_string(
+        self, q: str, k: int = 10, default_operator: str = "or"
+    ) -> DataFrame:
+        """ES ``simple_query_string``: the lenient end-user syntax —
+        ``foo bar`` / ``foo | bar`` (OR), ``foo + bar`` (AND), ``-foo``
+        (negate), ``"a b"~2`` (phrase+slop), ``tab*`` (prefix clause,
+        constant-score 1.0 summed bool-should style). Never raises on
+        user input; :func:`~.querystring.parse_simple_query_string`
+        documents the exact semantics and the lenient deviations.
+        Compiles onto the same executor as query_string/bool
+        (run_parsed)."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            parse_simple_query_string,
+            run_parsed,
+        )
+
+        parsed = parse_simple_query_string(
+            q, self.meta.get("analyzer", "standard"), default_operator
+        )
+        return run_parsed(self, parsed, k)
+
     def search_phrase(
         self, phrase: str, k: int = 10, where: str | None = None, slop: int = 0
     ) -> DataFrame:

@@ -89,6 +89,9 @@ class ParsedQuery:
     )
     exists: list[str] = field(default_factory=list)
     missing: list[str] = field(default_factory=list)
+    # trailing-* prefix clauses (simple_query_string): constant-score 1.0
+    # contributions summed bool-should style with the scored clauses
+    prefixes: list[str] = field(default_factory=list)
 
 
 def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
@@ -140,6 +143,65 @@ def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
                 words.append(w)
     for w in words:
         out.should.extend(tokenize_text(w, analyzer))
+    return out
+
+
+_SQS_TOKEN_RE = re.compile(
+    r"""
+    "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?   # "quoted phrase"[~slop]
+  | (?P<minus>-)(?P<nterm>[^\s|+\-"]+)
+  | (?P<word>[^\s|+\-"][^\s|+"]*)
+  | (?P<op>[|+])
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_simple_query_string(
+    q: str, analyzer: str = "standard", default_operator: str = "or"
+) -> ParsedQuery:
+    """ES ``simple_query_string``: the LENIENT end-user syntax (Lucene
+    SimpleQueryParser) — never raises on user input:
+
+        foo bar        terms, combined by ``default_operator`` (or — ES's
+                       default — makes them should; and makes them must)
+        foo | bar      '|' forces OR for the whole expression
+        foo + bar      '+' forces AND for the whole expression
+        -foo           negation (must_not)
+        "a b"~2        phrase with optional slop
+        tab*           trailing * — prefix clause (constant-score 1.0,
+                       summed bool-should style, Lucene's
+                       CONSTANT_SCORE rewrite of PrefixQuery)
+
+    Deviations (documented, in the lenient spirit): '(' ')' grouping is
+    not supported — parens are stripped by the analyzer like any other
+    punctuation; mixing '|' and '+' in one query resolves to AND ('+'
+    wins — Lucene applies precedence pairwise, we apply it globally);
+    '-' before a phrase or prefix negates its TERMS leniently."""
+    out = ParsedQuery()
+    words: list[str] = []
+    ops: set[str] = set()
+    for m in _SQS_TOKEN_RE.finditer(q or ""):
+        if m.group("phrase") is not None:
+            out.phrases.append((m.group("phrase"), int(m.group("slop") or 0)))
+        elif m.group("minus"):
+            t = m.group("nterm")
+            out.must_not.extend(
+                tokenize_text(t[:-1] if t.endswith("*") else t, analyzer)
+            )
+        elif m.group("word"):
+            words.append(m.group("word"))
+        elif m.group("op"):
+            ops.add(m.group("op"))
+    conj = "+" in ops or (not ops and default_operator == "and")
+    for w in words:
+        if w.endswith("*") and len(w) > 1:
+            stem = tokenize_text(w[:-1], analyzer)
+            if stem:
+                out.prefixes.append(stem[-1])
+            continue
+        toks = tokenize_text(w, analyzer)
+        (out.must if conj else out.should).extend(toks)
     return out
 
 
@@ -220,10 +282,21 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
     not_terms = sorted(set(parsed.must_not))
     allowed = index._match_set(must_terms, len(must_terms)) if must_terms else None
     blocked = index._match_set(not_terms, 1) if not_terms else None
-    if not terms and len(parsed.phrases) == 1 and allowed is None and blocked is None:
+    prefix_sets = []
+    for p in parsed.prefixes:
+        expanded = sorted(set(index._expand_prefix(p, max_expansions=50)))
+        prefix_sets.append(index._match_set(expanded, 1) if expanded else None)
+    if parsed.prefixes and parsed.must:
+        # AND semantics: a conjunctive query requires the prefix clauses too
+        for ms in prefix_sets:
+            if ms is None:
+                return index.spark.createDataFrame([], "doc_id long, score double")
+            allowed = ms if allowed is None else allowed.join(ms, "doc_id", "left_semi")
+    if not terms and len(parsed.phrases) == 1 and allowed is None and blocked is None \
+            and not parsed.prefixes:
         phrase, slop = parsed.phrases[0]
         return index.search_phrase(phrase, k, where=where, slop=slop)
-    if not parsed.phrases:
+    if not parsed.phrases and not parsed.prefixes:
         return index.search(
             " ".join(terms), k, mode="bmw", where=where,
             _allowed_docs=allowed, _blocked_docs=blocked,
@@ -236,6 +309,21 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
         parts.append(index.search_oracle(" ".join(terms), k=None, where=where))
     for phrase, slop in parsed.phrases:
         parts.append(index.search_phrase_oracle(phrase, k=None, where=where, slop=slop))
+    for ms in prefix_sets:
+        # Lucene CONSTANT_SCORE prefix rewrite: matching docs add 1.0
+        if ms is not None:
+            part = ms.select("doc_id", F.lit(1.0).alias("score"))
+            if where is not None:
+                part = part.join(
+                    index._docs_df().filter(where).select("doc_id"),
+                    "doc_id", "left_semi",
+                )
+            deletes = index._deletes_df()
+            if deletes is not None:
+                part = part.join(deletes, "doc_id", "left_anti")
+            parts.append(part)
+    if not parts:
+        return index.spark.createDataFrame([], "doc_id long, score double")
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)

@@ -299,6 +299,74 @@ def test_fetch_source_includes_excludes(spark, built_index):
     assert got.count() == 3
 
 
+# ----------------------------------------------- simple_query_string -----
+
+
+def test_parse_simple_query_string():
+    from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+        parse_simple_query_string as p,
+    )
+
+    q = p('alpha | beta -gamma "a b"~2 tab*')
+    assert q.should == ["alpha", "beta"] and q.must == []
+    assert q.must_not == ["gamma"]
+    assert q.phrases == [("a b", 2)] and q.prefixes == ["tab"]
+    q2 = p("alpha + beta")
+    assert q2.must == ["alpha", "beta"] and q2.should == []
+    assert p("alpha beta", default_operator="and").must == ["alpha", "beta"]
+    assert p("alpha beta").should == ["alpha", "beta"]
+    # lenient: never raises — parens stripped, lone operators ignored
+    assert p("(alpha) |").should == ["alpha"]
+    assert p("").should == []
+    # '-' on a starred token negates its terms leniently
+    assert p("-tab* x").must_not == ["tab"]
+
+
+def test_simple_query_string_execution(spark, built_index):
+    idx, _ = built_index
+    # pure OR == plain search
+    want = [(r["doc_id"], r["score"]) for r in idx.search(Q, 10, mode="bmw").collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.simple_query_string(Q.replace(" ", " | "), 10).collect()
+    ]
+    assert got == want and got
+    # '+' == conjunctive bool must
+    want_and = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_bool(must=["w00000 w00003"], k=10).collect()
+    ]
+    got_and = [
+        (r["doc_id"], r["score"])
+        for r in idx.simple_query_string("w00000 + w00003", 10).collect()
+    ]
+    assert got_and == want_and and got_and
+    # negation excludes
+    toks = {r["doc_id"]: set() for r in idx._docs_df().collect()}
+    for r in idx._docs_df().collect():
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+        toks[r["doc_id"]] = set(tokenize_text(r["text"]))
+    got_not = idx.simple_query_string("w00000 -w00003", 10_000).collect()
+    assert got_not and all("w00003" not in toks[r["doc_id"]] for r in got_not)
+    # prefix clause: +1.0 constant for matching docs, summed with BM25
+    scores = _oracle_scores(idx, "w00000")
+    pref_docs = {d for d, ts in toks.items() if any(t.startswith("w0001") for t in ts)}
+    want_p: dict[int, float] = {}
+    for d, s in scores.items():
+        want_p[d] = s
+    for d in pref_docs:
+        want_p[d] = want_p.get(d, 0.0) + 1.0
+    top = sorted(want_p.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got_p = idx.simple_query_string("w00000 w0001*", 10).collect()
+    assert [r["doc_id"] for r in got_p] == [d for d, _ in top]
+    for r, (_, s) in zip(got_p, top):
+        assert r["score"] == pytest.approx(s)
+    # conjunctive + prefix: the prefix clause RESTRICTS too
+    got_cp = idx.simple_query_string("w00000 + w0001*", 10_000).collect()
+    assert got_cp and all(r["doc_id"] in pref_docs for r in got_cp)
+
+
 # ----------------------------------------------- termvectors / MLT text --
 
 
