@@ -452,6 +452,20 @@ def q_span_or_topk(spark, sf_dir):
     )
 
 
+def q_span_multi_topk(spark, sf_dir):
+    """ES span_multi wrapping a prefix query, composed into span_near:
+    (any term starting with 's') and 'hash' within a 3-token window
+    (n=2 + slop=1), either order. The prefix is dictionary-expanded
+    (pruned pyarrow range read) into the slot's span_or alternatives —
+    Lucene's SpanMultiTermQueryWrapper rewrite."""
+    out = _pos_idx(spark, sf_dir).search_span_near(
+        [{"prefix": "s"}, "hash"], slop=1, in_order=False, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_span_near_or_topk(spark, sf_dir):
     """ES span_near with a nested span_or clause: ('table' OR 'index')
     and 'hash' within a 4-token window (n=2 clauses + slop=2), either
@@ -1169,6 +1183,20 @@ def _conv_idx(spark, sf_dir):
         idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
         _IDX_CACHE[key] = idx
     return idx
+
+
+def q_agg_children(spark, sf_dir):
+    """ES children aggregation (1.4+): buckets over a PARENT field
+    ('grp' — the 50 synthetic conversations in 5 groups), each stepping
+    into the bucket's matching CHILD turns — n_children + avg child text
+    length, ES terms-agg ordering (count desc, bucket asc)."""
+    parents = spark.range(50).select(
+        F.col("id").cast("string").alias("conv_key"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+    )
+    return _conv_idx(spark, sf_dir).children_agg(
+        BM25_QUERY, parents, "grp", parent_key="conv_key", metric="length(text)"
+    )
 
 
 def q_has_child_topk(spark, sf_dir):
@@ -2094,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_ordered_topk": q_span_near_ordered_topk,
         "span_or_topk": q_span_or_topk,
         "span_near_or_topk": q_span_near_or_topk,
+        "span_multi_topk": q_span_multi_topk,
         "span_not_topk": q_span_not_topk,
         "rescore_topk": q_rescore_topk,
         "bool_topk": q_bool_topk,
@@ -2133,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "suggest_phrase": q_suggest_phrase,
         "suggest_phrase_lm": q_suggest_phrase_lm,
+        "agg_children": q_agg_children,
         "has_child_topk": q_has_child_topk,
         "has_child_sum_topk": q_has_child_sum_topk,
         "has_parent_topk": q_has_parent_topk,
@@ -2577,6 +2607,17 @@ _SPAN_NEAR_OR_MATCH = (
     "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
     "j -> list_contains(['table','index'], toks[j]))) > 0 "
     "AND len(list_filter(generate_series(i, least(i + 3, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0))"
+)
+# span_multi(prefix 's') near 'hash', unordered, slop=1: anchor at any
+# position holding either clause (an s-prefixed term or 'hash') with BOTH
+# clauses satisfied inside [i, i+2] (window = n-1+slop = 2)
+_SPAN_MULTI_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> (starts_with(toks[i], 's') OR toks[i] = 'hash') "
+    "AND len(list_filter(generate_series(i, least(i + 2, len(toks))), "
+    "j -> starts_with(toks[j], 's'))) > 0 "
+    "AND len(list_filter(generate_series(i, least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
 )
 # span_not 'table' excluding 'hash' with pre=post=1: a 'table' occurrence
@@ -4231,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_topk": _phrase_sql(_SPAN_NEAR_MATCH),
         "span_or_topk": _phrase_sql(_SPAN_OR_MATCH),
         "span_near_or_topk": _phrase_sql(_SPAN_NEAR_OR_MATCH),
+        "span_multi_topk": _phrase_sql(_SPAN_MULTI_MATCH),
         "span_not_topk": _phrase_sql(_SPAN_NOT_MATCH),
         "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
@@ -4289,6 +4331,13 @@ LIMIT {K}
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),
         "suggest_phrase_lm": _phrase_suggest_sql("the strem tabel"),
+        "agg_children": f"""
+SELECT concat('g', ((doc_id % 50) % 5)::VARCHAR) AS bucket,
+       count(*)::BIGINT AS n_children,
+       round(avg(length(text)), 6)::DOUBLE AS avg_v
+FROM documents WHERE doc_id IN ({_MATCHED})
+GROUP BY 1 ORDER BY n_children DESC, bucket
+""",
         "has_child_topk": _bm25_variant_sql(
             BM25_QUERY,
             f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,

@@ -1932,10 +1932,23 @@ class Index:
             [[toks[0]]], k, where, 0, span=("first", int(end))
         )
 
-    def _span_clause(self, clause: str | list[str]) -> list[str]:
+    def _span_clause(self, clause: str | list[str] | dict) -> list[str]:
         """Analyze one span clause: a str is a span_term, a list is a
         span_or over its terms (each analyzed; one analyzed token per
-        alternative — the single-token span model of this engine)."""
+        alternative — the single-token span model of this engine), and a
+        ``{"prefix": stem}`` dict is ES ``span_multi`` wrapping a prefix
+        query (Lucene SpanMultiTermQueryWrapper): the stem is analyzed,
+        then expanded against the term dictionary — same pruned pyarrow
+        range read as :meth:`search_prefix` — and the expansions become
+        the slot's span_or alternatives (``max_expansions`` caps the
+        rewrite, default 50 like ES)."""
+        if isinstance(clause, dict):
+            stem_toks = self._analyze(str(clause["prefix"]))
+            if not stem_toks:
+                return []
+            return self._expand_prefix(
+                stem_toks[0], int(clause.get("max_expansions", 50))
+            )
         alts = [clause] if isinstance(clause, str) else list(clause)
         out: list[str] = []
         for a in alts:
@@ -1946,7 +1959,7 @@ class Index:
 
     def search_span_near(
         self,
-        terms: list[str | list[str]],
+        terms: list[str | list[str] | dict],
         slop: int = 0,
         in_order: bool = False,
         k: int = 10,
@@ -1955,10 +1968,12 @@ class Index:
         """ES ``span_near`` (Lucene SpanNearQuery): docs where every
         clause occurs inside a window of ``len(terms) + slop`` tokens —
         Lucene's span-width − n ≤ slop criterion — optionally in clause
-        order (``in_order``). Each clause is a str (span_term) or a list
+        order (``in_order``). Each clause is a str (span_term), a list
         of strs (a nested ``span_or``: any alternative satisfies the
         clause — the postings runs of the alternatives are unioned per
-        slot, no extra kernel work).
+        slot, no extra kernel work), or a ``{"prefix": stem}`` dict
+        (``span_multi`` wrapping a prefix query — dictionary expansion
+        becomes the slot's alternatives, see :meth:`_span_clause`).
 
         Match counting (the kernel docstring pins the exact deterministic
         definition; the DuckDB oracle recomputes it): unordered spans
@@ -3699,6 +3714,54 @@ class Index:
             .select("doc_id", group_col, F.lit(1.0).alias("score"))
             .orderBy(F.asc("doc_id"))
             .limit(k)
+        )
+
+    def children_agg(
+        self,
+        query_text: str,
+        parents: DataFrame,
+        bucket_by: str,
+        parent_key: str = "conv_id",
+        metric: str | None = None,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``children`` aggregation (1.4+): buckets over a PARENT
+        field, each stepping into the bucket's matching CHILD docs — the
+        parent/child counterpart of :meth:`nested_terms_agg` and the agg
+        face of :meth:`search_has_child`. ``parents`` is the parent-side
+        table carrying (``parent_key``, ``bucket_by``); the child scope
+        is the live filtered match set of ``query_text`` (same
+        ``_agg_scope`` as every aggregation).
+
+        Output (bucket, n_children[, avg_v of the SQL ``metric``
+        expression]) in ES terms-agg order (count desc, bucket asc).
+
+        Plan shape: term-pruned match-set scan → column-pruned join
+        children→parents keyed on the parent key (at 10^12 turns vs
+        10^10 conversations neither side broadcasts — a standard shuffle
+        join on the corpus's natural conv partitioning, AQE picks the
+        strategy) → ONE groupBy on the bucket value (map-side partial
+        agg, key cardinality = parent-field vocabulary)."""
+        schema = "bucket string, n_children long" + (
+            ", avg_v double" if metric is not None else ""
+        )
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], schema)
+        joined = scoped.join(
+            parents.select(
+                parent_key, F.col(bucket_by).cast("string").alias("bucket")
+            ),
+            parent_key,
+        )
+        agg_cols = [F.count("*").cast("long").alias("n_children")]
+        if metric is not None:
+            agg_cols.append(F.round(F.avg(F.expr(metric)), 6).alias("avg_v"))
+        return (
+            joined.groupBy("bucket")
+            .agg(*agg_cols)
+            .orderBy(F.desc("n_children"), F.asc("bucket"))
         )
 
     def search_sort(

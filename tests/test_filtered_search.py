@@ -987,3 +987,37 @@ def test_has_parent_returns_whole_conversations(spark, built_index):
     eligible = sorted(r["doc_id"] for r in docs if r["conv_id"] in match_convs)
     assert [r["doc_id"] for r in rows] == eligible[:25]
     assert all(r["score"] == 1.0 and r["conv_id"] in match_convs for r in rows)
+
+
+def test_children_agg_matches_python_recompute(spark, built_index):
+    """children agg: parent-field buckets over matching child turns must
+    agree with a Python recomputation (counts + avg metric, ES terms-agg
+    ordering), and an unknown-terms query returns the empty frame."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    import pyspark.sql.functions as F
+
+    docs = idx._docs_df().select("doc_id", "text", "conv_id").collect()
+    parents = (
+        idx._docs_df().select("conv_id").distinct()
+        .select("conv_id", F.substring("conv_id", 1, 6).alias("grp"))
+    )
+    grp = {r["conv_id"]: r["conv_id"][:6] for r in docs}
+    want: dict[str, list[int]] = {}
+    qt = set(q.split())
+    for r in docs:
+        if qt & set(tokenize_text(r["text"])):
+            want.setdefault(grp[r["conv_id"]], []).append(len(r["text"]))
+    exp = sorted(
+        ((g, len(v), round(sum(v) / len(v), 6)) for g, v in want.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["bucket"], r["n_children"], r["avg_v"])
+        for r in idx.children_agg(q, parents, "grp", metric="length(text)").collect()
+    ]
+    assert got == exp and got
+    empty = idx.children_agg("zzqqnotaterm", parents, "grp", metric="length(text)")
+    assert empty.count() == 0 and empty.columns == ["bucket", "n_children", "avg_v"]

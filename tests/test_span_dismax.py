@@ -345,3 +345,24 @@ def test_span_not_where_filters_keep_stats_global(spark, pos_index, corpus_texts
         pos_index.search_span_not(a, b, pre=1, post=1, k=K, where="role = 'user'")
     )
     assert fast == _brute_span_not(corpus_texts, [a], [b], 1, 1, role="user")
+
+
+def test_span_multi_prefix_clause(spark, pos_index, corpus_texts):
+    """span_multi({"prefix": p}) == span_or over the dictionary
+    expansions of p — the dict clause is pure rewrite, no new kernel."""
+    a, _b = _pick_terms(corpus_texts)
+    exp = pos_index._expand_prefix("w0001", 50)
+    assert len(exp) > 1  # a genuinely multi-term rewrite
+    want = _rows(pos_index.search_span_near([exp, a], slop=2, k=K))
+    got = _rows(pos_index.search_span_near([{"prefix": "w0001"}, a], slop=2, k=K))
+    assert got == want and got
+    # max_expansions caps the rewrite in term order, like ES
+    got1 = _rows(
+        pos_index.search_span_near(
+            [{"prefix": "w0001", "max_expansions": 1}, a], slop=2, k=K
+        )
+    )
+    want1 = _rows(pos_index.search_span_near([[exp[0]], a], slop=2, k=K))
+    assert got1 == want1
+    # a prefix matching no dictionary term -> empty result, no crash
+    assert pos_index.search_span_near([{"prefix": "zzqq"}, a], k=K).count() == 0
