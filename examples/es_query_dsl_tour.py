@@ -27,6 +27,8 @@ def show(title, df, n=3):
 
 
 def main(n_convs: int = 300) -> None:
+    from pyspark.sql import functions as F
+
     from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
     from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
@@ -114,6 +116,14 @@ def main(n_convs: int = 300) -> None:
     show("_source filtering on fetch",
          idx.fetch(idx.search(q, 2), includes=["role", "turn_idx"]))
     show("top_children / has_child avg", idx.search_has_child(q, 3, score_mode="avg"))
+    show("simple_query_string (lenient end-user syntax)",
+         idx.simple_query_string("w00000 | w00003 -w00007 w0001*", 5))
+    show("span_multi prefix clause near a term",
+         idx.search_span_near([{"prefix": "w0001"}, "w00000"], slop=2, k=3))
+    parents = idx._docs_df().select("conv_id").distinct().select(
+        "conv_id", F.substring("conv_id", 1, 6).alias("grp"))
+    show("children aggregation (parent buckets over matching turns)",
+         idx.children_agg(q, parents, "grp", metric="length(text)"))
 
     # --- multi-index & serving ------------------------------------------
     docs = idx._docs_df().select("doc_id", "text")
