@@ -1094,6 +1094,109 @@ class Index:
         top = np.lexsort((uniq, -summed))[:k]
         return [(int(uniq[i]), float(summed[i])) for i in top]
 
+    def simple_query_string_local(
+        self,
+        q: str,
+        k: int = 10,
+        default_operator: str = "or",
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``simple_query_string`` on the zero-Spark-job serving path
+        — the serving twin of :meth:`simple_query_string` (same parser,
+        same clause semantics as ``run_parsed``): should/must terms score
+        together (BM25 sum, global stats), must restricts to docs holding
+        ALL its terms, must_not excludes, phrases sum bool-should style,
+        and trailing-* prefixes add constant-score 1.0 per matching doc
+        (Lucene's CONSTANT_SCORE rewrite) — additionally restricting when
+        the query is conjunctive ('+'), exactly like the distributed
+        executor. ``where`` is the serving-path (col, op, value) tuple
+        surface; tombstones honored; stats never shift under masks.
+
+        Everything is |q|-proportional pyarrow point reads — the
+        dictionary expansion is the SAME pruned term_stats range read the
+        distributed path uses (:meth:`_expand_prefix`), so the whole
+        lenient end-user language serves without a Spark job."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+            parse_simple_query_string,
+        )
+
+        if self.wh is None:
+            raise ValueError(
+                "simple_query_string_local serves from warehouse files — "
+                "use simple_query_string()"
+            )
+        parsed = parse_simple_query_string(
+            q, self.meta.get("analyzer", "standard"), default_operator
+        )
+        score_terms = parsed.should + parsed.must
+        must_toks = sorted(set(parsed.must))
+        not_toks = sorted(set(parsed.must_not))
+        prefix_sets: list[np.ndarray | None] = []
+        for p in parsed.prefixes:
+            expanded = sorted(set(self._expand_prefix(p, max_expansions=50)))
+            prefix_sets.append(
+                self._local_match_set(expanded, 1) if expanded else None
+            )
+        allowed = None
+        if must_toks:
+            allowed = self._local_match_set(must_toks, len(must_toks))
+            if not len(allowed):
+                return []
+        if parsed.prefixes and parsed.must:
+            # AND semantics: a conjunctive query requires the prefix clauses
+            for ms in prefix_sets:
+                if ms is None:
+                    return []
+                allowed = ms if allowed is None else np.intersect1d(allowed, ms)
+            if not len(allowed):
+                return []
+        if where is not None:
+            wa = self._local_allowed(where)
+            allowed = wa if allowed is None else np.intersect1d(allowed, wa)
+            if not len(allowed):
+                return []
+        blocked = self._local_blocked()
+        if not_toks:
+            ns = self._local_match_set(not_toks, 1)
+            blocked = ns if blocked is None else np.union1d(blocked, ns)
+        if allowed is not None and blocked is not None:
+            allowed = np.setdiff1d(allowed, blocked)
+            blocked = None  # allowed mask subsumes the exclusions
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        if score_terms:
+            parts.append(
+                self._local_term_scores(
+                    " ".join(score_terms), allowed, blocked, per_shard_k=None,
+                    mode="exact",
+                )
+            )
+        for phrase, slop in parsed.phrases:
+            parts.append(
+                self._phrase_scores_local(phrase, int(slop), allowed, blocked)
+            )
+        for ms in prefix_sets:
+            # CONSTANT_SCORE prefix rewrite: matching docs add 1.0
+            if ms is None:
+                continue
+            d = ms
+            if allowed is not None:
+                d = np.intersect1d(d, allowed)
+            if blocked is not None:
+                d = np.setdiff1d(d, blocked)
+            parts.append(
+                (d.astype(np.int64), np.ones(len(d), dtype=np.float64))
+            )
+        parts = [(d, s) for d, s in parts if len(d)]
+        if not parts:
+            return []
+        dd = np.concatenate([d for d, _ in parts])
+        ss = np.concatenate([s for _, s in parts])
+        uniq, inv = np.unique(dd, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, ss)
+        top = np.lexsort((uniq, -summed))[:k]
+        return [(int(uniq[i]), float(summed[i])) for i in top]
+
     # Hard ceiling on terms materialized driver-side by ONE dictionary
     # expansion. At a 10^8-term vocabulary a 1-char prefix range can cover
     # millions of terms; rather than silently pulling them onto the driver

@@ -294,3 +294,42 @@ def test_local_bool_tombstones_and_ephemeral(spark, transcripts, tmp_path):
     )
     with pytest.raises(ValueError):
         eph.search_bool_local(should=[Q])
+
+
+def test_simple_query_string_local_identical(spark, local_pos_wh):
+    """simple_query_string_local == simple_query_string (distributed) on
+    every clause shape: OR, AND, negation, phrase+slop, prefix, and the
+    conjunctive+prefix restriction — rank AND score identical (multi-
+    segment positions index, so baked-avgdl and pruned reads are live)."""
+    idx = Index(spark, local_pos_wh)
+    queries = [
+        "w00000 | w00003 | w00015",                 # pure OR
+        "w00000 + w00003",                          # conjunctive
+        "w00000 w00003 -w00015",                    # negation
+        '"w00000 w00003"~2 w00015',                 # phrase + term mix
+        "w00000 w0001*",                            # prefix constant clause
+        "w00000 + w0001*",                          # prefix restricts under AND
+        "w0001*",                                   # prefix alone
+        "-w00000 w00003",                           # leading negation
+    ]
+    for q in queries:
+        dist = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in idx.simple_query_string(q, 10).collect()
+        ]
+        loc = [(d, round(s, 10)) for d, s in idx.simple_query_string_local(q, 10)]
+        assert loc == dist, q
+        assert dist, q  # every probe must actually match docs
+    # default_operator threads through identically
+    dist = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in idx.simple_query_string("w00000 w00003", 10, default_operator="and").collect()
+    ]
+    loc = [
+        (d, round(s, 10))
+        for d, s in idx.simple_query_string_local("w00000 w00003", 10, default_operator="and")
+    ]
+    assert loc == dist and dist
+    # absent terms / empty query -> empty, no crash
+    assert idx.simple_query_string_local("zzabsent", 10) == []
+    assert idx.simple_query_string_local("", 10) == []
