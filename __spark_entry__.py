@@ -1278,6 +1278,47 @@ def q_snapshot_restore(spark, sf_dir):
     )
 
 
+def q_template_create(spark, sf_dir):
+    """ES index templates (the 1.x _template API): a 'docs-*' template
+    carrying analyzer=stop is registered, then creating 'docs-2026'
+    picks it up automatically (fnmatch pattern + ES order/explicit
+    precedence) — the resulting index must answer a stopword-carrying
+    query exactly like a hand-configured stop-analyzer index, which the
+    DuckDB stop-analyzer oracle recomputes."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.templates import (
+        create_index,
+        put_template,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::template"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        root = tempfile.mkdtemp()
+        reg = root + "/templates.json"
+        # a decoy that must NOT match, and the real template
+        put_template(reg, "wide", "logs-*", {"analyzer": "keyword"})
+        put_template(
+            reg, "stopdocs", "docs-*",
+            {"analyzer": "stop", "docs_per_shard": 128, "n_buckets": 16},
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .withColumn("conv_id", F.format_string("c%010d", F.col("doc_id")))
+            .withColumn("turn_idx", F.lit(0))
+        )
+        path = create_index(spark, docs.drop("doc_id"), reg, "docs-2026", root)
+        idx = Index(spark, path)
+        _IDX_CACHE[key] = idx
+    out = idx.search("the table scan", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_suggest_phrase_lm(spark, sf_dir):
     """ES phrase suggester served from the MATERIALIZED bigram LM tables
     (index/lm.py): persisted index + build_lm_tables, then the same
@@ -2157,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ws_topk": q_bm25_ws_topk,
         "keyword_lookup": q_keyword_lookup,
         "snapshot_restore": q_snapshot_restore,
+        "template_create": q_template_create,
         "reindex_stop": q_reindex_stop,
         "validate_query": q_validate_query,
         "common_terms_topk": q_common_terms_topk,
@@ -4446,6 +4488,7 @@ FROM b ORDER BY bucket
         "msearch_dfs": _msearch_dfs_sql(BM25_QUERY),
         "msearch_boost": _msearch_qtf_sql(BM25_QUERY, boosts=(1.0, 2.0)),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
+        "template_create": _bm25_stop_sql("the table scan"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),
