@@ -1488,6 +1488,16 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Cross-document exact-substring duplication (Lee et al. 2022): per
+    doc, the count and fraction of 8-token windows whose exact sequence
+    occurs in >=1 OTHER document — the boilerplate/license-block signal
+    whole-doc near-dup misses. Full per-doc table (docs with >=1 window)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), n=8)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import minhash_lsh_pairs
 
@@ -2258,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_doc": q_json_doc,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dup_spans": q_dup_spans,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
@@ -4572,6 +4583,19 @@ ORDER BY doc_id
             "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
         ),
         "dedup_jaccard": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        "dup_spans": f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+  FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)
+),
+d AS (SELECT g, 1 AS is_dup FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+       coalesce(sum(d.is_dup), 0)::BIGINT AS dup_windows,
+       round(coalesce(sum(d.is_dup), 0) / count(*), 6)::DOUBLE AS dup_frac
+FROM w LEFT JOIN d USING (g)
+GROUP BY w.doc_id
+""",
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,

@@ -404,3 +404,49 @@ def decontaminate(
         )
         .filter(F.col("n_shingles") >= int(min_hits))
     )
+
+
+def dup_span_stats(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the curation signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): an n-token window is DUPLICATED when its exact token
+    sequence also occurs in at least one OTHER document; per doc report
+    (n_windows, dup_windows, dup_frac). This catches boilerplate/license
+    blocks that whole-doc near-dup (minhash/jaccard) misses because the
+    surrounding text differs, and is the cross-corpus complement of the
+    WITHIN-doc repetition_features (Gopher) signals.
+
+    Docs shorter than ``n`` tokens have no windows and are absent.
+
+    100 TB shape: one tokenize pass → n-gram explode (narrow, reuses the
+    textstats gram builder) → ONE groupBy on the gram key for global
+    distinct-doc counts (map-side partial agg; hot boilerplate grams are
+    exactly the skewed keys AQE's skew-join splitting handles) → one
+    shuffle join back on the gram → one groupBy on doc_id. Same cost
+    class as dedup_jaccard; no all-pairs, no driver-side state."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import _grams
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("w")
+    )
+    grams = _grams(toks, int(n))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    return (
+        grams.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+    )

@@ -521,3 +521,42 @@ def test_shingles_on_short_and_empty_docs(spark):
     assert got == {3, 4}
     pairs = jaccard_pairs(df, threshold=0.5).collect()
     assert [(r["id1"], r["id2"]) for r in pairs] == [(3, 4)]
+
+
+def test_dup_span_stats_matches_python(docs):
+    """dup_span_stats == a pure-Python window recompute: a window is dup
+    iff its exact token sequence occurs in another doc; short docs have
+    no rows; fractions exact."""
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_span_stats
+
+    n = 3
+    rows = {r["doc_id"]: tokenize_text(r["text"]) for r in docs.collect()}
+    owners: dict[str, set[int]] = {}
+    wins: dict[int, list[str]] = {}
+    for d, t in rows.items():
+        ws = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        wins[d] = ws
+        for g in set(ws):
+            owners.setdefault(g, set()).add(d)
+    want = {}
+    for d, ws in wins.items():
+        if not ws:
+            continue
+        dup = sum(1 for g in ws if len(owners[g]) >= 2)
+        want[d] = (len(ws), dup, round(dup / len(ws), 6))
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], r["dup_frac"])
+        for r in dup_span_stats(docs, n=n).collect()
+    }
+    assert got == want and got
+    # the exact-dup pair (0, 4) must be fully duplicated against each other
+    assert got[0][2] == 1.0 and got[4][2] == 1.0
+    # a doc shorter than n tokens contributes no row
+    import pyspark.sql.functions as F
+    tiny = docs.sparkSession.createDataFrame(
+        [(9, "just two")], "doc_id long, text string"
+    )
+    assert dup_span_stats(docs.unionByName(tiny), n=3).filter("doc_id = 9").count() == 0
