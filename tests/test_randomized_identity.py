@@ -130,3 +130,60 @@ def test_tokenizer_paths_agree_on_quirky_text(spark, seed):
                                  analyzer=analyzer).collect()
         }
         assert fused == sql, analyzer
+
+
+def _sqs_queries(rng: random.Random) -> list[str]:
+    """Random simple_query_string inputs: bare/negated terms, prefix
+    stars, quoted phrases with slop, and |/+ operators."""
+    qs = []
+    for _ in range(8):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            shape = rng.randrange(5)
+            t = rng.choice(VOCAB + ["zzabsent"])
+            if shape == 0 or shape == 4:
+                parts.append(t)
+            elif shape == 1:
+                parts.append("-" + t)
+            elif shape == 2:
+                parts.append(t[:2] + "*")
+            else:
+                a, b = rng.choice(VOCAB), rng.choice(VOCAB)
+                parts.append(f'"{a} {b}"~{rng.randint(0, 2)}')
+        op = rng.choice(["", "|", "+"])
+        qs.append((f" {op} " if op else " ").join(parts))
+    return qs
+
+
+@pytest.mark.parametrize("seed", [313, 626])
+def test_simple_query_string_local_identity_randomized(spark, tmp_path, seed):
+    """simple_query_string: the zero-job serving twin must stay rank- AND
+    score-identical to the distributed executor on random lenient-syntax
+    queries (prefix stars, phrases+slop, negation, |/+) over a quirky
+    corpus — both paths share the parser, so any drift is an executor
+    divergence."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng, 100)
+    t = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "concat('c', lpad(cast(doc_id as string), 6, '0')) AS conv_id",
+        "CAST(0 AS INT) AS turn_idx",
+        "'user' AS role",
+        "text",
+        "CAST(NULL AS STRING) AS tool",
+        "current_timestamp() AS ts",
+    )
+    wh = str(tmp_path / f"sqs{seed}")
+    build_index(spark, t, wh, docs_per_shard=16, n_buckets=4, positions=True)
+    idx = Index(spark, wh)
+    n_nonempty = 0
+    for q in _sqs_queries(rng):
+        dist = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.simple_query_string(q, 10).collect()
+        ]
+        loc = [(d, round(s, 9)) for d, s in idx.simple_query_string_local(q, 10)]
+        assert loc == dist, (seed, q)
+        n_nonempty += bool(dist)
+    assert n_nonempty >= 3  # the armor actually exercised scoring
