@@ -1608,6 +1608,33 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ivf_train_topk(spark, sf_dir):
+    """Trained-codebook IVF end-to-end: spherical k-means (5 distributed
+    Lloyd iterations, deterministic smallest-id init) trains 4 centroids,
+    the index materializes partitioned by the TRAINED lists, and the
+    search probes ALL lists — exact by construction, so the brute-force
+    cosine oracle hash-verifies the whole trained pipeline (codebook
+    quality itself is pytest-armored: objective monotonicity + a NumPy
+    reference identity)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = train_centroids(emb, 4, iters=5)
+    wh = tempfile.mkdtemp(prefix="kesc_ivft_")
+    build_ivf_index(emb, cent, wh)
+    out = ivf_search(spark, wh, qv, K, nprobe=4)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import lsh_topk
 
@@ -2277,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "cosine_topk": q_cosine_topk,
+        "ivf_train_topk": q_ivf_train_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_indexed_topk": q_ann_indexed_topk,
         "ivf_topk": q_ivf_topk,
@@ -4607,6 +4635,7 @@ GROUP BY w.doc_id
         "dedup_minhash_lsh": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
+        "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

@@ -560,3 +560,33 @@ def test_dup_span_stats_matches_python(docs):
         [(9, "just two")], "doc_id long, text string"
     )
     assert dup_span_stats(docs.unionByName(tiny), n=3).filter("doc_id = 9").count() == 0
+
+
+def test_train_centroids_matches_numpy_reference(spark, emb):
+    """Distributed Lloyd's == a sequential NumPy reference step-for-step:
+    same deterministic init, same cosine argmax assignment, same
+    normalized-sum update, same empty-cluster hold."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import train_centroids
+
+    df, vecs = emb
+    k, iters = 4, 5
+    m_raw = np.stack(vecs).astype(np.float64)
+    m = m_raw / np.maximum(np.linalg.norm(m_raw, axis=1, keepdims=True), 1e-30)
+    cent = m_raw[:k] / np.maximum(
+        np.linalg.norm(m_raw[:k], axis=1, keepdims=True), 1e-30
+    )
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+        assign = (m @ cn.T).argmax(axis=1)
+        new = cent.copy()
+        for li in range(k):
+            sel = m_raw[assign == li]
+            if len(sel):
+                s = sel.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 1e-30:
+                    new[li] = s / n
+        cent = new
+    got = train_centroids(df, k, iters=iters)
+    assert got.shape == cent.shape
+    assert np.allclose(got, cent, atol=1e-9)
