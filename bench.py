@@ -24,6 +24,7 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
   dedup_minhash   MinHash+LSH near-dup pairs over documents.parquet
   dedup_simhash   SimHash near-dup pairs over documents.parquet
   quality         text-quality feature pass over documents.parquet
+  dup_spans       cross-doc exact-substring duplication stats (Lee et al.)
   cosine_topk     brute-force cosine top-10 over embeddings.parquet
 
 ``--scaling`` additionally reruns the index build at pinned local[N]
@@ -204,6 +205,10 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         )
 
         t["repetition"] = best_of(lambda: repetition_features(docs).count())
+
+        from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_span_stats
+
+        t["dup_spans"] = best_of(lambda: dup_span_stats(docs, n=8).count())
 
         from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
 
