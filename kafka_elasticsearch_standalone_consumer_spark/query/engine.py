@@ -787,6 +787,47 @@ class Index:
             allowed = np.setdiff1d(allowed, blocked)
         return [(int(d), float(boost)) for d in allowed[:k]]
 
+    def search_prefix_local(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``prefix`` query on the zero-Spark-job serving path: the
+        SAME pruned term-dictionary range read as the distributed rewrite
+        (:meth:`_expand_prefix`), then the terms-local constant-score
+        path — identical results to :meth:`search_prefix` (score 1.0,
+        first k by doc_id)."""
+        return self.search_terms_local(
+            self._expand_prefix(prefix, max_expansions), k, where=where
+        )
+
+    def search_wildcard_local(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``wildcard`` on the zero-Spark-job serving path — the same
+        literal-prefix-pruned expansion as :meth:`search_wildcard`
+        (leading wildcards rejected, like ES), served through the
+        terms-local path."""
+        import fnmatch
+        import re as _re
+
+        lit = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+        if not lit:
+            raise ValueError(
+                "leading-wildcard patterns are rejected (no literal prefix to "
+                "prune the term dictionary with) — same default as ES"
+            )
+        cand = self._expand_prefix(lit, 1 << 20)
+        rx = _re.compile(fnmatch.translate(pattern))
+        terms = [t for t in cand if rx.match(t)][:max_expansions]
+        return self.search_terms_local(terms, k, where=where)
+
     def search_phrase_local(
         self, phrase: str, k: int = 10, slop: int = 0,
         where: list[tuple] | None = None,

@@ -333,3 +333,24 @@ def test_simple_query_string_local_identical(spark, local_pos_wh):
     # absent terms / empty query -> empty, no crash
     assert idx.simple_query_string_local("zzabsent", 10) == []
     assert idx.simple_query_string_local("", 10) == []
+
+
+def test_prefix_wildcard_local_identical(spark, local_pos_wh):
+    """search_prefix_local / search_wildcard_local == their distributed
+    twins: same expansions, same constant score, same doc_id-asc first-k."""
+    idx = Index(spark, local_pos_wh)
+    dist_p = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_prefix("w0001", 15).collect()
+    ]
+    loc_p = idx.search_prefix_local("w0001", 15)
+    assert loc_p == dist_p and loc_p
+    dist_w = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_wildcard("w0?00*", 15).collect()
+    ]
+    loc_w = idx.search_wildcard_local("w0?00*", 15)
+    assert loc_w == dist_w and loc_w
+    with pytest.raises(ValueError):
+        idx.search_wildcard_local("*w00", 5)
+    assert idx.search_prefix_local("zzqq", 5) == []
