@@ -164,3 +164,29 @@ def test_pack_shards_has_no_window_or_single_partition_sort(spark, built_index):
     # the only exchange is the range repartition (plus AQE read stages)
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_dup_spans_plan_no_cartesian(spark, built_index):
+    """dup_span_stats must be gram-keyed aggregation + join — never an
+    all-pairs product — and the doc-side rollup a partial-agg groupBy."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_span_stats
+
+    idx, _ = built_index
+    docs = idx._docs_df().select("doc_id", "text")
+    plan = _plan(dup_span_stats(docs, n=5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # map-side partials on the gram key
+
+
+def test_children_agg_plan_shape(spark, built_index):
+    """children_agg: one join keyed on the parent key + one groupBy on
+    the bucket — no window, no cartesian; the final order is over bucket
+    cardinality only (tiny), not the corpus."""
+    idx, _ = built_index
+    parents = (
+        idx._docs_df().select("conv_id").distinct()
+        .select("conv_id", F.substring("conv_id", 1, 6).alias("grp"))
+    )
+    plan = _plan(idx.children_agg("w00000", parents, "grp"))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan
