@@ -271,6 +271,38 @@ def main() -> None:
         )
     )
 
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_span_stats
+
+    sections.append(
+        (
+            "Cross-doc duplicated substrings (dup_spans, Lee et al.)",
+            "Gram explode is narrow (≤ n× the token stream); the global "
+            "distinct-doc counts are ONE gram-keyed groupBy with map-side "
+            "partials (the skewed boilerplate grams are exactly what AQE "
+            "skew-join splitting handles at scale); the flagged grams join "
+            "back on the gram key and roll up per doc. No cartesian "
+            "product anywhere — asserted in tests/test_plans.py.",
+            plan_of(dup_span_stats(docs_tbl, n=5)),
+        )
+    )
+
+    parents = (
+        idx._docs_df().select("conv_id").distinct()
+        .select("conv_id", F.substring("conv_id", 1, 6).alias("grp"))
+    )
+    sections.append(
+        (
+            "Children aggregation (parent buckets over matching turns)",
+            "Term-pruned match-set scan → join children→parents keyed on "
+            "the parent key (a standard shuffle join on the corpus's "
+            "natural conv partitioning; neither side broadcasts at 10^12 "
+            "turns vs 10^10 conversations, AQE picks the strategy) → ONE "
+            "groupBy on the bucket value. No window, no global sort over "
+            "the corpus — the final order is bucket-cardinality rows.",
+            plan_of(idx.children_agg("w00000", parents, "grp")),
+        )
+    )
+
     sections.append(
         (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
