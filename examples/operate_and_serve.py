@@ -74,6 +74,24 @@ def main(n_convs: int = 400) -> None:
     print("mget local:", [r["doc_id"] for r in idx.get_docs_local([1, 5, 10**9])])
     print("bool local:", idx.search_bool_local(
         should=[q], must_not=["w00015"], where=[("role", "=", "user")], k=3))
+    print("simple_query_string local:",
+          idx.simple_query_string_local("w00000 | w00003 -w00015 w0001*", 3))
+    print("prefix local:", idx.search_prefix_local("w0001", 3))
+    print("wildcard local:", idx.search_wildcard_local("w0?00*", 3))
+
+    # 5. index templates: settings applied by name pattern at creation
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.templates import (
+        create_index,
+        put_template,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    treg = root + "/templates.json"
+    put_template(treg, "stopdocs", "docs-*", {"analyzer": "stop", "n_buckets": 8})
+    tpath = create_index(spark, turns, treg, "docs-2026", root)
+    tidx = Index(spark, tpath)
+    print("templated index analyzer:", tidx.meta["analyzer"],
+          "| stopword query hits:", tidx.search("the and of", 3).count())
 
     spark.stop()
 
