@@ -828,6 +828,69 @@ class Index:
         terms = [t for t in cand if rx.match(t)][:max_expansions]
         return self.search_terms_local(terms, k, where=where)
 
+    def search_fuzzy_local(
+        self,
+        term: str,
+        k: int = 10,
+        fuzziness: int = 1,
+        prefix_length: int = 1,
+        max_expansions: int = 50,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``fuzzy`` on the zero-Spark-job serving path — the same
+        prefix+length-band pruned dictionary read and Damerau-Levenshtein
+        filter as :meth:`search_fuzzy` (``prefix_length≥1`` enforced for
+        the same dictionary-scale reason), served through the terms-local
+        path. Result-identical to the distributed rewrite."""
+        if prefix_length < 1:
+            raise ValueError(
+                "prefix_length must be ≥1: an unpruned fuzzy expansion scans "
+                "the whole term dictionary (ES discourages it for the same reason)"
+            )
+        if len(term) < prefix_length:
+            return []
+        cand = self._expand_prefix(
+            term[:prefix_length],
+            1 << 20,
+            length_band=(len(term) - fuzziness, len(term) + fuzziness),
+        )
+        near = [
+            t
+            for t in cand
+            if abs(len(t) - len(term)) <= fuzziness
+            and _damerau_levenshtein(term, t, fuzziness) <= fuzziness
+        ]
+        return self.search_terms_local(
+            sorted(near)[:max_expansions], k, where=where
+        )
+
+    def search_regexp_local(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``regexp`` on the zero-Spark-job serving path — the same
+        literal-prefix-pruned, implicitly-anchored expansion as
+        :meth:`search_regexp`, served through the terms-local path."""
+        import re as _re
+
+        m = _re.match(r"[a-z0-9]+", pattern)
+        lit = m.group(0) if m else ""
+        if lit and len(lit) < len(pattern) and pattern[len(lit)] in "*?{":
+            lit = lit[:-1]  # the quantifier applies to the last literal char
+        if not lit:
+            raise ValueError(
+                "regexp patterns must start with a literal prefix (no leading "
+                "metacharacters) so the term-dictionary read can be pruned — "
+                "the same scale guard as search_regexp"
+            )
+        cand = self._expand_prefix(lit, 1 << 20)
+        rx = _re.compile(pattern)
+        terms = [t for t in cand if rx.fullmatch(t)][:max_expansions]
+        return self.search_terms_local(terms, k, where=where)
+
     def search_phrase_local(
         self, phrase: str, k: int = 10, slop: int = 0,
         where: list[tuple] | None = None,

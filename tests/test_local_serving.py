@@ -354,3 +354,27 @@ def test_prefix_wildcard_local_identical(spark, local_pos_wh):
     with pytest.raises(ValueError):
         idx.search_wildcard_local("*w00", 5)
     assert idx.search_prefix_local("zzqq", 5) == []
+
+
+def test_fuzzy_regexp_local_identical(spark, local_pos_wh):
+    """search_fuzzy_local / search_regexp_local == their distributed
+    twins: same pruned expansions (incl. the length-band pigeonhole and
+    the quantifier-trimmed literal prefix), same constant score."""
+    idx = Index(spark, local_pos_wh)
+    dist_f = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_fuzzy("w0000x", 15, fuzziness=1).collect()
+    ]
+    loc_f = idx.search_fuzzy_local("w0000x", 15, fuzziness=1)
+    assert loc_f == dist_f and loc_f
+    dist_r = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_regexp("w00*1[05]", 15).collect()
+    ]
+    loc_r = idx.search_regexp_local("w00*1[05]", 15)
+    assert loc_r == dist_r and loc_r
+    with pytest.raises(ValueError):
+        idx.search_fuzzy_local("w00001", 5, prefix_length=0)
+    with pytest.raises(ValueError):
+        idx.search_regexp_local(".*w00", 5)
+    assert idx.search_fuzzy_local("x", 5, prefix_length=3) == []
