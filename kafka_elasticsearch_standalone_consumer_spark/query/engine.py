@@ -708,6 +708,44 @@ class Index:
             out.extend(tbl.to_pylist())
         return sorted(out, key=lambda r: r["doc_id"])
 
+    def highlight_local(
+        self,
+        hits: list[tuple[int, float]],
+        query_text: str,
+        n_chars: int = 80,
+    ) -> list[dict]:
+        """ES highlight on the zero-Spark-job serving path: fetch the hit
+        docs via :meth:`get_docs_local` and add the same ``snippet`` as
+        :meth:`highlight` — identical pattern construction (stem-prefix
+        forms under porter/english), identical 1-based window arithmetic,
+        matched terms wrapped in ``**``. Returns the doc dicts (doc_id
+        ascending) each extended with ``snippet``."""
+        import re as _re
+
+        terms = sorted(set(self._analyze(query_text)), key=len, reverse=True)
+        rows = self.get_docs_local([d for d, _ in hits])
+        if not terms:
+            return [{**r, "snippet": None} for r in rows]
+        if self.meta.get("analyzer", "standard") in ("porter", "english"):
+            pat = (
+                "(?i)\\b((?:" + "|".join(_re.escape(t) for t in terms) + ")[a-z0-9]*)"
+            )
+        else:
+            pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        rx = _re.compile(pat)
+        out = []
+        for r in rows:
+            text = r["text"] or ""
+            m = rx.search(text)
+            if m is None:
+                out.append({**r, "snippet": text[:n_chars]})
+                continue
+            first = m.start() + 1  # Spark regexp_instr is 1-based
+            start = max(first - n_chars // 2, 1)
+            window = text[start - 1 : start - 1 + n_chars]
+            out.append({**r, "snippet": rx.sub(r"**\1**", window)})
+        return out
+
     def search_terms_local(
         self,
         terms: list[str],

@@ -378,3 +378,24 @@ def test_fuzzy_regexp_local_identical(spark, local_pos_wh):
     with pytest.raises(ValueError):
         idx.search_regexp_local(".*w00", 5)
     assert idx.search_fuzzy_local("x", 5, prefix_length=3) == []
+
+
+def test_highlight_local_identical(spark, local_pos_wh):
+    """highlight_local == highlight on the same hits: same snippet string
+    (window arithmetic, ** marks, no-match head fallback), doc_id order."""
+    idx = Index(spark, local_pos_wh)
+    q = "w00000 w00003"
+    hits = idx.search_local(q, 5)
+    dist = {
+        r["doc_id"]: r["snippet"]
+        for r in idx.highlight(
+            spark.createDataFrame(hits, "doc_id long, score double"), q
+        ).collect()
+    }
+    loc = {r["doc_id"]: r["snippet"] for r in idx.highlight_local(hits, q)}
+    assert loc == dist and loc
+    assert all("**" in s for s in loc.values())
+    # no-match terms: head-of-text fallback, None only for empty queries
+    loc2 = idx.highlight_local(hits, "zzabsent")
+    assert all(r["snippet"] == (r["text"] or "")[:80] for r in loc2)
+    assert all(r["snippet"] is None for r in idx.highlight_local(hits, ""))
