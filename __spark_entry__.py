@@ -1230,6 +1230,64 @@ def q_has_parent_topk(spark, sf_dir):
     return out.select("doc_id", "conv_key", "score")
 
 
+def _nested_idx(spark, sf_dir):
+    """Ephemeral index whose docs carry a NESTED array-of-struct column:
+    ``evs`` = the events rows keyed to doc_id = event_id % n_docs (the ES
+    nested field shape — turn tool-call metadata in the transcripts
+    schema — reconstructible in DuckDB via the same modulus)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::nested"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        n_docs = docs.count()
+        arr = (
+            _events(spark, sf_dir)
+            .select(
+                (F.col("event_id") % n_docs).alias("doc_id"),
+                F.struct("event_id", "event_type", "value").alias("ev"),
+            )
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        )
+        empty = "CAST(array() AS array<struct<event_id:bigint,event_type:string,value:double>>)"
+        docs = docs.join(arr, "doc_id", "left").withColumn(
+            "evs", F.coalesce(F.col("evs"), F.expr(empty))
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+NESTED_WHERE = "x.event_type = 'error' AND x.value >= 9.0"
+
+
+def q_nested_topk(spark, sf_dir):
+    """ES nested query (bool must: text match + nested clause,
+    score_mode=sum): docs matching BM25_QUERY that have >= 1 nested event
+    with event_type='error' AND value>=9.0 in the SAME object (per-nested
+    scoping — a flattened field would false-match across objects); each
+    matching object scores 1.0 (constant-score rewrite), summed into the
+    bool score."""
+    out = _nested_idx(spark, sf_dir).search_nested(
+        BM25_QUERY, K, nested_col="evs", inner_where=NESTED_WHERE,
+        score_mode="sum",
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_agg_nested(spark, sf_dir):
+    """ES nested aggregation + reverse_nested: step into the matching
+    docs' nested events, bucket by event_type — nested-doc count, distinct
+    PARENT count (reverse_nested), avg event value."""
+    return _nested_idx(spark, sf_dir).nested_agg(
+        BM25_QUERY, "evs", "event_type", metric="x.value"
+    )
+
+
 def q_snapshot_restore(spark, sf_dir):
     """ES snapshot/restore + aliases: build a persisted index, snapshot
     it into a repository, restore into a fresh warehouse, swap the
@@ -2179,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     return {
+        "nested_topk": q_nested_topk,
+        "agg_nested": q_agg_nested,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_simple_topk": q_bm25_simple_topk,
@@ -4422,6 +4482,36 @@ SELECT concat('g', ((doc_id % 50) % 5)::VARCHAR) AS bucket,
        round(avg(length(text)), 6)::DOUBLE AS avg_v
 FROM documents WHERE doc_id IN ({_MATCHED})
 GROUP BY 1 ORDER BY n_children DESC, bucket
+""",
+        # nested objects of doc d = events rows with event_id % n_docs = d;
+        # the nested clause (error AND value>=9 in the SAME object) becomes a
+        # per-doc matching-object count added to the BM25 score (score_mode=sum,
+        # constant-score 1.0 per object)
+        "nested_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT s.doc_id,
+       row_number() OVER (ORDER BY s.score + n.nscore DESC, s.doc_id) AS rank,
+       round(s.score + n.nscore, 4) AS score_r
+FROM scored s
+JOIN (SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+             count(*)::DOUBLE AS nscore
+      FROM events WHERE event_type = 'error' AND value >= 9.0
+      GROUP BY 1) n USING (doc_id)
+ORDER BY s.score + n.nscore DESC, s.doc_id
+LIMIT {K}
+""",
+        ),
+        "agg_nested": f"""
+WITH ev AS (
+  SELECT event_id % (SELECT count(*) FROM documents) AS doc_id, event_type, value
+  FROM events
+)
+SELECT event_type AS bucket,
+       count(*)::BIGINT AS n_nested,
+       count(DISTINCT doc_id)::BIGINT AS n_parents,
+       round(avg(value), 6) AS avg_v
+FROM ev WHERE doc_id IN ({_MATCHED})
+GROUP BY 1 ORDER BY n_nested DESC, bucket
 """,
         "has_child_topk": _bm25_variant_sql(
             BM25_QUERY,

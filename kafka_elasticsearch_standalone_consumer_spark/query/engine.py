@@ -4009,6 +4009,134 @@ class Index:
             .orderBy(F.desc("n_children"), F.asc("bucket"))
         )
 
+    def search_nested(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        nested_col: str,
+        inner_where: str,
+        score_mode: str = "avg",
+        inner_score: str | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``nested`` query: the document store carries an
+        array-of-struct column (``nested_col``) — ES 1.x's nested field
+        type, mapped behind the same ``prepareIndex`` boundary the
+        reference delegates documents through (ref:
+        ``MessageHandler.java:135-139``) — and a document matches only if
+        AT LEAST ONE nested object satisfies ``inner_where`` as a whole.
+        That per-object scoping is the entire point of ``nested`` vs a
+        flattened object field: ``x.a = 1 AND x.b = 2`` must hold inside
+        the SAME object, so a doc with one object {a:1,b:9} and another
+        {a:0,b:2} does NOT match (a flattened index would false-match it).
+
+        ``inner_where`` is a SQL boolean over the object ``x`` (e.g.
+        ``x.event_type = 'error' AND x.value >= 9``). ``inner_score`` is
+        an optional SQL double over ``x`` scored per matching object
+        (default 1.0 — Lucene's constant-score filter rewrite);
+        ``score_mode`` rolls matching objects up into the clause score:
+        avg (ES default) | sum | max | min | none (clause contributes 0).
+        With ``query_text`` non-empty the clause sits in a bool must next
+        to the parent text match (scores add, both must match); empty
+        ``query_text`` is a nested-only query.
+
+        Plan shape: the nested clause compiles to higher-order Column
+        functions (``filter``/``transform``/``aggregate`` over the array)
+        — a per-row predicate fused into the column-pruned doc scan by
+        whole-stage codegen, NO explode and NO shuffle; the only exchange
+        is the doc_id equi-join against the scored match set. At 10^12
+        turns the clause costs one scan of (doc_id, nested_col).
+        """
+        if score_mode not in ("avg", "sum", "max", "min", "none"):
+            raise ValueError(f"unknown nested score_mode: {score_mode}")
+        matched = f"filter({nested_col}, x -> ({inner_where}))"
+        scores = (
+            f"transform({matched}, x -> CAST({inner_score or '1.0'} AS DOUBLE))"
+        )
+        total = f"aggregate({scores}, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        nexpr = {
+            "sum": total,
+            "avg": f"{total} / size({scores})",
+            "max": f"array_max({scores})",
+            "min": f"array_min({scores})",
+            "none": "CAST(0 AS DOUBLE)",
+        }[score_mode]
+        docs = self._docs_df()
+        if where is not None:
+            docs = docs.filter(where)
+        nested = (
+            docs.filter(F.expr(f"size({matched}) >= 1"))
+            .select("doc_id", F.expr(nexpr).alias("nscore"))
+        )
+        if not self._analyze(query_text or ""):
+            # nested-only query: the clause score IS the score
+            deletes = self._deletes_df()
+            if deletes is not None:
+                nested = nested.join(deletes, "doc_id", "left_anti")
+            return (
+                nested.select("doc_id", F.col("nscore").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        scored = self.search_oracle(query_text, None)
+        return (
+            scored.join(nested, "doc_id")
+            .select("doc_id", (F.col("score") + F.col("nscore")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def nested_agg(
+        self,
+        query_text: str,
+        nested_col: str,
+        bucket_by: str,
+        metric: str | None = None,
+        inner_where: str | None = None,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``nested`` aggregation (+ implicit ``reverse_nested``): step
+        from the matching documents INTO their nested objects, bucket by a
+        nested field, and report per bucket the nested-doc count, the
+        distinct PARENT count (what ES's reverse_nested sub-agg answers:
+        "how many documents", not "how many objects"), and optionally the
+        avg of a SQL ``metric`` over the object ``x``. ``inner_where``
+        optionally pre-filters the objects (an ES filter sub-agg under
+        nested). Output in ES terms-agg order (count desc, bucket asc).
+
+        Plan shape: term-pruned match-set scan → ONE explode of the array
+        column (bounded per-row blowup = objects/doc, no join) → ONE
+        groupBy on the bucket value with map-side partial aggregation.
+        The distinct-parent count rides the same shuffle keyed by bucket.
+        """
+        schema = "bucket string, n_nested long, n_parents long" + (
+            ", avg_v double" if metric is not None else ""
+        )
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], schema)
+        arr = (
+            f"filter({nested_col}, x -> ({inner_where}))"
+            if inner_where is not None
+            else nested_col
+        )
+        exploded = scoped.select("doc_id", F.explode(F.expr(arr)).alias("x"))
+        agg_cols = [
+            F.count("*").cast("long").alias("n_nested"),
+            F.countDistinct("doc_id").cast("long").alias("n_parents"),
+        ]
+        if metric is not None:
+            agg_cols.append(F.round(F.avg(F.expr(metric)), 6).alias("avg_v"))
+        return (
+            exploded.groupBy(
+                F.expr(f"CAST(x.{bucket_by} AS STRING)").alias("bucket")
+            )
+            .agg(*agg_cols)
+            .orderBy(F.desc("n_nested"), F.asc("bucket"))
+        )
+
     def search_sort(
         self,
         query_text: str,

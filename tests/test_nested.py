@@ -1,0 +1,123 @@
+"""ES ``nested`` field type: per-nested-object query scoping + the
+nested aggregation with reverse_nested parent counts.
+
+The load-bearing semantic is cross-object false-match avoidance: a
+condition like ``x.a = 1 AND x.b = 2`` must hold inside ONE object — a
+flattened object field (what a naive index does) matches a doc whose
+objects satisfy the two conjuncts separately. ES 1.x indexes nested
+objects as hidden sub-documents to get this right (the mapping rides
+behind the reference's ``prepareIndex`` boundary,
+ref: MessageHandler.java:135-139); here the clause compiles to
+higher-order Column functions over the array column."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+
+@pytest.fixture(scope="module")
+def nested_idx(spark):
+    """Four docs with hand-built nested ``calls`` arrays.
+
+    doc 0: the TRAP — has (name='a', ms=1.0) and (name='b', ms=9.0):
+           matches 'name=a' and 'ms>=5' separately but in DIFFERENT
+           objects; a flattened AND would false-match it.
+    doc 1: (name='a', ms=7.0) — a genuine same-object match.
+    doc 2: (name='a', ms=5.0), (name='a', ms=9.0) — TWO matching objects.
+    doc 3: no matching objects at all (and doc text misses the query).
+    """
+    rows = [
+        (0, "alpha beta", [("a", 1.0), ("b", 9.0)]),
+        (1, "alpha beta", [("a", 7.0)]),
+        (2, "alpha gamma", [("a", 5.0), ("a", 9.0), ("b", 1.0)]),
+        (3, "delta", []),
+    ]
+    df = spark.createDataFrame(
+        [
+            (d, t, [{"name": n, "ms": m} for n, m in arr])
+            for d, t, arr in rows
+        ],
+        "doc_id long, text string, calls array<struct<name:string,ms:double>>",
+    )
+    return Index.ephemeral(df, docs_per_shard=4, n_buckets=4)
+
+
+INNER = "x.name = 'a' AND x.ms >= 5.0"
+
+
+def test_nested_only_per_object_scoping(nested_idx):
+    got = nested_idx.search_nested(
+        "", 10, nested_col="calls", inner_where=INNER, score_mode="sum"
+    ).collect()
+    # doc 0 is the trap: satisfies the conjuncts only across objects
+    assert {r["doc_id"]: r["score"] for r in got} == {1: 1.0, 2: 2.0}
+
+
+def test_flattened_semantics_would_false_match(nested_idx):
+    """The trap doc DOES match under flattened semantics — proving the
+    fixture exercises the distinction, not a vacuous case."""
+    flat = nested_idx._docs_df().filter(
+        "exists(calls, x -> x.name = 'a') AND exists(calls, x -> x.ms >= 5.0)"
+    )
+    assert 0 in {r["doc_id"] for r in flat.collect()}
+
+
+def test_score_modes(nested_idx):
+    def score(mode, inner_score=None):
+        rows = nested_idx.search_nested(
+            "", 10, nested_col="calls", inner_where=INNER,
+            score_mode=mode, inner_score=inner_score,
+        ).collect()
+        return {r["doc_id"]: r["score"] for r in rows}
+
+    assert score("sum", "x.ms") == {1: 7.0, 2: 14.0}
+    assert score("avg", "x.ms") == {1: 7.0, 2: 7.0}
+    assert score("max", "x.ms") == {1: 7.0, 2: 9.0}
+    assert score("min", "x.ms") == {1: 7.0, 2: 5.0}
+    assert score("none") == {1: 0.0, 2: 0.0}
+    with pytest.raises(ValueError):
+        nested_idx.search_nested(
+            "", 10, nested_col="calls", inner_where=INNER, score_mode="prod"
+        )
+
+
+def test_bool_must_combination(nested_idx):
+    """Text query + nested clause: both must match, scores add."""
+    base = {
+        r["doc_id"]: r["score"]
+        for r in nested_idx.search_oracle("alpha", None).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in nested_idx.search_nested(
+            "alpha", 10, nested_col="calls", inner_where=INNER, score_mode="sum"
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # doc 0 fails nested, doc 3 fails text
+    for d, s in got.items():
+        assert math.isclose(s, base[d] + (1.0 if d == 1 else 2.0))
+
+
+def test_nested_agg_counts_and_reverse_nested(spark, nested_idx):
+    got = nested_idx.nested_agg(
+        "alpha", "calls", "name", metric="x.ms"
+    ).collect()
+    by_bucket = {r["bucket"]: (r["n_nested"], r["n_parents"], r["avg_v"]) for r in got}
+    # docs 0,1,2 match 'alpha': name='a' objects = 1+1+2, across 3 parents
+    assert by_bucket["a"] == (4, 3, round((1.0 + 7.0 + 5.0 + 9.0) / 4, 6))
+    assert by_bucket["b"] == (2, 2, 5.0)
+    # ES terms-agg order: count desc, bucket asc
+    assert [r["bucket"] for r in got] == ["a", "b"]
+
+
+def test_nested_agg_inner_where(nested_idx):
+    got = nested_idx.nested_agg(
+        "alpha", "calls", "name", metric="x.ms", inner_where="x.ms >= 5.0"
+    ).collect()
+    by_bucket = {r["bucket"]: (r["n_nested"], r["n_parents"]) for r in got}
+    assert by_bucket == {"a": (3, 2), "b": (1, 1)}

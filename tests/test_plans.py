@@ -190,3 +190,29 @@ def test_children_agg_plan_shape(spark, built_index):
     plan = _plan(idx.children_agg("w00000", parents, "grp"))
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_nested_clause_is_scan_fused_no_explode(spark):
+    """search_nested: the nested clause must compile to higher-order
+    functions fused into the doc scan — NO Generate (explode) and no
+    window; the only exchanges serve the doc_id join/top-k. nested_agg
+    is the one place a Generate is expected (it steps INTO the objects)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta", [{"name": "a", "ms": float(i)}]) for i in range(8)],
+        "doc_id long, text string, calls array<struct<name:string,ms:double>>",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=4, n_buckets=4)
+    plan = _plan(
+        idx.search_nested(
+            "alpha", 5, nested_col="calls", inner_where="x.ms >= 2.0",
+            score_mode="sum",
+        )
+    )
+    assert "Generate" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    agg_plan = _plan(idx.nested_agg("alpha", "calls", "name"))
+    assert "Generate" in agg_plan  # the explode into nested objects
+    assert "CartesianProduct" not in agg_plan and "Window" not in agg_plan
