@@ -1288,6 +1288,57 @@ def q_agg_nested(spark, sf_dir):
     )
 
 
+def q_filtered_alias(spark, sf_dir):
+    """ES FILTERED alias (read-side rewrite): 'en_docs' carries
+    where=[(lang,=,en)] in the alias registry; opening it yields a
+    FilteredIndex that injects the filter into every query surface.
+    Asserted in-entry: alias BM25 ≡ concrete index with explicit where=
+    ≡ the zero-Spark-job serving twin through the alias (rank AND score
+    identity) — then the top-k is returned against the plain filtered
+    BM25 oracle. Corpus stats stay global, exactly like ES."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::filtered_alias"
+    cached = _IDX_CACHE.get(key)
+    if cached is None:
+        docs = (
+            _docs(spark, sf_dir)
+            .select(
+                "text", "lang",
+                # zero-padded conv_id → dense ids follow numeric doc_id order
+                F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+            )
+        )
+        root = tempfile.mkdtemp()
+        wh = root + "/idx"
+        build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+        set_alias(root + "/reg", "en_docs", wh, where=[("lang", "=", "en")])
+        cached = (open_alias(spark, root + "/reg", "en_docs"), Index(spark, wh))
+        _IDX_CACHE[key] = cached
+    fidx, concrete = cached
+    via_alias = fidx.search(BM25_QUERY, K, mode="bmw").collect()
+    explicit = concrete.search(BM25_QUERY, K, mode="bmw", where="lang = 'en'").collect()
+    local = fidx.search_local(BM25_QUERY, K)
+    assert [(r["doc_id"], r["score"]) for r in via_alias] == [
+        (r["doc_id"], r["score"]) for r in explicit
+    ], "filtered alias diverged from explicit where="
+    assert [(r["doc_id"], r["score"]) for r in via_alias] == [
+        (d, s) for d, s in local
+    ], "filtered alias local serving twin diverged"
+    out = spark.createDataFrame(via_alias)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_snapshot_restore(spark, sf_dir):
     """ES snapshot/restore + aliases: build a persisted index, snapshot
     it into a repository, restore into a fresh warehouse, swap the
@@ -1372,6 +1423,58 @@ def q_template_create(spark, sf_dir):
         idx = Index(spark, path)
         _IDX_CACHE[key] = idx
     out = idx.search("the table scan", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_template_alias(spark, sf_dir):
+    """ES template payload parity: a 'docs-*' template whose MAPPINGS set
+    the text field's analyzer (stop) and whose ALIASES body creates a
+    FILTERED alias (lang='en') on every matching index. Creating
+    'docs-2027' builds with the mapped analyzer AND registers the alias;
+    querying through the alias must equal the concrete stop-analyzer
+    index with an explicit lang filter (asserted in-entry), matching the
+    filtered stop-analyzer DuckDB oracle."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import open_alias
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.templates import (
+        create_index,
+        put_template,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::template_alias"
+    cached = _IDX_CACHE.get(key)
+    if cached is None:
+        root = tempfile.mkdtemp()
+        reg = root + "/templates.json"
+        put_template(
+            reg, "stopdocs", "docs-*",
+            settings={"docs_per_shard": 128, "n_buckets": 16},
+            mappings={"text": {"analyzer": "stop"}},
+            aliases={"en_docs": [["lang", "=", "en"]], "all_docs": None},
+        )
+        docs = (
+            _docs(spark, sf_dir)
+            .select(
+                "text", "lang",
+                F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+            )
+        )
+        path = create_index(spark, docs, reg, "docs-2027", root)
+        fidx = open_alias(spark, root + "/aliases_reg", "en_docs")
+        _IDX_CACHE[key] = (fidx, Index(spark, path))
+    fidx, concrete = _IDX_CACHE[key]
+    q = "the table scan"
+    via_alias = fidx.search(q, K, mode="bmw").collect()
+    explicit = concrete.search(q, K, mode="bmw", where="lang = 'en'").collect()
+    assert [(r["doc_id"], r["score"]) for r in via_alias] == [
+        (r["doc_id"], r["score"]) for r in explicit
+    ], "template alias diverged from explicit where= on the created index"
+    out = spark.createDataFrame(via_alias)
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
@@ -2239,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nested_topk": q_nested_topk,
         "agg_nested": q_agg_nested,
+        "filtered_alias": q_filtered_alias,
+        "template_alias": q_template_alias,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_simple_topk": q_bm25_simple_topk,
@@ -3628,10 +3733,11 @@ ORDER BY doc_id, query_id
 """
 
 
-def _bm25_stop_sql(query: str, k: int = K) -> str:
+def _bm25_stop_sql(query: str, k: int = K, where: str = "") -> str:
     """Stop-analyzer oracle: the BM25 template with the token stream
     filtered through SQL_STOPLIST (dl therefore counts surviving tokens)
-    and the query analyzed with the same stop filter."""
+    and the query analyzed with the same stop filter. ``where`` narrows
+    the returned docs (corpus stats stay global, like everywhere)."""
     import re
     from collections import Counter
 
@@ -3640,8 +3746,11 @@ def _bm25_stop_sql(query: str, k: int = K) -> str:
     )
     qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
     toks = f"list_filter({SQL_TOKS}, t -> NOT list_contains({SQL_STOPLIST}, t))"
+    scored_where = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {where})" if where else ""
+    )
     return _BM25_SQL_TEMPLATE.format(
-        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+        toks=toks, qvals=qvals, having="", k=k, scored_where=scored_where
     )
 
 
@@ -4386,6 +4495,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_exact": _bm25_sql(BM25_QUERY),
         "bm25_topk_intersect": _bm25_sql(BM25_AND_QUERY, conjunctive=True),
         "bm25_topk_filtered": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
+        # filtered alias ≡ the same query with an explicit lang filter (the
+        # entry additionally asserts alias ≡ explicit where= ≡ local twin)
+        "filtered_alias": _bm25_sql(BM25_QUERY, where="lang = 'en'"),
         "bm25_topk_msm": _bm25_sql(BM25_QUERY, msm=2),
         "fuzzy_topk": (
             f"WITH toksx AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents), "
@@ -4622,6 +4734,10 @@ FROM b ORDER BY bucket
         "msearch_boost": _msearch_qtf_sql(BM25_QUERY, boosts=(1.0, 2.0)),
         "bm25_stop_topk": _bm25_stop_sql("the join hash"),
         "template_create": _bm25_stop_sql("the table scan"),
+        # template mappings set the stop analyzer; template aliases create a
+        # filtered (lang='en') alias on the new index — oracle is the
+        # stop-analyzer BM25 narrowed to lang='en'
+        "template_alias": _bm25_stop_sql("the table scan", where="lang = 'en'"),
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),

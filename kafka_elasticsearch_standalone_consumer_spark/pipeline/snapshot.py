@@ -115,11 +115,36 @@ def _write_aliases(registry_path: str, aliases: dict[str, str]) -> None:
     os.replace(tmp, os.path.join(registry_path, ALIAS_FILE))  # atomic swap
 
 
-def set_alias(registry_path: str, alias: str, warehouse_path: str) -> None:
+def set_alias(
+    registry_path: str,
+    alias: str,
+    warehouse_path: str,
+    where: list[tuple] | None = None,
+) -> None:
     """Point ``alias`` at a warehouse (atomically replaces any previous
-    target — the ES `swap alias onto the new index` move)."""
+    target — the ES `swap alias onto the new index` move).
+
+    ``where`` makes it a FILTERED alias (ES ``_aliases`` with a
+    ``filter`` body): a conjunction of ``(col, op, value)`` tuples — the
+    same surface as the local serving ``where=`` — applied read-side on
+    every query surface when the alias is opened (see
+    :class:`~...engine.FilteredIndex`). Nothing is applied at write
+    time, which is what keeps the semantics whole: the filter is a pure
+    view, so readers through the alias and readers of the concrete index
+    never disagree about what was indexed."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _filters_to_sql,
+    )
+
     aliases = _read_aliases(registry_path)
-    aliases[alias] = os.path.abspath(warehouse_path)
+    if where is not None:
+        _filters_to_sql([tuple(f) for f in where])  # validate eagerly
+        aliases[alias] = {
+            "path": os.path.abspath(warehouse_path),
+            "where": [list(f) for f in where],
+        }
+    else:
+        aliases[alias] = os.path.abspath(warehouse_path)
     _write_aliases(registry_path, aliases)
 
 
@@ -129,15 +154,29 @@ def drop_alias(registry_path: str, alias: str) -> None:
     _write_aliases(registry_path, aliases)
 
 
-def resolve_alias(registry_path: str, alias: str) -> str:
+def _alias_entry(registry_path: str, alias: str) -> tuple[str, list[tuple] | None]:
     aliases = _read_aliases(registry_path)
     if alias not in aliases:
         raise KeyError(f"unknown alias {alias!r} in {registry_path}")
-    return aliases[alias]
+    ent = aliases[alias]
+    if isinstance(ent, str):  # plain alias (and the pre-filter file format)
+        return ent, None
+    return ent["path"], [tuple(f) for f in ent.get("where") or []] or None
+
+
+def resolve_alias(registry_path: str, alias: str) -> str:
+    return _alias_entry(registry_path, alias)[0]
 
 
 def open_alias(spark, registry_path: str, alias: str):
-    """Open an :class:`~...engine.Index` through an alias."""
-    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+    """Open an :class:`~...engine.Index` through an alias — a
+    :class:`~...engine.FilteredIndex` view when the alias carries a
+    filter."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        FilteredIndex,
+        Index,
+    )
 
-    return Index(spark, resolve_alias(registry_path, alias))
+    path, where = _alias_entry(registry_path, alias)
+    idx = Index(spark, path)
+    return idx if where is None else FilteredIndex(idx, where)

@@ -23,6 +23,9 @@ search_oracle / facets / fetch / highlight / stats.
 
 from __future__ import annotations
 
+import functools
+import inspect
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -359,9 +362,12 @@ class Index:
             df_by[term] = df_by.get(term, 0) + int(df)
             bucket_by[term] = int(bucket)
         n = float(self.meta["n_docs"])
+        # term-sorted dict order: downstream kernels iterate idfw to build
+        # runs (search_many), and float accumulation order must agree with
+        # the term-sorted shard kernels for bit-identical scores
         idfw = {
             t: weights[t] * math.log(1.0 + (n - df_by[t] + 0.5) / (df_by[t] + 0.5))
-            for t in df_by
+            for t in sorted(df_by)
         }
         buckets = sorted({bucket_by[t] for t in df_by})
         return idfw, buckets
@@ -525,6 +531,12 @@ class Index:
         def score_shard(pdf: pd.DataFrame, allowed, blocked) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             shard_lo = shard * docs_per_shard
+            # term-sorted run order: float accumulation across terms is not
+            # associative, so every execution path (this one, search_local,
+            # search_many) must add per-term contributions in the SAME order
+            # for bit-identical scores (runs of one term are doc-disjoint,
+            # so order within a term cannot matter)
+            pdf = pdf.sort_values("term", kind="stable")
             runs = [
                 kernels._Run(
                     row, idfw[row.term], shard_lo, query_avgdl=avgdl, k1=k1, b=b
@@ -1100,7 +1112,9 @@ class Index:
         out_s: list[np.ndarray] = []
         for shard, g in pdf.groupby("shard", sort=False):
             shard_lo = int(shard) * docs_per_shard
-            rows_it = list(g.itertuples(index=False))
+            # same term-sorted accumulation order as search()'s score_shard
+            # — keeps local scores bit-identical to the distributed path
+            rows_it = list(g.sort_values("term", kind="stable").itertuples(index=False))
             runs = [
                 kernels._Run(row, idfw[row.term], shard_lo, query_avgdl=avgdl, k1=k1, b=b)
                 for row in rows_it
@@ -4397,3 +4411,108 @@ class Index:
         if deletes is not None:
             scores = scores.join(deletes, "doc_id", "left_anti")
         return scores if k is None else bm25.topk(scores, k)
+
+
+# -- filtered aliases ---------------------------------------------------------
+
+def _filters_to_sql(filters: list[tuple]) -> str:
+    """Compile a conjunction of ``(col, op, value)`` tuples — the same
+    surface :meth:`Index._local_allowed` takes — into a Spark SQL boolean.
+    One filter definition serves BOTH execution paths: tuples go verbatim
+    to the pyarrow serving twins, and through here to every distributed
+    ``where=`` surface."""
+    def lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        raise ValueError(f"unsupported filter literal {v!r}")
+
+    ops = {"=": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    parts = []
+    for col, op, val in filters:
+        if not col.replace("_", "").isalnum():
+            raise ValueError(f"bad filter column {col!r}")
+        if op == "isnull":
+            parts.append(f"{col} IS NULL")
+        elif op == "notnull":
+            parts.append(f"{col} IS NOT NULL")
+        elif op == "in":
+            parts.append(f"{col} IN (" + ", ".join(lit(v) for v in val) + ")")
+        elif op in ops:
+            parts.append(f"{col} {ops[op]} {lit(val)}")
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+    return " AND ".join(parts)
+
+
+class FilteredIndex:
+    """ES *filtered alias*, read-side only: a view of an :class:`Index`
+    whose every query surface gets the alias filter applied as if the
+    caller had passed it via ``where=``.
+
+    ES 1.x applies an alias's filter at SEARCH time only — never at
+    index time, never on the get API — and partially applying it (some
+    surfaces filtered, others silently not) is the classic trap. This
+    wrapper takes the safe subset: any method of the wrapped Index that
+    accepts a ``where`` parameter gets the filter AND-ed in (SQL form on
+    the distributed surfaces, tuple form on the ``*_local`` pyarrow
+    serving twins — the SAME stored tuples compile to both); a method
+    with no filter surface either passes through because ES itself does
+    not filter it there (the get/fetch/suggest/term_vectors family), or
+    raises loudly instead of returning silently-unfiltered hits.
+
+    Corpus statistics (df/avgdl/idf) stay GLOBAL, exactly like
+    ``where=`` everywhere else in this engine and like an ES filtered
+    alias (the filter narrows the doc set, not the index statistics).
+    """
+
+    # ES does not apply alias filters on these read paths (get API,
+    # fetch/_source, suggesters, analysis, metadata) — pass through
+    _UNFILTERED_OK = frozenset({
+        "fetch", "highlight", "get_docs", "get_docs_local",
+        "highlight_local", "term_vectors", "analyze", "stats",
+        "doc_keys", "validate_query", "explain_score", "suggest_terms",
+        "suggest_complete", "suggest_phrase",
+    })
+
+    def __init__(self, index: Index, filters: list[tuple]):
+        filters = [tuple(f) for f in filters]
+        self._index = index
+        self._filters = filters
+        self._where_sql = _filters_to_sql(filters)
+
+    def __getattr__(self, name):
+        attr = getattr(self._index, name)
+        if not callable(attr) or name.startswith("_"):
+            return attr
+        try:
+            sig = inspect.signature(attr)
+        except (TypeError, ValueError):
+            return attr
+        if "where" not in sig.parameters:
+            if name in self._UNFILTERED_OK:
+                return attr
+            raise NotImplementedError(
+                f"Index.{name} has no filter surface; a filtered alias "
+                "cannot apply its filter there (partial application is the "
+                "ES-1.x alias trap). Open the concrete index and pass the "
+                "filter explicitly, or use a where=-taking variant."
+            )
+        local = name.endswith("_local")
+
+        @functools.wraps(attr)
+        def call(*args, **kwargs):
+            bound = sig.bind_partial(*args, **kwargs)
+            user = bound.arguments.get("where")
+            if local:
+                bound.arguments["where"] = list(self._filters) + list(user or [])
+            elif user is None:
+                bound.arguments["where"] = self._where_sql
+            else:
+                bound.arguments["where"] = f"({self._where_sql}) AND ({user})"
+            return attr(*bound.args, **bound.kwargs)
+
+        return call

@@ -78,3 +78,97 @@ def test_alias_swap_and_resolution(spark, built_index, tmp_path):
     drop_alias(reg, "prod")
     with pytest.raises(KeyError):
         resolve_alias(reg, "prod")
+
+
+def test_filtered_alias_injects_on_every_surface(spark, built_index, tmp_path):
+    """Filtered alias (read-side rewrite): every where=-taking surface
+    gets the alias filter; alias results ≡ explicit where= on the
+    concrete index — distributed AND local serving paths."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+
+    idx, path = built_index
+    reg = str(tmp_path / "reg")
+    set_alias(reg, "users", path, where=[("role", "=", "user")])
+    fidx = open_alias(spark, reg, "users")
+
+    q = "w00000 w00003"
+    got = [(r["doc_id"], r["score"]) for r in fidx.search(q, 10).collect()]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(q, 10, where="role = 'user'").collect()
+    ]
+    assert got == want and got
+    # user where= composes with (narrows) the alias filter
+    both = [
+        (r["doc_id"], r["score"])
+        for r in fidx.search(q, 10, where="turn_idx >= 2").collect()
+    ]
+    assert both == [
+        (r["doc_id"], r["score"])
+        for r in idx.search(q, 10, where="role = 'user' AND turn_idx >= 2").collect()
+    ]
+    # zero-Spark-job serving twin: tuple filters prepended
+    assert fidx.search_local(q, 10) == idx.search_local(
+        q, 10, where=[("role", "=", "user")]
+    )
+    # aggregations are filtered too
+    assert fidx.facets(q, by="role").collect() == idx.facets(
+        q, by="role", where="role = 'user'"
+    ).collect()
+
+
+def test_filtered_alias_refuses_unfilterable_surfaces(spark, built_index, tmp_path):
+    """Query surfaces with no filter hook must raise — never silently
+    return unfiltered hits (the ES-1.x partial-application trap). The
+    get/fetch family passes through because ES itself does not apply
+    alias filters there."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+
+    idx, path = built_index
+    reg = str(tmp_path / "reg")
+    set_alias(reg, "users", path, where=[("role", "=", "user")])
+    fidx = open_alias(spark, reg, "users")
+    with pytest.raises(NotImplementedError):
+        fidx.search_many(["w00000"], 5)
+    # ES get API ignores alias filters — passes through by design
+    assert fidx.get_docs_local([0]) == idx.get_docs_local([0])
+    # non-filter ops and metadata still work
+    assert fidx.meta["n_docs"] == idx.meta["n_docs"]
+    assert (
+        fidx.analyze("The Running foxes").collect()
+        == idx.analyze("The Running foxes").collect()
+    )
+
+
+def test_filtered_alias_registry_roundtrip_and_validation(spark, built_index, tmp_path):
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        resolve_alias,
+        set_alias,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        FilteredIndex,
+        _filters_to_sql,
+    )
+
+    idx, path = built_index
+    reg = str(tmp_path / "reg")
+    set_alias(reg, "f", path, where=[("role", "in", ("user", "tool")), ("turn_idx", ">=", 1)])
+    assert resolve_alias(reg, "f") == os.path.abspath(path)
+    assert isinstance(open_alias(spark, reg, "f"), FilteredIndex)
+    # plain alias still resolves to a bare Index
+    set_alias(reg, "p", path)
+    assert not isinstance(open_alias(spark, reg, "p"), FilteredIndex)
+    # SQL compilation: quoting, null ops, op validation
+    assert _filters_to_sql([("lang", "=", "it's")]) == "lang = 'it''s'"
+    assert _filters_to_sql([("tool", "isnull", None)]) == "tool IS NULL"
+    with pytest.raises(ValueError):
+        _filters_to_sql([("lang", "~", "en")])
+    with pytest.raises(ValueError):
+        set_alias(reg, "bad", path, where=[("lang; drop", "=", "en")])
