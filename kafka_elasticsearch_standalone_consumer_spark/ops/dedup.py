@@ -308,63 +308,161 @@ def simhash_pairs(
     )
 
 
+def _sym_edges(e: DataFrame) -> DataFrame:
+    """Canonical symmetric edge set: both directions, no self loops,
+    distinct — the representation both CC algorithms share."""
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): the
+    O(log n)-round CC algorithm whose round count is independent of
+    component DIAMETER — the fallback when min-label propagation's
+    O(diameter) bound is adversarial (long chains of pairwise near-dups).
+
+    * large-star: every node reroutes its strictly LARGER neighbors to
+      the min of its closed neighborhood — one min-aggregate + one join,
+      both keyed on the node id.
+    * small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that min over its down-edges — same two shuffles.
+
+    Each round halves tall structures; at the fixpoint every component
+    is a star rooted at its min id. Convergence is an exact edge-set
+    comparison (count + exceptAll — pair-graph-sized, tiny next to the
+    corpus), and ``localCheckpoint`` truncates the iterative lineage
+    like the label-propagation path.
+
+    Takes/returns the canonical symmetric edge set; the result's
+    down-edges (u > v) map every non-root node to its component root.
+    """
+    edges = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u; m = min(Γ⁺(u))
+        m = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            edges.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        after_large = _sym_edges(large)
+        # small-star over down-edges: (v, m(u)) for v ∈ Γ(u), v < u, plus
+        # (u, m(u)) — m = min of the down-neighborhood
+        down = after_large.filter(F.col("v") < F.col("u"))
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            down.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+        )
+        new_edges = _sym_edges(small).localCheckpoint()
+        if new_edges.count() == edges.count() and new_edges.exceptAll(edges).isEmpty():
+            return new_edges
+        edges = new_edges
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds — "
+        "O(log n) bound exceeded; the edge input is likely unstable"
+    )
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    method: str = "auto",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph →
     ``(doc_id, cluster_id)`` for EVERY document, where ``cluster_id`` is
     the min doc id in the component (singletons label themselves) — the
     step that turns pairwise dedup output into "keep one per cluster".
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round a node takes the min label over its closed neighborhood.
-    Fixpoint in O(component diameter) rounds — near-dup clusters are
-    shallow, and for adversarial diameters the alternating
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce") is the drop-in replacement built from the
-    same join primitive. Per round: one join of the label table to the
-    edge list + one min-aggregate — two shuffles keyed on doc id, both
-    map-side combinable. ``localCheckpoint`` truncates the iterative
-    lineage so the plan stays bounded; convergence is an exact
-    changed-label count (0 → stop), deterministic throughout.
+    ``method``:
+
+    * ``label`` — min-label propagation: every node starts labeled with
+      its own id; each round takes the min label over the closed
+      neighborhood. Fixpoint in O(component diameter) rounds — the right
+      shape for near-dup clusters, which are shallow. Per round: one
+      join of the label table to the edge list + one min-aggregate — two
+      shuffles keyed on doc id, both map-side combinable. Raises after
+      ``max_iters`` rounds.
+    * ``star`` — alternating large-star/small-star contraction (Kiveris
+      et al. SoCC'14): O(log n) rounds regardless of diameter, built
+      from the same join primitive (see :func:`_star_contraction`).
+    * ``auto`` (default) — label propagation first; if the diameter
+      bound trips, fall back to star contraction instead of failing.
+
+    ``localCheckpoint`` truncates the iterative lineage so the plan
+    stays bounded; convergence checks are exact counts, deterministic
+    throughout.
     """
-    e = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-    edges = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(
-                labels.select(F.col("id").alias("b"), F.col("lbl").alias("lbl_b")),
-                "b",
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"unknown dup_clusters method: {method}")
+    e = pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+    edges = _sym_edges(e).persist()
+    all_ids = df.select(F.col(id_col).alias("id"))
+
+    def _finish(labeled: DataFrame) -> DataFrame:
+        edges.unpersist()
+        return labeled
+
+    if method != "star":
+        labels = all_ids.select("id", F.col("id").alias("lbl"))
+        converged = False
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("id").alias("v"), F.col("lbl").alias("lbl_v")),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("lbl_v").alias("nbr_min"))
+                .withColumnRenamed("u", "id")
             )
-            .groupBy("a")
-            .agg(F.min("lbl_b").alias("nbr_min"))
-            .withColumnRenamed("a", "id")
+            stepped = labels.join(nbr, "id", "left").select(
+                "id",
+                F.col("lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))
+                ).alias("new_lbl"),
+            )
+            stepped = stepped.localCheckpoint()
+            if stepped.filter(F.col("new_lbl") < F.col("lbl")).count() == 0:
+                converged = True
+                break
+            labels = stepped.select("id", F.col("new_lbl").alias("lbl"))
+        if converged:
+            return _finish(
+                stepped.select(
+                    F.col("id").alias("doc_id"), F.col("new_lbl").alias("cluster_id")
+                )
+            )
+        if method == "label":
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds — "
+                "component diameter exceeds the bound; use method='star'"
+            )
+    # adversarial diameter (or method='star'): O(log n) star contraction
+    stars = _star_contraction(edges)
+    roots = (
+        stars.filter(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("root"))
+        .select(F.col("u").alias("id"), F.col("root"))
+    )
+    return _finish(
+        all_ids.join(roots, "id", "left").select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("id")).alias("cluster_id"),
         )
-        stepped = labels.join(nbr, "id", "left").select(
-            "id",
-            F.col("lbl"),
-            F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias(
-                "new_lbl"
-            ),
-        )
-        stepped = stepped.localCheckpoint()
-        if stepped.filter(F.col("new_lbl") < F.col("lbl")).count() == 0:
-            break
-        labels = stepped.select("id", F.col("new_lbl").alias("lbl"))
-    else:
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_iters} rounds — "
-            "component diameter exceeds the bound; switch to star contraction"
-        )
-    edges.unpersist()
-    return stepped.select(
-        F.col("id").alias("doc_id"), F.col("new_lbl").alias("cluster_id")
     )
 
 

@@ -590,3 +590,74 @@ def test_train_centroids_matches_numpy_reference(spark, emb):
     got = train_centroids(df, k, iters=iters)
     assert got.shape == cent.shape
     assert np.allclose(got, cent, atol=1e-9)
+
+
+def test_dup_clusters_star_contraction_adversarial_diameter(spark):
+    """A 64-node path graph (diameter 63 > the 20-round label-prop
+    bound): method='auto' must fall back to Kiveris star contraction and
+    still label every node with the component min; method='label' raises
+    the diameter error; method='star' works directly."""
+    import pytest as _pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_clusters
+
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(n + 1)], "doc_id long, text string"
+    )
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, path).collect()}
+    assert got == {**{i: 0 for i in range(n)}, n: n}  # node n is a singleton
+    with _pytest.raises(RuntimeError, match="method='star'"):
+        dup_clusters(docs, path, method="label")
+    gots = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(docs, path, method="star").collect()
+    }
+    assert gots == got
+
+
+def test_dup_clusters_star_matches_label_on_random_graphs(spark):
+    """Property: star contraction ≡ label propagation ≡ brute-force
+    union-find on seeded random graphs (multiple components, cycles,
+    isolated nodes)."""
+    import random
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dup_clusters
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 45))
+            }
+        )
+        # brute-force union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # find() returns the min id because unions always root at the min
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(n)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+        for method in ("label", "star"):
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in dup_clusters(docs, pairs, method=method).collect()
+            }
+            assert got == want, (seed, method)
