@@ -1339,6 +1339,63 @@ def q_filtered_alias(spark, sf_dir):
     )
 
 
+GEO_ORIGIN = (37.77, -122.42)  # San Francisco
+# multipliers > the modulus/n_docs so even a 500-doc corpus wraps and
+# covers the globe (lat ±85, lon ±180)
+GEO_LAT = "((doc_id * 937) % 17000) / 100.0 - 85.0"
+GEO_LON = "((doc_id * 1409) % 36000) / 100.0 - 180.0"
+
+
+def _geo_idx(spark, sf_dir):
+    """Ephemeral index whose docs carry seeded geo_point columns derived
+    from doc_id by integer arithmetic (identically computable in DuckDB:
+    GEO_LAT/GEO_LON) — the fixture the ES geo family needs."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::geo"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text",
+            F.expr(GEO_LAT).alias("lat"),
+            F.expr(GEO_LON).alias("lon"),
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_geo_distance_topk(spark, sf_dir):
+    """ES geo_distance filter: BM25 matches within 6000 km (haversine)
+    of San Francisco — filter context, global corpus stats, the trig
+    fused into the doc scan by codegen."""
+    out = _geo_idx(spark, sf_dir).search_geo_distance(
+        BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_geo_bbox_topk(spark, sf_dir):
+    """ES geo_bounding_box filter: four range comparisons, no trig."""
+    out = _geo_idx(spark, sf_dir).search_geo_bbox(
+        BM25_QUERY, K, top_left=(60.0, -130.0), bottom_right=(0.0, -60.0)
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_agg_geo_distance(spark, sf_dir):
+    """ES geo_distance aggregation: ring buckets (*-3000, 3000-8000,
+    8000-13000, 13000-*) of haversine distance from the origin over the
+    matching docs, ES range-agg labels and ordering."""
+    return _geo_idx(spark, sf_dir).geo_distance_agg(
+        BM25_QUERY, origin=GEO_ORIGIN, bounds_km=[3000.0, 8000.0, 13000.0]
+    )
+
+
 def q_snapshot_restore(spark, sf_dir):
     """ES snapshot/restore + aliases: build a persisted index, snapshot
     it into a repository, restore into a fresh warehouse, swap the
@@ -2344,6 +2401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_nested": q_agg_nested,
         "filtered_alias": q_filtered_alias,
         "template_alias": q_template_alias,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_bbox_topk": q_geo_bbox_topk,
+        "agg_geo_distance": q_agg_geo_distance,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_simple_topk": q_bm25_simple_topk,
@@ -3494,6 +3554,16 @@ _UPDATE_UPSERT_SQL = (
 _MATCHED = (
     "SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(" + SQL_TOKS + ") AS term "
     "FROM documents) WHERE term IN ('join', 'hash', 'filter')"
+)
+
+# haversine (km) from the derived geo_point columns to GEO_ORIGIN — the
+# byte-for-byte arithmetic of Index._haversine_sql with GEO_LAT/GEO_LON
+# substituted for the lat/lon columns
+_GEO_HAV_SQL = (
+    f"2 * 6371.0088 * asin(sqrt("
+    f"pow(sin(radians(({GEO_LAT}) - ({GEO_ORIGIN[0]})) / 2), 2) + "
+    f"cos(radians(({GEO_LAT}))) * cos(radians({GEO_ORIGIN[0]})) * "
+    f"pow(sin(radians(({GEO_LON}) - ({GEO_ORIGIN[1]})) / 2), 2)))"
 )
 
 _AGG_HIST_SQL = f"""
@@ -4738,6 +4808,29 @@ FROM b ORDER BY bucket
         # filtered (lang='en') alias on the new index — oracle is the
         # stop-analyzer BM25 narrowed to lang='en'
         "template_alias": _bm25_stop_sql("the table scan", where="lang = 'en'"),
+        "geo_distance_topk": _bm25_sql(
+            BM25_QUERY, where=f"{_GEO_HAV_SQL} <= 6000.0"
+        ),
+        "geo_bbox_topk": _bm25_sql(
+            BM25_QUERY,
+            where=(
+                f"({GEO_LAT}) <= 60.0 AND ({GEO_LAT}) >= 0.0 AND "
+                f"({GEO_LON}) >= -130.0 AND ({GEO_LON}) <= -60.0"
+            ),
+        ),
+        "agg_geo_distance": f"""
+SELECT range_label, n FROM (
+  SELECT CASE WHEN d < 3000.0 THEN '*-3000.0'
+              WHEN d < 8000.0 THEN '3000.0-8000.0'
+              WHEN d < 13000.0 THEN '8000.0-13000.0'
+              ELSE '13000.0-*' END AS range_label,
+         CASE WHEN d < 3000.0 THEN 0.0 WHEN d < 8000.0 THEN 3000.0
+              WHEN d < 13000.0 THEN 8000.0 ELSE 13000.0 END AS lo,
+         count(*)::BIGINT AS n
+  FROM (SELECT {_GEO_HAV_SQL} AS d FROM documents WHERE doc_id IN ({_MATCHED}))
+  GROUP BY 1, 2
+) ORDER BY lo
+""",
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),

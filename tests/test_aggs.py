@@ -382,3 +382,63 @@ def test_filters_agg_quoted_bucket_name(spark):
     df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
     rows = {r["bucket"]: r["n"] for r in filters_counts(df, {"it's big": "v >= 2"}).collect()}
     assert rows == {"it's big": 2, "_other_": 1}
+
+
+def test_geo_distance_filter_and_agg_match_python(spark):
+    """Geo family vs a pure-Python haversine recomputation: distance
+    filter membership, bbox membership, ring-bucket counts, ES ordering."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    pts = [(i, "alpha beta", -80.0 + i * 7.9, -170.0 + i * 17.3) for i in range(21)]
+    df = spark.createDataFrame(pts, "doc_id long, text string, lat double, lon double")
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    origin = (37.77, -122.42)
+
+    def hav(la, lo):
+        r = 6371.0088
+        p1 = math.radians(origin[0])
+        return 2 * r * math.asin(math.sqrt(
+            math.sin(math.radians(la - origin[0]) / 2) ** 2
+            + math.cos(math.radians(la)) * math.cos(p1)
+            * math.sin(math.radians(lo - origin[1]) / 2) ** 2
+        ))
+
+    got = {
+        r["doc_id"]
+        for r in idx.search_geo_distance(
+            "alpha", 50, origin=origin, radius_km=8000.0
+        ).collect()
+    }
+    want = {i for i, _t, la, lo in pts if hav(la, lo) <= 8000.0}
+    assert got == want and got and len(want) < len(pts)
+
+    got_box = {
+        r["doc_id"]
+        for r in idx.search_geo_bbox(
+            "alpha", 50, top_left=(60.0, -130.0), bottom_right=(0.0, -60.0)
+        ).collect()
+    }
+    want_box = {i for i, _t, la, lo in pts if 0 <= la <= 60 and -130 <= lo <= -60}
+    assert got_box == want_box
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="antimeridian"):
+        idx.search_geo_bbox("alpha", 5, top_left=(10.0, 170.0), bottom_right=(-10.0, -170.0))
+
+    rings = idx.geo_distance_agg(
+        "alpha", origin=origin, bounds_km=[3000.0, 9000.0]
+    ).collect()
+    from collections import Counter
+
+    want_rings = Counter(
+        "*-3000.0" if hav(la, lo) < 3000 else
+        "3000.0-9000.0" if hav(la, lo) < 9000 else "9000.0-*"
+        for _i, _t, la, lo in pts
+    )
+    assert {r["range_label"]: r["n"] for r in rings} == dict(want_rings)
+    assert [r["range_label"] for r in rings] == sorted(
+        want_rings, key=lambda s: float(s.split("-")[0].replace("*", "-1"))
+    )
