@@ -125,6 +125,37 @@ def main(n_convs: int = 300) -> None:
     show("children aggregation (parent buckets over matching turns)",
          idx.children_agg(q, parents, "grp", metric="length(text)"))
 
+    # --- round-4 additions: nested, geo, filtered aliases ----------------
+    ndocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "array(named_struct('name', tool, 'ms', CAST(turn_idx AS DOUBLE))) AS calls",
+    )
+    nidx = Index.ephemeral(ndocs, docs_per_shard=1024, n_buckets=8)
+    show("nested query (condition scoped to ONE object, score_mode=sum)",
+         nidx.search_nested(q, 3, nested_col="calls",
+                            inner_where="x.name IS NOT NULL AND x.ms >= 2.0",
+                            score_mode="sum"))
+    show("nested aggregation + reverse_nested parent counts",
+         nidx.nested_agg(q, "calls", "name", metric="x.ms"))
+    gdocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "((doc_id * 937) % 17000) / 100.0 - 85.0 AS lat",
+        "((doc_id * 1409) % 36000) / 100.0 - 180.0 AS lon")
+    gidx = Index.ephemeral(gdocs, docs_per_shard=1024, n_buckets=8)
+    show("geo_distance filter (haversine fused into the scan)",
+         gidx.search_geo_distance(q, 3, origin=(37.77, -122.42), radius_km=8000.0))
+    show("geo_distance ring aggregation",
+         gidx.geo_distance_agg(q, origin=(37.77, -122.42), bounds_km=[3000.0, 9000.0]))
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+    areg = tempfile.mkdtemp() + "/reg"
+    set_alias(areg, "users_only", wh, where=[("role", "=", "user")])
+    fidx = open_alias(spark, areg, "users_only")
+    show("filtered alias (read-side rewrite on every surface)", fidx.search(q, 3))
+    print("\n-- filtered alias on the serving path:", fidx.search_local(q, 3))
+
     # --- multi-index & serving ------------------------------------------
     docs = idx._docs_df().select("doc_id", "text")
     even = Index.ephemeral(docs.filter("doc_id % 2 = 0"), docs_per_shard=1024, n_buckets=8)
