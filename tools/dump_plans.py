@@ -303,6 +303,54 @@ def main() -> None:
         )
     )
 
+    ndocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "array(named_struct('name', tool, 'ms', CAST(turn_idx AS DOUBLE))) AS calls",
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index as _Ix
+
+    nidx = _Ix.ephemeral(ndocs, docs_per_shard=1024, n_buckets=8)
+    sections.append(
+        (
+            "Nested query (per-object scoped clause, search_nested)",
+            "The nested condition compiles to higher-order Column functions "
+            "(filter/transform/aggregate over the array<struct> column) — a "
+            "per-row predicate fused into the column-pruned doc scan by "
+            "whole-stage codegen: NO Generate (explode), no window, no "
+            "extra shuffle; the only exchange serves the doc_id equi-join "
+            "against the scored match set and the final top-k "
+            "(TakeOrderedAndProject). Asserted in tests/test_plans.py.",
+            plan_of(
+                nidx.search_nested(
+                    "w00000", 5, nested_col="calls",
+                    inner_where="x.ms >= 2.0", score_mode="sum",
+                )
+            ),
+        )
+    )
+
+    gdocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "((doc_id * 937) % 17000) / 100.0 - 85.0 AS lat",
+        "((doc_id * 1409) % 36000) / 100.0 - 180.0 AS lon",
+    )
+    gidx = _Ix.ephemeral(gdocs, docs_per_shard=1024, n_buckets=8)
+    sections.append(
+        (
+            "Geo distance filter (haversine in codegen, search_geo_distance)",
+            "The great-circle distance is a SQL trig expression inside the "
+            "filter — whole-stage codegen evaluates it during the doc scan "
+            "(two double columns read), so the geo clause costs a scan "
+            "predicate, not a UDF or a join; the rest of the plan is the "
+            "ordinary filtered-BM25 shape (filter semi-join + top-k).",
+            plan_of(
+                gidx.search_geo_distance(
+                    "w00000", 5, origin=(37.77, -122.42), radius_km=8000.0
+                )
+            ),
+        )
+    )
+
     sections.append(
         (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
