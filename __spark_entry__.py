@@ -1724,6 +1724,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The materialized dedup decision: keep exactly one doc per
+    3-gram-Jaccard≥0.8 near-dup cluster (the min id) plus all singletons
+    — survivors with their sizes, the table a training pipeline actually
+    ships."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        dedup_keep,
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dedup_keep(docs, jaccard_pairs(docs, threshold=0.8)).select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the 3-gram-Jaccard≥0.8 near-dup graph:
     (doc_id, cluster_id) for EVERY doc, cluster_id = min id in component
@@ -2404,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk": q_geo_distance_topk,
         "geo_bbox_topk": q_geo_bbox_topk,
         "agg_geo_distance": q_agg_geo_distance,
+        "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
         "bm25_simple_topk": q_bm25_simple_topk,
@@ -4928,6 +4945,13 @@ FROM w LEFT JOIN d USING (g)
 GROUP BY w.doc_id
 """,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        # survivors = docs whose id IS their cluster id (same recursive-CTE
+        # component walk, one join back to the doc table)
+        "dedup_keep": f"""
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN ({_DEDUP_CLUSTERS_SQL}) c ON d.doc_id = c.doc_id
+WHERE c.cluster_id = c.doc_id
+""",
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,

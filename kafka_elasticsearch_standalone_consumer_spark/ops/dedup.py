@@ -548,3 +548,27 @@ def dup_span_stats(
             F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
         )
     )
+
+
+def dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Materialize the dedup decision: keep exactly one document per
+    near-dup cluster — the canonical (min id) — and every singleton.
+    This is the step training pipelines actually ship: :func:`dup_clusters`
+    labels, then survivors = rows whose id IS their cluster id.
+
+    Returns ``df``'s surviving rows, all columns. Shape: the clustering's
+    two aggregation shuffles + ONE left-semi join of the corpus against
+    the (cluster-count-sized) canonical id set — no extra corpus-wide
+    shuffle beyond the join itself, and at 10^12 docs the survivor-id
+    side is the broadcast candidate AQE will pick when clusters are few.
+    """
+    labels = dup_clusters(df, pairs, id_col=id_col, method=method)
+    keep = labels.filter(F.col("cluster_id") == F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

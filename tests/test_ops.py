@@ -661,3 +661,16 @@ def test_dup_clusters_star_matches_label_on_random_graphs(spark):
                 for r in dup_clusters(docs, pairs, method=method).collect()
             }
             assert got == want, (seed, method)
+
+
+def test_dedup_keep_one_per_cluster(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", i * 10) for i in range(6)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "id1 long, id2 long")
+    kept = dedup_keep(docs, pairs).collect()
+    assert {r["doc_id"] for r in kept} == {0, 3, 5}
+    assert all(r["n_chars"] == r["doc_id"] * 10 for r in kept)  # full rows survive
