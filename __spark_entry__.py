@@ -1387,6 +1387,46 @@ def q_geo_bbox_topk(spark, sf_dir):
     )
 
 
+def q_geo_distance_local(spark, sf_dir):
+    """The geo filter on the zero-Spark-job serving path: persisted geo
+    warehouse, numpy-haversine allowed set + the shared local kernel —
+    asserted in-entry identical to the distributed search_geo_distance,
+    then checked against the same filtered-BM25 oracle."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::geo_wh"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "text",
+            F.expr(GEO_LAT).alias("lat"),
+            F.expr(GEO_LON).alias("lon"),
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+        wh = tempfile.mkdtemp() + "/geoidx"
+        build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+        idx = Index(spark, wh)
+        _IDX_CACHE[key] = idx
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_geo_distance(
+            BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+        ).collect()
+    ]
+    loc = idx.search_geo_distance_local(
+        BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+    )
+    assert loc == dist, "geo serving twin diverged from the distributed path"
+    out = spark.createDataFrame(loc, "doc_id long, score double")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_geo_distance(spark, sf_dir):
     """ES geo_distance aggregation: ring buckets (*-3000, 3000-8000,
     8000-13000, 13000-*) of haversine distance from the origin over the
@@ -2420,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk": q_geo_distance_topk,
         "geo_bbox_topk": q_geo_bbox_topk,
         "agg_geo_distance": q_agg_geo_distance,
+        "geo_distance_local": q_geo_distance_local,
         "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
@@ -4826,6 +4867,11 @@ FROM b ORDER BY bucket
         # stop-analyzer BM25 narrowed to lang='en'
         "template_alias": _bm25_stop_sql("the table scan", where="lang = 'en'"),
         "geo_distance_topk": _bm25_sql(
+            BM25_QUERY, where=f"{_GEO_HAV_SQL} <= 6000.0"
+        ),
+        # serving twin: same filter, zero-Spark-job path (identity to the
+        # distributed path is asserted in-entry)
+        "geo_distance_local": _bm25_sql(
             BM25_QUERY, where=f"{_GEO_HAV_SQL} <= 6000.0"
         ),
         "geo_bbox_topk": _bm25_sql(

@@ -1084,6 +1084,65 @@ class Index:
         top = np.lexsort((dd, -ss))[:k]
         return [(int(dd[i]), float(ss[i])) for i in top]
 
+    def search_geo_distance_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        origin: tuple[float, float],
+        radius_km: float,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        mode: str = "bmw",
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job twin of :meth:`search_geo_distance`: a pruned
+        pyarrow read of (doc_id, lat, lon) + the NumPy haversine builds
+        the allowed-doc set driver-side, then the shared local kernel
+        scores exactly like :meth:`search_local`. Scores are identical to
+        the distributed path; set membership at the EXACT radius boundary
+        may differ by a trig ulp between libm implementations — pick radii
+        off the boundary (every real query does). ``where`` tuples narrow
+        the set further, like the serving-path filter surface."""
+        import pyarrow.dataset as pads
+
+        if self.wh is None:
+            raise ValueError(
+                "search_geo_distance_local serves from warehouse files — "
+                "use search_geo_distance() on ephemeral indexes"
+            )
+        ids_parts, lat_parts, lon_parts = [], [], []
+        for w in self._seg_whs:
+            tbl = pads.dataset(w.path("docs"), format="parquet").to_table(
+                columns=["doc_id", lat_col, lon_col]
+            )
+            if tbl.num_rows:
+                ids_parts.append(np.asarray(tbl.column("doc_id"), dtype=np.int64))
+                lat_parts.append(np.asarray(tbl.column(lat_col), dtype=np.float64))
+                lon_parts.append(np.asarray(tbl.column(lon_col), dtype=np.float64))
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        lat = np.radians(np.concatenate(lat_parts))
+        lon = np.radians(np.concatenate(lon_parts))
+        lat0, lon0 = np.radians(origin[0]), np.radians(origin[1])
+        a = (
+            np.sin((lat - lat0) / 2) ** 2
+            + np.cos(lat) * np.cos(lat0) * np.sin((lon - lon0) / 2) ** 2
+        )
+        dist = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        allowed = np.unique(ids[dist <= float(radius_km)])
+        if where is not None:
+            allowed = np.intersect1d(allowed, self._local_allowed(where))
+        blocked = self._local_blocked()
+        if blocked is not None:
+            allowed = np.setdiff1d(allowed, blocked)
+        dd, ss = self._local_term_scores(
+            query_text, allowed, None, per_shard_k=k, mode=mode
+        )
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
     def _local_term_scores(
         self,
         query_text: str,

@@ -399,3 +399,73 @@ def test_highlight_local_identical(spark, local_pos_wh):
     loc2 = idx.highlight_local(hits, "zzabsent")
     assert all(r["snippet"] == (r["text"] or "")[:80] for r in loc2)
     assert all(r["snippet"] is None for r in idx.highlight_local(hits, ""))
+
+
+def test_bit_identity_across_all_paths_on_documents_corpus(spark, tmp_path):
+    """Regression (round 4): BM25 float sums are not associative, and the
+    distributed/local/batch kernels used to consume posting runs in
+    different orders — off by one ULP on THIS corpus shape (the
+    documents.parquet vocabulary at docs_per_shard=128/n_buckets=16, where
+    the built_index transcripts fixture happened to agree). All paths now
+    accumulate per-term contributions in sorted-term order; equality here
+    is EXACT, not isclose."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "text",
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+    )
+    wh = str(tmp_path / "idx")
+    build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+    idx = Index(spark, wh)
+    q = "join hash filter"
+    dist = [(r["doc_id"], r["score"]) for r in idx.search(q, 10, mode="bmw").collect()]
+    loc = idx.search_local(q, 10)
+    many = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_many([q], 10).filter("qid = '0'").orderBy("rank").collect()
+    ]
+    oracle = [(r["doc_id"], r["score"]) for r in idx.search_oracle(q, 10).collect()]
+    assert dist == loc == many == oracle and dist
+
+
+def test_geo_distance_local_identical_to_distributed(spark, tmp_path):
+    """search_geo_distance_local ≡ search_geo_distance: same allowed set
+    (numpy vs codegen haversine off the boundary), same kernels, exact
+    score equality."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "text",
+            F.expr("((doc_id * 937) % 17000) / 100.0 - 85.0").alias("lat"),
+            F.expr("((doc_id * 1409) % 36000) / 100.0 - 180.0").alias("lon"),
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+    )
+    wh = str(tmp_path / "geoidx")
+    build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+    idx = Index(spark, wh)
+    q, origin, r = "join hash filter", (37.77, -122.42), 8000.0
+    dist = [
+        (row["doc_id"], row["score"])
+        for row in idx.search_geo_distance(q, 10, origin=origin, radius_km=r).collect()
+    ]
+    loc = idx.search_geo_distance_local(q, 10, origin=origin, radius_km=r)
+    assert loc == dist and dist
+    # ephemeral indexes reject the local path loudly
+    eph = Index.ephemeral(
+        docs.select("text", "lat", "lon").withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ),
+        docs_per_shard=128,
+        n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="warehouse"):
+        eph.search_geo_distance_local(q, 5, origin=origin, radius_km=r)
