@@ -187,3 +187,90 @@ def test_simple_query_string_local_identity_randomized(spark, tmp_path, seed):
         assert loc == dist, (seed, q)
         n_nonempty += bool(dist)
     assert n_nonempty >= 3  # the armor actually exercised scoring
+
+
+@pytest.mark.parametrize("seed", [313, 424])
+def test_nested_scoping_matches_python_randomized(spark, seed):
+    """Random nested arrays: search_nested's per-object scoping and every
+    score_mode must equal a pure-Python recomputation; the flattened
+    false-match set must differ on at least one seed-corpus doc (so the
+    fixtures keep exercising the distinction)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(60):
+        arr = [
+            {"name": rng.choice(["a", "b", "c"]), "ms": float(rng.randint(0, 9))}
+            for _ in range(rng.randint(0, 4))
+        ]
+        rows.append((i, " ".join(rng.choices(VOCAB, k=rng.randint(1, 8))), arr))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, calls array<struct<name:string,ms:double>>"
+    )
+    idx = Index.ephemeral(df, docs_per_shard=16, n_buckets=4)
+
+    def match(o):
+        return o["name"] == "a" and o["ms"] >= 5.0
+
+    inner = "x.name = 'a' AND x.ms >= 5.0"
+    for mode, roll in [
+        ("sum", sum),
+        ("avg", lambda v: sum(v) / len(v)),
+        ("max", max),
+        ("min", min),
+        ("none", lambda v: 0.0),
+    ]:
+        got = {
+            r["doc_id"]: r["score"]
+            for r in idx.search_nested(
+                "", 100, nested_col="calls", inner_where=inner,
+                score_mode=mode, inner_score="x.ms",
+            ).collect()
+        }
+        want = {
+            i: float(roll([o["ms"] for o in arr if match(o)]))
+            for i, _t, arr in rows
+            if any(match(o) for o in arr)
+        }
+        assert got == want, (seed, mode)
+    flat = {
+        i
+        for i, _t, arr in rows
+        if any(o["name"] == "a" for o in arr) and any(o["ms"] >= 5.0 for o in arr)
+    }
+    assert flat - set(want), "seed corpus never exercises cross-object scoping"
+
+
+@pytest.mark.parametrize("seed", [535, 646])
+def test_filtered_alias_identity_randomized(spark, built_index, tmp_path, seed):
+    """Random filter tuples: FilteredIndex ≡ explicit where= on search,
+    search_local, and a random agg surface."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _filters_to_sql,
+    )
+
+    rng = random.Random(seed)
+    idx, path = built_index
+    flt = rng.choice(
+        [
+            [("role", "=", rng.choice(["user", "assistant", "tool"]))],
+            [("turn_idx", ">=", rng.randint(1, 5))],
+            [("role", "in", ("user", "tool")), ("turn_idx", "<", rng.randint(4, 9))],
+            [("tool", "notnull", None)],
+        ]
+    )
+    reg = str(tmp_path / f"reg{seed}")
+    set_alias(reg, "r", path, where=flt)
+    fidx = open_alias(spark, reg, "r")
+    sql = _filters_to_sql(flt)
+    q = " ".join(rng.choices(["w00000", "w00003", "w00015", "zzabsent"], k=2))
+    assert [(r["doc_id"], r["score"]) for r in fidx.search(q, 10).collect()] == [
+        (r["doc_id"], r["score"]) for r in idx.search(q, 10, where=sql).collect()
+    ]
+    assert fidx.search_local(q, 10) == idx.search_local(q, 10, where=flt)
+    assert fidx.facets(q, by="role").collect() == idx.facets(
+        q, by="role", where=sql
+    ).collect()
