@@ -1143,6 +1143,151 @@ class Index:
         top = np.lexsort((dd, -ss))[:k]
         return [(int(dd[i]), float(ss[i])) for i in top]
 
+    _NESTED_LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
+
+    def _local_nested_scores(
+        self, nested_col: str, inner: list[tuple], inner_score: str | None
+    ) -> tuple["np.ndarray", dict[str, "np.ndarray"]]:
+        """(doc_ids with ≥1 matching object, per-mode clause scores) from a
+        driver-side pyarrow read of (doc_id, ``nested_col``) — the nested
+        counterpart of :meth:`_local_allowed`. Per-object predicates are a
+        conjunction of ``(field, op, value)`` tuples evaluated vectorized
+        over the FLATTENED struct children; per-doc rollups come from one
+        ``bincount``/``maximum.at`` pass over the list offsets. The sum
+        accumulates in array order — the same left-fold order as the
+        distributed ``aggregate()`` — so scores stay bit-identical."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        def cmp(vals, op, val):
+            if op == "isnull":
+                return pd.isna(vals)
+            if op == "notnull":
+                return ~pd.isna(vals)
+            if op == "in":
+                return np.isin(vals, list(val))
+            with np.errstate(invalid="ignore"):
+                if op == "=":
+                    return vals == val
+                if op == "!=":
+                    return (vals != val) & ~pd.isna(vals)
+                if op == "<":
+                    return vals < val
+                if op == "<=":
+                    return vals <= val
+                if op == ">":
+                    return vals > val
+                if op == ">=":
+                    return vals >= val
+            raise ValueError(
+                f"unsupported nested filter op {op!r} (use {self._NESTED_LOCAL_OPS})"
+            )
+
+        out_ids, out = [], {m: [] for m in ("sum", "avg", "max", "min")}
+        for w in self._seg_whs:
+            tbl = pads.dataset(w.path("docs"), format="parquet").to_table(
+                columns=["doc_id", nested_col]
+            )
+            if not tbl.num_rows:
+                continue
+            ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+            la = tbl.column(nested_col)
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            counts = np.asarray(
+                pc.list_value_length(la).fill_null(0), dtype=np.int64
+            )
+            flat = la.flatten()  # valid lists' objects, in list order
+            n = len(ids)
+            mask = np.ones(len(flat), dtype=bool)
+            for field, op, val in inner:
+                vals = flat.field(field).to_numpy(zero_copy_only=False)
+                mask &= np.asarray(cmp(vals, op, val), dtype=bool)
+            if inner_score is not None:
+                scores = flat.field(inner_score).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+            else:
+                scores = np.ones(len(flat), dtype=np.float64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            sel_idx, sel_sc = doc_idx[mask], scores[mask]
+            mcount = np.bincount(sel_idx, minlength=n)
+            keep = mcount >= 1
+            if not keep.any():
+                continue
+            msum = np.bincount(sel_idx, weights=sel_sc, minlength=n)
+            mmax = np.full(n, -np.inf)
+            np.maximum.at(mmax, sel_idx, sel_sc)
+            mmin = np.full(n, np.inf)
+            np.minimum.at(mmin, sel_idx, sel_sc)
+            out_ids.append(ids[keep])
+            out["sum"].append(msum[keep])
+            out["avg"].append(msum[keep] / mcount[keep])
+            out["max"].append(mmax[keep])
+            out["min"].append(mmin[keep])
+        if not out_ids:
+            empty = np.empty(0, dtype=np.float64)
+            return np.empty(0, dtype=np.int64), {m: empty for m in out}
+        return (
+            np.concatenate(out_ids),
+            {m: np.concatenate(v) for m, v in out.items()},
+        )
+
+    def search_nested_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        nested_col: str,
+        inner: list[tuple],
+        score_mode: str = "avg",
+        inner_score: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job twin of :meth:`search_nested`, with the inner
+        condition as ``(field, op, value)`` tuples (the serving-path
+        filter surface) instead of SQL — equivalent tuples produce
+        score-identical results. The doc store's (doc_id, array) columns
+        are read driver-side (like :meth:`_local_allowed`, meant for
+        serving-sized corpora — the distributed path is the 100-TB
+        shape); the text clause rides the shared local kernel with the
+        COMPLETE score set so adding the nested score cannot reorder a
+        truncated list. Ordering-comparison ops require numeric fields.
+        """
+        if self.wh is None:
+            raise ValueError(
+                "search_nested_local serves from warehouse files — use "
+                "search_nested() on ephemeral indexes"
+            )
+        if score_mode not in ("avg", "sum", "max", "min", "none"):
+            raise ValueError(f"unknown nested score_mode: {score_mode}")
+        nids, rolls = self._local_nested_scores(nested_col, inner, inner_score)
+        if not len(nids):
+            return []
+        nsc = (
+            np.zeros(len(nids), dtype=np.float64)
+            if score_mode == "none"
+            else rolls[score_mode]
+        )
+        blocked = self._local_blocked()
+        if blocked is not None:
+            keep = ~np.isin(nids, blocked)
+            nids, nsc = nids[keep], nsc[keep]
+        order = np.argsort(nids, kind="stable")
+        nids, nsc = nids[order], nsc[order]
+        if not self._analyze(query_text or ""):
+            top = np.lexsort((nids, -nsc))[:k]
+            return [(int(nids[i]), float(nsc[i])) for i in top]
+        dd, ss = self._local_term_scores(
+            query_text, nids, None, per_shard_k=None, mode="exact"
+        )
+        if not len(dd):
+            return []
+        pos = np.searchsorted(nids, dd)
+        total = ss + nsc[pos]
+        top = np.lexsort((dd, -total))[:k]
+        return [(int(dd[i]), float(total[i])) for i in top]
+
     def _local_term_scores(
         self,
         query_text: str,

@@ -121,3 +121,64 @@ def test_nested_agg_inner_where(nested_idx):
     ).collect()
     by_bucket = {r["bucket"]: (r["n_nested"], r["n_parents"]) for r in got}
     assert by_bucket == {"a": (3, 2), "b": (1, 1)}
+
+
+def test_nested_local_twin_identical(spark, tmp_path):
+    """search_nested_local (tuple inner conditions, pyarrow + NumPy) must
+    be score-identical to search_nested (SQL inner condition) on a
+    persisted warehouse — every score_mode, with and without a text
+    clause, nulls included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(80):
+        arr = [
+            {
+                "name": rng.choice(["a", "b", None]),
+                "ms": float(rng.randint(0, 9)),
+            }
+            for _ in range(rng.randint(0, 4))
+        ]
+        text = " ".join(rng.choices(["alpha", "beta", "gamma", "delta"], k=rng.randint(1, 6)))
+        rows.append((i, text, arr))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, calls array<struct<name:string,ms:double>>"
+    ).select(
+        "text", "calls",
+        F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+    )
+    wh = str(tmp_path / "nidx")
+    build_index(spark, docs, wh, docs_per_shard=16, n_buckets=4)
+    idx = Index(spark, wh)
+    sql_inner = "x.name = 'a' AND x.ms >= 5.0"
+    tup_inner = [("name", "=", "a"), ("ms", ">=", 5.0)]
+    for q in ("alpha beta", ""):
+        for mode in ("sum", "avg", "max", "min", "none"):
+            dist = [
+                (r["doc_id"], r["score"])
+                for r in idx.search_nested(
+                    q, 20, nested_col="calls", inner_where=sql_inner,
+                    score_mode=mode, inner_score="x.ms",
+                ).collect()
+            ]
+            loc = idx.search_nested_local(
+                q, 20, nested_col="calls", inner=tup_inner,
+                score_mode=mode, inner_score="ms",
+            )
+            assert loc == dist, (q, mode)
+            assert dist or mode == "none" or q, (q, mode)
+    # null-matching ops on the serving surface
+    got = idx.search_nested_local(
+        "", 100, nested_col="calls", inner=[("name", "isnull", None)],
+        score_mode="sum",
+    )
+    want = {
+        i for i, _t, arr in rows if any(o["name"] is None for o in arr)
+    }
+    assert {d for d, _ in got} == want
