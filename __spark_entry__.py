@@ -1436,6 +1436,48 @@ def q_agg_geo_distance(spark, sf_dir):
     )
 
 
+def q_agg_geohash_grid(spark, sf_dir):
+    """ES geohash_grid aggregation (precision 2): matching docs bucketed
+    by geohash cell — the Column-algebra bit-interleave encoder, counts
+    in ES order (count desc, key asc)."""
+    return _geo_idx(spark, sf_dir).geohash_grid_agg(BM25_QUERY, precision=2)
+
+
+def _geohash_oracle_sql(lat_sql: str, lon_sql: str, p: int) -> str:
+    """DuckDB mirror of Index.geohash_col's exact integer arithmetic."""
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    x = (
+        f"CAST(least(floor((({lon_sql}) + 180.0) / 360.0 * {float(1 << lon_bits)}), "
+        f"{float((1 << lon_bits) - 1)}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(floor((({lat_sql}) + 90.0) / 180.0 * {float(1 << lat_bits)}), "
+        f"{float((1 << lat_bits) - 1)}) AS BIGINT)"
+    )
+    terms = []
+    for i in range(total):
+        if i % 2 == 0:
+            src, src_bit = "gx", lon_bits - 1 - i // 2
+        else:
+            src, src_bit = "gy", lat_bits - 1 - i // 2
+        terms.append(f"((({src} >> {src_bit}) & 1) << {total - 1 - i})")
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST(((inter >> {5 * (p - 1 - j)}) & 31) AS INT) + 1, 1)"
+        for j in range(p)
+    )
+    return f"""
+WITH g AS (SELECT doc_id, {x} AS gx, {y} AS gy FROM documents),
+i AS (SELECT doc_id, {' + '.join(terms)} AS inter FROM g),
+h AS (SELECT doc_id, {chars} AS geohash FROM i)
+SELECT geohash, count(*)::BIGINT AS n FROM h
+WHERE doc_id IN ({_MATCHED})
+GROUP BY 1 ORDER BY n DESC, geohash
+"""
+
+
 def q_snapshot_restore(spark, sf_dir):
     """ES snapshot/restore + aliases: build a persisted index, snapshot
     it into a repository, restore into a fresh warehouse, swap the
@@ -2461,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_topk": q_geo_bbox_topk,
         "agg_geo_distance": q_agg_geo_distance,
         "geo_distance_local": q_geo_distance_local,
+        "agg_geohash_grid": q_agg_geohash_grid,
         "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
@@ -4881,6 +4924,7 @@ FROM b ORDER BY bucket
                 f"({GEO_LON}) >= -130.0 AND ({GEO_LON}) <= -60.0"
             ),
         ),
+        "agg_geohash_grid": _geohash_oracle_sql(GEO_LAT, GEO_LON, 2),
         "agg_geo_distance": f"""
 SELECT range_label, n FROM (
   SELECT CASE WHEN d < 3000.0 THEN '*-3000.0'

@@ -4456,6 +4456,82 @@ class Index:
             .select("range_label", "n")
         )
 
+    GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    @classmethod
+    def geohash_col(
+        cls, lat_col: str, lon_col: str, precision: int = 5
+    ) -> "F.Column":
+        """Standard base-32 geohash of (lat, lon) as PURE Column algebra —
+        cell indices by scaling, bit interleave (even bits longitude from
+        the MSB, odd latitude), 5-bit groups mapped through the geohash
+        alphabet. ~5·precision integer ops per row, all inside
+        whole-stage codegen; no UDF. ``precision ≤ 12`` (ES's own cap);
+        the interleaved value fits int64 for every legal precision."""
+        if not 1 <= int(precision) <= 12:
+            raise ValueError("geohash precision must be in 1..12")
+        p = int(precision)
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        x = F.least(
+            F.floor((F.col(lon_col) + 180.0) / 360.0 * float(1 << lon_bits)),
+            F.lit(float((1 << lon_bits) - 1)),
+        ).cast("long")
+        y = F.least(
+            F.floor((F.col(lat_col) + 90.0) / 180.0 * float(1 << lat_bits)),
+            F.lit(float((1 << lat_bits) - 1)),
+        ).cast("long")
+        inter = F.lit(0).cast("long")
+        for i in range(total):  # i = position from the MSB
+            if i % 2 == 0:
+                src, src_bit = x, lon_bits - 1 - i // 2
+            else:
+                src, src_bit = y, lat_bits - 1 - i // 2
+            bit = F.shiftright(src, src_bit).bitwiseAND(F.lit(1))
+            inter = inter + F.shiftleft(bit, total - 1 - i)
+        chars = F.array(*[F.lit(c) for c in cls.GEOHASH_ALPHABET])
+        return F.concat(
+            *[
+                F.element_at(
+                    chars,
+                    (
+                        F.shiftright(inter, 5 * (p - 1 - j)).bitwiseAND(F.lit(31))
+                        + F.lit(1)
+                    ).cast("int"),
+                )
+                for j in range(p)
+            ]
+        )
+
+    def geohash_grid_agg(
+        self,
+        query_text: str,
+        precision: int = 5,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        size: int | None = None,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``geohash_grid`` aggregation (1.4+): bucket the match set by
+        geohash cell at ``precision``, count per cell, ES ordering (count
+        desc, key asc), optional ``size`` cap like ES's shard_size. One
+        scan + ONE groupBy whose key cardinality is bounded by the live
+        cell count — the canonical map-tile heat-map query."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "geohash string, n long")
+        out = (
+            scoped.select(
+                self.geohash_col(lat_col, lon_col, precision).alias("geohash")
+            )
+            .groupBy("geohash")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("geohash"))
+        )
+        return out.limit(int(size)) if size is not None else out
+
     def search_sort(
         self,
         query_text: str,

@@ -442,3 +442,59 @@ def test_geo_distance_filter_and_agg_match_python(spark):
     assert [r["range_label"] for r in rings] == sorted(
         want_rings, key=lambda s: float(s.split("-")[0].replace("*", "-1"))
     )
+
+
+def test_geohash_grid_matches_reference_encoder(spark):
+    """Column-algebra geohash vs the textbook bisection encoder at
+    several precisions (incl. the max, 12), plus grid-agg counts and ES
+    ordering."""
+    import random
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    def py_geohash(lat, lon, p):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+        bits, even = [], True
+        while len(bits) < 5 * p:
+            if even:
+                mid = sum(lon_i) / 2
+                bits.append(1 if lon >= mid else 0)
+                lon_i = (mid, lon_i[1]) if lon >= mid else (lon_i[0], mid)
+            else:
+                mid = sum(lat_i) / 2
+                bits.append(1 if lat >= mid else 0)
+                lat_i = (mid, lat_i[1]) if lat >= mid else (lat_i[0], mid)
+            even = not even
+        return "".join(
+            alpha[int("".join(map(str, bits[i * 5:(i + 1) * 5])), 2)]
+            for i in range(p)
+        )
+
+    rng = random.Random(5)
+    pts = [(i, rng.uniform(-89.9, 89.9), rng.uniform(-179.9, 179.9)) for i in range(60)]
+    pts += [(60, 37.7749, -122.4194), (61, 0.0, 0.0), (62, -90.0, -180.0)]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    for p in (1, 5, 12):
+        got = {
+            r["doc_id"]: r["gh"]
+            for r in df.select(
+                "doc_id", Index.geohash_col("lat", "lon", p).alias("gh")
+            ).collect()
+        }
+        assert got == {i: py_geohash(la, lo, p) for i, la, lo in pts}, p
+    assert py_geohash(37.7749, -122.4194, 5) == "9q8yy"  # known value
+
+    idx = Index.ephemeral(
+        df.withColumn("text", F.lit("alpha")), docs_per_shard=32, n_buckets=4
+    )
+    grid = idx.geohash_grid_agg("alpha", precision=1).collect()
+    from collections import Counter
+
+    want = Counter(py_geohash(la, lo, 1) for _i, la, lo in pts)
+    assert {r["geohash"]: r["n"] for r in grid} == dict(want)
+    assert [r["geohash"] for r in grid] == sorted(want, key=lambda g: (-want[g], g))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Index.geohash_col("lat", "lon", 13)
