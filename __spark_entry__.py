@@ -1377,6 +1377,18 @@ def q_geo_distance_topk(spark, sf_dir):
     )
 
 
+def q_geo_distance_range_topk(spark, sf_dir):
+    """ES geo_distance_range filter (the annulus): BM25 matches between
+    3000 and 9000 km (haversine, both inclusive like ES's default
+    include_lower/include_upper) of San Francisco — filter context."""
+    out = _geo_idx(spark, sf_dir).search_geo_distance_range(
+        BM25_QUERY, K, origin=GEO_ORIGIN, from_km=3000.0, to_km=9000.0
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_geo_bbox_topk(spark, sf_dir):
     """ES geo_bounding_box filter: four range comparisons, no trig."""
     out = _geo_idx(spark, sf_dir).search_geo_bbox(
@@ -1443,6 +1455,67 @@ def q_agg_geohash_grid(spark, sf_dir):
     return _geo_idx(spark, sf_dir).geohash_grid_agg(BM25_QUERY, precision=2)
 
 
+# A ring roughly over the Americas: ray-casting parity with this exact
+# vertex list is compiled into SQL by Index._point_in_polygon_sql, and the
+# oracle reuses the SAME generator over GEO_LAT/GEO_LON so the float
+# arithmetic is byte-identical on both engines.
+GEO_POLYGON = [
+    (70.0, -170.0),
+    (75.0, -40.0),
+    (0.0, -30.0),
+    (-60.0, -70.0),
+    (-20.0, -160.0),
+]
+GEO_CELL_PRECISION = 2
+
+
+def q_geo_polygon_topk(spark, sf_dir):
+    """ES geo_polygon filter: BM25 matches strictly inside a 5-vertex
+    lat/lon ring (divisionless crossing parity fused into the doc scan),
+    filter context — corpus stats stay global."""
+    out = _geo_idx(spark, sf_dir).search_geo_polygon(
+        BM25_QUERY, K, polygon=GEO_POLYGON
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_geohash_cell_topk(spark, sf_dir):
+    """ES geohash_cell filter (1.4+, neighbors=true): docs in the
+    query point's precision-2 cell or any of its 8 neighbors. The 9
+    cells resolve driver-side (bisection codec); per row only the
+    integer interleave + an int64 IN run inside codegen."""
+    out = _geo_idx(spark, sf_dir).search_geohash_cell(
+        BM25_QUERY, K, point=GEO_ORIGIN,
+        precision=GEO_CELL_PRECISION, neighbors=True,
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_agg_geo_bounds(spark, sf_dir):
+    """ES geo_bounds aggregation (1.3+): the enclosing lat/lon box of
+    the match set as ES reports it — top_left=(max lat, min lon),
+    bottom_right=(min lat, max lon); one 4-accumulator partial agg."""
+    return _geo_idx(spark, sf_dir).geo_bounds_agg(BM25_QUERY)
+
+
+def q_geo_distance_sort(spark, sf_dir):
+    """ES _geo_distance sort: the K matching docs nearest San Francisco,
+    haversine km as the sort key (no scoring at all, like every ES field
+    sort); ordering uses the km ROUNDED to 4 decimals so last-ulp libm
+    differences can never reorder engines, ties by doc_id."""
+    out = _geo_idx(spark, sf_dir).search_geo_distance_sort(
+        BM25_QUERY, K, origin=GEO_ORIGIN
+    )
+    w = Window.orderBy(F.asc("dist_km"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", "dist_km"
+    )
+
+
 def _geohash_oracle_sql(lat_sql: str, lon_sql: str, p: int) -> str:
     """DuckDB mirror of Index.geohash_col's exact integer arithmetic."""
     total = 5 * p
@@ -1476,6 +1549,32 @@ SELECT geohash, count(*)::BIGINT AS n FROM h
 WHERE doc_id IN ({_MATCHED})
 GROUP BY 1 ORDER BY n DESC, geohash
 """
+
+
+def _geohash_int_oracle_sql(lat_sql: str, lon_sql: str, p: int) -> str:
+    """DuckDB scalar mirror of Index._geohash_int_sql — the interleaved
+    geohash integer at precision ``p`` (same scale/clamp/interleave
+    arithmetic, `>>`/`<<`/`&` syntax; integer ops are exact so the two
+    engines cannot diverge)."""
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    x = (
+        f"CAST(least(floor((({lon_sql}) + 180.0) / 360.0 * {float(1 << lon_bits)}), "
+        f"{float((1 << lon_bits) - 1)}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(floor((({lat_sql}) + 90.0) / 180.0 * {float(1 << lat_bits)}), "
+        f"{float((1 << lat_bits) - 1)}) AS BIGINT)"
+    )
+    terms = []
+    for i in range(total):
+        if i % 2 == 0:
+            src, src_bit = x, lon_bits - 1 - i // 2
+        else:
+            src, src_bit = y, lat_bits - 1 - i // 2
+        terms.append(f"((({src} >> {src_bit}) & 1) << {total - 1 - i})")
+    return f"({' + '.join(terms)})"
 
 
 def q_snapshot_restore(spark, sf_dir):
@@ -2504,6 +2603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_geo_distance": q_agg_geo_distance,
         "geo_distance_local": q_geo_distance_local,
         "agg_geohash_grid": q_agg_geohash_grid,
+        "geo_polygon_topk": q_geo_polygon_topk,
+        "geohash_cell_topk": q_geohash_cell_topk,
+        "agg_geo_bounds": q_agg_geo_bounds,
+        "geo_distance_sort": q_geo_distance_sort,
+        "geo_distance_range_topk": q_geo_distance_range_topk,
         "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
@@ -4645,6 +4749,31 @@ LEFT JOIN d5 USING (doc_id)
 """
 
 
+def _geo_polygon_oracle_where() -> str:
+    """The polygon predicate from the SAME generator the engine compiles
+    into the Spark scan (Index._point_in_polygon_sql), with GEO_LAT/
+    GEO_LON substituted — byte-identical float arithmetic in DuckDB."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    return Index._point_in_polygon_sql(GEO_LAT, GEO_LON, GEO_POLYGON)
+
+
+def _geohash_cell_oracle_sql() -> str:
+    """geohash_cell oracle: the 9 target cells (origin + neighbors)
+    resolved with the engine's own bisection codec, membership as the
+    DuckDB interleave-int IN over the same constants."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    cell = Index.geohash_encode(*GEO_ORIGIN, GEO_CELL_PRECISION)
+    cells = [cell] + Index.geohash_neighbors(cell)
+    ints = sorted(Index.geohash_cell_int(c) for c in cells)
+    inter = _geohash_int_oracle_sql(GEO_LAT, GEO_LON, GEO_CELL_PRECISION)
+    return _bm25_sql(
+        BM25_QUERY,
+        where=f"{inter} IN ({', '.join(str(v) for v in ints)})",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tok_term_counts": (
@@ -4912,6 +5041,10 @@ FROM b ORDER BY bucket
         "geo_distance_topk": _bm25_sql(
             BM25_QUERY, where=f"{_GEO_HAV_SQL} <= 6000.0"
         ),
+        "geo_distance_range_topk": _bm25_sql(
+            BM25_QUERY,
+            where=f"{_GEO_HAV_SQL} >= 3000.0 AND {_GEO_HAV_SQL} <= 9000.0",
+        ),
         # serving twin: same filter, zero-Spark-job path (identity to the
         # distributed path is asserted in-entry)
         "geo_distance_local": _bm25_sql(
@@ -4925,6 +5058,27 @@ FROM b ORDER BY bucket
             ),
         ),
         "agg_geohash_grid": _geohash_oracle_sql(GEO_LAT, GEO_LON, 2),
+        # the polygon predicate is generated by the SAME builder the engine
+        # compiles into the Spark scan — byte-identical float arithmetic
+        "geo_polygon_topk": _bm25_sql(
+            BM25_QUERY, where=_geo_polygon_oracle_where()
+        ),
+        "geohash_cell_topk": _geohash_cell_oracle_sql(),
+        "agg_geo_bounds": f"""
+SELECT round(max({GEO_LAT}), 6)::DOUBLE AS top_left_lat,
+       round(min({GEO_LON}), 6)::DOUBLE AS top_left_lon,
+       round(min({GEO_LAT}), 6)::DOUBLE AS bottom_right_lat,
+       round(max({GEO_LON}), 6)::DOUBLE AS bottom_right_lon
+FROM documents WHERE doc_id IN ({_MATCHED})
+""",
+        "geo_distance_sort": f"""
+SELECT doc_id, round(d, 4)::DOUBLE AS dist_km,
+       row_number() OVER (ORDER BY round(d, 4), doc_id) AS rank
+FROM (SELECT doc_id, {_GEO_HAV_SQL} AS d
+      FROM documents WHERE doc_id IN ({_MATCHED}))
+ORDER BY dist_km, doc_id
+LIMIT {K}
+""",
         "agg_geo_distance": f"""
 SELECT range_label, n FROM (
   SELECT CASE WHEN d < 3000.0 THEN '*-3000.0'

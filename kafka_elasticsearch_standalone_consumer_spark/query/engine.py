@@ -4392,6 +4392,36 @@ class Index:
         combined = geo if where is None else f"({geo}) AND ({where})"
         return self.search(query_text, k, where=combined)
 
+    def search_geo_distance_range(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        origin: tuple[float, float],
+        from_km: float | None = None,
+        to_km: float | None = None,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``geo_distance_range`` filter (the annulus): docs whose
+        haversine distance from ``origin`` lies in [from_km, to_km], both
+        bounds inclusive like ES's default ``include_lower``/``include_upper``
+        and either side open when omitted. Same filter-context shape as
+        :meth:`search_geo_distance` — the trig is computed once per row
+        inside codegen and compared against both constants."""
+        if from_km is None and to_km is None:
+            raise ValueError("geo_distance_range needs from_km and/or to_km")
+        d = self._haversine_sql(lat_col, lon_col, *origin)
+        parts = []
+        if from_km is not None:
+            parts.append(f"{d} >= {float(from_km)}")
+        if to_km is not None:
+            parts.append(f"{d} <= {float(to_km)}")
+        geo = " AND ".join(parts)
+        combined = geo if where is None else f"({geo}) AND ({where})"
+        return self.search(query_text, k, where=combined)
+
     def search_geo_bbox(
         self,
         query_text: str,
@@ -4531,6 +4561,289 @@ class Index:
             .orderBy(F.desc("n"), F.asc("geohash"))
         )
         return out.limit(int(size)) if size is not None else out
+
+    @staticmethod
+    def _point_in_polygon_sql(
+        lat_sql: str, lon_sql: str, polygon: list[tuple[float, float]]
+    ) -> str:
+        """Divisionless ray-casting point-in-polygon as a portable SQL
+        boolean (crossing-number parity, the same planar lat/lon test ES
+        1.x's ``geo_polygon`` filter runs per doc). Each non-horizontal
+        edge contributes one CASE term; the quotient test
+        ``px < x1 + (py-y1)(x2-x1)/(y2-y1)`` is cleared of the division
+        (sign folded at compile time) so Spark and DuckDB evaluate the
+        byte-identical float arithmetic — no engine-specific
+        divide-by-zero semantics can diverge. Only ``*``/``-``/``<`` and
+        boolean equality appear, so the string runs verbatim in both."""
+        if len(polygon) < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        pts = [(float(la), float(lo)) for la, lo in polygon]
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        terms = []
+        for (y1, x1), (y2, x2) in zip(pts, pts[1:]):
+            if y1 == y2:
+                continue  # horizontal edge: the straddle test is always false
+            dy, dx = y2 - y1, x2 - x1
+            op = "<" if dy > 0 else ">"
+            cross = (
+                f"((({lon_sql}) - ({x1!r})) * ({dy!r}) - "
+                f"(({lat_sql}) - ({y1!r})) * ({dx!r})) {op} 0"
+            )
+            straddle = (
+                f"(({y1!r}) > ({lat_sql})) <> (({y2!r}) > ({lat_sql}))"
+            )
+            terms.append(
+                f"CASE WHEN ({straddle}) AND ({cross}) THEN 1 ELSE 0 END"
+            )
+        if not terms:
+            raise ValueError("degenerate polygon: every edge is horizontal")
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+
+    def search_geo_polygon(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        polygon: list[tuple[float, float]],
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``geo_polygon`` filter around a text match: docs strictly
+        inside the (lat, lon) vertex ring, filter context (BM25 stats
+        stay global). The crossing-parity predicate is a constant-folded
+        Column expression fused into the column-pruned doc scan — ~4
+        float ops per edge per row inside whole-stage codegen, no UDF,
+        no shuffle beyond the ordinary filter semi-join."""
+        geo = self._point_in_polygon_sql(lat_col, lon_col, polygon)
+        combined = geo if where is None else f"({geo}) AND ({where})"
+        return self.search(query_text, k, where=combined)
+
+    # ---- geohash driver-side reference codec (bisection form) ----
+
+    @classmethod
+    def geohash_encode(cls, lat: float, lon: float, precision: int) -> str:
+        """Textbook bisection geohash encoder — the driver-side reference
+        twin of :meth:`geohash_col` (the Column encoder is proven equal
+        to this form in tests). Used to turn a query point into its cell
+        string for ``geohash_cell``."""
+        if not 1 <= int(precision) <= 12:
+            raise ValueError("geohash precision must be in 1..12")
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits: list[int] = []
+        even = True
+        while len(bits) < 5 * int(precision):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    bits.append(1)
+                    lon_lo = mid
+                else:
+                    bits.append(0)
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            even = not even
+        out = []
+        for g in range(0, len(bits), 5):
+            v = 0
+            for b in bits[g : g + 5]:
+                v = (v << 1) | b
+            out.append(cls.GEOHASH_ALPHABET[v])
+        return "".join(out)
+
+    @classmethod
+    def geohash_decode_box(cls, cell: str) -> tuple[float, float, float, float]:
+        """(lat_lo, lat_hi, lon_lo, lon_hi) bounding box of a geohash
+        cell — bisection replayed from the cell's bits."""
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        even = True
+        for ch in cell:
+            v = cls.GEOHASH_ALPHABET.index(ch)
+            for i in range(4, -1, -1):
+                bit = (v >> i) & 1
+                if even:
+                    mid = (lon_lo + lon_hi) / 2
+                    if bit:
+                        lon_lo = mid
+                    else:
+                        lon_hi = mid
+                else:
+                    mid = (lat_lo + lat_hi) / 2
+                    if bit:
+                        lat_lo = mid
+                    else:
+                        lat_hi = mid
+                even = not even
+        return lat_lo, lat_hi, lon_lo, lon_hi
+
+    @classmethod
+    def geohash_neighbors(cls, cell: str) -> list[str]:
+        """The <= 8 adjacent cells at the same precision (fewer at the
+        poles), via decode-center -> offset by one cell width/height ->
+        re-encode: robust at longitude wrap, no lookup tables."""
+        lat_lo, lat_hi, lon_lo, lon_hi = cls.geohash_decode_box(cell)
+        clat, clon = (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+        dlat, dlon = lat_hi - lat_lo, lon_hi - lon_lo
+        out = set()
+        for dy in (-1, 0, 1):
+            nlat = clat + dy * dlat
+            if not -90.0 <= nlat <= 90.0:
+                continue  # no cell beyond the poles
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nlon = ((clon + dx * dlon + 180.0) % 360.0) - 180.0
+                out.add(cls.geohash_encode(nlat, nlon, len(cell)))
+        out.discard(cell)
+        return sorted(out)
+
+    @classmethod
+    def geohash_cell_int(cls, cell: str) -> int:
+        """A geohash cell as its interleaved integer (5 bits/char,
+        big-endian) — precision-p cell membership becomes ONE int64
+        equality against the row's interleave, no string building."""
+        v = 0
+        for ch in cell:
+            v = (v << 5) | cls.GEOHASH_ALPHABET.index(ch)
+        return v
+
+    @classmethod
+    def _geohash_int_sql(
+        cls, lat_sql: str, lon_sql: str, precision: int
+    ) -> str:
+        """The interleaved geohash integer at ``precision`` as a Spark
+        SQL scalar — the same scale/clamp/interleave arithmetic as
+        :meth:`geohash_col`, stopping before the base-32 string (integer
+        ops only, exact)."""
+        if not 1 <= int(precision) <= 12:
+            raise ValueError("geohash precision must be in 1..12")
+        p = int(precision)
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        x = (
+            f"CAST(least(floor((({lon_sql}) + 180.0) / 360.0 * "
+            f"{float(1 << lon_bits)!r}), {float((1 << lon_bits) - 1)!r}) AS BIGINT)"
+        )
+        y = (
+            f"CAST(least(floor((({lat_sql}) + 90.0) / 180.0 * "
+            f"{float(1 << lat_bits)!r}), {float((1 << lat_bits) - 1)!r}) AS BIGINT)"
+        )
+        terms = []
+        for i in range(total):  # i = position from the MSB
+            if i % 2 == 0:
+                src, src_bit = x, lon_bits - 1 - i // 2
+            else:
+                src, src_bit = y, lat_bits - 1 - i // 2
+            terms.append(
+                f"shiftleft(shiftright({src}, {src_bit}) & 1, {total - 1 - i})"
+            )
+        return f"({' + '.join(terms)})"
+
+    def search_geohash_cell(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        point: tuple[float, float],
+        precision: int = 5,
+        neighbors: bool = False,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``geohash_cell`` filter (1.4+): docs in the same geohash
+        cell as ``point`` at ``precision`` (optionally + the adjacent
+        cells, ES's ``neighbors: true``). The <= 9 target cells are
+        resolved DRIVER-side with the bisection codec; per row only the
+        integer interleave runs (~5·precision int ops in codegen) and
+        membership is an int64 IN over constants — no string building,
+        no UDF, filter context as always."""
+        lat, lon = point
+        cell = self.geohash_encode(float(lat), float(lon), precision)
+        cells = [cell] + (self.geohash_neighbors(cell) if neighbors else [])
+        ints = sorted(self.geohash_cell_int(c) for c in cells)
+        geo = (
+            f"{self._geohash_int_sql(lat_col, lon_col, precision)} IN "
+            f"({', '.join(str(v) for v in ints)})"
+        )
+        combined = geo if where is None else f"({geo}) AND ({where})"
+        return self.search(query_text, k, where=combined)
+
+    def geo_bounds_agg(
+        self,
+        query_text: str,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``geo_bounds`` aggregation (1.3+): the smallest lat/lon box
+        enclosing every matching document, reported ES-style as top_left
+        (max lat, min lon) / bottom_right (min lat, max lon). One scan,
+        one 4-accumulator partial agg, a single result row — the
+        cheapest aggregation in the family at any scale."""
+        schema = (
+            "top_left_lat double, top_left_lon double, "
+            "bottom_right_lat double, bottom_right_lon double"
+        )
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], schema)
+        # explicit DOUBLE: a decimal-typed geo column would otherwise make
+        # round() return DECIMAL (Spark's literal-typing trap) and the
+        # box would surface as decimals instead of doubles
+        la = F.col(lat_col).cast("double")
+        lo = F.col(lon_col).cast("double")
+        # ES omits "bounds" when no matching doc has a geo point; the
+        # global agg's one all-null row is that case — drop it (1-row filter)
+        return scoped.agg(
+            F.round(F.max(la), 6).alias("top_left_lat"),
+            F.round(F.min(lo), 6).alias("top_left_lon"),
+            F.round(F.min(la), 6).alias("bottom_right_lat"),
+            F.round(F.max(lo), 6).alias("bottom_right_lon"),
+        ).where(F.col("top_left_lat").isNotNull())
+
+    def search_geo_distance_sort(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        origin: tuple[float, float],
+        ascending: bool = True,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``_geo_distance`` sort: the k matching docs nearest to
+        (farthest from) ``origin``, haversine km as the sort key —
+        scoring skipped entirely like every ES field sort. Ordering and
+        ties use the km value ROUNDED to 4 decimals (sub-meter) so the
+        ranking is stable under last-ulp libm differences across
+        engines; ties break by doc_id asc. Plan: term-pruned match set →
+        trig in codegen → TakeOrderedAndProject (per-partition top-k +
+        k-row merge, never a global sort)."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "doc_id long, dist_km double")
+        dist = F.round(
+            F.expr(self._haversine_sql(lat_col, lon_col, *origin)), 4
+        ).alias("dist_km")
+        order = F.asc("dist_km") if ascending else F.desc("dist_km")
+        return (
+            scoped.select("doc_id", dist)
+            .orderBy(order, F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_sort(
         self,

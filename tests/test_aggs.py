@@ -414,6 +414,27 @@ def test_geo_distance_filter_and_agg_match_python(spark):
     want = {i for i, _t, la, lo in pts if hav(la, lo) <= 8000.0}
     assert got == want and got and len(want) < len(pts)
 
+    got_ring = {
+        r["doc_id"]
+        for r in idx.search_geo_distance_range(
+            "alpha", 50, origin=origin, from_km=3000.0, to_km=9000.0
+        ).collect()
+    }
+    want_ring = {i for i, _t, la, lo in pts if 3000.0 <= hav(la, lo) <= 9000.0}
+    assert got_ring == want_ring and got_ring
+    got_open = {
+        r["doc_id"]
+        for r in idx.search_geo_distance_range(
+            "alpha", 50, origin=origin, from_km=9000.0
+        ).collect()
+    }
+    assert got_open == {i for i, _t, la, lo in pts if hav(la, lo) >= 9000.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="from_km and/or to_km"):
+        idx.search_geo_distance_range("alpha", 5, origin=origin)
+
     got_box = {
         r["doc_id"]
         for r in idx.search_geo_bbox(
@@ -498,3 +519,150 @@ def test_geohash_grid_matches_reference_encoder(spark):
 
     with _pytest.raises(ValueError):
         Index.geohash_col("lat", "lon", 13)
+
+
+def test_geo_polygon_matches_python_raycast(spark):
+    """geo_polygon filter vs an independent pure-Python ray-cast
+    (classic px < x-intersection form, NOT the engine's divisionless
+    rearrangement) — same inside set on a global point grid."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    pts = [(i, "alpha", -85.0 + i * 6.1, -175.0 + i * 12.7) for i in range(28)]
+    df = spark.createDataFrame(pts, "doc_id long, text string, lat double, lon double")
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    poly = [(70.0, -170.0), (75.0, -40.0), (0.0, -30.0), (-60.0, -70.0), (-20.0, -160.0)]
+
+    def inside(la, lo):
+        n, c = len(poly), False
+        for k in range(n):
+            y1, x1 = poly[k]
+            y2, x2 = poly[(k + 1) % n]
+            if (y1 > la) != (y2 > la) and lo < x1 + (la - y1) * (x2 - x1) / (y2 - y1):
+                c = not c
+        return c
+
+    got = {
+        r["doc_id"]
+        for r in idx.search_geo_polygon("alpha", 50, polygon=poly).collect()
+    }
+    want = {i for i, _t, la, lo in pts if inside(la, lo)}
+    assert got == want and got and len(want) < len(pts)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 3"):
+        Index._point_in_polygon_sql("lat", "lon", [(0.0, 0.0), (1.0, 1.0)])
+    with _pytest.raises(ValueError, match="horizontal"):
+        Index._point_in_polygon_sql("lat", "lon", [(5.0, 0.0), (5.0, 10.0), (5.0, 20.0)])
+
+
+def test_geohash_codec_roundtrip_and_neighbors():
+    """Driver-side geohash codec: known value, decode-box roundtrip,
+    neighbor structure (8 interior / edge-adjacent boxes / pole clamp),
+    and the interleaved-int form."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    assert Index.geohash_encode(37.7749, -122.4194, 5) == "9q8yy"
+    for cell in ("9q8yy", "u4pru", "s0", "7zzzz"):
+        lat_lo, lat_hi, lon_lo, lon_hi = Index.geohash_decode_box(cell)
+        clat, clon = (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+        assert Index.geohash_encode(clat, clon, len(cell)) == cell
+
+    nb = Index.geohash_neighbors("9q8yy")
+    assert len(nb) == 8 and "9q8yy" not in nb
+    box = Index.geohash_decode_box("9q8yy")
+    for c in nb:
+        b = Index.geohash_decode_box(c)
+        # every neighbor box touches the origin box (shared edge/corner)
+        assert b[0] <= box[1] and b[1] >= box[0]
+        assert b[2] <= box[3] and b[3] >= box[2]
+    # at the pole: no cells beyond it, so fewer than 8
+    assert len(Index.geohash_neighbors(Index.geohash_encode(89.99, 0.0, 2))) < 8
+
+    assert Index.geohash_cell_int("0") == 0
+    assert Index.geohash_cell_int("zz") == (1 << 10) - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Index.geohash_encode(0.0, 0.0, 13)
+
+
+def test_geohash_cell_filter_membership(spark):
+    """search_geohash_cell ≡ {docs whose encoded cell is the query cell
+    (+ neighbors)} via the reference bisection encoder."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    pts = [(i, "alpha", -85.0 + i * 6.1, -175.0 + i * 12.7) for i in range(28)]
+    df = spark.createDataFrame(pts, "doc_id long, text string, lat double, lon double")
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    point, p = (10.0, -50.0), 1
+
+    cell = Index.geohash_encode(*point, p)
+    for neighbors in (False, True):
+        cells = {cell} | (set(Index.geohash_neighbors(cell)) if neighbors else set())
+        got = {
+            r["doc_id"]
+            for r in idx.search_geohash_cell(
+                "alpha", 50, point=point, precision=p, neighbors=neighbors
+            ).collect()
+        }
+        want = {
+            i for i, _t, la, lo in pts if Index.geohash_encode(la, lo, p) in cells
+        }
+        assert got == want, (neighbors, cells)
+    assert got  # the neighbors=True variant catches at least one doc
+
+
+def test_geo_bounds_and_distance_sort(spark):
+    """geo_bounds_agg vs python min/max box; _geo_distance sort order vs
+    python haversine rounded to 4 dp with doc_id ties."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    pts = [(i, "alpha beta", -80.0 + i * 7.9, -170.0 + i * 17.3) for i in range(21)]
+    df = spark.createDataFrame(pts, "doc_id long, text string, lat double, lon double")
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    origin = (37.77, -122.42)
+
+    row = idx.geo_bounds_agg("alpha").collect()[0]
+    lats = [la for _i, _t, la, _lo in pts]
+    lons = [lo for _i, _t, _la, lo in pts]
+    assert (
+        row["top_left_lat"], row["top_left_lon"],
+        row["bottom_right_lat"], row["bottom_right_lon"],
+    ) == (
+        round(max(lats), 6), round(min(lons), 6),
+        round(min(lats), 6), round(max(lons), 6),
+    )
+    assert idx.geo_bounds_agg("zzzznomatch").count() == 0
+
+    def hav(la, lo):
+        r = 6371.0088
+        p1 = math.radians(origin[0])
+        return 2 * r * math.asin(math.sqrt(
+            math.sin(math.radians(la - origin[0]) / 2) ** 2
+            + math.cos(math.radians(la)) * math.cos(p1)
+            * math.sin(math.radians(lo - origin[1]) / 2) ** 2
+        ))
+
+    got = [
+        (r["doc_id"], r["dist_km"])
+        for r in idx.search_geo_distance_sort("alpha", 7, origin=origin).collect()
+    ]
+    want = sorted(
+        ((i, round(hav(la, lo), 4)) for i, _t, la, lo in pts),
+        key=lambda t: (t[1], t[0]),
+    )[:7]
+    assert got == want
+    far = [
+        r["doc_id"]
+        for r in idx.search_geo_distance_sort(
+            "alpha", 3, origin=origin, ascending=False
+        ).collect()
+    ]
+    assert far == [i for i, _d in sorted(
+        ((i, round(hav(la, lo), 4)) for i, _t, la, lo in pts),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]]

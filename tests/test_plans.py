@@ -216,3 +216,31 @@ def test_nested_clause_is_scan_fused_no_explode(spark):
     agg_plan = _plan(idx.nested_agg("alpha", "calls", "name"))
     assert "Generate" in agg_plan  # the explode into nested objects
     assert "CartesianProduct" not in agg_plan and "Window" not in agg_plan
+
+
+def test_geo_paths_fuse_into_scan_and_topk(spark):
+    """Geo family plan shape: the polygon / geohash-cell predicates are
+    constant expressions fused into the doc scan (no UDF, no Generate,
+    no extra join), and _geo_distance sort compiles to
+    TakeOrderedAndProject — never a global Sort."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta", -80.0 + i * 7.9, -170.0 + i * 17.3) for i in range(21)],
+        "doc_id long, text string, lat double, lon double",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    poly = [(70.0, -170.0), (75.0, -40.0), (0.0, -30.0), (-60.0, -70.0)]
+
+    plan = _plan(idx.search_geo_polygon("alpha", 5, polygon=poly))
+    assert "BatchEvalPython" not in plan and "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(
+        idx.search_geohash_cell("alpha", 5, point=(10.0, -50.0), precision=2, neighbors=True)
+    )
+    assert "BatchEvalPython" not in plan and "Generate" not in plan
+
+    plan = _plan(idx.search_geo_distance_sort("alpha", 5, origin=(37.77, -122.42)))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
