@@ -353,6 +353,43 @@ def main() -> None:
 
     sections.append(
         (
+            "_geo_distance sort (search_geo_distance_sort)",
+            "ES's distance sort skips scoring entirely: term-pruned match "
+            "set → haversine in codegen → TakeOrderedAndProject (per-"
+            "partition top-k + a k-row merge) — never a global Sort. Sort "
+            "keys are rounded to 4 dp before ordering so last-ulp libm "
+            "differences can never reorder engines.",
+            plan_of(
+                gidx.search_geo_distance_sort(
+                    "w00000", 5, origin=(37.77, -122.42)
+                )
+            ),
+        )
+    )
+
+    sections.append(
+        (
+            "Geo polygon + geohash cell filters (pure scan predicates)",
+            "geo_polygon compiles the crossing-parity ray-cast to CASE "
+            "terms (~4 float ops per edge per row); geohash_cell resolves "
+            "its <=9 target cells driver-side and tests one int64 bit-"
+            "interleave against constants. Both are ordinary pushed scan "
+            "predicates — no UDF, no explode, no extra join.",
+            plan_of(
+                gidx.search_geo_polygon(
+                    "w00000",
+                    5,
+                    polygon=[
+                        (70.0, -170.0), (75.0, -40.0), (0.0, -30.0),
+                        (-60.0, -70.0), (-20.0, -160.0),
+                    ],
+                )
+            ),
+        )
+    )
+
+    sections.append(
+        (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
             "Three query paths deliberately execute with ZERO Spark jobs via\n"
             "pruned pyarrow parquet reads; their 'plan' is the file layout:\n\n"
