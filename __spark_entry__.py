@@ -2113,6 +2113,40 @@ def q_ivf_topk(spark, sf_dir):
 COSINE_DUP_THRESHOLD = 0.4  # sf0.01 embeddings: 59 pairs, nearest pair
 # cosine is 1.3e-4 away from the cut — safe against float noise
 
+# SemDeDup operating point: planted EXACT copies are the only pairs over
+# the cut (natural ceiling 0.513 at sf0.01 / ~0.67 expected at sf0.1's
+# 2000 vectors, tau = 0.9) and identical vectors always co-cluster
+# (identical rows -> identical argmax whatever the trained centroids), so
+# the cluster-local rule provably equals the global all-pairs rule — the
+# oracle is exact by construction, not by tuning.
+SEMDEDUP_TAU = 0.9
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): spherical-k-means clusters over the
+    embeddings, per-cluster gram-matrix dedup in applyInPandas, keep the
+    lowest-id representative. Fixture plants exact copies of vec 0..39
+    (+100000) and vec 0..14 (+200000) and removes originals with
+    vec_id % 7 == 3 below 40, so some copies become the kept
+    representative — the output exercises both drop directions."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import semdedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    aug = (
+        emb.filter("vec_id % 7 != 3 OR vec_id >= 40")
+        .unionByName(
+            emb.filter("vec_id < 40").select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.filter("vec_id < 15").select(
+                (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return semdedup(aug, SEMDEDUP_TAU, n_lists=8, iters=3)
+
 
 def q_cosine_dup_pairs(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import cosine_dup_pairs
@@ -2608,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_geo_bounds": q_agg_geo_bounds,
         "geo_distance_sort": q_geo_distance_sort,
         "geo_distance_range_topk": q_geo_distance_range_topk,
+        "semdedup": q_semdedup,
         "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
@@ -3521,6 +3556,26 @@ p AS (
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
 SELECT id1, id2, round(cosine, 5) AS cosine_r FROM p WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+
+# SemDeDup global-rule oracle: the cluster-local Spark result equals this
+# all-pairs NOT EXISTS at the pinned operating point (see SEMDEDUP_TAU) —
+# dropped iff ANY lower-id vector is tau-similar, clustering-free.
+_SEMDEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+aug AS (
+  SELECT vec_id, e FROM base WHERE vec_id % 7 != 3 OR vec_id >= 40
+  UNION ALL SELECT vec_id + 100000, e FROM base WHERE vec_id < 40
+  UNION ALL SELECT vec_id + 200000, e FROM base WHERE vec_id < 15
+)
+SELECT a.vec_id FROM aug a WHERE NOT EXISTS (
+  SELECT 1 FROM aug b WHERE b.vec_id < a.vec_id AND
+    list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {SEMDEDUP_TAU}
+)
 """
 
 # CCNet-style add-0.5 Laplace bigram-LM doc scoring (ops/textstats.py
@@ -5211,6 +5266,7 @@ WHERE c.cluster_id = c.doc_id
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,
         "cosine_dup_pairs": _COSINE_DUP_SQL,
+        "semdedup": _SEMDEDUP_SQL,
         "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,

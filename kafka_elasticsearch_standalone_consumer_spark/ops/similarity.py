@@ -443,3 +443,53 @@ def ivf_assign(
             yield pdf
 
     return emb.mapInPandas(kernel, schema=f"{id_col} long, list_id int")
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float,
+    n_lists: int = 8,
+    iters: int = 3,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with spherical k-means and comparing pairs ONLY
+    inside each cluster. A vector is dropped iff some LOWER-id vector in
+    its cluster has cosine ≥ ``threshold`` (deterministic keep-lowest-id
+    representative — the paper's keep-one rule with a stable tie order);
+    returns the kept ids, one ``id_col`` column.
+
+    Scale shape (the reason this beats all-pairs at 100 TB): assignment
+    is one Arrow matmul pass (:func:`ivf_assign`); the quadratic work is
+    a per-cluster NumPy gram matrix inside ``applyInPandas`` — O((n/k)²)
+    per task, never a global self-join. Pick ``n_lists`` ≈ n / desired
+    cluster size (the paper uses 50k clusters for LAION); per-task memory
+    is bounded by the largest cluster, so a flood of identical vectors is
+    the skew case to watch — cap it upstream with exact dedup first.
+
+    Like the paper's, the method is approximate: a cross-cluster pair is
+    never compared. EXACT duplicates can never be missed (identical
+    vectors get identical argmax assignments, whatever the centroids), so
+    with ``threshold`` above the corpus's natural cross-pair ceiling the
+    result equals the global all-pairs rule — that is the operating point
+    the oracle pins."""
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_centroids(emb, n_lists, iters, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    df = emb.select(id_col, vec_col).join(assigned, id_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # ids are unique — stable enough
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        g = m @ m.T
+        drop = np.tril(g >= float(threshold), -1).any(axis=1)
+        return pd.DataFrame({id_col: ids[~drop]})
+
+    return df.groupBy("list_id").applyInPandas(kernel, schema=f"{id_col} long")

@@ -674,3 +674,46 @@ def test_dedup_keep_one_per_cluster(spark):
     kept = dedup_keep(docs, pairs).collect()
     assert {r["doc_id"] for r in kept} == {0, 3, 5}
     assert all(r["n_chars"] == r["doc_id"] * 10 for r in kept)  # full rows survive
+
+
+def test_semdedup_matches_global_rule(emb):
+    """semdedup at a threshold above the corpus's natural cross-pair
+    ceiling ≡ the global all-pairs keep-lowest-id rule, for ANY
+    clustering: planted exact copies always co-cluster (identical rows
+    get identical argmax), and nothing else crosses the threshold."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import semdedup
+
+    df, vecs = emb
+    mn = vecs.astype(np.float64)
+    mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+    ceiling = float(np.triu(mn @ mn.T, 1).max())
+    tau = max(0.9, (1.0 + ceiling) / 2)  # above every natural pair
+
+    # plant exact copies: two of vec 0..9, a third of vec 0..3
+    aug = (
+        df.unionByName(
+            df.filter("vec_id < 10").select(
+                (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+            )
+        ).unionByName(
+            df.filter("vec_id < 4").select(
+                (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    got = sorted(r["vec_id"] for r in semdedup(aug, tau, n_lists=4, iters=2).collect())
+    # global rule: dropped iff ANY lower id is tau-similar — every copy has
+    # its original below it, so exactly the 40 originals survive
+    assert got == list(range(40))
+
+    # transitivity stays pairwise: with the ORIGINAL removed, the lowest
+    # copy becomes the kept representative of its group
+    aug2 = aug.filter("vec_id != 0")
+    got2 = sorted(r["vec_id"] for r in semdedup(aug2, tau, n_lists=4, iters=2).collect())
+    assert got2 == list(range(1, 40)) + [1000]
+
+    # below every pair: nothing is dropped
+    n_all = semdedup(aug, 1.0000001, n_lists=4, iters=2).count()
+    assert n_all == aug.count()
