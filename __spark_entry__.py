@@ -1288,14 +1288,10 @@ def q_agg_nested(spark, sf_dir):
     )
 
 
-def q_filtered_alias(spark, sf_dir):
-    """ES FILTERED alias (read-side rewrite): 'en_docs' carries
-    where=[(lang,=,en)] in the alias registry; opening it yields a
-    FilteredIndex that injects the filter into every query surface.
-    Asserted in-entry: alias BM25 ≡ concrete index with explicit where=
-    ≡ the zero-Spark-job serving twin through the alias (rank AND score
-    identity) — then the top-k is returned against the plain filtered
-    BM25 oracle. Corpus stats stay global, exactly like ES."""
+def _persistent_idx(spark, sf_dir):
+    """Warehouse-backed documents index (doc_id-preserving conv_id trick)
+    + its 'en_docs' filtered-alias view — cached per sf_dir, shared by the
+    filtered_alias and highlight entries. Returns (FilteredIndex, Index)."""
     import tempfile
 
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
@@ -1323,7 +1319,18 @@ def q_filtered_alias(spark, sf_dir):
         set_alias(root + "/reg", "en_docs", wh, where=[("lang", "=", "en")])
         cached = (open_alias(spark, root + "/reg", "en_docs"), Index(spark, wh))
         _IDX_CACHE[key] = cached
-    fidx, concrete = cached
+    return cached
+
+
+def q_filtered_alias(spark, sf_dir):
+    """ES FILTERED alias (read-side rewrite): 'en_docs' carries
+    where=[(lang,=,en)] in the alias registry; opening it yields a
+    FilteredIndex that injects the filter into every query surface.
+    Asserted in-entry: alias BM25 ≡ concrete index with explicit where=
+    ≡ the zero-Spark-job serving twin through the alias (rank AND score
+    identity) — then the top-k is returned against the plain filtered
+    BM25 oracle. Corpus stats stay global, exactly like ES."""
+    fidx, concrete = _persistent_idx(spark, sf_dir)
     via_alias = fidx.search(BM25_QUERY, K, mode="bmw").collect()
     explicit = concrete.search(BM25_QUERY, K, mode="bmw", where="lang = 'en'").collect()
     local = fidx.search_local(BM25_QUERY, K)
@@ -1337,6 +1344,39 @@ def q_filtered_alias(spark, sf_dir):
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
     )
+
+
+# the batched-search query set: q1 runs under OR semantics (search_many
+# is the ES _msearch default), so its oracle is the plain disjunctive SQL
+MSEARCH_BATCH_QUERIES = {
+    "q0": BM25_QUERY,
+    "q1": BM25_AND_QUERY,
+    "q2": "order group window",
+}
+
+
+def q_msearch_batch(spark, sf_dir):
+    """ES _msearch against ONE index through the batched kernel
+    (engine.search_many): the whole query set runs as a single Spark job
+    over one union-pruned postings scan, per-shard posting blocks decoded
+    once and shared across queries. The result must equal Q independent
+    single searches — each qid is oracled against its own BM25 SQL."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search_many(MSEARCH_BATCH_QUERIES, K)
+    return out.select("qid", "doc_id", "rank", F.round("score", 4).alias("score_r"))
+
+
+def q_highlight_topk(spark, sf_dir):
+    """ES highlight surface over the BM25 top-k: fetch the hits and wrap
+    the matched query terms in ``**`` inside an 80-char snippet centered
+    on the FIRST term occurrence (ref MessageHandler.java:135-139 posts
+    whole docs to ES; highlight is the read-side ES feature users query
+    them with). Pure Column regexp algebra on the k fetched rows — the
+    oracle replicates the window/mark arithmetic with DuckDB's RE2 string
+    functions, so snippets must match byte-for-byte."""
+    idx = _persistent_idx(spark, sf_dir)[1]
+    hits = idx.search(BM25_QUERY, K, mode="bmw")
+    return idx.highlight(hits, BM25_QUERY, n_chars=80).select("doc_id", "snippet")
 
 
 GEO_ORIGIN = (37.77, -122.42)  # San Francisco
@@ -2643,6 +2683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_sort": q_geo_distance_sort,
         "geo_distance_range_topk": q_geo_distance_range_topk,
         "semdedup": q_semdedup,
+        "highlight_topk": q_highlight_topk,
+        "msearch_batch": q_msearch_batch,
         "dedup_keep": q_dedup_keep,
         "bm25_porter_topk": q_bm25_porter_topk,
         "bm25_english_topk": q_bm25_english_topk,
@@ -2871,6 +2913,45 @@ def _bm25_variant_sql(query: str, replacement: str, k: int = K) -> str:
     final = _bm25_final_block(k)
     assert final in base
     return base.replace(final, replacement)
+
+
+def _highlight_sql(query: str, k: int = K, n_chars: int = 80) -> str:
+    """Highlight oracle: the BM25 top-k joined back to documents, snippet
+    computed with DuckDB RE2 string functions mirroring Index.highlight's
+    Column arithmetic exactly — first-match position via the split-prefix
+    length, greatest(pos - n/2, 1) window start, fixed n-char substr,
+    global mark replacement. Alternation order differs from the engine's
+    (set-iteration) order but every alternative is \\b-bounded, so the
+    match set — hence the snippet — is order-invariant."""
+    import re
+
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())), key=lambda t: (-len(t), t))
+    pat = "(?i)\\b(" + "|".join(terms) + ")\\b"
+    half = n_chars // 2
+    return _bm25_variant_sql(
+        query,
+        f"""SELECT s.doc_id,
+       CASE WHEN regexp_matches(d.text, '{pat}')
+            THEN regexp_replace(
+                   substr(d.text,
+                          greatest(length(string_split_regex(d.text, '{pat}')[1]) + 1 - {half}, 1),
+                          {n_chars}),
+                   '{pat}', '**\\1**', 'g')
+            ELSE substr(d.text, 1, {n_chars}) END AS snippet
+FROM (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT {k}) s
+JOIN documents d USING (doc_id)
+""",
+        k,
+    )
+
+
+def _msearch_batch_sql(k: int = K) -> str:
+    """Batched-search oracle: the batch must equal Q independent single
+    searches — one disjunctive BM25 block per qid, UNION ALL'd."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, * FROM ({_bm25_sql(q, k=k)})"
+        for qid, q in MSEARCH_BATCH_QUERIES.items()
+    )
 
 
 def _bm25_page2_sql(query: str, k: int = K) -> str:
@@ -5267,6 +5348,8 @@ WHERE c.cluster_id = c.doc_id
         "ivf_topk": _IVF_SQL,
         "cosine_dup_pairs": _COSINE_DUP_SQL,
         "semdedup": _SEMDEDUP_SQL,
+        "highlight_topk": _highlight_sql(BM25_QUERY),
+        "msearch_batch": _msearch_batch_sql(),
         "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,

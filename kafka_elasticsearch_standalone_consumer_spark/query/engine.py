@@ -228,14 +228,16 @@ class Index:
 
         if self.wh is None:
             raise ValueError("ephemeral index has no document store")
-        src = list(self.SOURCE_COLS)
+        docs = self._seg_whs[0].read(self.spark, "docs")
+        for w in self._seg_whs[1:]:
+            docs = docs.unionByName(w.read(self.spark, "docs"))
+        # SOURCE_COLS is the transcript superset; an index built over a
+        # narrower schema (e.g. documents-table fixtures) stores fewer
+        src = [c for c in self.SOURCE_COLS if c in set(docs.columns)]
         if includes is not None:
             src = [c for c in src if any(fnmatch(c, p) for p in includes)]
         if excludes is not None:
             src = [c for c in src if not any(fnmatch(c, p) for p in excludes)]
-        docs = self._seg_whs[0].read(self.spark, "docs")
-        for w in self._seg_whs[1:]:
-            docs = docs.unionByName(w.read(self.spark, "docs"))
         return docs.join(F.broadcast(hits), "doc_id").select(*hits.columns, *src)
 
     def highlight(

@@ -244,3 +244,37 @@ def test_geo_paths_fuse_into_scan_and_topk(spark):
     plan = _plan(idx.search_geo_distance_sort("alpha", 5, origin=(37.77, -122.42)))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_is_cluster_local_no_cartesian(spark):
+    """semdedup's quadratic work must stay inside per-cluster Python
+    tasks: one join to attach list_id, ONE groupBy feeding a single
+    FlatMapGroupsInPandas — never a self-join or cartesian pair blowup."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, 0.95, n_lists=4, iters=2)
+    out.collect()  # AQE final plan
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exactly one grouped-Pandas stage in the executed (final) plan — AQE
+    # simple mode appends the initial plan too, so slice it off first
+    final = _plan(out, mode="simple").split("== Initial Plan ==")[0]
+    assert final.count("FlatMapGroupsInPandas") == 1
+
+
+def test_highlight_fetch_broadcasts_hits(spark, built_index):
+    """highlight = fetch(top-k hits) + regexp Columns: the k-row hits side
+    must broadcast so the docs scan stays shuffle-free, and no extra
+    aggregate/window appears for the snippet arithmetic."""
+    idx, _ = built_index
+    q = "w00000 w00002"
+    df = idx.highlight(idx.search(q, 5), q, n_chars=60)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan

@@ -43,3 +43,27 @@ def test_highlight_snippets(spark, built_index):
         assert r["snippet"] is not None and len(r["snippet"]) <= 60 + 8 * 4
         assert "**" in r["snippet"]  # a query term is marked in-window
         assert r["snippet"].replace("**", "") in r["text"]
+
+
+def test_fetch_narrow_schema_index(spark, tmp_path):
+    """An index built over a narrower-than-transcript docs schema (no
+    role/tool/ts, like the documents-table fixtures) must still fetch and
+    highlight: SOURCE_COLS is intersected with the stored columns."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = spark.createDataFrame(
+        [(f"c{i:04d}", 0, f"alpha beta w{i:05d} gamma") for i in range(30)],
+        "conv_id string, turn_idx int, text string",
+    )
+    wh = str(tmp_path / "narrow")
+    build_index(spark, docs, wh, docs_per_shard=16, n_buckets=4)
+    idx = Index(spark, wh)
+    hits = idx.search("alpha w00007", 3, mode="bmw")
+    fetched = idx.fetch(hits).collect()
+    assert len(fetched) == 3
+    assert {"doc_id", "score", "conv_id", "turn_idx", "text"} <= set(fetched[0].asDict())
+    out = idx.highlight(hits, "alpha w00007", n_chars=40).collect()
+    assert all("**alpha**" in r["snippet"] or "**w00007**" in r["snippet"] for r in out)
