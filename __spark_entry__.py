@@ -2662,12 +2662,45 @@ def q_repetition_features(spark, sf_dir):
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_mtermvectors(spark, sf_dir):
+    """ES _mtermvectors API: (doc_id, term, tf, global df) rows for a
+    batch of documents in ONE round trip — one doc-pruned tokens scan
+    plus one driver-side dictionary lookup for the union of their terms."""
+    return _cached_idx(spark, sf_dir).mterm_vectors([1, 3, 7])
+
+
+def q_scroll_page(spark, sf_dir):
+    """ES 1.x scan+scroll cursor: the SECOND keyset page (size 20) of the
+    unscored msm=2 match set, resumed after the last doc_id of page 1 —
+    keyset pagination, so page N never rescans pages 1..N-1."""
+    idx = _cached_idx(spark, sf_dir)
+    first = idx.scan_scroll(BM25_QUERY, 20, min_should_match=2)
+    last = max(r["doc_id"] for r in first.select("doc_id").collect())
+    out = idx.scan_scroll(BM25_QUERY, 20, after_doc_id=last, min_should_match=2)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_dedup_passages(spark, sf_dir):
+    """Passage-level keep-first dedup (C4/RefinedWeb-style): split each
+    doc's token stream into 12-token windows, keep every distinct
+    passage's first global occurrence, drop later repeats, reconstruct
+    the surviving text — per doc (n_passages, n_kept, text_dedup)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dedup_passages
+
+    return dedup_passages(_docs(spark, sf_dir), chunk=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     return {
+        "dedup_passages": q_dedup_passages,
+        "mtermvectors": q_mtermvectors,
+        "scroll_page": q_scroll_page,
         "nested_topk": q_nested_topk,
         "agg_nested": q_agg_nested,
         "filtered_alias": q_filtered_alias,
@@ -4912,6 +4945,41 @@ def _geohash_cell_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_passages": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+         array_to_string(w[u.i*12+1 : u.i*12+12], ' ') AS passage
+  FROM t, UNNEST(range(CAST(ceil(len(w)/12.0) AS BIGINT))) AS u(i)
+),
+firsts AS (SELECT passage, min(doc_id*1048576+pidx) AS fk FROM p GROUP BY passage),
+k AS (SELECT p.*, (doc_id*1048576+pidx) = fk AS kept FROM p JOIN firsts USING (passage))
+SELECT doc_id,
+  count(*)::BIGINT AS n_passages,
+  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  coalesce(array_to_string(list(passage ORDER BY pidx) FILTER (WHERE kept), ' '), '')
+    AS text_dedup
+FROM k GROUP BY doc_id ORDER BY doc_id
+""",
+        "mtermvectors": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, df.df::BIGINT AS df
+FROM tf JOIN df USING (term)
+WHERE tf.doc_id IN (1, 3, 7)
+ORDER BY tf.doc_id, tf.term
+""",
+        "scroll_page": f"""
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE (
+  SELECT count(DISTINCT term) FROM (
+    SELECT unnest({SQL_TOKS}) AS term
+  ) WHERE term IN ('filter', 'hash', 'join')
+) >= 2
+ORDER BY doc_id LIMIT 20 OFFSET 20
+""",
         "tok_term_counts": (
             f"SELECT term, count(*)::BIGINT AS n FROM (SELECT unnest({SQL_TOKS}) AS term "
             "FROM documents) GROUP BY term"

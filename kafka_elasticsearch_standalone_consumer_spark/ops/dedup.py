@@ -572,3 +572,88 @@ def dedup_keep(
         F.col("doc_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_passages(
+    df: DataFrame,
+    chunk: int = 12,
+    delimiter: str | None = None,
+    join_sep: str = " ",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level keep-first deduplication: split every document into
+    passages, keep each distinct passage's FIRST global occurrence (the
+    lexicographically least (doc, position)), drop every later repeat,
+    and reconstruct the surviving text per document. This is the
+    sub-document complement of whole-doc dedup — the C4/RefinedWeb-style
+    step that strips repeated boilerplate paragraphs while keeping the
+    novel remainder of each page, where :func:`dedup_keep` would either
+    drop the whole doc or nothing.
+
+    ``delimiter`` (a split regex, e.g. ``'\\n\\n+'``) selects paragraph
+    mode; ``delimiter=None`` splits the whitespace token stream into
+    fixed ``chunk``-token windows instead (the delimiter-free corpora
+    case). Surviving passages are rejoined with ``join_sep`` in original
+    order. Per doc: (id, n_passages, n_kept, text_dedup); empty docs have
+    no passages and are absent.
+
+    100 TB shape: ONE bounded explode (passages/doc), ONE groupBy on the
+    passage key for the keep-first dictionary (map-side partial min; hot
+    boilerplate passages are exactly the skewed keys AQE skew handling
+    splits), ONE join back on the same key (exchange reuse — it is
+    co-partitioned with the groupBy that built the dictionary), and ONE
+    groupBy doc_id to reassemble. No all-pairs, no window over the
+    corpus, no driver state. Passages are grouped by their exact text —
+    at extreme scale swap the key for ``xxhash64(passage)`` to shrink
+    shuffle bytes (same plan; collisions then need a verify pass).
+
+    The first-occurrence key is ``doc_id * 2^20 + position`` — documents
+    with more than 2^20 passages would overflow it and raise is left to
+    the caller's schema bounds (a 12-token-window doc that long is ~12M
+    tokens)."""
+    w = F.split(F.col(text_col), " ")
+    if delimiter is not None:
+        passages = F.filter(
+            F.split(F.col(text_col), delimiter), lambda x: F.length(x) > 0
+        )
+    else:
+        n_chunks = F.ceil(F.size(w) / F.lit(float(chunk))).cast("int")
+        passages = F.when(F.size(w) <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(w, i * F.lit(chunk) + F.lit(1), chunk), " "
+                ),
+            )
+        )
+    p = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), passages.alias("ps"))
+        .select("doc_id", F.posexplode("ps").alias("pidx", "passage"))
+        .withColumn(
+            "okey",
+            (F.col("doc_id") * F.lit(1048576) + F.col("pidx")).cast("long"),
+        )
+    )
+    firsts = p.groupBy("passage").agg(F.min("okey").alias("first_key"))
+    kept = F.col("okey") == F.col("first_key")
+    return (
+        p.join(firsts, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pidx", "passage")))
+                    ),
+                    lambda x: x["passage"],
+                ),
+                join_sep,
+            ).alias("text_dedup"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col), "n_passages", "n_kept", "text_dedup"
+        )
+    )

@@ -1701,6 +1701,96 @@ class Index:
             return self.spark.createDataFrame([(0,)], "n long")
         return scoped.agg(F.count("*").cast("long").alias("n"))
 
+    def scan_scroll(
+        self,
+        query_text: str,
+        page_size: int,
+        after_doc_id: int | None = None,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES 1.x ``scan``-type ``_scroll`` cursor: the NEXT page of the
+        unscored match set in stable doc_id order. ES's scroll id is a
+        server-held cursor; the stateless batch equivalent is keyset
+        pagination — the caller passes the last doc_id of the previous
+        page (``after_doc_id``; None opens the cursor) and gets the next
+        ``page_size`` docs with ``doc_id > after_doc_id``. Unlike
+        offset/limit paging, page N never rescans pages 1..N-1.
+
+        Plan shape: the same term-pruned match set as ``scan_all`` with
+        the keyset predicate fused into the scan, then ONE
+        TakeOrderedAndProject (per-partition top-``page_size`` heaps →
+        driver merge) — no global sort, no offset skip-scan; each page
+        costs the same bounded work at 10^12 turns. Resuming from a
+        mid-corpus cursor prunes whole doc_id ranges once the match set
+        is hive-partitioned by doc bucket.
+        """
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self._docs_df().limit(0)
+        if after_doc_id is not None:
+            scoped = scoped.filter(F.col("doc_id") > int(after_doc_id))
+        return scoped.orderBy(F.asc("doc_id")).limit(int(page_size))
+
+    def mterm_vectors(self, doc_ids: list[int], positions: bool = False) -> DataFrame:
+        """ES ``_mtermvectors`` API: ``term_vectors`` for a batch of
+        documents in one round trip — (doc_id, term, tf, df) rows,
+        doc_id asc then term asc, df global across the whole index
+        (``term_statistics=true``). ONE doc-pruned tokens scan for the
+        whole batch (an ``isin`` over the requested ids — footer/partition
+        pruning applies) and ONE driver-side dictionary lookup for the
+        union of their terms, instead of n_docs separate passes.
+
+        ``positions=True`` appends each term's token positions exactly as
+        ``term_vectors(positions=True)`` does, re-running the index's own
+        analysis chain per fetched doc — bounded by the batch size, never
+        a corpus scan."""
+        ids = sorted({int(d) for d in doc_ids})
+        schema = "doc_id long, term string, tf long, df long" + (
+            ", positions array<long>" if positions else ""
+        )
+        if not ids:
+            return self.spark.createDataFrame([], schema)
+        rows = (
+            self._tokens_full_df()
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+            .collect()  # bounded: the requested docs' own terms
+        )
+        terms = sorted({r["term"] for r in rows})
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        stats = self._lookup_terms_arrow(terms)
+        if stats is None:
+            stats = self._lookup_terms_spark(terms)
+        df_by: dict[str, int] = {}
+        for term, df, _b in stats:
+            df_by[term] = df_by.get(term, 0) + int(df)
+        if not positions:
+            out = sorted(
+                (int(r["doc_id"]), r["term"], int(r["tf"]), int(df_by.get(r["term"], 0)))
+                for r in rows
+            )
+            return self.spark.createDataFrame(out, schema)
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in self._docs_df()
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+            .collect()
+        }
+        pos_by: dict[tuple[int, str], list[int]] = {}
+        for did in ids:
+            slots, offsets = self._analyze_phrase(texts.get(did) or "")
+            for t, p in zip(slots, offsets):
+                pos_by.setdefault((did, t), []).append(int(p))
+        out = sorted(
+            (int(r["doc_id"]), r["term"], int(r["tf"]), int(df_by.get(r["term"], 0)),
+             sorted(pos_by.get((int(r["doc_id"]), r["term"]), [])))
+            for r in rows
+        )
+        return self.spark.createDataFrame(out, schema)
+
     def term_vectors(self, doc_id: int, positions: bool = False) -> DataFrame:
         """ES ``_termvectors`` API: one document's (term, tf, df) rows,
         term asc — term stats are global (df across the whole index),
