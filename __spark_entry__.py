@@ -2692,6 +2692,15 @@ def q_dedup_passages(spark, sf_dir):
     return dedup_passages(_docs(spark, sf_dir), chunk=12)
 
 
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window sequence chunking (training/embedding prep):
+    16-token windows with 4-token overlap (stride 12) per document —
+    (doc_id, chunk_idx, chunk_text, n_tokens), every token covered."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -2699,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotating each round so every entry eventually lands inside the window.
     return {
         "dedup_passages": q_dedup_passages,
+        "chunk_windows": q_chunk_windows,
         "mtermvectors": q_mtermvectors,
         "scroll_page": q_scroll_page,
         "nested_topk": q_nested_topk,
@@ -4960,6 +4970,18 @@ SELECT doc_id,
   coalesce(array_to_string(list(passage ORDER BY pidx) FILTER (WHERE kept), ' '), '')
     AS text_dedup
 FROM k GROUP BY doc_id ORDER BY doc_id
+""",
+        "chunk_windows": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         array_to_string(w[u.i*12+1 : u.i*12+16], ' ') AS chunk_text
+  FROM t, UNNEST(range(1 + CAST(ceil(greatest(len(w) - 16, 0)/12.0) AS BIGINT))) AS u(i)
+  WHERE len(w) > 0
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' '))::BIGINT AS n_tokens
+FROM c ORDER BY doc_id, chunk_idx
 """,
         "mtermvectors": f"""
 WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),

@@ -152,3 +152,55 @@ def pack_shards(
     return arranged.mapInPandas(
         assign, schema="doc_id long, n_tokens long, shard_id long"
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    max_len: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace token
+    stream into ``max_len``-token windows advancing by a stride of
+    ``max_len - overlap`` — the sequence-preparation step for
+    fixed-context training and embedding pipelines (every token lands in
+    at least one chunk; consecutive chunks share ``overlap`` tokens of
+    context). Docs at most ``max_len`` tokens long yield one chunk; the
+    final chunk may be shorter than ``max_len``; empty docs yield none.
+
+    Per chunk: (id, chunk_idx, chunk_text, n_tokens), chunk_idx counting
+    from 0 in stream order.
+
+    100 TB shape: pure Column algebra — ONE projection builds the chunk
+    array per row (sequence/transform/slice fused by whole-stage
+    codegen), ONE bounded posexplode (≈ n_tokens/stride rows per doc);
+    no shuffle, no UDF, runs at scan speed and partitions inherit the
+    input's layout."""
+    if overlap >= max_len:
+        raise ValueError(f"overlap ({overlap}) must be < max_len ({max_len})")
+    stride = int(max_len) - int(overlap)
+    w = F.split(F.col(text_col), " ")
+    # n_chunks = 1 + ceil(max(n - max_len, 0) / stride); 0 when the doc is empty
+    extra = F.greatest(F.size(w) - F.lit(int(max_len)), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(float(stride))).cast("int")
+    empty = F.col(text_col).isNull() | (F.length(F.col(text_col)) == 0)
+    chunks = F.when(empty, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(w, i * F.lit(stride) + F.lit(1), int(max_len)), " "
+            ),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), chunks.alias("cs"))
+        .select("doc_id", F.posexplode("cs").alias("chunk_idx", "chunk_text"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    return out

@@ -619,7 +619,8 @@ def dedup_passages(
         )
     else:
         n_chunks = F.ceil(F.size(w) / F.lit(float(chunk))).cast("int")
-        passages = F.when(F.size(w) <= 0, F.array().cast("array<string>")).otherwise(
+        empty = F.col(text_col).isNull() | (F.length(F.col(text_col)) == 0)
+        passages = F.when(empty, F.array().cast("array<string>")).otherwise(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - F.lit(1)),
                 lambda i: F.array_join(

@@ -178,3 +178,45 @@ def test_scan_scroll_where_and_empty(sf_idx):
     rows = out.collect()
     assert all(r["lang"] == "en" for r in rows)
     assert sf_idx.scan_scroll("zzznope", 5).count() == 0
+
+
+# ------------------------------------------------------------- chunk_windows
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Every token covered, consecutive chunks share exactly `overlap`
+    tokens, short docs give one chunk, empty docs none."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import chunk_windows
+
+    toks = [f"t{i}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "a b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(df, max_len=10, overlap=3)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    )
+    d0 = [r for r in rows if r[0] == 0]
+    # stride 7: chunks at 0..9, 7..16, 14..22 → ceil((23-10)/7)+1 = 3
+    assert [r[1] for r in d0] == [0, 1, 2]
+    assert d0[0][2].split(" ") == toks[0:10]
+    assert d0[1][2].split(" ") == toks[7:17]
+    assert d0[2][2].split(" ") == toks[14:23]
+    assert d0[2][3] == 9  # tail chunk shorter
+    covered = set()
+    for _, _, txt, _ in d0:
+        covered |= set(txt.split(" "))
+    assert covered == set(toks)
+    d1 = [r for r in rows if r[0] == 1]
+    assert len(d1) == 1 and d1[0][2] == "a b c" and d1[0][3] == 3
+    assert not [r for r in rows if r[0] == 2]
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import chunk_windows
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, max_len=4, overlap=4)
