@@ -2701,12 +2701,62 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, A1.1) over the documents
+    table: word count / mean word length / symbol ratio / bullet- and
+    ellipsis-line fractions / alpha-word fraction / required-stopword
+    count + the conjunctive keep decision. Operating point: the paper's
+    thresholds except min_stopwords=1 (this synthetic register contains
+    only 'the'/'with' from the required list — 2 would be all-drop;
+    the op's default stays the paper's 2)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_stopwords=1)
+
+
+def _c4_planted(spark, sf_dir):
+    """The documents table with deterministically planted line structure:
+    the corpus has no newlines or punctuation, so the entry manufactures
+    them IDENTICALLY in both engines (semdedup's planted-copy precedent):
+    every 'table ' becomes a sentence/line break, and three id-keyed
+    plants exercise each C4 rule (lorem-ipsum page drop, javascript line
+    drop, curly-brace page drop)."""
+    d = _docs(spark, sf_dir)
+    s = F.coalesce(F.col("text"), F.lit(""))
+    p = F.regexp_replace(s, "table ", "table.\n")
+    p = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(p, F.lit("\nlorem ipsum dolor sit amet tables.")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(p, F.lit("\nthis page requires javascript to render the table.")),
+    ).otherwise(p)
+    p = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.concat(p, F.lit('\nconfig = { "depth": 2 } for the scan.')),
+    ).otherwise(p)
+    return d.select("doc_id", p.alias("text"))
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the planted
+    corpus: keep lines ending in terminal punctuation with ≥5 words and
+    no 'javascript'; drop pages with <3 surviving lines, 'lorem ipsum',
+    or '{'. Returns per-doc line counts, the cleaned text, and keep."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import c4_clean
+
+    return c4_clean(_c4_planted(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     return {
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
         "dedup_passages": q_dedup_passages,
         "chunk_windows": q_chunk_windows,
         "mtermvectors": q_mtermvectors,
@@ -4955,6 +5005,66 @@ def _geohash_cell_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_filter": f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS s,
+         regexp_extract_all(coalesce(text,''), '\\S+') AS w,
+         {SQL_TOKS} AS toks,
+         string_split(coalesce(text,''), chr(10)) AS lines
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS n_words,
+    round(coalesce(list_sum(list_transform(w, x -> length(x))), 0) * 1.0
+          / greatest(len(w), 1), 6) AS mean_word_len,
+    round(((length(s) - length(replace(s, '#', ''))) / 1
+         + (length(s) - length(replace(s, '...', ''))) / 3)
+          / greatest(len(w), 1), 6) AS symbol_ratio,
+    round(len(list_filter(lines, x -> regexp_matches(trim(x), '^(•|- |\\* )'))) * 1.0
+          / greatest(len(lines), 1), 6) AS bullet_frac,
+    round(len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) * 1.0
+          / greatest(len(lines), 1), 6) AS ellipsis_frac,
+    round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+          / greatest(len(w), 1), 6) AS alpha_word_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    x -> list_contains(toks, x)))::BIGINT AS n_req_stopwords
+  FROM t)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+   AND alpha_word_frac >= 0.8 AND n_req_stopwords >= 1) AS keep
+FROM f
+""",
+        "c4_filter": """
+WITH t AS (
+  SELECT doc_id,
+         replace(coalesce(text,''), 'table ', 'table.' || chr(10)) AS s0
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    s0
+    || CASE WHEN doc_id % 17 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet tables.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'this page requires javascript to render the table.' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0
+            THEN chr(10) || 'config = { "depth": 2 } for the scan.' ELSE '' END AS s
+  FROM t),
+l AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM p),
+k AS (
+  SELECT doc_id, s, lines,
+    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+       AND len(list_filter(string_split(x, ' '), w2 -> len(w2) > 0)) >= 5
+       AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  len(kept)::BIGINT AS n_kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  (len(kept) >= 3 AND NOT contains(lower(s), 'lorem ipsum')
+   AND NOT contains(s, '{')) AS keep
+FROM k
+""",
         "dedup_passages": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 p AS (

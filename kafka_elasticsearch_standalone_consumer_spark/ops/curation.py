@@ -154,6 +154,156 @@ def pack_shards(
     )
 
 
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _words(c: Column) -> Column:
+    """Whitespace words (``\\S+`` runs) of the coalesced text column."""
+    return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"\S+"), F.lit(0))
+
+
+def _lines(c: Column) -> Column:
+    return F.split(F.coalesce(c, F.lit("")), "\n", -1)
+
+
+def _occurrences(c: Column, needle: str) -> Column:
+    s = F.coalesce(c, F.lit(""))
+    return (F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1.1):
+    per-doc word count, mean word length, symbol-to-word ratio (``#`` and
+    ``...``), bullet-start / ellipsis-end line fractions, fraction of
+    words with at least one alphabetic character, and the count of
+    distinct required stopwords present — plus the conjunctive ``keep``
+    decision. Defaults are the paper's thresholds; every threshold is a
+    keyword so corpora with different registers can re-pin the operating
+    point without forking the features.
+
+    100 TB shape: pure Column algebra over one projection — no shuffle,
+    no UDF, whole-stage codegen at scan speed (same class as
+    quality_features). The reference has no quality surface; this is the
+    training-data half of the engine (like ops/textstats.py).
+    """
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    c = F.col(text_col)
+    words = _words(c)
+    n_words = F.size(words)
+    mean_wl = F.aggregate(F.transform(words, F.length), F.lit(0), lambda a, x: a + x) / F.greatest(
+        n_words, F.lit(1)
+    )
+    symbol_ratio = (_occurrences(c, "#") + _occurrences(c, "...")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    lines = _lines(c)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^(•|- |\* )"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    toks = tokenize_col(c)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_req_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(int(min_words), int(max_words))
+        & F.col("mean_word_len").between(float(min_mean_word_len), float(max_mean_word_len))
+        & (F.col("symbol_ratio") <= float(max_symbol_ratio))
+        & (F.col("bullet_frac") <= float(max_bullet_frac))
+        & (F.col("ellipsis_frac") <= float(max_ellipsis_frac))
+        & (F.col("alpha_word_frac") >= float(min_alpha_word_frac))
+        & (F.col("n_req_stopwords") >= int(min_stopwords))
+    )
+    return feats.withColumn("keep", keep)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, §2.2): keep only lines
+    that end in a terminal punctuation mark (``.!?"``), contain at least
+    ``min_words_per_line`` words, and do not mention "javascript"; then
+    drop whole pages with fewer than ``min_kept_lines`` surviving lines,
+    any page containing "lorem ipsum", and any page containing ``{``
+    (the paper's code-page heuristic).
+
+    Returns (doc_id, n_lines, n_kept, clean_text, keep) — clean_text is
+    the surviving lines rejoined, so downstream stages (tokenize, dedup,
+    pack) consume the cleaned bytes.
+
+    100 TB shape: one projection with higher-order array functions
+    (split / filter / array_join fused by codegen) — no shuffle, no UDF,
+    no explode; runs at scan speed and preserves input partitioning.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _lines(F.col(text_col))
+
+    def _line_ok(l: Column) -> Column:
+        words_ok = F.size(
+            F.filter(F.split(l, " "), lambda w: F.length(w) > 0)
+        ) >= int(min_words_per_line)
+        return (
+            F.rtrim(l).rlike('[.!?"]$')
+            & words_ok
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (
+            (F.size(kept) >= int(min_kept_lines))
+            & ~F.lower(c).contains("lorem ipsum")
+            & ~c.contains("{")
+        ).alias("keep"),
+    )
+    return out
+
+
 def chunk_windows(
     df: DataFrame,
     max_len: int,

@@ -717,3 +717,70 @@ def test_semdedup_matches_global_rule(emb):
     # below every pair: nothing is dropped
     n_all = semdedup(aug, 1.0000001, n_lists=4, iters=2).count()
     assert n_all == aug.count()
+
+
+def test_gopher_rules_values(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import gopher_rules
+
+    good = "the data " * 30  # 60 words, mean len 3.5, both stopwords absent? 'the' yes
+    rows = [
+        (0, good + "be with that"),          # passes everything
+        (1, "the cat"),                       # too few words
+        (2, "a " * 60),                       # mean word len 1 < 3, no req stopwords
+        (3, ("the of data " * 20) + "### ### ### ### ### ### ### ### ### ###"),  # symbols
+        (4, "\n".join(["- the bullet item of data"] * 60)),   # all bullet lines
+        (5, ("the data point of it " * 12).strip() + " ..."), # ellipsis line end
+        (6, ("12345 " * 60) + "the of"),      # alpha fraction too low
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[0]["n_req_stopwords"] == 4  # the, be, with, that
+    assert got[1]["keep"] is False and got[1]["n_words"] == 2
+    assert got[2]["keep"] is False and got[2]["mean_word_len"] == 1.0
+    assert got[3]["keep"] is False and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["keep"] is False and got[4]["bullet_frac"] == 1.0
+    assert got[5]["keep"] is False and got[5]["ellipsis_frac"] == 1.0
+    assert got[6]["keep"] is False and got[6]["alpha_word_frac"] < 0.8
+
+
+def test_gopher_thresholds_are_knobs(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import gopher_rules
+
+    df = spark.createDataFrame(
+        [(0, "the data point " * 10)], "doc_id long, text string"
+    )  # 30 words
+    assert gopher_rules(df).collect()[0]["keep"] is False  # < 50 words
+    assert (
+        gopher_rules(df, min_words=10, min_stopwords=1).collect()[0]["keep"] is True
+    )
+
+
+def test_c4_clean_values(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import c4_clean
+
+    doc0 = "\n".join(
+        [
+            "This is a good first sentence.",      # kept
+            "Another proper long sentence here!",  # kept
+            'A third quoted line ends well."',     # kept
+            "no terminal punctuation on this one", # dropped: no punct
+            "Too short.",                          # dropped: < 5 words
+            "Please enable javascript to view this.",  # dropped: javascript
+        ]
+    )
+    rows = [
+        (0, doc0),
+        (1, "One good sentence is not enough."),   # kept line but < 3 lines
+        (2, doc0 + "\nthis page has lorem ipsum in it somewhere."),
+        (3, doc0 + "\nvar x = {1: 2} is code here."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert got[0]["keep"] is True and got[0]["n_lines"] == 6 and got[0]["n_kept"] == 3
+    assert got[0]["clean_text"] == "\n".join(doc0.split("\n")[:3])
+    assert got[1]["keep"] is False and got[1]["n_kept"] == 1
+    assert got[2]["keep"] is False and got[2]["n_kept"] == 4  # lorem page drop
+    assert got[3]["keep"] is False  # '{' page drop
+    assert got[4]["keep"] is False and got[4]["n_kept"] == 0 and got[4]["clean_text"] == ""
