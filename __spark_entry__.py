@@ -2701,6 +2701,24 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN (FAISS/Lucene SQ8): pass 1 scans only the
+    4×-smaller code blobs and keeps the top-50 by quantized cosine
+    (TakeOrderedAndProject — no shuffle of the table); pass 2 broadcast-
+    joins those 50 ids back to the float vectors and exact-rescores. At
+    rescore=50 over this corpus recall is exactly 1.0 (pytest-asserted at
+    rescore=20 on the fixture), so the brute-force cosine SQL oracles the
+    whole quantize→scan→rescore pipeline."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = sq8_topk(emb, qv, K, rescore=50)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021, A1.1) over the documents
     table: word count / mean word length / symbol ratio / bullet- and
@@ -2755,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     return {
+        "ann_sq8_topk": q_ann_sq8_topk,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "dedup_passages": q_dedup_passages,
@@ -5542,6 +5561,7 @@ WHERE c.cluster_id = c.doc_id
         "dedup_minhash_lsh": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
+        "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

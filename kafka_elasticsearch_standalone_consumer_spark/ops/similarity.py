@@ -445,6 +445,104 @@ def ivf_assign(
     return emb.mapInPandas(kernel, schema=f"{id_col} long, list_id int")
 
 
+def sq8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the SQ8 of
+    FAISS/Lucene KNN): ``scale = max|x| / 127``, ``code_i =
+    rint(x_i / scale) ∈ [−127, 127]``, packed into ONE BinaryType blob per
+    vector (same trick as the postings codec) plus two float64 sidecars
+    (``scale``, ``norm``). 4× smaller than float32 — at 100 TB the codes
+    column is what the first-pass scan reads, cutting scan bandwidth 4×
+    before any pruning.
+
+    Arrow-batched mapInPandas (one rint + tobytes per batch) — no per-row
+    Python. Identical vectors quantize to identical blobs.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            amax = np.abs(m).max(axis=1)
+            scale = np.maximum(amax / 127.0, 1e-30)
+            codes = np.rint(m / scale[:, None]).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": [c.tobytes() for c in codes],
+                    "scale": scale,
+                    "norm": np.linalg.norm(m, axis=1),
+                }
+            )
+
+    return emb.mapInPandas(
+        kernel, schema=f"{id_col} long, codes binary, scale double, norm double"
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized-scan + exact-rescore ANN (the SQ8 search loop): the
+    int8 codes produce an approximate cosine ``(codes·qcodes)·scale·qscale
+    / (norm·qnorm)`` for every row, the top-``rescore`` candidates by that
+    score (ties: id asc) are rescored with the EXACT float cosine against
+    the original vectors, and the exact top-``k`` of those is returned.
+
+    100 TB shape: pass 1 reads only (id, codes, scale, norm) — ~¼ of the
+    embedding bytes — and reduces via TakeOrderedAndProject (per-partition
+    top-``rescore``, no shuffle of the table); pass 2 joins the
+    ``rescore``-row candidate set back to the fat table with a BROADCAST
+    join, so full-precision vectors are read for only ``rescore`` rows.
+    Recall is governed by ``rescore`` vs the quantization error (≤ ½·scale
+    per component); the oracle entry pins an operating point where recall
+    is exactly 1.0 and asserts it (LSH-entry precedent).
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qscale = max(float(np.abs(qv).max()) / 127.0, 1e-30)
+    qcodes = np.rint(qv / qscale).astype(np.int8).astype(np.float64)
+    qnorm = max(float(np.linalg.norm(qv)), 1e-30)
+
+    quant = sq8_quantize(emb, id_col, vec_col)
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.frombuffer(b, dtype=np.int8) for b in pdf["codes"].to_numpy()]
+            ).astype(np.float64)
+            approx = (
+                (m @ qcodes)
+                * pdf["scale"].to_numpy()
+                * qscale
+                / (pdf["norm"].to_numpy() * qnorm)
+            )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "approx": approx})
+
+    cand = (
+        quant.mapInPandas(score, schema=f"{id_col} long, approx double")
+        .orderBy(F.desc("approx"), F.asc(id_col))
+        .limit(int(rescore))
+    )
+    rescored = F.broadcast(cand.select(id_col)).join(emb, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        _cosine(F.col(vec_col), [float(x) for x in query_vec]).alias("cosine"),
+    )
+    return rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float,

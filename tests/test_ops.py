@@ -784,3 +784,39 @@ def test_c4_clean_values(spark):
     assert got[2]["keep"] is False and got[2]["n_kept"] == 4  # lorem page drop
     assert got[3]["keep"] is False  # '{' page drop
     assert got[4]["keep"] is False and got[4]["n_kept"] == 0 and got[4]["clean_text"] == ""
+
+
+def test_sq8_quantize_properties(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import sq8_quantize
+
+    df, vecs = emb
+    rows = {r["vec_id"]: r for r in sq8_quantize(df).collect()}
+    assert len(rows) == 40
+    for i in (0, 7, 39):
+        r = rows[i]
+        codes = np.frombuffer(r["codes"], dtype=np.int8).astype(np.float64)
+        v = vecs[i].astype(np.float64)
+        assert len(codes) == 16 and np.abs(codes).max() <= 127
+        # reconstruction error bounded by half a quantization step
+        assert np.abs(codes * r["scale"] - v).max() <= r["scale"] / 2 + 1e-12
+        assert abs(r["norm"] - np.linalg.norm(v)) < 1e-9
+    # identical vectors -> identical blobs (what makes SQ8 dedup-safe)
+    dup = df.union(df.filter("vec_id = 3").select((F.col("vec_id") + 100).alias("vec_id"), "embedding"))
+    rows2 = {r["vec_id"]: r for r in sq8_quantize(dup).collect()}
+    assert rows2[103]["codes"] == rows2[3]["codes"]
+
+
+def test_sq8_topk_exact_at_operating_point(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        sq8_topk,
+    )
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[5]]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in sq8_topk(df, q, 10, rescore=20).collect()]
+    assert got == want  # ids AND scores bit-identical (exact rescore)
+    # rescore = corpus size degenerates to brute force regardless of codes
+    got_all = [(r["vec_id"], r["cosine"]) for r in sq8_topk(df, q, 10, rescore=40).collect()]
+    assert got_all == want
