@@ -2701,6 +2701,14 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
 
 
+def q_terms_lookup_topk(spark, sf_dir):
+    """ES 1.x terms LOOKUP filter ({index, type, id, path}): the value
+    set is fetched from document 42's stored text (first 6 whitespace
+    positions, deduped) — a point read, no extra Spark job — then applied
+    as the ordinary constant-score terms filter (score 1.0, doc_id asc)."""
+    return _cached_idx(spark, sf_dir).search_terms_lookup(42, K, max_terms=6)
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """Int8 scalar-quantized ANN (FAISS/Lucene SQ8): pass 1 scans only the
     4×-smaller code blobs and keeps the top-50 by quantized cosine
@@ -2773,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     return {
+        "terms_lookup_topk": q_terms_lookup_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -5024,6 +5033,17 @@ def _geohash_cell_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "terms_lookup_topk": """
+WITH lk AS (
+  SELECT string_split(coalesce(text, ''), ' ')[1:6] AS vals
+  FROM documents WHERE doc_id = 42
+)
+SELECT d.doc_id, 1.0::DOUBLE AS score
+FROM documents d, lk
+WHERE len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+          x -> list_contains(lk.vals, x))) > 0
+ORDER BY d.doc_id LIMIT 10
+""",
         "gopher_filter": f"""
 WITH t AS (
   SELECT doc_id, coalesce(text,'') AS s,

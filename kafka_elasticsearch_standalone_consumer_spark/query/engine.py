@@ -1667,6 +1667,53 @@ class Index:
             sorted({t.lower() for t in values}), k, where
         )
 
+    def search_terms_lookup(
+        self,
+        lookup_id: int,
+        k: int = 10,
+        *,
+        lookup_field: str = "text",
+        max_terms: int | None = None,
+        where: str | None = None,
+        lookup_index: "Index | None" = None,
+    ) -> DataFrame:
+        """ES 1.x ``terms`` lookup (the ``{index, type, id, path}`` form of
+        the terms filter — the reference's ES 1.5.1 resolves it with a GET
+        against cluster state, never a search): fetch the lookup document
+        DRIVER-SIDE over the zero-job serving path (one footer-pruned
+        pyarrow point read), take the whitespace values of its
+        ``lookup_field`` (the first ``max_terms`` positions, then deduped —
+        ES caps lookup sizes the same way), and run the ordinary terms
+        filter with them. ``lookup_index`` points at another Index for the
+        cross-index form; default is self (ES allows both).
+
+        100 TB shape: the lookup read touches one row group of one table;
+        the query itself is the same pruned constant-score plan as
+        :meth:`search_terms` — the lookup adds NO Spark job.
+        """
+        src = lookup_index if lookup_index is not None else self
+        if src.wh is not None:
+            rows = src.get_docs_local([int(lookup_id)])
+        else:  # ephemeral index: one bounded point-fetch, still 1 row
+            rows = [r.asDict() for r in src.get_docs([int(lookup_id)]).collect()]
+        if not rows:
+            return self._docs_df().select(
+                "doc_id", F.lit(1.0).alias("score")
+            ).limit(0)
+        raw = str(rows[0].get(lookup_field) or "")
+        toks = raw.split()
+        if max_terms is not None:
+            toks = toks[: int(max_terms)]
+        vals: list[str] = []
+        for v in toks:
+            if v not in vals:
+                vals.append(v)
+        if not vals:
+            return self._docs_df().select(
+                "doc_id", F.lit(1.0).alias("score")
+            ).limit(0)
+        return self.search_terms(vals, k, where=where)
+
     def scan_all(
         self,
         query_text: str,

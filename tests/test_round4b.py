@@ -220,3 +220,34 @@ def test_chunk_windows_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_windows(df, max_len=4, overlap=4)
+
+
+# ------------------------------------------------------- terms lookup filter
+
+
+def test_terms_lookup_matches_explicit_terms(sf_idx, sf_docs):
+    """The lookup form must equal search_terms called with the looked-up
+    values (ES defines it as sugar for exactly that)."""
+    row = sf_docs.filter("doc_id = 7").collect()[0]
+    vals = []
+    for v in row["text"].split()[:5]:
+        if v not in vals:
+            vals.append(v)
+    want = [(r["doc_id"], r["score"]) for r in sf_idx.search_terms(vals, 10).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sf_idx.search_terms_lookup(7, 10, max_terms=5).collect()
+    ]
+    assert got == want and got  # non-empty: doc 7 matches itself
+
+
+def test_terms_lookup_missing_doc_is_empty(sf_idx):
+    assert sf_idx.search_terms_lookup(10**9, 10).count() == 0
+
+
+def test_terms_lookup_respects_where(sf_idx):
+    all_hits = sf_idx.search_terms_lookup(7, 1000, max_terms=5).collect()
+    filtered = sf_idx.search_terms_lookup(
+        7, 1000, max_terms=5, where="n_chars >= 200"
+    ).collect()
+    assert 0 < len(filtered) < len(all_hits)
