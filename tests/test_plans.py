@@ -278,3 +278,25 @@ def test_highlight_fetch_broadcasts_hits(spark, built_index):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_sq8_scan_is_top_c_and_rescore_broadcasts(spark):
+    """SQ8 pass 1 must reduce via TakeOrderedAndProject (per-partition
+    top-C, no table shuffle); pass 2 must broadcast the C-row candidate
+    set — never shuffle the fat embedding table."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import sq8_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    df = sq8_topk(emb, [float(x) for x in vecs[0]], k=5, rescore=20)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -388,6 +388,49 @@ def main() -> None:
         )
     )
 
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        c4_clean,
+        gopher_rules,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import sq8_topk
+
+    rng = np.random.default_rng(11)
+    vmat = rng.standard_normal((200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vmat[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    sq8 = sq8_topk(emb, [float(x) for x in vmat[0]], k=5, rescore=20)
+    sq8.collect()
+    sections.append(
+        (
+            "SQ8 quantized ANN (quantized top-C scan + broadcast exact rescore)",
+            "Pass 1 reads only the 4x-smaller int8 code blobs and reduces "
+            "per-partition via TakeOrderedAndProject (no shuffle of the "
+            "table); pass 2 broadcast-joins the C-row candidate set back to "
+            "the fat vectors for the exact rescore — full-precision bytes "
+            "are read for C rows only. Asserted no SortMergeJoin/Cartesian "
+            "in tests/test_plans.py.",
+            plan_of(sq8),
+        )
+    )
+
+    docs_dl = idx._docs_df().select("doc_id", "text")
+    sections.append(
+        (
+            "Gopher / C4 quality filters (scan-speed Column algebra)",
+            "Both curation filters are ONE projection of higher-order "
+            "array/regex expressions fused by whole-stage codegen — no "
+            "shuffle, no UDF, no explode; they run at scan speed and "
+            "preserve the input partitioning (gopher_rules shown; c4_clean "
+            "plans identically).",
+            plan_of(gopher_rules(docs_dl, min_stopwords=1)),
+        )
+    )
+    _ = c4_clean  # same plan shape; kept imported for parity checks
+
     sections.append(
         (
             "Driver-side pyarrow point-read paths (no Spark plan — by design)",
