@@ -280,6 +280,7 @@ def ann_recall(spark, emb) -> dict:
         cosine_topk,
         ivf_search,
         lsh_topk,
+        sq8_topk,
         train_centroids,
         build_ivf_index,
     )
@@ -292,7 +293,7 @@ def ann_recall(spark, emb) -> dict:
     try:
         cent = train_centroids(emb, n_lists=16, iters=3)
         build_ivf_index(emb, cent, ivf_wh)
-        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1")}
+        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk")}
         denom = 0
         for qv in queries.values():
             truth = {
@@ -305,6 +306,8 @@ def ann_recall(spark, emb) -> dict:
                 "lsh_h0": lsh_topk(emb, qv, ANN_RECALL_K, bits=8, probe_hamming=0),
                 "ivf_np4": ivf_search(spark, ivf_wh, qv, ANN_RECALL_K, nprobe=4),
                 "ivf_np1": ivf_search(spark, ivf_wh, qv, ANN_RECALL_K, nprobe=1),
+                "sq8_r20": sq8_topk(emb, qv, ANN_RECALL_K, rescore=20),
+                "sq8_rk": sq8_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
             }
             for name, df in got.items():
                 hits[name] += len(truth & {r["vec_id"] for r in df.collect()})
@@ -338,6 +341,8 @@ partition pruning):
 | LSH (8-bit hyperplane) | exact bucket only | 1/256 | {recall['lsh_h0']} |
 | IVF (16 trained lists) | nprobe=4 | 1/4 | {recall['ivf_np4']} |
 | IVF (16 trained lists) | nprobe=1 | 1/16 | {recall['ivf_np1']} |
+| SQ8 (int8 + exact rescore) | rescore=20 | 1/4 of bytes + 20 rows | {recall['sq8_r20']} |
+| SQ8 (int8 + exact rescore) | rescore=k (pure quantized rank) | 1/4 of bytes + {ANN_RECALL_K} rows | {recall['sq8_rk']} |
 {RECALL_MD_END}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     text = ""

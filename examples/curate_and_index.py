@@ -47,6 +47,18 @@ def main(n_convs: int = 400) -> None:
         repetition_features,
     )
 
+    # 3a: rule-based quality gates first (Gopher A1.1 + C4 §2.2) — pure
+    # Column algebra, so they cost one scan before anything heavier runs
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        c4_clean,
+        gopher_rules,
+    )
+
+    docs_gc = turns.select("doc_id", "text")
+    n_gopher = gopher_rules(docs_gc, min_words=5, min_stopwords=0).filter("keep").count()
+    n_c4 = c4_clean(docs_gc, min_kept_lines=0).filter("keep").count()
+    print(f"rule gates: gopher keeps {n_gopher}, c4 keeps {n_c4} of {turns.count()}")
+
     scored = quality_features(turns.select("doc_id", "text")).select("doc_id", "quality")
     keep_q = scored.filter(F.col("quality") >= 0.5).select("doc_id")
     loops = repetition_features(turns.select("doc_id", "text"))

@@ -57,6 +57,8 @@ def main(n_convs: int = 300) -> None:
     show("common_terms", idx.search_common_terms(q, 5, cutoff_frequency=0.5))
     show("boosting (demote w00007)", idx.search_boosting(q, "w00007", 0.3, 5))
     show("terms query", idx.search_terms(["w00000", "w00005"], 5))
+    show("terms LOOKUP (value set point-read from doc 3)",
+         idx.search_terms_lookup(3, 5, max_terms=4))
     show("more_like_this(doc 7)", idx.more_like_this(7, 5))
 
     # --- scoring functions ---------------------------------------------
