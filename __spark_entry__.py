@@ -2780,6 +2780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so entries the gate has never seen (new this round, or skipped by earlier
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
+    # Round-5 rotation note: after the round-4 gate, the never-gated backlog is
+    # the 36-entry contiguous block decay_exp_topk .. update_upsert (positions
+    # 50-85) — put THOSE first next round; they plus <=14 new entries exactly
+    # fill the final window.
     return {
         "terms_lookup_topk": q_terms_lookup_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
