@@ -2701,6 +2701,18 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-weighted data selection (Xie et al. 2023): target
+    model = the corpus's lang='en' slice, raw model = the whole documents
+    table; hashed unigram bag-of-buckets (256 md5 buckets, add-1
+    smoothing); weight = log p_target(d) − log p_raw(d); selected =
+    rounded weight > 0 (more target-like than raw-like)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(d, d.filter("lang = 'en'"), n_buckets=256)
+
+
 def q_terms_lookup_topk(spark, sf_dir):
     """ES 1.x terms LOOKUP filter ({index, type, id, path}): the value
     set is fetched from document 42's stored text (first 6 whitespace
@@ -2781,10 +2793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     # Round-5 rotation note: after the round-4 gate, the never-gated backlog is
-    # the 36-entry contiguous block decay_exp_topk .. update_upsert (positions
-    # 50-85) — put THOSE first next round; they plus <=14 new entries exactly
-    # fill the final window.
+    # the 37-entry contiguous block decay_linear_topk .. update_upsert
+    # (positions 50-86) — put THOSE first next round; they plus <=13 new
+    # entries exactly fill the final window.
     return {
+        "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "gopher_filter": q_gopher_filter,
@@ -5037,6 +5050,46 @@ def _geohash_cell_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_select": """
+WITH rawtok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+rawb AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+  FROM rawtok
+),
+tgtb AS (
+  SELECT ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 256 AS bucket
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents WHERE lang = 'en') t
+),
+dom AS (SELECT unnest(range(256)) AS bucket),
+crt AS (SELECT bucket, count(*) AS cr FROM rawb GROUP BY bucket),
+ctt AS (SELECT bucket, count(*) AS ct FROM tgtb GROUP BY bucket),
+stats AS (
+  SELECT d.bucket, coalesce(crt.cr, 0) AS cr, coalesce(ctt.ct, 0) AS ct
+  FROM dom d LEFT JOIN crt USING (bucket) LEFT JOIN ctt USING (bucket)
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
+ratio AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lr
+  FROM stats, tot
+),
+perdoc AS (
+  SELECT doc_id, bucket, count(*) AS c FROM rawb GROUP BY doc_id, bucket
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, round(sum(c * lr), 4) AS weight
+  FROM perdoc JOIN ratio USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(agg.weight, 0.0)::DOUBLE AS weight,
+  coalesce(agg.weight, 0.0) > 0 AS selected
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
         "terms_lookup_topk": """
 WITH lk AS (
   SELECT string_split(coalesce(text, ''), ' ')[1:6] AS vals

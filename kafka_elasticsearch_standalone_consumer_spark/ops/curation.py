@@ -157,6 +157,88 @@ def pack_shards(
 GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _hash_bucket(c: Column, n_buckets: int) -> Column:
+    """Portable token→bucket hash (md5-prefix trick shared with
+    stratified_sample / simhash, so DuckDB mirrors it byte-for-byte)."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % int(n_buckets)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    raw document by the importance log-ratio ``log p_target(d) −
+    log p_raw(d)`` under hashed bag-of-buckets unigram models with add-1
+    smoothing — the "make the pretraining mix look like the target
+    domain" selector. ``target`` is the (small) in-domain sample; the raw
+    model is fit on ``df`` itself. Returns (doc_id, n_tokens, weight,
+    selected); ``selected`` = the doc is more target-like than raw-like
+    (rounded weight > 0; DSIR's top-k/Gumbel variants threshold the same
+    weight column).
+
+    100 TB shape: two token scans feed bucket-count aggregations whose key
+    cardinality is ``n_buckets`` (tiny, map-side combined); the per-token
+    model lookup is a BROADCAST join of the n_buckets-row log-ratio table;
+    the only doc-keyed shuffle is the final per-doc sum. Nothing driver-
+    side scales with the corpus. Deterministic at any parallelism: the
+    weight is a sum of per-bucket counts × a fixed ratio table, not a
+    float left-fold over row order.
+    """
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    B = int(n_buckets)
+    spark = df.sparkSession
+
+    def buckets_of(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        toks = frame.select(*cols, F.explode(tokenize_col(F.col(text_col))).alias("tok"))
+        return toks.withColumn("bucket", _hash_bucket(F.col("tok"), B)).drop("tok")
+
+    raw_tok = buckets_of(df, with_id=True)
+    tgt_tok = buckets_of(target, with_id=False)
+    raw_b = raw_tok.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_b = tgt_tok.groupBy("bucket").agg(F.count("*").alias("ct"))
+    dom = spark.range(B).select(F.col("id").alias("bucket"))
+    stats = (
+        dom.join(raw_b, "bucket", "left")
+        .join(tgt_b, "bucket", "left")
+        .fillna(0, subset=["cr", "ct"])
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )  # 1-row aggregate — the only crossJoin, same pattern as the engine
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(float(B))))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.lit(float(B))))
+        ).alias("lr"),
+    )
+    per_doc = (
+        raw_tok.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("weight"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
+    )
+    return out.withColumn("selected", F.col("weight") > 0)
+
+
 def _words(c: Column) -> Column:
     """Whitespace words (``\\S+`` runs) of the coalesced text column."""
     return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"\S+"), F.lit(0))

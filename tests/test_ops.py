@@ -820,3 +820,28 @@ def test_sq8_topk_exact_at_operating_point(emb):
     # rescore = corpus size degenerates to brute force regardless of codes
     got_all = [(r["vec_id"], r["cosine"]) for r in sq8_topk(df, q, 10, rescore=40).collect()]
     assert got_all == want
+
+
+def test_dsir_weights_sign_and_determinism(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
+
+    rows = (
+        [(i, "aa ab ac ad ae") for i in range(0, 6)]      # target-like
+        + [(i, "zz zy zx zw zv") for i in range(6, 12)]   # raw-only
+        + [(12, "")]                                      # empty doc
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 6")
+    got = {r["doc_id"]: r for r in dsir_weights(df, target, n_buckets=64).collect()}
+    assert len(got) == 13
+    for i in range(0, 6):
+        assert got[i]["selected"] and got[i]["weight"] > 0
+    for i in range(6, 12):
+        assert not got[i]["selected"] and got[i]["weight"] < 0
+    assert got[12]["n_tokens"] == 0 and got[12]["weight"] == 0.0 and not got[12]["selected"]
+    # deterministic across partitionings (bucket-count algebra, not a fold)
+    got2 = {
+        r["doc_id"]: (r["weight"], r["selected"])
+        for r in dsir_weights(df.repartition(7), target.repartition(3), n_buckets=64).collect()
+    }
+    assert got2 == {k: (v["weight"], v["selected"]) for k, v in got.items()}
