@@ -2701,6 +2701,45 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_docs(spark, sf_dir), max_len=16, overlap=4)
 
 
+def _docs_wh_idx(spark, sf_dir):
+    """Persisted-warehouse index over the documents table (doc_ids are
+    dense from 0, so the rebuilt ids equal the originals) — what the
+    zero-job serving twins need (ephemeral indexes have no files)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::docs_wh"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "text", "lang", "n_chars", "source",
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+        wh = tempfile.mkdtemp() + "/docsidx"
+        build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+        idx = Index(spark, wh)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_terms_lookup_local(spark, sf_dir):
+    """The terms LOOKUP on the zero-Spark-job serving path: the value-set
+    fetch and the terms scan are BOTH pruned pyarrow reads (two point
+    reads, zero jobs) — asserted in-entry identical to the distributed
+    search_terms_lookup, then oracled by the same IN-subquery SQL."""
+    idx = _docs_wh_idx(spark, sf_dir)
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_terms_lookup(42, K, max_terms=6).collect()
+    ]
+    loc = idx.search_terms_lookup_local(42, K, max_terms=6)
+    assert loc == dist, "terms-lookup serving twin diverged from the distributed path"
+    return spark.createDataFrame(loc, "doc_id long, score double")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023): target
     model = the corpus's lang='en' slice, raw model = the whole documents
@@ -2793,10 +2832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     # Round-5 rotation note: after the round-4 gate, the never-gated backlog is
-    # the 37-entry contiguous block decay_linear_topk .. update_upsert
-    # (positions 50-86) — put THOSE first next round; they plus <=13 new
+    # the 38-entry contiguous block decay_gauss_topk .. update_upsert
+    # (positions 50-87) — put THOSE first next round; they plus <=12 new
     # entries exactly fill the final window.
     return {
+        "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -5048,8 +5088,24 @@ def _geohash_cell_oracle_sql() -> str:
     )
 
 
+# terms lookup: shared by the distributed entry and its zero-job serving
+# twin (the twin asserts identity in-entry, so one SQL oracles both)
+_TERMS_LOOKUP_SQL = """
+WITH lk AS (
+  SELECT string_split(coalesce(text, ''), ' ')[1:6] AS vals
+  FROM documents WHERE doc_id = 42
+)
+SELECT d.doc_id, 1.0::DOUBLE AS score
+FROM documents d, lk
+WHERE len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+          x -> list_contains(lk.vals, x))) > 0
+ORDER BY d.doc_id LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "terms_lookup_local": _TERMS_LOOKUP_SQL,
         "dsir_select": """
 WITH rawtok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -5090,17 +5146,7 @@ SELECT d.doc_id,
   coalesce(agg.weight, 0.0) > 0 AS selected
 FROM documents d LEFT JOIN agg USING (doc_id)
 """,
-        "terms_lookup_topk": """
-WITH lk AS (
-  SELECT string_split(coalesce(text, ''), ' ')[1:6] AS vals
-  FROM documents WHERE doc_id = 42
-)
-SELECT d.doc_id, 1.0::DOUBLE AS score
-FROM documents d, lk
-WHERE len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
-          x -> list_contains(lk.vals, x))) > 0
-ORDER BY d.doc_id LIMIT 10
-""",
+        "terms_lookup_topk": _TERMS_LOOKUP_SQL,
         "gopher_filter": f"""
 WITH t AS (
   SELECT doc_id, coalesce(text,'') AS s,

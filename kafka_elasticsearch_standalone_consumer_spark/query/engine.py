@@ -1667,6 +1667,38 @@ class Index:
             sorted({t.lower() for t in values}), k, where
         )
 
+    def search_terms_lookup_local(
+        self,
+        lookup_id: int,
+        k: int = 10,
+        *,
+        lookup_field: str = "text",
+        max_terms: int | None = None,
+        where: list[tuple] | None = None,
+        lookup_index: "Index | None" = None,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_terms_lookup` on the zero-Spark-job serving path:
+        the value-set fetch was ALREADY a pyarrow point read, so composing
+        it with :meth:`search_terms_local` makes the whole lookup query
+        zero-job — two pruned pyarrow reads total. Same (doc_id, score)
+        contract and `(col, op, value)` ``where`` tuples as the other
+        local twins; rank-identical to the distributed form
+        (tests/test_local_serving.py)."""
+        src = lookup_index if lookup_index is not None else self
+        rows = src.get_docs_local([int(lookup_id)])
+        if not rows:
+            return []
+        toks = str(rows[0].get(lookup_field) or "").split()
+        if max_terms is not None:
+            toks = toks[: int(max_terms)]
+        vals: list[str] = []
+        for v in toks:
+            if v not in vals:
+                vals.append(v)
+        if not vals:
+            return []
+        return self.search_terms_local([t.lower() for t in vals], k, where=where)
+
     def search_terms_lookup(
         self,
         lookup_id: int,

@@ -469,3 +469,21 @@ def test_geo_distance_local_identical_to_distributed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="warehouse"):
         eph.search_geo_distance_local(q, 5, origin=origin, radius_km=r)
+
+
+def test_local_terms_lookup_identical_and_zero_job(spark, built_index):
+    """search_terms_lookup_local ≡ search_terms_lookup (ids AND scores),
+    and the whole lookup query launches ZERO Spark jobs."""
+    idx, _ = built_index
+    lk = idx.get_docs_local([3])[0]["doc_id"]
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_terms_lookup(lk, 10_000, max_terms=4).collect()
+    ]
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    loc = idx.search_terms_lookup_local(lk, 10_000, max_terms=4)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # zero Spark jobs end to end
+    assert loc == dist and loc
+    assert idx.search_terms_lookup_local(10**9, 10) == []
