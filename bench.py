@@ -413,20 +413,28 @@ def run_scaling(sf: float) -> dict:
 
     reps = int(os.environ.get("KESC_SCALING_REPS", "3"))
     out = {"n_turns": None, "cores": list(SCALING_CORES), "reps": reps}
-    for cores in SCALING_CORES:
-        cmd = [
-            "taskset", "-c", f"0-{cores - 1}",
-            sys.executable, os.path.abspath(__file__),
-            "--child-build", str(cores), str(sf * SCALING_SF_MULT),
-        ]
-        # best-of-N: this sandbox VM shows ±30% run-to-run wall variance
-        # from invisible host co-tenancy; the min estimates the engine's
-        # capability rather than the noisiest co-tenant
-        legs = []
-        for _ in range(reps):
+    # INTERLEAVED legs (2,8,2,8,...), not block-ordered: host co-tenant
+    # windows drift over the ~30 min campaign, and running all small-leg
+    # reps first lets a quieting (or loudening) host bias the ratio one
+    # way — interleaving makes both legs sample the same window mixture
+    # (round 4: block order read 0.727 in a window where an interleaved
+    # campaign read 0.822; see BENCH.md campaign disclosure).
+    rep_lists: dict[int, list] = {cores: [] for cores in SCALING_CORES}
+    for rep_i in range(reps):
+        for cores in SCALING_CORES:
+            cmd = [
+                "taskset", "-c", f"0-{cores - 1}",
+                sys.executable, os.path.abspath(__file__),
+                "--child-build", str(cores), str(sf * SCALING_SF_MULT),
+            ]
+            # best-of-N: this sandbox VM shows ±30% run-to-run wall
+            # variance from invisible host co-tenancy; the min estimates
+            # the engine, not the noisiest co-tenant
             res = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            legs.append(json.loads(res.stdout.strip().splitlines()[-1]))
-            log(f"scaling: local[{cores}] rep {legs[-1]['build_sec']:.1f}s")
+            rep_lists[cores].append(json.loads(res.stdout.strip().splitlines()[-1]))
+            log(f"scaling: local[{cores}] rep {rep_lists[cores][-1]['build_sec']:.1f}s")
+    for cores in SCALING_CORES:
+        legs = rep_lists[cores]
         leg = min(legs, key=lambda r: r["build_sec"])
         thr = leg["n_turns"] / leg["build_sec"]
         out["n_turns"] = leg["n_turns"]
@@ -508,10 +516,12 @@ Methodology (all reproducible with `python bench.py --scaling`):
   single shared virtual disk would otherwise serialize both legs at the
   same ~775 MB/s.
 
-* **Best-of-{scaling.get('reps', 1)} per leg**: the sandbox VM shows up to
-  ±30% run-to-run wall variance from invisible host co-tenancy; the min
-  over repeats estimates the engine, not the noisiest co-tenant (all rep
-  times listed below).
+* **Best-of-{scaling.get('reps', 1)} per leg, legs INTERLEAVED**
+  (2,8,2,8,…): the sandbox VM shows up to ±30% run-to-run wall variance
+  from invisible host co-tenancy; the min over repeats estimates the
+  engine, not the noisiest co-tenant, and interleaving makes both legs
+  sample the same host-window mixture so drift cannot bias the ratio
+  (all rep times listed below).
 
 | parallelism | build wall (s), best | all reps (s) | throughput (turns/s) |
 |---|---|---|---|
