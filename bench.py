@@ -320,6 +320,8 @@ def ann_recall(spark, emb) -> dict:
 
 RECALL_MD_START = "<!-- ann-recall:start -->"
 RECALL_MD_END = "<!-- ann-recall:end -->"
+CAMPAIGNS_MD_START = "<!-- campaigns:start -->"
+CAMPAIGNS_MD_END = "<!-- campaigns:end -->"
 
 
 def update_recall_md(recall: dict) -> None:
@@ -533,7 +535,20 @@ scaling efficiency **{scaling['efficiency']}** (target >= 0.8 per BASELINE.json)
 """
     if t:
         md += _round_over_round_md(t)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # preserve hand-maintained marker sections across full rewrites (the
+    # campaign-disclosure history and the recall table both outlive any
+    # single --scaling run)
+    old = ""
+    if os.path.isfile(path):
+        with open(path) as f:
+            old = f.read()
+    for start, end in ((CAMPAIGNS_MD_START, CAMPAIGNS_MD_END),
+                       (RECALL_MD_START, RECALL_MD_END)):
+        if start in old and end in old:
+            kept = old[old.index(start): old.index(end) + len(end)]
+            md = md.rstrip("\n") + "\n\n" + kept + "\n"
+    with open(path, "w") as f:
         f.write(md)
 
 
