@@ -322,6 +322,8 @@ RECALL_MD_START = "<!-- ann-recall:start -->"
 RECALL_MD_END = "<!-- ann-recall:end -->"
 CAMPAIGNS_MD_START = "<!-- campaigns:start -->"
 CAMPAIGNS_MD_END = "<!-- campaigns:end -->"
+ROUNDS_MD_START = "<!-- round-over-round:start -->"
+ROUNDS_MD_END = "<!-- round-over-round:end -->"
 
 
 def update_recall_md(recall: dict) -> None:
@@ -479,11 +481,11 @@ def _round_over_round_md(t: dict) -> str:
             rows.append(f"| {k} | — | {cur:.2f} | new |")
     name = os.path.basename(prior[-1])
     return (
-        f"\n## Round-over-round (this run vs {name})\n\n"
+        f"\n{ROUNDS_MD_START}\n## Round-over-round (this run vs {name})\n\n"
         "Best-of-N walls on a VM with ±30% noise — read trends, not ±20%\n"
         "wiggles; the 8x-corpus build is the compute-dominated sentinel.\n\n"
         "| phase | prev (s) | now (s) | ratio |\n|---|---|---|---|\n"
-        + "\n".join(rows) + "\n"
+        + "\n".join(rows) + f"\n{ROUNDS_MD_END}\n"
     )
 
 
@@ -544,8 +546,9 @@ scaling efficiency **{scaling['efficiency']}** (target >= 0.8 per BASELINE.json)
         with open(path) as f:
             old = f.read()
     for start, end in ((CAMPAIGNS_MD_START, CAMPAIGNS_MD_END),
+                       (ROUNDS_MD_START, ROUNDS_MD_END),
                        (RECALL_MD_START, RECALL_MD_END)):
-        if start in old and end in old:
+        if start in old and end in old and start not in md:
             kept = old[old.index(start): old.index(end) + len(end)]
             md = md.rstrip("\n") + "\n\n" + kept + "\n"
     with open(path, "w") as f:
