@@ -488,6 +488,33 @@ def q_span_not_topk(spark, sf_dir):
     )
 
 
+def q_span_within_topk(spark, sf_dir):
+    """ES span_within (Lucene SpanWithinQuery): occurrences of 'data'
+    enclosed by an unordered span_near('table','hash', slop=3) interval —
+    big-span extents are the deterministic minimal covers pinned in
+    kernels._span_near_intervals. tf = enclosed 'data' occurrences per
+    doc, df = docs with >= 1, synthetic-term BM25."""
+    out = _pos_idx(spark, sf_dir).search_span_within(
+        "data", ["table", "hash"], slop=3, in_order=False, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_span_containing_topk(spark, sf_dir):
+    """ES span_containing (Lucene SpanContainingQuery): the mirror of
+    span_within — matches are the big span_near('table','hash', slop=3)
+    intervals that enclose a 'data' occurrence, so tf = qualifying big
+    spans per doc (anchor-counted), not little occurrences."""
+    out = _pos_idx(spark, sf_dir).search_span_containing(
+        "data", ["table", "hash"], slop=3, in_order=False, k=K
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_rescore_topk(spark, sf_dir):
     """ES rescore: BM25 window (50) on 'table hash' terms, rescored by the
     exact phrase "table hash" (score_mode=total, weights 1/1)."""
@@ -2836,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (positions 50-87) — put THOSE first next round; they plus <=12 new
     # entries exactly fill the final window.
     return {
+        "span_within_topk": q_span_within_topk,
+        "span_containing_topk": q_span_containing_topk,
         "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
@@ -3428,6 +3457,43 @@ _SPAN_MULTI_MATCH = (
     "j -> starts_with(toks[j], 's'))) > 0 "
     "AND len(list_filter(generate_series(i, least(i + 2, len(toks))), "
     "j -> toks[j] = 'hash')) > 0))"
+)
+# span_within 'data' inside span_near('table','hash') slop=3 unordered
+# (window = n-1+slop = 4): a 'data' occurrence at i matches when some
+# anchor p in [i-4, i] holds either big term, has BOTH big terms inside
+# [p, p+4], and the interval's minimal-cover end — the max over clauses of
+# the FIRST occurrence at or after p — reaches i (the engine's pinned
+# big-span extent, kernels._span_near_intervals)
+_SPAN_WITHIN_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "i -> toks[i] = 'data' AND len(list_filter("
+    "generate_series(greatest(i - 4, 1), i), "
+    "p -> list_contains(['table','hash'], toks[p]) "
+    "AND len(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'table')) > 0 "
+    "AND len(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0 "
+    "AND greatest("
+    "list_min(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'table')), "
+    "list_min(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'hash'))) >= i)) > 0))"
+)
+# span_containing: same big spans, but tf counts qualifying ANCHORS p —
+# those whose [p, minimal-cover end] interval holds a 'data' occurrence
+_SPAN_CONTAINING_MATCH = (
+    "len(list_filter(generate_series(1, len(toks)), "
+    "p -> list_contains(['table','hash'], toks[p]) "
+    "AND len(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'table')) > 0 "
+    "AND len(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'hash')) > 0 "
+    "AND len(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j -> toks[j] = 'data' AND j <= greatest("
+    "list_min(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j2 -> toks[j2] = 'table')), "
+    "list_min(list_filter(generate_series(p, least(p + 4, len(toks))), "
+    "j2 -> toks[j2] = 'hash'))))) > 0))"
 )
 # span_not 'table' excluding 'hash' with pre=post=1: a 'table' occurrence
 # survives when no 'hash' occurs in [i-1, i+1] (1-indexed, clamped)
@@ -5309,6 +5375,8 @@ ORDER BY doc_id LIMIT 20 OFFSET 20
         "span_near_or_topk": _phrase_sql(_SPAN_NEAR_OR_MATCH),
         "span_multi_topk": _phrase_sql(_SPAN_MULTI_MATCH),
         "span_not_topk": _phrase_sql(_SPAN_NOT_MATCH),
+        "span_within_topk": _phrase_sql(_SPAN_WITHIN_MATCH),
+        "span_containing_topk": _phrase_sql(_SPAN_CONTAINING_MATCH),
         "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "simple_query_string_topk": _bm25_variant_sql(

@@ -2653,6 +2653,86 @@ class Index:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return self._phrase_topk([slot], k, where, 0, span=("near", 0, False))
 
+    def _span_contain_topk(
+        self,
+        little: str | list[str] | dict,
+        big: list[str | list[str] | dict],
+        slop: int,
+        in_order: bool,
+        mode: str,
+        k: int,
+        where: str | None,
+    ) -> DataFrame:
+        """Shared body of :meth:`search_span_containing` /
+        :meth:`search_span_within`: analyze the little clause and the big
+        span_near clauses (same clause grammar as :meth:`search_span_near`,
+        including its repeated-terms guard for unordered bigs), then run
+        the containment kernel (`query/kernels.py:shard_span_contain`)."""
+        lit = self._span_clause(little)
+        if not lit:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        slots = []
+        for t in big:
+            slot = self._span_clause(t)
+            if not slot:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            slots.append(slot)
+        if not slots:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        flat = [t for s in slots for t in s]
+        if not in_order and len(set(flat)) != len(flat):
+            raise ValueError(
+                "span_near with repeated terms requires in_order=True"
+            )
+        return self._phrase_topk(
+            [lit] + slots, k, where, 0,
+            span=(mode, int(slop), bool(in_order)),
+        )
+
+    def search_span_containing(
+        self,
+        little: str | list[str] | dict,
+        big: list[str | list[str] | dict],
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``span_containing`` (Lucene SpanContainingQuery; in the ES
+        1.x span DSL the reference's indexed documents are queried with —
+        ref:src/main/java/org/elasticsearch/kafka/indexer/MessageHandler.java:135-139
+        delegates all query semantics to ES 1.5): matches are the BIG
+        spans — span_near intervals over ``big`` clauses with ``slop`` /
+        ``in_order``, extent pinned by
+        :func:`kernels._span_near_intervals` — that enclose at least one
+        occurrence of the ``little`` clause (str = span_term, list =
+        span_or, ``{"prefix": ...}`` = span_multi). tf = qualifying big
+        spans per doc; df = docs with ≥ 1; scored with the span family's
+        synthetic-term BM25. Requires ``positions=True``."""
+        return self._span_contain_topk(
+            little, big, slop, in_order, "containing", k, where
+        )
+
+    def search_span_within(
+        self,
+        little: str | list[str] | dict,
+        big: list[str | list[str] | dict],
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``span_within`` (Lucene SpanWithinQuery): the mirror of
+        :meth:`search_span_containing` — matches are the LITTLE clause
+        occurrences enclosed by some big span, so tf = enclosed little
+        occurrences per doc (a doc where the big span matches but never
+        around the little term does NOT match). Same clause grammar,
+        deterministic big-span extents, and synthetic-term scoring as
+        ``span_containing``. Requires ``positions=True``."""
+        return self._span_contain_topk(
+            little, big, slop, in_order, "within", k, where
+        )
+
     def search_span_not(
         self,
         include: str | list[str],
@@ -2747,6 +2827,12 @@ class Index:
                     runs_by_slot[0],
                     runs_by_slot[1] if len(runs_by_slot) > 1 else [],
                     span[1], span[2], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            elif span[0] in ("containing", "within"):
+                d, tfp, dl, n = kernels.shard_span_contain(
+                    runs_by_slot[0], runs_by_slot[1:],
+                    span[1], span[2], span[0], k, avgdl, k1, b,
                     allowed=allowed, blocked=blocked,
                 )
             else:

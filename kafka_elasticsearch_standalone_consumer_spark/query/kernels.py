@@ -611,6 +611,137 @@ def shard_span_not(
     )
 
 
+def _span_near_intervals(
+    keys_by_slot: list[np.ndarray], slop: int, in_order: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate span_near match INTERVALS as (start_key, end_key) pairs,
+    sorted by start. Same match criterion as :func:`shard_span_near`
+    (kept separate so that kernel stays byte-identical): starts are the
+    span_near anchors, and the END is the deterministic minimal cover —
+
+    * unordered — end = max over clauses of the FIRST occurrence of that
+      clause at or after the anchor (all within the ``n − 1 + slop``
+      window, same doc by the window clamp);
+    * in_order — end = the final position of the greedy-earliest chain
+      (each clause takes its first occurrence strictly after the
+      previous), the chain whose width the match criterion tests.
+
+    Feeds span_containing / span_within, where the enclosing ("big")
+    span's extent — not just its start — is what matters. Each slot's
+    keys must be sorted (``_phrase_topk`` sorts them)."""
+    mask = (np.int64(1) << POS_BITS) - 1
+    n = len(keys_by_slot)
+    win = np.int64(n - 1 + slop)
+    if in_order:
+        cur = keys_by_slot[0]
+        start = cur
+        for keys in keys_by_slot[1:]:
+            if cur.size == 0:
+                break
+            idx = np.searchsorted(keys, cur + 1)
+            ok = idx < keys.size
+            nxt = keys[np.minimum(idx, keys.size - 1)]
+            ok &= (nxt >> POS_BITS) == (cur >> POS_BITS)
+            cur, start = nxt[ok], start[ok]
+        ok = (cur & mask) - (start & mask) <= win
+        # starts are a subsequence of the sorted clause-0 keys → sorted
+        return start[ok], cur[ok]
+    cand = np.unique(np.concatenate(keys_by_slot))
+    pos0 = cand & mask
+    hi = cand - pos0 + np.minimum(pos0 + win, mask)
+    ok = np.ones(cand.size, dtype=bool)
+    end = np.zeros(cand.size, dtype=np.int64)
+    for keys in keys_by_slot:
+        idx = np.searchsorted(keys, cand)
+        found = idx < keys.size
+        kk = keys[np.minimum(idx, keys.size - 1)]
+        ok &= found & (kk <= hi)
+        # for surviving candidates every clause's kk is in-window (≤ hi,
+        # same doc), so the running max is the minimal cover's end
+        end = np.maximum(end, kk)
+    return cand[ok], end[ok]
+
+
+def shard_span_contain(
+    little_runs: list[_Run],
+    big_slots: list[list[_Run]],
+    slop: int,
+    in_order: bool,
+    mode: str,
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    allowed: np.ndarray | None = None,
+    blocked: np.ndarray | None = None,
+):
+    """ES/Lucene ``span_containing`` / ``span_within`` over a span_near
+    "big" clause and a term/span_or "little" clause (Lucene
+    SpanContainingQuery / SpanWithinQuery, ES 1.x ``span_containing`` /
+    ``span_within``).
+
+    Big spans are the deterministic span_near intervals of
+    :func:`_span_near_intervals`. With L = little occurrence keys and
+    [s, e] ranging over big intervals:
+
+    * ``mode='within'`` — matches are little occurrences enclosed by some
+      big span (∃ [s, e]: s ≤ l ≤ e); tf = enclosed little occurrences
+      per doc. Vectorized as a running max of interval ends over
+      start-sorted intervals (an end key can never reach into a later
+      doc's key space, so the running max respects doc boundaries).
+    * ``mode='containing'`` — matches are big spans enclosing some little
+      occurrence (∃ l: s ≤ l ≤ e); tf = qualifying big spans (distinct
+      starts) per doc.
+
+    Same synthetic-term (doc_ids, tf, dl, n_matching_docs) contract as
+    the other span kernels; the match count is taken before the
+    allowed/blocked masks (global-df policy). dl rides on the little
+    runs — every matching doc contains the little clause in either mode.
+    """
+    lparts, dl_docs, dl_vals = [], [], []
+    for r in little_runs:
+        d, t, l, p = r.decode_all_with_positions()
+        lparts.append((np.repeat(d, t) << POS_BITS) + p)
+        dl_docs.append(d)
+        dl_vals.append(l)
+    if not lparts:
+        return _SPAN_EMPTY
+    lk = np.concatenate(lparts)
+    if lk.size == 0:
+        return _SPAN_EMPTY
+    lk.sort()
+    keys_by_slot = []
+    for runs in big_slots:
+        parts = []
+        for r in runs:
+            d, t, _l, p = r.decode_all_with_positions()
+            parts.append((np.repeat(d, t) << POS_BITS) + p)
+        if not parts:
+            return _SPAN_EMPTY
+        keys = np.concatenate(parts)
+        keys.sort()
+        keys_by_slot.append(keys)
+    starts, ends = _span_near_intervals(keys_by_slot, slop, in_order)
+    if starts.size == 0:
+        return _SPAN_EMPTY
+    if mode == "within":
+        runmax = np.maximum.accumulate(ends)
+        idx = np.searchsorted(starts, lk, side="right") - 1
+        hit = (idx >= 0) & (runmax[np.maximum(idx, 0)] >= lk)
+        matched = lk[hit]
+    else:  # containing
+        lo = np.searchsorted(lk, starts)
+        hi = np.searchsorted(lk, ends, side="right")
+        matched = starts[lo < hi]
+    if matched.size == 0:
+        return _SPAN_EMPTY
+    uniq, tfp = np.unique(matched >> POS_BITS, return_counts=True)
+    return _rank_span_matches(
+        uniq, tfp, np.concatenate(dl_docs), np.concatenate(dl_vals),
+        k, avgdl, k1, b, allowed, blocked,
+    )
+
+
 def shard_topk_dismax(
     runs_by_clause: list[list],
     k: int,

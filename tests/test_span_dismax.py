@@ -366,3 +366,134 @@ def test_span_multi_prefix_clause(spark, pos_index, corpus_texts):
     assert got1 == want1
     # a prefix matching no dictionary term -> empty result, no crash
     assert pos_index.search_span_near([{"prefix": "zzqq"}, a], k=K).count() == 0
+
+
+def _brute_big_intervals(toks, terms, slop, in_order):
+    """span_near match intervals (start, end) under the engine's pinned
+    deterministic definition (kernels._span_near_intervals docstring)."""
+    n = len(terms)
+    win = n - 1 + slop
+    spans = []
+    if in_order:
+        for i, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            q = i
+            ok = True
+            for nxt in terms[1:]:
+                found = next(
+                    (j for j in range(q + 1, len(toks)) if toks[j] == nxt), None
+                )
+                if found is None:
+                    ok = False
+                    break
+                q = found
+            if ok and q - i <= win:
+                spans.append((i, q))
+    else:
+        for i, t in enumerate(toks):
+            if t not in terms:
+                continue
+            ends = []
+            for c in terms:
+                found = next(
+                    (j for j in range(i, min(i + win + 1, len(toks))) if toks[j] == c),
+                    None,
+                )
+                if found is None:
+                    ends = None
+                    break
+                ends.append(found)
+            if ends is not None:
+                spans.append((i, max(ends)))
+    return spans
+
+
+def _brute_span_contain(corpus_texts, little, big, slop, in_order, mode, role=None):
+    tfp = {}
+    for d, (toks, _r) in corpus_texts.items():
+        spans = _brute_big_intervals(toks, big, slop, in_order)
+        lpos = [i for i, t in enumerate(toks) if t == little]
+        if mode == "within":
+            c = sum(1 for p in lpos if any(s <= p <= e for s, e in spans))
+        else:
+            c = sum(1 for s, e in spans if any(s <= p <= e for p in lpos))
+        if c:
+            tfp[d] = c
+    return _score_tfp(corpus_texts, tfp, role)
+
+
+def _pick_contain_terms(corpus_texts):
+    """(little, [big0, big1]) with little sitting strictly between the big
+    terms in some doc, so every slop >= 1 configuration has a match."""
+    for _d, (toks, _r) in sorted(corpus_texts.items()):
+        for i in range(len(toks) - 2):
+            a, m, b = toks[i], toks[i + 1], toks[i + 2]
+            if len({a, m, b}) == 3:
+                return m, [a, b]
+    raise AssertionError("corpus too small")
+
+
+def test_span_within_equals_brute(spark, pos_index, corpus_texts):
+    little, big = _pick_contain_terms(corpus_texts)
+    for slop, in_order in ((1, False), (3, False), (2, True), (4, True)):
+        fast = _rows(
+            pos_index.search_span_within(
+                little, big, slop=slop, in_order=in_order, k=K
+            )
+        )
+        brute = _brute_span_contain(
+            corpus_texts, little, big, slop, in_order, "within"
+        )
+        assert fast == brute and fast, (slop, in_order)
+
+
+def test_span_containing_equals_brute(spark, pos_index, corpus_texts):
+    little, big = _pick_contain_terms(corpus_texts)
+    for slop, in_order in ((1, False), (3, False), (2, True), (4, True)):
+        fast = _rows(
+            pos_index.search_span_containing(
+                little, big, slop=slop, in_order=in_order, k=K
+            )
+        )
+        brute = _brute_span_contain(
+            corpus_texts, little, big, slop, in_order, "containing"
+        )
+        assert fast == brute and fast, (slop, in_order)
+
+
+def test_span_contain_where_filters_keep_stats_global(
+    spark, pos_index, corpus_texts
+):
+    little, big = _pick_contain_terms(corpus_texts)
+    fast = _rows(
+        pos_index.search_span_within(
+            little, big, slop=2, k=K, where="role = 'user'"
+        )
+    )
+    assert fast == _brute_span_contain(
+        corpus_texts, little, big, 2, False, "within", role="user"
+    )
+    fastc = _rows(
+        pos_index.search_span_containing(
+            little, big, slop=2, k=K, where="role = 'user'"
+        )
+    )
+    assert fastc == _brute_span_contain(
+        corpus_texts, little, big, 2, False, "containing", role="user"
+    )
+
+
+def test_span_contain_edge_cases(spark, pos_index, corpus_texts):
+    little, big = _pick_contain_terms(corpus_texts)
+    # absent little / absent big clause -> empty, no crash
+    assert pos_index.search_span_within("zzqqmissing", big, slop=2).count() == 0
+    assert (
+        pos_index.search_span_containing(
+            little, ["zzqqmissing", big[0]], slop=2
+        ).count()
+        == 0
+    )
+    # unordered big with repeated terms refuses like span_near
+    with pytest.raises(ValueError, match="repeated terms"):
+        pos_index.search_span_containing(little, [big[0], big[0]], slop=2)
