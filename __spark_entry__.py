@@ -1248,6 +1248,21 @@ def q_has_child_sum_topk(spark, sf_dir):
     )
 
 
+def q_has_child_bounded_topk(spark, sf_dir):
+    """ES has_child with the 1.3 min_children/max_children band
+    (score_mode=avg, exactly 9 matching turns): parents are kept only
+    when their matching-child count falls inside the band — at sf0.01
+    the corpus's per-conv match counts are 8/9/10, so BOTH bounds
+    demonstrably drop parents (the floor cuts the 8, the cap the 10s)."""
+    out = _conv_idx(spark, sf_dir).search_has_child(
+        BM25_QUERY, K, score_mode="avg", min_children=9, max_children=9,
+        group_col="conv_key",
+    )
+    return out.select(
+        "conv_key", F.round("score", 4).alias("score_r"), "n_hits"
+    )
+
+
 def q_has_parent_topk(spark, sf_dir):
     """ES has_parent (score=false): every turn of any conversation that
     contains a match — first K by doc_id, constant score."""
@@ -1312,6 +1327,17 @@ def q_agg_nested(spark, sf_dir):
     PARENT count (reverse_nested), avg event value."""
     return _nested_idx(spark, sf_dir).nested_agg(
         BM25_QUERY, "evs", "event_type", metric="x.value"
+    )
+
+
+def q_agg_reverse_nested(spark, sf_dir):
+    """ES explicit reverse_nested: bucket the matching docs' nested
+    events by event_type, then step BACK to the parent documents and
+    average a PARENT-side metric (text length) over each bucket's
+    distinct parents — a parent counts once per bucket regardless of how
+    many of its events land there."""
+    return _nested_idx(spark, sf_dir).reverse_nested_agg(
+        BM25_QUERY, "evs", "event_type", "length(text)"
     )
 
 
@@ -2865,6 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
+        "has_child_bounded_topk": q_has_child_bounded_topk,
+        "agg_reverse_nested": q_agg_reverse_nested,
         "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
@@ -5471,6 +5499,20 @@ SELECT event_type AS bucket,
 FROM ev WHERE doc_id IN ({_MATCHED})
 GROUP BY 1 ORDER BY n_nested DESC, bucket
 """,
+        "agg_reverse_nested": f"""
+WITH ev AS (
+  SELECT event_id % (SELECT count(*) FROM documents) AS doc_id, event_type
+  FROM events
+),
+p AS (
+  SELECT DISTINCT ev.event_type AS bucket, ev.doc_id
+  FROM ev WHERE ev.doc_id IN ({_MATCHED})
+)
+SELECT bucket, count(*)::BIGINT AS n_parents,
+       round(avg(length(d.text)), 6) AS avg_parent_v
+FROM p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1 ORDER BY n_parents DESC, bucket
+""",
         "has_child_topk": _bm25_variant_sql(
             BM25_QUERY,
             f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,
@@ -5491,6 +5533,18 @@ FROM scored s
 GROUP BY 1
 HAVING count(*) >= 2
 ORDER BY sum(s.score) DESC, conv_key
+LIMIT {K}
+""",
+        ),
+        "has_child_bounded_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT (s.doc_id % 50)::VARCHAR AS conv_key,
+       round(avg(s.score), 4) AS score_r,
+       count(*)::BIGINT AS n_hits
+FROM scored s
+GROUP BY 1
+HAVING count(*) BETWEEN 9 AND 9
+ORDER BY avg(s.score) DESC, conv_key
 LIMIT {K}
 """,
         ),

@@ -4355,6 +4355,7 @@ class Index:
         k: int = 10,
         score_mode: str = "max",
         min_children: int = 1,
+        max_children: int | None = None,
         group_col: str = "conv_id",
         where: str | None = None,
     ) -> DataFrame:
@@ -4368,9 +4369,11 @@ class Index:
         ``MessageHandler.java:135-139``).
 
         ``score_mode``: max (ES default) | sum | avg | min | none (count
-        matches, parents score 1.0). ``min_children``: parents with fewer
-        matching children are dropped (ES's knob of the same name).
-        ``where`` filters the scored children like :meth:`search`.
+        matches, parents score 1.0). ``min_children`` / ``max_children``:
+        parents whose matching-child count falls outside the band are
+        dropped (ES 1.3's knobs of the same names; ``max_children=None``
+        = unbounded). ``where`` filters the scored children like
+        :meth:`search`.
 
         Plan shape: the declarative score-all BM25 aggregation → one
         column-pruned join to (doc_id, conv_id) → ONE groupBy on the
@@ -4395,9 +4398,11 @@ class Index:
                 fns[score_mode]("score").alias("score"),
                 F.count("*").cast("long").alias("n_hits"),
             )
+        grouped = grouped.filter(F.col("n_hits") >= int(min_children))
+        if max_children is not None:
+            grouped = grouped.filter(F.col("n_hits") <= int(max_children))
         return (
-            grouped.filter(F.col("n_hits") >= int(min_children))
-            .select(group_col, "score", "n_hits")
+            grouped.select(group_col, "score", "n_hits")
             .orderBy(F.desc("score"), F.asc(group_col))
             .limit(k)
         )
@@ -4610,6 +4615,67 @@ class Index:
             )
             .agg(*agg_cols)
             .orderBy(F.desc("n_nested"), F.asc("bucket"))
+        )
+
+    def reverse_nested_agg(
+        self,
+        query_text: str,
+        nested_col: str,
+        bucket_by: str,
+        parent_metric: str,
+        inner_where: str | None = None,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES explicit ``reverse_nested`` aggregation: nested-terms
+        buckets (step INTO the objects, bucket by a nested field), then
+        step BACK OUT to the parent documents and aggregate a
+        PARENT-side SQL metric over each bucket's distinct parents —
+        "for every tool name, the average length of the documents that
+        used it". :meth:`nested_agg`'s ``n_parents`` answers only the
+        reverse_nested COUNT; this is the general metric form, where a
+        parent contributes once per bucket no matter how many of its
+        objects land there (ES's join-back-to-root semantics).
+
+        Output (bucket, n_parents, avg_parent_v) ordered parent-count
+        desc, bucket asc. ``parent_metric`` is SQL over the parent row's
+        columns; ``inner_where`` pre-filters objects like
+        :meth:`nested_agg`.
+
+        Plan shape: term-pruned match-set scan → ONE explode (bounded
+        blowup = objects/doc) → distinct on (bucket, parent) — the
+        dedup shuffle that IS reverse_nested's semantics — → ONE groupBy
+        on bucket. No join back to the doc store: the parent metric is
+        computed before the explode and rides the nested rows."""
+        schema = "bucket string, n_parents long, avg_parent_v double"
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], schema)
+        arr = (
+            f"filter({nested_col}, x -> ({inner_where}))"
+            if inner_where is not None
+            else nested_col
+        )
+        pairs = (
+            scoped.select(
+                "doc_id",
+                F.expr(parent_metric).cast("double").alias("pv"),
+                F.explode(F.expr(arr)).alias("x"),
+            )
+            .select(
+                F.expr(f"CAST(x.{bucket_by} AS STRING)").alias("bucket"),
+                "doc_id",
+                "pv",
+            )
+            .distinct()  # pv is a function of doc_id → one row per (bucket, parent)
+        )
+        return (
+            pairs.groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_parents"),
+                F.round(F.avg("pv"), 6).alias("avg_parent_v"),
+            )
+            .orderBy(F.desc("n_parents"), F.asc("bucket"))
         )
 
     @staticmethod

@@ -948,10 +948,12 @@ def test_has_child_matches_python_recompute(spark, built_index):
     for d, s in scores.items():
         by_conv.setdefault(conv[d], []).append(s)
 
-    def py_top(mode, min_children=1, k=10):
+    def py_top(mode, min_children=1, max_children=None, k=10):
         rows = []
         for c, ss in by_conv.items():
             if len(ss) < min_children:
+                continue
+            if max_children is not None and len(ss) > max_children:
                 continue
             v = {"max": max, "min": min, "sum": sum, "avg": lambda x: sum(x) / len(x)}[mode](ss)
             rows.append((c, v, len(ss)))
@@ -970,6 +972,15 @@ def test_has_child_matches_python_recompute(spark, built_index):
     ]
     assert got2 == py_top("sum", min_children=3)
     assert all(n >= 3 for _, _, n in got2)
+    # ES 1.3's max_children: the band [2, 3] keeps mid-sized parents only
+    got3 = [
+        (r["conv_id"], round(r["score"], 9), r["n_hits"])
+        for r in idx.search_has_child(
+            q, 10, score_mode="avg", min_children=2, max_children=3
+        ).collect()
+    ]
+    assert got3 == py_top("avg", min_children=2, max_children=3)
+    assert all(2 <= n <= 3 for _, _, n in got3)
 
 
 def test_has_parent_returns_whole_conversations(spark, built_index):

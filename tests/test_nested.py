@@ -115,6 +115,28 @@ def test_nested_agg_counts_and_reverse_nested(spark, nested_idx):
     assert [r["bucket"] for r in got] == ["a", "b"]
 
 
+def test_reverse_nested_agg_parent_metric(nested_idx):
+    """Explicit reverse_nested: a parent contributes to a bucket ONCE no
+    matter how many of its objects land there, and the metric is computed
+    over the PARENT row (text length), not the objects."""
+    got = nested_idx.reverse_nested_agg(
+        "alpha", "calls", "name", "length(text)"
+    ).collect()
+    by_bucket = {r["bucket"]: (r["n_parents"], r["avg_parent_v"]) for r in got}
+    # docs 0,1,2 match 'alpha'; 'a' objects live in all three parents
+    # (doc 2's TWO 'a' objects count its parent once); 'b' in docs 0 and 2
+    la, lb, lc = len("alpha beta"), len("alpha beta"), len("alpha gamma")
+    assert by_bucket["a"] == (3, round((la + lb + lc) / 3, 6))
+    assert by_bucket["b"] == (2, round((la + lc) / 2, 6))
+    assert [r["bucket"] for r in got] == ["a", "b"]
+    # inner_where pre-filters objects before the step-back
+    got2 = nested_idx.reverse_nested_agg(
+        "alpha", "calls", "name", "length(text)", inner_where="x.ms >= 5.0"
+    ).collect()
+    by2 = {r["bucket"]: r["n_parents"] for r in got2}
+    assert by2 == {"a": 2, "b": 1}
+
+
 def test_nested_agg_inner_where(nested_idx):
     got = nested_idx.nested_agg(
         "alpha", "calls", "name", metric="x.ms", inner_where="x.ms >= 5.0"
