@@ -2080,6 +2080,47 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_domain_mix(spark, sf_dir):
+    """Static domain-mixture rebalancing to target proportions
+    en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
+    bounded by T = min(c_d / t_d) and each domain keeps at rate
+    t_d * T / c_d via the portable md5(doc_id:seed) hash. At sf0.01 zh
+    binds (its rate is exactly 1.0). The targets sum to exactly 1.0 in
+    ANY float order, so the Spark-side normalization is a bit-exact
+    no-op and the oracle can skip it — keep that property if the spec
+    changes."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        domain_mix,
+    )
+
+    out = domain_mix(
+        _docs(spark, sf_dir), "lang",
+        {"en": 0.5, "zh": 0.3, "de": 0.2}, seed=42,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization with deterministically planted
+    decomposed sequences (the corpus text is ASCII, so docs with
+    doc_id % 3 == 0 get ' cafe' + U+0301 appended in BOTH engines):
+    e + combining acute composes to the single codepoint é, and
+    ``changed`` flags exactly the planted docs. Python unicodedata and
+    DuckDB nfc_normalize both implement UAX #15 — byte-exact oracle."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        normalize_unicode,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        ).otherwise(F.col("text")),
+    )
+    return normalize_unicode(docs)
+
+
 def q_pack_shards(spark, sf_dir):
     """Training-shard packing: shard_id = floor(exclusive prefix-sum of
     token counts / 2000) in stable doc order — distributed two-pass
@@ -2893,6 +2934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
         "agg_reverse_nested": q_agg_reverse_nested,
+        "domain_mix": q_domain_mix,
+        "normalize_unicode": q_normalize_unicode,
         "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
@@ -3384,6 +3427,43 @@ SELECT doc_id, lang FROM (
   FROM documents
 )
 WHERE u < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.5 ELSE 1.0 END
+"""
+
+# domain_mix en/zh/de = 0.5/0.3/0.2 seed=42: the rate arithmetic (t*T/c
+# with T = min(c/t)) mirrors ops/curation.py:domain_mix expression-for-
+# expression so the float rates are bit-identical; the Spark side's
+# normalization by sum(targets)=1.0 is a bit-exact no-op (see entry doc)
+_DOMAIN_MIX_SQL = """
+WITH tgt(d, share) AS (
+  VALUES ('en', 0.5::DOUBLE), ('zh', 0.3::DOUBLE), ('de', 0.2::DOUBLE)
+),
+cnt AS (SELECT lang AS d, count(*)::DOUBLE AS c FROM documents GROUP BY 1),
+tot AS (SELECT min(cnt.c / tgt.share) AS t FROM tgt JOIN cnt USING (d)),
+rate AS (
+  SELECT tgt.d, tgt.share * tot.t / cnt.c AS r
+  FROM tgt JOIN cnt USING (d) CROSS JOIN tot
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+) x JOIN rate ON x.lang = rate.d
+WHERE u < r
+"""
+
+# normalize_unicode: plant ' cafe'+U+0301 (decomposed) on doc_id%3==0 in
+# both engines; NFC composes e + combining acute into the single
+# codepoint é (Python unicodedata and DuckDB nfc_normalize both UAX #15)
+_NORMALIZE_UNICODE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(t) AS text_nfc, (nfc_normalize(t) != t) AS changed
+FROM base
 """
 
 _COSINE_SQL = """
@@ -5799,6 +5879,8 @@ WHERE c.cluster_id = c.doc_id
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "domain_mix": _DOMAIN_MIX_SQL,
+        "normalize_unicode": _NORMALIZE_UNICODE_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         # minhash-LSH is exact-Jaccard-verified with 100% recall at this
         # operating point (asserted in tests/test_ops.py), so it shares

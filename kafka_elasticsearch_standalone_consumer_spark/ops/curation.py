@@ -89,6 +89,91 @@ def stratified_sample(
     return df.filter(u < frac)
 
 
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict[str, float],
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Static domain-mixture rebalancing — the deployment step of a
+    DoReMi/Pile-style mixture spec: downsample each domain so the OUTPUT
+    mixture hits ``targets``' proportions at the largest total that
+    needs no upsampling.
+
+    With observed counts c_d and normalized target shares t_d, the
+    largest feasible output is T = min_d(c_d / t_d); each domain then
+    keeps at rate r_d = t_d * T / c_d (the binding domain keeps
+    everything, the rest downsample proportionally). The keep decision
+    is :func:`stratified_sample`'s portable (id, seed) hash, so the mix
+    is deterministic and engine-reproducible; the DuckDB oracle
+    recomputes the identical rate arithmetic (keep the ``t*T/c`` and
+    ``c/t`` expression shapes in lockstep — float identity matters).
+    Domains absent from ``targets`` are dropped.
+
+    Scale shape: ONE count-by-domain aggregation whose key cardinality
+    is the mixture spec's size (collected driver-side like the IVF
+    centroids — bounded by #domains, never corpus size), then the same
+    scan-speed per-row hash filter as stratified_sample. Two passes over
+    the input, zero shuffles beyond the count's partial agg."""
+    tot = sum(targets.values())
+    shares = {d: float(v) / tot for d, v in targets.items()}
+    counts = {
+        r["d"]: float(r["c"])
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+        if r["d"] in shares
+    }
+    total = min(
+        (counts.get(d, 0.0) / v for d, v in shares.items() if v > 0),
+        default=0.0,
+    )
+    rates = {
+        d: (v * total / counts[d]) if counts.get(d) else 0.0
+        for d, v in shares.items()
+    }
+    return stratified_sample(df, domain_col, rates, seed=seed, id_col=id_col)
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition cleanup
+    every pretraining pipeline runs before tokenization (decomposed
+    e + U+0301 and precomposed é must tokenize identically).
+
+    Returns (doc_id, text_nfc, changed). Spark has no built-in Unicode
+    normalizer, so this is an Arrow-batched ``mapInPandas`` pass over
+    Python's ``unicodedata`` (both it and DuckDB's ``nfc_normalize``
+    implement UAX #15, so the oracle is byte-exact). One scan, no
+    shuffle; the UDF is the documented slow path but runs at Arrow-batch
+    granularity, not per row."""
+    import unicodedata
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            t = pdf["text"]
+            norm = t.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize("NFC", x)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_nfc": norm,
+                    "changed": norm.ne(t) & t.notna(),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, schema="doc_id long, text_nfc string, changed boolean")
+
+
 def pack_shards(
     df: DataFrame,
     target_tokens: int,

@@ -251,3 +251,85 @@ def test_terms_lookup_respects_where(sf_idx):
         7, 1000, max_terms=5, where="n_chars >= 200"
     ).collect()
     assert 0 < len(filtered) < len(all_hits)
+
+
+# ------------------------------------------------------------ domain_mix
+
+
+def test_domain_mix_proportions_and_determinism(sf_docs):
+    """The output mixture must hit the target proportions exactly in
+    expectation-free terms: the binding domain keeps EVERYTHING (rate
+    1.0), each kept set is a subset of its domain, and the keep decision
+    is a pure function of (doc_id, seed) — rerun-identical."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import domain_mix
+
+    targets = {"en": 0.5, "zh": 0.3, "de": 0.2}
+    out = domain_mix(sf_docs, "lang", targets, seed=42)
+    rows = out.select("doc_id", "lang").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(got) <= set(targets)  # es/fr dropped
+    counts = {
+        r["lang"]: r["c"]
+        for r in sf_docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    # binding domain = argmin(c_d / t_d) keeps everything
+    binding = min(targets, key=lambda d: counts[d] / targets[d])
+    full = {
+        r["doc_id"] for r in sf_docs.filter(F.col("lang") == binding).collect()
+    }
+    assert got[binding] == full
+    # each domain's kept count is within integer rounding of t_d * T
+    total = counts[binding] / targets[binding]
+    for d, t in targets.items():
+        # the hash is uniform but finite — allow a generous band
+        assert abs(len(got.get(d, set())) - t * total) <= 0.25 * t * total, d
+    # determinism: a second run returns the identical set
+    again = {(r["doc_id"], r["lang"]) for r in domain_mix(
+        sf_docs, "lang", targets, seed=42).select("doc_id", "lang").collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in rows}
+    # different seed -> different sample (overwhelmingly)
+    other = {(r["doc_id"], r["lang"]) for r in domain_mix(
+        sf_docs, "lang", targets, seed=43).select("doc_id", "lang").collect()}
+    assert other != again
+
+
+def test_domain_mix_missing_domain_empty(sf_docs):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import domain_mix
+
+    out = domain_mix(sf_docs, "lang", {"en": 0.5, "xx": 0.5}, seed=42)
+    # a demanded-but-absent domain binds at T=0: nothing survives
+    assert out.count() == 0
+
+
+# ------------------------------------------------------------ normalize_unicode
+
+
+def test_normalize_unicode_nfc(spark):
+    import unicodedata
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "café"),            # e + combining acute -> é
+        (2, "cafȩ́ mix"),  # stacked combining marks
+        (3, "é already nfc"),    # precomposed stays put
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_nfc"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    for d, t in rows:
+        if t is None:
+            assert got[d] == (None, False)
+        else:
+            want = unicodedata.normalize("NFC", t)
+            assert got[d] == (want, want != t), d
+    assert got[1][0] == "café" and got[1][1] is True
+    assert got[3][1] is False
