@@ -2819,6 +2819,58 @@ def _docs_wh_idx(spark, sf_dir):
     return idx
 
 
+def _pos_wh_idx(spark, sf_dir):
+    """Persisted-warehouse POSITIONS index over the documents table
+    (dense doc_ids, like _docs_wh_idx) — what the span-family zero-job
+    serving twins need: ephemeral indexes have no postings files to
+    prune-read."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::pos_wh"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "text", "lang",
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+        wh = tempfile.mkdtemp() + "/posidx"
+        build_index(
+            spark, docs, wh, docs_per_shard=128, n_buckets=16, positions=True
+        )
+        idx = Index(spark, wh)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_span_near_local(spark, sf_dir):
+    """span_near on the zero-Spark-job serving path: the same pruned
+    pyarrow postings read and span kernel the executors run, asserted
+    in-entry rank/score-identical (10 dp) to the distributed
+    search_span_near, then oracled by the SAME span_near SQL as
+    span_near_topk."""
+    idx = _pos_wh_idx(spark, sf_dir)
+    dist = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in idx.search_span_near(
+            ["table", "hash"], slop=2, in_order=False, k=K
+        ).collect()
+    ]
+    loc = idx.search_span_near_local(
+        ["table", "hash"], slop=2, in_order=False, k=K
+    )
+    assert [(d, round(s, 10)) for d, s in loc] == dist, (
+        "span serving twin diverged from the distributed path"
+    )
+    df = spark.createDataFrame(loc, "doc_id long, score double")
+    return _rank(df, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_terms_lookup_local(spark, sf_dir):
     """The terms LOOKUP on the zero-Spark-job serving path: the value-set
     fetch and the terms scan are BOTH pruned pyarrow reads (two point
@@ -2936,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_reverse_nested": q_agg_reverse_nested,
         "domain_mix": q_domain_mix,
         "normalize_unicode": q_normalize_unicode,
+        "span_near_local": q_span_near_local,
         "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
@@ -5485,6 +5538,7 @@ ORDER BY doc_id LIMIT 20 OFFSET 20
         "span_not_topk": _phrase_sql(_SPAN_NOT_MATCH),
         "span_within_topk": _phrase_sql(_SPAN_WITHIN_MATCH),
         "span_containing_topk": _phrase_sql(_SPAN_CONTAINING_MATCH),
+        "span_near_local": _phrase_sql(_SPAN_NEAR_MATCH),
         "span_near_ordered_topk": _phrase_sql(_SPAN_NEAR_ORDERED_MATCH),
         "query_string_topk": _bm25_sql("filter hash", where="lang = 'en' AND NOT list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')"),
         "simple_query_string_topk": _bm25_variant_sql(

@@ -1035,6 +1035,211 @@ class Index:
         ss = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return dd, ss
 
+    def _span_topk_local(
+        self,
+        slot_terms: list[list[str]],
+        span: tuple,
+        k: int,
+        where: list[tuple] | None,
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job serving core for the span family: the same
+        pruned postings read as :meth:`_phrase_scores_local` dispatched
+        into the SAME span kernels ``_phrase_topk`` runs on executors
+        (`kernels.shard_span_first/near/not/contain`), so results are
+        rank- and score-identical to the distributed span queries —
+        including the global-df policy (span df aggregated over UNMASKED
+        matches; filters/tombstones never shift idf)."""
+        import math
+
+        if self.wh is None:
+            raise ValueError("span *_local twins serve from warehouse files")
+        if not self.meta.get("positions"):
+            raise ValueError("index built without positions=True — no span support")
+        blocked = self._local_blocked()
+        allowed = None
+        if where is not None:
+            allowed = self._local_allowed(where)
+            if blocked is not None:
+                allowed = np.setdiff1d(allowed, blocked)
+            blocked = None  # allowed mask subsumes the tombstones
+        all_terms = sorted({t for slot in slot_terms for t in slot})
+        if not all_terms:
+            return []
+        rows = self._lookup_terms_arrow(all_terms)
+        if rows is None:
+            rows = self._lookup_terms_spark(all_terms)
+        present = {term for term, _, _ in rows}
+        required = slot_terms[:1] if span[0] == "not" else slot_terms
+        if any(not (set(slot) & present) for slot in required):
+            return []
+        buckets = sorted({int(b) for _, _, b in rows})
+        pdf = self._local_postings(buckets, sorted(present))
+        if pdf is None:
+            return []
+        meta = self.meta
+        docs_per_shard = int(meta["docs_per_shard"])
+        avgdl = float(meta["avgdl"]) or 1e-9
+        k1, b = float(meta["k1"]), float(meta["b"])
+        out_d, out_t, out_l = [], [], []
+        n_total = 0
+        for shard, g in pdf.groupby("shard", sort=False):
+            shard_lo = int(shard) * docs_per_shard
+            by_term: dict[str, list] = {}
+            for row in g.itertuples(index=False):
+                by_term.setdefault(row.term, []).append(
+                    kernels._Run(row, 1.0, shard_lo, query_avgdl=avgdl, k1=k1, b=b)
+                )
+            runs_by_slot = [
+                [r for t in slot for r in by_term.get(t, [])] for slot in slot_terms
+            ]
+            if span[0] == "first":
+                d, tfp, dl, n = kernels.shard_span_first(
+                    runs_by_slot[0], span[1], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            elif span[0] == "not":
+                d, tfp, dl, n = kernels.shard_span_not(
+                    runs_by_slot[0],
+                    runs_by_slot[1] if len(runs_by_slot) > 1 else [],
+                    span[1], span[2], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            elif span[0] in ("containing", "within"):
+                d, tfp, dl, n = kernels.shard_span_contain(
+                    runs_by_slot[0], runs_by_slot[1:],
+                    span[1], span[2], span[0], k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                )
+            else:
+                d, tfp, dl, n = kernels.shard_span_near(
+                    runs_by_slot, k, avgdl, k1, b,
+                    allowed=allowed, blocked=blocked,
+                    slop=span[1], in_order=span[2],
+                )
+            n_total += int(n)
+            if len(d):
+                out_d.append(np.asarray(d, dtype=np.int64))
+                out_t.append(np.asarray(tfp, dtype=np.float64))
+                out_l.append(np.asarray(dl, dtype=np.float64))
+        if n_total == 0 or not out_d:
+            return []
+        idf = math.log(1.0 + (float(meta["n_docs"]) - n_total + 0.5) / (n_total + 0.5))
+        dd = np.concatenate(out_d)
+        tf = np.concatenate(out_t)
+        dl = np.concatenate(out_l)
+        ss = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        top = np.lexsort((dd, -ss))[:k]
+        return [(int(dd[i]), float(ss[i])) for i in top]
+
+    def search_span_first_local(
+        self, term: str, end: int, k: int = 10,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_first` (rank/score
+        identical; ``where`` is the serving-path tuple surface)."""
+        toks = self._analyze(term)
+        if not toks:
+            return []
+        return self._span_topk_local([[toks[0]]], ("first", int(end)), k, where)
+
+    def search_span_near_local(
+        self,
+        terms: list[str | list[str] | dict],
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_near` — same clause
+        grammar (str | span_or list | ``{"prefix": ...}`` span_multi)
+        and the same repeated-terms guard."""
+        slots = []
+        for t in terms:
+            slot = self._span_clause(t)
+            if not slot:
+                return []
+            slots.append(slot)
+        if not slots:
+            return []
+        flat = [t for s in slots for t in s]
+        if not in_order and len(set(flat)) != len(flat):
+            raise ValueError(
+                "span_near with repeated terms requires in_order=True"
+            )
+        return self._span_topk_local(
+            slots, ("near", int(slop), bool(in_order)), k, where
+        )
+
+    def search_span_or_local(
+        self, terms: list[str], k: int = 10, where: list[tuple] | None = None
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_or` (a single-slot
+        span_near, window checks vacuous for n=1)."""
+        slot = self._span_clause(list(terms))
+        if not slot:
+            return []
+        return self._span_topk_local([slot], ("near", 0, False), k, where)
+
+    def search_span_not_local(
+        self,
+        include: str | list[str],
+        exclude: str | list[str],
+        pre: int = 0,
+        post: int = 0,
+        k: int = 10,
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_not` (absent exclude
+        excludes nothing, same as the distributed path)."""
+        inc = self._span_clause(include)
+        if not inc:
+            return []
+        exc = self._span_clause(exclude)
+        return self._span_topk_local(
+            [inc, exc] if exc else [inc], ("not", int(pre), int(post)), k, where
+        )
+
+    def _span_contain_local(
+        self, little, big, slop, in_order, mode, k, where
+    ) -> list[tuple[int, float]]:
+        lit = self._span_clause(little)
+        if not lit:
+            return []
+        slots = []
+        for t in big:
+            slot = self._span_clause(t)
+            if not slot:
+                return []
+            slots.append(slot)
+        if not slots:
+            return []
+        flat = [t for s in slots for t in s]
+        if not in_order and len(set(flat)) != len(flat):
+            raise ValueError(
+                "span_near with repeated terms requires in_order=True"
+            )
+        return self._span_topk_local(
+            [lit] + slots, (mode, int(slop), bool(in_order)), k, where
+        )
+
+    def search_span_containing_local(
+        self, little, big, slop: int = 0, in_order: bool = False,
+        k: int = 10, where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_containing`."""
+        return self._span_contain_local(
+            little, big, slop, in_order, "containing", k, where
+        )
+
+    def search_span_within_local(
+        self, little, big, slop: int = 0, in_order: bool = False,
+        k: int = 10, where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-job twin of :meth:`search_span_within`."""
+        return self._span_contain_local(
+            little, big, slop, in_order, "within", k, where
+        )
+
     def search_local(
         self, query_text: str, k: int = 10, mode: str = "bmw",
         where: list[tuple] | None = None,

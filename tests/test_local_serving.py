@@ -185,7 +185,7 @@ def test_local_terms_and_constant_score_identical(spark, built_index):
     search_terms, constant_score_local covers ids/exists/filter forms —
     same ids, same boost, doc_id ascending, tombstone-aware."""
     idx, _ = built_index
-    vals = ["w00000", "w00005"]
+    vals = ["w00000", c]
     dist = [(r["doc_id"], r["score"]) for r in idx.search_terms(vals, 10_000).collect()]
     loc = idx.search_terms_local(vals, 10_000)
     assert loc == dist and loc
@@ -487,3 +487,60 @@ def test_local_terms_lookup_identical_and_zero_job(spark, built_index):
     assert before == after  # zero Spark jobs end to end
     assert loc == dist and loc
     assert idx.search_terms_lookup_local(10**9, 10) == []
+
+
+def test_span_local_twins_identical(spark, local_pos_wh):
+    """Every span-family *_local twin must be rank/score-identical to its
+    distributed counterpart on the multi-segment positions warehouse
+    (same kernels, same global-df policy, per-segment baked stats)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx = Index(spark, local_pos_wh)
+    toks = tokenize_text(
+        idx._docs_df().orderBy("doc_id").select("text").first()["text"]
+    )
+    a = toks[1]
+    b = next(t for t in toks[2:] if t != a)
+    c = next(t for t in ("w00005", "w00007", "w00011") if t not in (a, b))
+
+    def dist(df):
+        return [(r["doc_id"], round(r["score"], 10)) for r in df.collect()]
+
+    def loc(pairs):
+        return [(d, round(s, 10)) for d, s in pairs]
+
+    # span_first
+    for end in (2, 6):
+        got = loc(idx.search_span_first_local(a, end, 10))
+        assert got == dist(idx.search_span_first(a, end, k=10)), end
+    # span_near unordered + ordered, with a span_or clause
+    for terms, slop, in_order in (
+        ([a, b], 2, False),
+        ([b, a], 3, True),
+        ([[a, b], c], 4, False),
+    ):
+        got = loc(idx.search_span_near_local(terms, slop=slop, in_order=in_order, k=10))
+        want = dist(idx.search_span_near(terms, slop=slop, in_order=in_order, k=10))
+        assert got == want, (terms, slop, in_order)
+    # span_or
+    got = loc(idx.search_span_or_local([a, b], 10))
+    assert got == dist(idx.search_span_or([a, b], k=10)) and got
+    # span_not
+    got = loc(idx.search_span_not_local(a, b, pre=1, post=1, k=10))
+    assert got == dist(idx.search_span_not(a, b, pre=1, post=1, k=10))
+    # span_containing / span_within
+    for slop, in_order in ((2, False), (3, True)):
+        gc = loc(idx.search_span_containing_local(a, [b, c], slop=slop, in_order=in_order, k=10))
+        wc = dist(idx.search_span_containing(a, [b, c], slop=slop, in_order=in_order, k=10))
+        assert gc == wc, ("containing", slop, in_order)
+        gw = loc(idx.search_span_within_local(a, [b, c], slop=slop, in_order=in_order, k=10))
+        ww = dist(idx.search_span_within(a, [b, c], slop=slop, in_order=in_order, k=10))
+        assert gw == ww, ("within", slop, in_order)
+    # filter surface: tuple where= == SQL where=
+    got = loc(idx.search_span_near_local([a, b], slop=3, k=10, where=[("role", "=", "user")]))
+    want = dist(idx.search_span_near([a, b], slop=3, k=10, where="role = 'user'"))
+    assert got == want
+    # absent terms / ephemeral guardrails
+    assert idx.search_span_near_local(["zzabsent", a], slop=2, k=10) == []
+    with pytest.raises(ValueError, match="repeated terms"):
+        idx.search_span_near_local([a, a], slop=2, in_order=False)
