@@ -2080,6 +2080,18 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization of the events table (gap = 1 h,
+    ordered by (ts, event_id) per user): per-session rollup (n_events,
+    start/end, whole-second duration). All gap/duration arithmetic is
+    integer microseconds, so the DuckDB window oracle is exact."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        session_stats,
+    )
+
+    return session_stats(_events(spark, sf_dir), gap_s=3600)
+
+
 def q_domain_mix(spark, sf_dir):
     """Static domain-mixture rebalancing to target proportions
     en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
@@ -2989,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "normalize_unicode": q_normalize_unicode,
         "span_near_local": q_span_near_local,
+        "sessionize": q_sessionize,
         "terms_lookup_local": q_terms_lookup_local,
         "dsir_select": q_dsir_select,
         "terms_lookup_topk": q_terms_lookup_topk,
@@ -3503,6 +3516,33 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) x JOIN rate ON x.lang = rate.d
 WHERE u < r
+"""
+
+# sessionize gap=3600s: session starts where the same-user gap exceeds
+# 3600s (integer microseconds — epoch_us mirrors Spark's unix_micros);
+# running sum over the identical (ts, event_id) ordering = session ordinal
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS duration_s
+FROM s GROUP BY 1, 2
 """
 
 # normalize_unicode: plant ' cafe'+U+0301 (decomposed) on doc_id%3==0 in
@@ -5935,6 +5975,7 @@ WHERE c.cluster_id = c.doc_id
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "domain_mix": _DOMAIN_MIX_SQL,
         "normalize_unicode": _NORMALIZE_UNICODE_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "pack_shards": _PACK_SHARDS_SQL,
         # minhash-LSH is exact-Jaccard-verified with 100% recall at this
         # operating point (asserted in tests/test_ops.py), so it shares
