@@ -300,3 +300,46 @@ def test_sq8_scan_is_top_c_and_rescore_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_window_is_keyed_not_single_partition(spark):
+    """The sessionization window must hash-partition by the session key —
+    never the WindowExec 'moving all data to a single partition' shape —
+    and the rollup must be one keyed aggregation, no global sort."""
+    import datetime as dt
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        session_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 10), i % 5)
+         for i in range(50)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    plan = _plan(session_stats(ev))
+    assert "Window" in plan
+    # every exchange is keyed (user_id for the window, user_id+session
+    # for the rollup) — never SinglePartition
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "Sort" in plan  # the per-partition window sort...
+    # ...but never a global one (formatted Sort details: [...keys...],
+    # <global>, 0 — global=true would read "], true, 0")
+    assert "], true, 0" not in plan
+
+
+def test_reverse_nested_agg_plan_shape(spark):
+    """reverse_nested: ONE explode, a keyed dedup (the semantics), one
+    keyed groupBy — no cartesian, no join back to the doc store."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta", [{"name": "a", "ms": float(i)}]) for i in range(8)],
+        "doc_id long, text string, calls array<struct<name:string,ms:double>>",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    plan = _plan(idx.reverse_nested_agg("alpha", "calls", "name", "length(text)"))
+    assert "Generate" in plan and "explode(" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final, keyed

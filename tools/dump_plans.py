@@ -460,6 +460,44 @@ def main() -> None:
         )
     )
 
+    import datetime as dt
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import session_stats
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 40), i % 7)
+         for i in range(100)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    sections.append(
+        (
+            "Sessionization (inactivity-gap windows)",
+            "The window hash-partitions on the session KEY (user_id) — "
+            "never WindowExec's single-partition shape — so a task holds "
+            "one user's events, and the rollup is a second keyed shuffle "
+            "with map-side partials. Both sorts are per-partition "
+            "(global=false). Asserted in tests/test_plans.py.",
+            plan_of(session_stats(ev)),
+        )
+    )
+
+    ndf = spark.createDataFrame(
+        [(i, "w00000 alpha", [{"name": "a", "ms": float(i)}]) for i in range(16)],
+        "doc_id long, text string, calls array<struct<name:string,ms:double>>",
+    )
+    nidx = Index.ephemeral(ndf, docs_per_shard=16, n_buckets=4)
+    sections.append(
+        (
+            "reverse_nested aggregation (step back to parents)",
+            "ONE explode (bounded blowup = objects/doc), the (bucket, "
+            "parent) distinct that IS reverse_nested's a-parent-counts-"
+            "once semantics, one keyed groupBy. The parent metric rides "
+            "the rows from before the explode — no join back to the doc "
+            "store, no cartesian.",
+            plan_of(nidx.reverse_nested_agg("alpha", "calls", "name", "length(text)")),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
