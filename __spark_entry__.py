@@ -2898,6 +2898,27 @@ def q_terms_lookup_local(spark, sf_dir):
     return spark.createDataFrame(loc, "doc_id long, score double")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011; FAISS IndexPQ): 16
+    subspaces × 64 centroids trained on a bounded 256-vector sample, each
+    vector packed to a 16-byte code (16× smaller than float32); the ADC
+    scan reads only (id, codes) and keeps the top-100 by reconstructed
+    cosine (TakeOrderedAndProject — no shuffle of the table); those 100
+    ids broadcast-join back to the float vectors for exact rescoring. At
+    this operating point recall is exactly 1.0 at sf0.001/0.01/0.1
+    (verified; pytest asserts exactness on the unit fixture), so the
+    brute-force cosine SQL oracles the whole train→encode→ADC→rescore
+    pipeline — the SQ8/LSH pinning precedent."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = pq_topk(emb, qv, K, rescore=100, m=16, k_cent=64)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023): target
     model = the corpus's lang='en' slice, raw model = the whole documents
@@ -2994,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (positions 50-87) — put THOSE first next round; they plus <=12 new
     # entries exactly fill the final window.
     return {
+        "ann_pq_topk": q_ann_pq_topk,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
@@ -5984,6 +6006,7 @@ WHERE c.cluster_id = c.doc_id
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
+        "ann_pq_topk": _COSINE_SQL,  # m=16 kc=64 rescore=100 recall 1.0 => exact top-k
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

@@ -591,3 +591,155 @@ def semdedup(
         return pd.DataFrame({id_col: ids[~drop]})
 
     return df.groupBy("list_id").applyInPandas(kernel, schema=f"{id_col} long")
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_cent: int = 32,
+    sample_n: int = 256,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    UNIT-NORMALIZED vector into ``m`` contiguous subvectors and run
+    Lloyd's k-means (L2, ``k_cent`` centroids) independently per
+    subspace. Training reads a BOUNDED deterministic sample — the
+    ``sample_n`` lowest-id vectors — and runs driver-side NumPy, the
+    standard FAISS practice (codebooks are trained on ~10⁵ samples even
+    for billion-vector indexes); nothing here scales with corpus size.
+
+    Returns ``(m, k_cent, dim // m)`` float64 codebooks. Deterministic:
+    init = the first ``k_cent`` sample subvectors; empty clusters keep
+    their previous centroid; ties in assignment go to the lowest
+    centroid id (NumPy argmin).
+    """
+    rows = emb.orderBy(id_col).limit(int(sample_n)).collect()
+    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.empty((m, k_cent, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:k_cent].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_cent):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoder: unit-normalize, split into subvectors, snap each to
+    its nearest codebook centroid (L2 argmin, lowest id on ties) and pack
+    the ``m`` uint8 codes into ONE BinaryType blob per vector — dim×4
+    bytes of float32 become ``m`` bytes (32× at dim=64, m=8). Arrow-
+    batched ``mapInPandas``; one distance matrix per (batch, subspace) —
+    no per-row Python. Identical vectors encode to identical blobs."""
+    import pandas as pd
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k_cent, dsub = books.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(x, axis=1)
+            x = x / np.maximum(norm[:, None], 1e-30)
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                # ||sub - c||² = ||sub||² - 2 sub·c + ||c||²; row term constant
+                d2 = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            )
+
+    return emb.mapInPandas(kernel, schema=f"{id_col} long, codes binary")
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 100,
+    m: int = 8,
+    k_cent: int = 32,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rescore:
+
+    1. :func:`pq_train` fits the codebooks on a bounded sample
+       (driver-side; corpus-size independent).
+    2. :func:`pq_encode` turns every vector into an ``m``-byte code.
+    3. The driver precomputes the ADC lookup table ``LUT[s][c] =
+       q̂_sub(s) · codebook[s][c]`` (m × k_cent floats); the scan kernel
+       reconstructs each vector's approximate cosine as
+       ``Σ_s LUT[s][codes[s]] / ||reconstruction||`` with ONE fancy-index
+       per Arrow batch — it reads only (id, codes), ~1/32nd of the
+       embedding bytes, and reduces via TakeOrderedAndProject (no shuffle
+       of the table).
+    4. The top-``rescore`` approximate candidates (ties: id asc) are
+       broadcast-joined back to the float vectors and exact-rescored; the
+       exact top-``k`` of those is returned.
+
+    Recall is governed by ``rescore`` vs the quantization error; the
+    oracle entry pins an operating point where recall is exactly 1.0 and
+    pytest asserts it (SQ8/LSH precedent), so the brute-force cosine SQL
+    oracles the whole train→encode→ADC→rescore pipeline."""
+    import pandas as pd
+
+    books = pq_train(emb, m, k_cent, sample_n, id_col=id_col, vec_col=vec_col)
+    dsub = books.shape[2]
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+    lut = np.stack(
+        [books[s] @ qn[s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, k_cent)
+    # ||reconstruction|| per code, for the cosine denominator
+    cnorm2 = (books**2).sum(axis=2)  # (m, k_cent)
+
+    codes_df = pq_encode(emb, books, id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"].to_numpy()]
+            ).astype(np.int64)  # (n, m)
+            sub = np.arange(m)[None, :]
+            num = lut[sub, c].sum(axis=1)
+            rec = np.sqrt(np.maximum(cnorm2[sub, c].sum(axis=1), 1e-30))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "approx": num / rec}
+            )
+
+    cand = (
+        codes_df.mapInPandas(score, schema=f"{id_col} long, approx double")
+        .orderBy(F.desc("approx"), F.asc(id_col))
+        .limit(int(rescore))
+    )
+    rescored = F.broadcast(cand.select(id_col)).join(emb, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        _cosine(F.col(vec_col), [float(x) for x in query_vec]).alias("cosine"),
+    )
+    return rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -822,6 +822,57 @@ def test_sq8_topk_exact_at_operating_point(emb):
     assert got_all == want
 
 
+def test_pq_encode_properties(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    df, vecs = emb
+    books = pq_train(df, m=4, k_cent=8, sample_n=40)
+    assert books.shape == (4, 8, 4)
+    rows = {r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    assert len(rows) == 40
+    for i in (0, 7, 39):
+        codes = np.frombuffer(rows[i], dtype=np.uint8)
+        assert len(codes) == 4 and codes.max() < 8
+        # codes are the true L2 argmin against the trained books
+        v = vecs[i].astype(np.float64)
+        v = v / np.linalg.norm(v)
+        for s in range(4):
+            sub = v[s * 4 : (s + 1) * 4]
+            d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            assert codes[s] == int(d2.argmin())
+    # identical vectors -> identical blobs
+    dup = df.union(
+        df.filter("vec_id = 3").select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    )
+    rows2 = {r["vec_id"]: r["codes"] for r in pq_encode(dup, books).collect()}
+    assert rows2[103] == rows2[3]
+
+
+def test_pq_topk_exact_at_operating_point(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[5]]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(df, q, 10, rescore=20, m=4, k_cent=8, sample_n=40).collect()
+    ]
+    assert got == want  # ids AND scores bit-identical (exact rescore)
+    # rescore = corpus size degenerates to brute force regardless of codes
+    got_all = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(df, q, 10, rescore=40, m=4, k_cent=8, sample_n=40).collect()
+    ]
+    assert got_all == want
+
+
 def test_dsir_weights_sign_and_determinism(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
 
