@@ -1341,6 +1341,22 @@ def q_agg_reverse_nested(spark, sf_dir):
     )
 
 
+def q_nested_sort_topk(spark, sf_dir):
+    """ES sort-by-nested-field (1.x sort ``mode``+``nested_filter``): the
+    K docs matching BM25_QUERY ordered by the MAX value of their nested
+    error events (same per-object filter as nested_topk), descending,
+    docs with no matching object last (missing _last, NULL key); the key
+    is rounded to 4 dp before ordering (geo-sort rule), ties doc_id."""
+    out = _nested_idx(spark, sf_dir).search_nested_sort(
+        BM25_QUERY, K, nested_col="evs", sort_expr="x.value",
+        inner_where=NESTED_WHERE, mode="max",
+    )
+    w = Window.orderBy(F.desc_nulls_last("sort_v"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", "sort_v"
+    )
+
+
 def _persistent_idx(spark, sf_dir):
     """Warehouse-backed documents index (doc_id-preserving conv_id trick)
     + its 'en_docs' filtered-alias view — cached per sf_dir, shared by the
@@ -3016,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries exactly fill the final window.
     return {
         "ann_pq_topk": q_ann_pq_topk,
+        "nested_sort_topk": q_nested_sort_topk,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
@@ -5694,6 +5711,21 @@ SELECT event_type AS bucket,
        round(avg(value), 6) AS avg_v
 FROM ev WHERE doc_id IN ({_MATCHED})
 GROUP BY 1 ORDER BY n_nested DESC, bucket
+""",
+        "nested_sort_topk": f"""
+WITH n AS (
+  SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+         round(max(value), 4)::DOUBLE AS sort_v
+  FROM events WHERE event_type = 'error' AND value >= 9.0
+  GROUP BY 1
+),
+m AS (SELECT doc_id FROM documents WHERE doc_id IN ({_MATCHED}))
+SELECT m.doc_id,
+       row_number() OVER (ORDER BY n.sort_v DESC NULLS LAST, m.doc_id) AS rank,
+       n.sort_v
+FROM m LEFT JOIN n USING (doc_id)
+ORDER BY n.sort_v DESC NULLS LAST, m.doc_id
+LIMIT {K}
 """,
         "agg_reverse_nested": f"""
 WITH ev AS (

@@ -5373,6 +5373,57 @@ class Index:
             .limit(k)
         )
 
+    def search_nested_sort(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        nested_col: str,
+        sort_expr: str,
+        inner_where: str | None = None,
+        mode: str = "max",
+        ascending: bool = False,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES sort-by-nested-field (the 1.x sort spec's ``mode`` +
+        ``nested_filter``): the k matching docs ordered by ``mode`` (max |
+        min | avg | sum) of ``sort_expr`` over the nested objects that
+        satisfy ``inner_where`` — per-object scoping like
+        :meth:`search_nested`, scoring skipped entirely like every ES
+        field sort. Docs whose array has NO matching object sort LAST in
+        either direction (ES ``missing: _last`` default), key NULL. The
+        sort key is ROUNDED to 4 decimals before ordering (the
+        geo-distance-sort rule) so float accumulation order can never
+        reorder engines; ties break by doc_id asc.
+
+        Plan shape: term-pruned match set → higher-order array functions
+        fused into the column-pruned doc scan (no explode, no extra
+        shuffle) → TakeOrderedAndProject."""
+        if mode not in ("max", "min", "avg", "sum"):
+            raise ValueError(f"unknown nested sort mode: {mode}")
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "doc_id long, sort_v double")
+        matched = f"filter({nested_col}, x -> ({inner_where or 'true'}))"
+        vals = f"transform({matched}, x -> CAST({sort_expr} AS DOUBLE))"
+        total = f"aggregate({vals}, CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        keyed = {
+            "max": f"array_max({vals})",
+            "min": f"array_min({vals})",
+            "avg": f"IF(size({vals}) = 0, NULL, {total} / size({vals}))",
+            "sum": f"IF(size({vals}) = 0, NULL, {total})",
+        }[mode]
+        key_col = F.round(F.expr(keyed), 4).alias("sort_v")
+        order = (
+            F.asc_nulls_last("sort_v") if ascending else F.desc_nulls_last("sort_v")
+        )
+        return (
+            scoped.select("doc_id", key_col)
+            .orderBy(order, F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sort(
         self,
         query_text: str,

@@ -204,3 +204,36 @@ def test_nested_local_twin_identical(spark, tmp_path):
         i for i, _t, arr in rows if any(o["name"] is None for o in arr)
     }
     assert {d for d, _ in got} == want
+
+
+def test_nested_sort_modes_and_missing_last(nested_idx):
+    """Sort-by-nested-field: mode rollup over matching objects only,
+    missing docs (no matching object) last with NULL key, ties doc_id."""
+    got = nested_idx.search_nested_sort(
+        "alpha", 10, nested_col="calls", sort_expr="x.ms",
+        inner_where=INNER, mode="max",
+    ).collect()
+    # doc 2 max=9, doc 1 max=7, doc 0 matches text but no object -> NULL last
+    assert [(r["doc_id"], r["sort_v"]) for r in got] == [
+        (2, 9.0), (1, 7.0), (0, None)
+    ]
+    got_min_asc = nested_idx.search_nested_sort(
+        "alpha", 10, nested_col="calls", sort_expr="x.ms",
+        inner_where=INNER, mode="min", ascending=True,
+    ).collect()
+    # missing still LAST in ascending order (ES missing _last)
+    assert [(r["doc_id"], r["sort_v"]) for r in got_min_asc] == [
+        (2, 5.0), (1, 7.0), (0, None)
+    ]
+    got_avg = nested_idx.search_nested_sort(
+        "alpha", 10, nested_col="calls", sort_expr="x.ms",
+        inner_where=INNER, mode="avg",
+    ).collect()
+    assert [(r["doc_id"], r["sort_v"]) for r in got_avg] == [
+        (1, 7.0), (2, 7.0), (0, None)  # 7.0 tie broken by doc_id asc
+    ]
+
+    with pytest.raises(ValueError):
+        nested_idx.search_nested_sort(
+            "alpha", 10, nested_col="calls", sort_expr="x.ms", mode="median"
+        )
