@@ -3026,10 +3026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so entries the gate has never seen (new this round, or skipped by earlier
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
-    # Round-5 rotation note: after the round-4 gate, the never-gated backlog is
-    # the 38-entry contiguous block decay_gauss_topk .. update_upsert
-    # (positions 50-87) — put THOSE first next round; they plus <=12 new
-    # entries exactly fill the final window.
+    # Round-5 rotation note: after the round-4 gate (first 50 keys of THIS
+    # dict), the never-gated backlog is EXACTLY the 48-entry contiguous block
+    # top_children_topk .. update_upsert (positions 50-97; recomputed against
+    # CORRECTNESS_r01-03 + this window) — put THOSE first next round; they
+    # plus <=2 new entries exactly fill the final 50-entry window.
     return {
         "ann_pq_topk": q_ann_pq_topk,
         "nested_sort_topk": q_nested_sort_topk,

@@ -280,6 +280,7 @@ def ann_recall(spark, emb) -> dict:
         cosine_topk,
         ivf_search,
         lsh_topk,
+        pq_topk,
         sq8_topk,
         train_centroids,
         build_ivf_index,
@@ -293,7 +294,7 @@ def ann_recall(spark, emb) -> dict:
     try:
         cent = train_centroids(emb, n_lists=16, iters=3)
         build_ivf_index(emb, cent, ivf_wh)
-        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk")}
+        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk")}
         denom = 0
         for qv in queries.values():
             truth = {
@@ -308,6 +309,8 @@ def ann_recall(spark, emb) -> dict:
                 "ivf_np1": ivf_search(spark, ivf_wh, qv, ANN_RECALL_K, nprobe=1),
                 "sq8_r20": sq8_topk(emb, qv, ANN_RECALL_K, rescore=20),
                 "sq8_rk": sq8_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
+                "pq_r20": pq_topk(emb, qv, ANN_RECALL_K, rescore=20, m=16, k_cent=64),
+                "pq_rk": pq_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K, m=16, k_cent=64),
             }
             for name, df in got.items():
                 hits[name] += len(truth & {r["vec_id"] for r in df.collect()})
@@ -347,6 +350,8 @@ partition pruning):
 | IVF (16 trained lists) | nprobe=1 | 1/16 | {recall['ivf_np1']} |
 | SQ8 (int8 + exact rescore) | rescore=20 | 1/4 of bytes + 20 rows | {recall['sq8_r20']} |
 | SQ8 (int8 + exact rescore) | rescore=k (pure quantized rank) | 1/4 of bytes + {ANN_RECALL_K} rows | {recall['sq8_rk']} |
+| PQ (16×64 ADC + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
+| PQ (16×64 ADC + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
 {RECALL_MD_END}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     text = ""

@@ -246,6 +246,32 @@ def test_geo_paths_fuse_into_scan_and_topk(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_nested_sort_fuses_into_scan_and_topk(spark):
+    """Nested sort plan shape: the per-object filter/transform/rollup is
+    higher-order Column algebra fused into the doc scan — no explode
+    (Generate), no Python, no extra join beyond the match-set semi-join —
+    and the ordering is TakeOrderedAndProject, never a global Sort."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [
+            (i, "alpha beta", [{"name": "a", "ms": float(i)}])
+            for i in range(21)
+        ],
+        "doc_id long, text string, calls array<struct<name:string,ms:double>>",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    plan = _plan(
+        idx.search_nested_sort(
+            "alpha", 5, nested_col="calls", sort_expr="x.ms",
+            inner_where="x.name = 'a'", mode="max",
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_is_cluster_local_no_cartesian(spark):
     """semdedup's quadratic work must stay inside per-cluster Python
     tasks: one join to attach list_id, ONE groupBy feeding a single

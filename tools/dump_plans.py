@@ -329,6 +329,24 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Nested sort (sort-by-nested-field, search_nested_sort)",
+            "ES's nested sort skips scoring like every field sort: term-"
+            "pruned match set → per-object filter/transform + mode rollup "
+            "as higher-order Column algebra fused into the doc scan (no "
+            "Generate, no Python) → TakeOrderedAndProject with NULL keys "
+            "(missing _last) — never a global Sort. Keys rounded to 4 dp "
+            "before ordering (the geo-sort rule).",
+            plan_of(
+                nidx.search_nested_sort(
+                    "w00000", 5, nested_col="calls", sort_expr="x.ms",
+                    inner_where="x.name IS NOT NULL", mode="max",
+                )
+            ),
+        )
+    )
+
     gdocs = idx._docs_df().selectExpr(
         "doc_id", "text",
         "((doc_id * 937) % 17000) / 100.0 - 85.0 AS lat",
@@ -414,6 +432,26 @@ def main() -> None:
             "are read for C rows only. Asserted no SortMergeJoin/Cartesian "
             "in tests/test_plans.py.",
             plan_of(sq8),
+        )
+    )
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import pq_topk
+
+    pq = pq_topk(
+        emb, [float(x) for x in vmat[0]], k=5, rescore=20, m=4, k_cent=8, sample_n=64
+    )
+    pq.collect()
+    sections.append(
+        (
+            "PQ ANN (ADC scan over m-byte codes + broadcast exact rescore)",
+            "Codebooks train driver-side on a bounded sample (corpus-size "
+            "independent); the ADC pass reads only the m-byte code blobs "
+            "(16x smaller at dim=64, m=16) and ranks via one lookup-table "
+            "fancy-index per Arrow batch, reducing per-partition through "
+            "TakeOrderedAndProject; the C-row candidate set broadcast-joins "
+            "back to the fat vectors for the exact rescore — the SQ8 shape "
+            "with a deeper compression ratio.",
+            plan_of(pq),
         )
     )
 
