@@ -1435,6 +1435,33 @@ def q_msearch_batch(spark, sf_dir):
     return out.select("qid", "doc_id", "rank", F.round("score", 4).alias("score_r"))
 
 
+def q_warmers(spark, sf_dir):
+    """ES 1.x ``_warmer`` API (removed in 2.x): two named search bodies
+    registered in the atomic-JSON control-plane registry (PUT semantics)
+    and replayed by ``warm()`` — which returns the warmed top-k rows
+    themselves, so the warm run is oracled against the plain per-query
+    BM25 SQL (msearch-batch precedent: UNION ALL, one block per warmer).
+    The second warmer carries a body knob (k=5) to pin body handling."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.warmers import (
+        put_warmer,
+        warm,
+    )
+
+    reg = tempfile.mkdtemp(prefix="warmers_") + "/warmers.json"
+    put_warmer(reg, "w1_top", BM25_QUERY)
+    put_warmer(reg, "w2_small", "order group window", k=5)
+    rows = warm(_cached_idx(spark, sf_dir), reg)
+    df = spark.createDataFrame(
+        rows, "warmer string, doc_id long, rank int, score double"
+    )
+    return df.select(
+        "warmer", "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 def q_highlight_topk(spark, sf_dir):
     """ES highlight surface over the BM25 top-k: fetch the hits and wrap
     the matched query terms in ``**`` inside an 80-char snippet centered
@@ -3027,13 +3054,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     # Round-5 rotation note: after the round-4 gate (first 50 keys of THIS
-    # dict), the never-gated backlog is EXACTLY the 48-entry contiguous block
-    # top_children_topk .. update_upsert (positions 50-97; recomputed against
+    # dict), the never-gated backlog is EXACTLY the 49-entry contiguous block
+    # has_parent_topk .. update_upsert (positions 50-98; recomputed against
     # CORRECTNESS_r01-03 + this window) — put THOSE first next round; they
-    # plus <=2 new entries exactly fill the final 50-entry window.
+    # plus <=1 new entry exactly fill the final 50-entry window.
     return {
         "ann_pq_topk": q_ann_pq_topk,
         "nested_sort_topk": q_nested_sort_topk,
+        "warmers": q_warmers,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
@@ -6048,6 +6076,11 @@ WHERE c.cluster_id = c.doc_id
         "semdedup": _SEMDEDUP_SQL,
         "highlight_topk": _highlight_sql(BM25_QUERY),
         "msearch_batch": _msearch_batch_sql(),
+        "warmers": (
+            f"SELECT 'w1_top' AS warmer, * FROM ({_bm25_sql(BM25_QUERY)})\n"
+            "UNION ALL\n"
+            f"SELECT 'w2_small' AS warmer, * FROM ({_bm25_sql('order group window', k=5)})"
+        ),
         "cosine_dup_pairs_lsh": _COSINE_DUP_SQL,  # full recall at bits=64/bands=32
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,
