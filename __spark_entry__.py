@@ -2962,6 +2962,26 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ with residual encoding (FAISS IndexIVFPQ): distributed
+    spherical-k-means coarse lists + 16×64 residual PQ codebooks trained
+    on a bounded sample; ADC = per-list constant + lookup-table sum; the
+    top-100 approximate candidates broadcast-join back for exact
+    rescoring. Probing ALL lists removes coarse loss and rescore=100
+    covers the PQ error — recall exactly 1.0 at sf0.001/0.01/0.1
+    (verified; the IVF all-lists + SQ8/PQ pinning precedents combined),
+    so the brute-force cosine SQL oracles the whole pipeline. Production
+    nprobe≪n_lists points are reported in BENCH.md's recall table."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = ivfpq_topk(emb, qv, K, nprobe=None, rescore=100)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023): target
     model = the corpus's lang='en' slice, raw model = the whole documents
@@ -3054,14 +3074,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     # Round-5 rotation note: after the round-4 gate (first 50 keys of THIS
-    # dict), the never-gated backlog is EXACTLY the 49-entry contiguous block
-    # has_parent_topk .. update_upsert (positions 50-98; recomputed against
+    # dict), the never-gated backlog is EXACTLY the 50-entry contiguous block
+    # has_child_sum_topk .. update_upsert (positions 50-99; recomputed against
     # CORRECTNESS_r01-03 + this window) — put THOSE first next round; they
-    # plus <=1 new entry exactly fill the final 50-entry window.
+    # exactly fill the final 50-entry window, so add NO new entries ahead
+    # of them (append new ones after position 99 instead).
     return {
         "ann_pq_topk": q_ann_pq_topk,
         "nested_sort_topk": q_nested_sort_topk,
         "warmers": q_warmers,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
@@ -6068,6 +6090,7 @@ WHERE c.cluster_id = c.doc_id
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
         "ann_pq_topk": _COSINE_SQL,  # m=16 kc=64 rescore=100 recall 1.0 => exact top-k
+        "ann_ivfpq_topk": _COSINE_SQL,  # all-lists probe + rescore=100 => exact top-k
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

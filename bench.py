@@ -279,6 +279,7 @@ def ann_recall(spark, emb) -> dict:
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
         cosine_topk,
         ivf_search,
+        ivfpq_topk,
         lsh_topk,
         pq_topk,
         sq8_topk,
@@ -294,7 +295,7 @@ def ann_recall(spark, emb) -> dict:
     try:
         cent = train_centroids(emb, n_lists=16, iters=3)
         build_ivf_index(emb, cent, ivf_wh)
-        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk")}
+        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk", "ivfpq_np4")}
         denom = 0
         for qv in queries.values():
             truth = {
@@ -311,6 +312,7 @@ def ann_recall(spark, emb) -> dict:
                 "sq8_rk": sq8_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
                 "pq_r20": pq_topk(emb, qv, ANN_RECALL_K, rescore=20, m=16, k_cent=64),
                 "pq_rk": pq_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K, m=16, k_cent=64),
+                "ivfpq_np4": ivfpq_topk(emb, qv, ANN_RECALL_K, nprobe=4, rescore=20),
             }
             for name, df in got.items():
                 hits[name] += len(truth & {r["vec_id"] for r in df.collect()})
@@ -352,6 +354,7 @@ partition pruning):
 | SQ8 (int8 + exact rescore) | rescore=k (pure quantized rank) | 1/4 of bytes + {ANN_RECALL_K} rows | {recall['sq8_rk']} |
 | PQ (16×64 ADC + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
 | PQ (16×64 ADC + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
+| IVF-PQ (16 lists, residual 16×64, rescore=20) | nprobe=4 | 1/4 of rows × 1/16 of bytes + 20 rows | {recall['ivfpq_np4']} |
 {RECALL_MD_END}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     text = ""

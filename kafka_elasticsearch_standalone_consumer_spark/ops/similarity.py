@@ -618,6 +618,13 @@ def pq_train(
     rows = emb.orderBy(id_col).limit(int(sample_n)).collect()
     x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    return _pq_lloyd(x, m, k_cent, iters)
+
+
+def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
+    """Per-subspace Lloyd's on a driver-side sample matrix — the shared
+    trainer behind :func:`pq_train` (raw unit vectors) and
+    :func:`ivfpq_topk` (coarse residuals)."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -741,5 +748,101 @@ def pq_topk(
     rescored = F.broadcast(cand.select(id_col)).join(emb, id_col).select(
         F.col(id_col).alias("vec_id"),
         _cosine(F.col(vec_col), [float(x) for x in query_vec]).alias("cosine"),
+    )
+    return rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = 4,
+    rescore: int = 100,
+    n_lists: int = 16,
+    m: int = 16,
+    k_cent: int = 64,
+    sample_n: int = 256,
+    coarse_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the canonical billion-scale FAISS
+    architecture (IndexIVFPQ), composed from the engine's existing
+    pieces:
+
+    * coarse quantizer: :func:`train_centroids` (distributed spherical
+      k-means) + :func:`ivf_assign` gives every vector a ``list_id``;
+    * fine quantizer: PQ codebooks (:func:`_pq_lloyd`) trained on the
+      RESIDUALS ``x̂ − c_list`` of a bounded driver-side sample — encoding
+      the residual instead of the vector is what makes m bytes go much
+      further once the coarse cell has soaked up most of the energy;
+    * search: centroids ranked driver-side, the top-``nprobe`` lists
+      scanned (on the materialized layout — :func:`build_ivf_index` +
+      the codes column — this is partition pruning; here a filter on the
+      assignment), approximate score = ``q̂·c_list + Σ_s LUT[s][code_s]``
+      (plain ADC inner product on the reconstruction, per-list constant
+      + one lookup-table fancy-index per Arrow batch), then the
+      top-``rescore`` candidates broadcast-join back to the float
+      vectors for the exact cosine and the exact top-``k`` is returned.
+
+    ``nprobe=None`` probes every list, which removes coarse-quantizer
+    loss entirely — with ``rescore`` covering the PQ error that is the
+    oracle-able recall-1.0 operating point (the IVF all-lists + SQ8/PQ
+    pinning precedents combined). Production points (nprobe ≪ n_lists)
+    are reported in the bench recall table instead.
+    """
+    import pandas as pd
+
+    cent = train_centroids(emb, n_lists, coarse_iters, id_col, vec_col)
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    assigned = ivf_assign(emb, cent, id_col, vec_col)
+    df = emb.join(assigned, id_col)
+
+    # residual PQ codebooks from the bounded deterministic sample
+    rows = df.orderBy(id_col).limit(int(sample_n)).collect()
+    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    lids = np.array([int(r["list_id"]) for r in rows])
+    books = _pq_lloyd(x - cent_n[lids], m, k_cent, iters=8)
+    dsub = books.shape[2]
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+    lut = np.stack([books[s] @ qn[s * dsub : (s + 1) * dsub] for s in range(m)])
+    qdotc = cent_n @ qn  # per-list constant term
+
+    sims = cent_n @ qn
+    if nprobe is None:
+        lists = list(range(n_lists))
+    else:
+        order = np.lexsort((np.arange(sims.size), -sims))[: int(nprobe)]
+        lists = sorted(int(i) for i in order)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            li = pdf["list_id"].to_numpy()
+            res = v - cent_n[li]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                sub = res[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            subi = np.arange(m)[None, :]
+            approx = qdotc[li] + lut[subi, codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "approx": approx})
+
+    cand = (
+        df.filter(F.col("list_id").isin(lists))
+        .mapInPandas(score, schema=f"{id_col} long, approx double")
+        .orderBy(F.desc("approx"), F.asc(id_col))
+        .limit(int(rescore))
+    )
+    rescored = F.broadcast(cand.select(id_col)).join(emb, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        _cosine(F.col(vec_col), [float(x_) for x_ in query_vec]).alias("cosine"),
     )
     return rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

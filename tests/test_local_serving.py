@@ -185,7 +185,7 @@ def test_local_terms_and_constant_score_identical(spark, built_index):
     search_terms, constant_score_local covers ids/exists/filter forms —
     same ids, same boost, doc_id ascending, tombstone-aware."""
     idx, _ = built_index
-    vals = ["w00000", c]
+    vals = ["w00000", "w00005"]
     dist = [(r["doc_id"], r["score"]) for r in idx.search_terms(vals, 10_000).collect()]
     loc = idx.search_terms_local(vals, 10_000)
     assert loc == dist and loc

@@ -873,6 +873,34 @@ def test_pq_topk_exact_at_operating_point(emb):
     assert got_all == want
 
 
+def test_ivfpq_topk_exact_at_operating_point(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[5]]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivfpq_topk(
+            df, q, 10, nprobe=None, rescore=20,
+            n_lists=4, m=4, k_cent=8, sample_n=40, coarse_iters=2,
+        ).collect()
+    ]
+    assert got == want  # all-lists probe + rescore covers both error sources
+    # pruned probe returns a SUBSET ordering consistent with exact cosine
+    pruned = ivfpq_topk(
+        df, q, 10, nprobe=1, rescore=20,
+        n_lists=4, m=4, k_cent=8, sample_n=40, coarse_iters=2,
+    ).collect()
+    exact_of = dict(want)
+    for r in pruned:
+        if r["vec_id"] in exact_of:
+            assert abs(r["cosine"] - exact_of[r["vec_id"]]) < 1e-12
+
+
 def test_dsir_weights_sign_and_determinism(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
 
