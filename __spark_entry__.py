@@ -2982,6 +2982,33 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): BM25 top-100 over documents fused with cosine
+    top-100 over embeddings (vec_id ≡ doc_id), rrf = Σ 1/(60+rank),
+    missing-from-a-list contributes 0. Both input rankings are already
+    oracled rank-identical (the bm25 and cosine entries), and the two
+    reciprocal terms add commutatively in IEEE double, so the fused
+    scores match DuckDB bit-for-bit before the 6-dp display rounding."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+
+    idx = _cached_idx(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bm = _rank(idx.search(BM25_QUERY, 100), "score", "doc_id").select("doc_id", "rank")
+    cos = (
+        _rank(cosine_topk(emb, qv, 100), "cosine", "vec_id")
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    out = rrf_fuse([bm, cos], K)
+    return _rank(out, "rrf", "doc_id").select(
+        "doc_id", "rank", F.round("rrf", 6).alias("rrf_r")
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023): target
     model = the corpus's lang='en' slice, raw model = the whole documents
@@ -3084,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_sort_topk": q_nested_sort_topk,
         "warmers": q_warmers,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "span_within_topk": q_span_within_topk,
         "span_containing_topk": q_span_containing_topk,
         "has_child_bounded_topk": q_has_child_bounded_topk,
@@ -6091,6 +6119,36 @@ WHERE c.cluster_id = c.doc_id
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
         "ann_pq_topk": _COSINE_SQL,  # m=16 kc=64 rescore=100 recall 1.0 => exact top-k
         "ann_ivfpq_topk": _COSINE_SQL,  # all-lists probe + rescore=100 => exact top-k
+        "hybrid_rrf": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT doc_id,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+       round(rrf, 6) AS rrf_r
+FROM (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), CAST(0 AS DOUBLE))
+       + COALESCE(CAST(1 AS DOUBLE) / (60 + c.r), CAST(0 AS DOUBLE)) AS rrf
+  FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100) b
+  FULL OUTER JOIN (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosv DESC, vec_id) AS r
+    FROM (
+      SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cosv
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    )
+    ORDER BY cosv DESC, vec_id LIMIT 100
+  ) c ON b.doc_id = c.doc_id
+)
+ORDER BY rrf DESC, doc_id
+LIMIT {K}
+""",
+        ),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

@@ -846,3 +846,38 @@ def ivfpq_topk(
         _cosine(F.col(vec_col), [float(x_) for x_ in query_vec]).alias("cosine"),
     )
     return rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    combine lexical (BM25) and dense (cosine) retrieval without score
+    calibration: ``rrf(d) = Σ_lists 1/(k_rrf + rank_list(d))``, summed
+    over the lists that contain ``d``. Input: one DataFrame per ranked
+    list with columns ``(id_col, rank)`` (rank 1-based, each list already
+    truncated to its candidate depth — RRF fuses CANDIDATE LISTS, never
+    corpora, so every input here is ≤ depth rows and the joins are
+    trivia; the heavy lifting stays inside the per-list retrievals).
+    Output: ``(id_col, rrf)`` top-``k``, ties by id ascending. The two
+    reciprocal terms add commutatively in IEEE double, so the score is
+    bit-identical across engines given identical input ranks."""
+    fused = None
+    terms = []
+    for i, df in enumerate(ranked):
+        d = df.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        fused = d if fused is None else fused.join(d, id_col, "full_outer")
+        terms.append(
+            F.coalesce(F.lit(1.0) / (F.lit(int(k_rrf)) + F.col(f"__r{i}")), F.lit(0.0))
+        )
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    return (
+        fused.select(id_col, expr.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -901,6 +901,31 @@ def test_ivfpq_topk_exact_at_operating_point(emb):
             assert abs(r["cosine"] - exact_of[r["vec_id"]]) < 1e-12
 
 
+def test_rrf_fuse_hand_computed(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    got = [(r["doc_id"], r["rrf"]) for r in rrf_fuse([a, b], k=10, k_rrf=60).collect()]
+    want = sorted(
+        [
+            (10, 1 / 61),
+            (11, 1 / 62 + 1 / 61),  # in both lists
+            (12, 1 / 63),
+            (13, 1 / 62),  # dense-only candidate still surfaces
+        ],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+    assert got[0][0] == 11  # consensus doc wins
+    # k truncation + ties (equal rrf) break by doc id ascending
+    assert [d for d, _ in rrf_fuse([a, b], k=2).collect()] == [11, 10]
+    c = spark.createDataFrame([(20, 1)], "doc_id long, rank int")
+    d = spark.createDataFrame([(21, 1)], "doc_id long, rank int")
+    tied = [r["doc_id"] for r in rrf_fuse([c, d], k=2).collect()]
+    assert tied == [20, 21]
+
+
 def test_dsir_weights_sign_and_determinism(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
 
