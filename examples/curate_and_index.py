@@ -116,6 +116,44 @@ def main(n_convs: int = 400) -> None:
     top.show(5, truncate=60)
     print("phrase hits:", phrase_hits.count(), "| user-only hits:", user_hits.count())
     facet.show()
+
+    # 7: dense + hybrid retrieval over an embedding column
+    import numpy as np
+    from pyspark.sql import Window
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_topk,
+        rrf_fuse,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 32)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    print("PQ ANN (m-byte ADC scan + exact rescore):")
+    pq_topk(emb, qv, 5, rescore=20, m=8, k_cent=16, sample_n=128).show()
+    print("IVF-PQ (residual codes, 2 of 8 lists probed):")
+    ivfpq_topk(
+        emb, qv, 5, nprobe=2, rescore=20, n_lists=8, m=8, k_cent=16, sample_n=128
+    ).show()
+
+    def ranked(df, score_col, id_col):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        return df.withColumn("rank", F.row_number().over(w)).select(
+            F.col(id_col).alias("doc_id"), "rank"
+        )
+
+    print("hybrid BM25 + dense via reciprocal-rank fusion:")
+    rrf_fuse(
+        [ranked(idx.search(q, 50), "score", "doc_id"),
+         ranked(cosine_topk(emb, qv, 50), "cosine", "vec_id")],
+        k=5,
+    ).show()
     spark.stop()
 
 

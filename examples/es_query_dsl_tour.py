@@ -167,6 +167,26 @@ def main(n_convs: int = 300) -> None:
     show("indices query (per-member routing)",
          MultiIndex([even, odd]).indices_query([0], q, no_match_query="none", k=5))
     print("\n-- search_local (zero Spark jobs):", idx.search_local(q, 3))
+
+    # --- warmers & nested sort (round 4e) -------------------------------
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.warmers import (
+        put_warmer,
+        warm,
+    )
+
+    wreg = tempfile.mkdtemp() + "/warmers.json"
+    put_warmer(wreg, "daily_top", q, k=3)
+    print("\n-- _warmer replay (primes caches, returns the warmed top-k):")
+    for row in warm(idx, wreg):
+        print("  ", row)
+    ndocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "array(named_struct('name', tool, 'ms', CAST(turn_idx AS DOUBLE))) AS calls",
+    )
+    nidx = Index.ephemeral(ndocs, docs_per_shard=1024, n_buckets=8)
+    show("sort by nested field (mode=max, missing last)",
+         nidx.search_nested_sort(q, 3, nested_col="calls", sort_expr="x.ms",
+                                 inner_where="x.name IS NOT NULL", mode="max"))
     print("\nDSL tour complete.")
     spark.stop()
 
