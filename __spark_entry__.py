@@ -2212,6 +2212,49 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_knn_join_topk(spark, sf_dir):
+    """Batched exact kNN join: top-10 cosine neighbors for EVERY query in
+    an 8-query batch (vec_id < 8) in ONE pass over the corpus — broadcast
+    query matrix, per-Arrow-batch local top-k (≤ q×k rows leave each
+    batch), one qid-partitioned window merge. The DuckDB oracle is the
+    q×n cross join + per-qid row_number — exact, so the kernel's lossless
+    local-top-k claim is hash-verified end to end."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import knn_join
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_join(emb, qs, K)
+    return out.select("qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_knn_join_ivf_topk(spark, sf_dir):
+    """Batched kNN join routed through a materialized IVF index, probing
+    ALL lists (nprobe=None) — exact by construction, so the same cross-join
+    oracle hash-verifies the whole routed plan (partition-pruned scan →
+    broadcast routing join → fold-order pair cosine → per-qid window).
+    Production nprobe operating points are reported in BENCH.md's ANN
+    recall table (nprobe=2 of 4 lists ≈ 0.81 recall@10 at sf0.01)."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cent = train_centroids(emb, 4, iters=2)
+    wh = tempfile.mkdtemp(prefix="kesc_knnivf_")
+    build_ivf_index(emb, cent, wh)
+    out = knn_join_ivf(spark, wh, qs, K, nprobe=None)
+    return out.select("qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+
+
 def q_ivf_train_topk(spark, sf_dir):
     """Trained-codebook IVF end-to-end: spherical k-means (5 distributed
     Lloyd iterations, deterministic smallest-id init) trains 4 centroids,
@@ -3208,6 +3251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_quality": q_lm_doc_quality,
         "delete_by_query": q_delete_by_query,
         "update_upsert": q_update_upsert,
+        # ---- appended AFTER the round-5 rotation window (see note above):
+        # these round-4e late adds can no longer fit any driver window, so
+        # they rely on the full tools/check_entry.py rehearsal (green) ----
+        "knn_join_topk": q_knn_join_topk,
+        "knn_join_ivf_topk": q_knn_join_ivf_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -3694,6 +3742,25 @@ FROM s
 ORDER BY dot / (n1 * n2) DESC, vec_id
 LIMIT 10
 """
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, rank, round(cosine, 4) AS cosine_r
+FROM r WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
 
 def _phrase_sql(matcher: str) -> str:
     """Phrase-scoring SQL shared by the exact and sloppy entries: the
@@ -6150,6 +6217,8 @@ LIMIT {K}
 """,
         ),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
+        "knn_join_topk": _KNN_SQL,
+        "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

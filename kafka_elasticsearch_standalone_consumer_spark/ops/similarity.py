@@ -881,3 +881,148 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _collect_queries(
+    queries: DataFrame, q_id_col: str, q_vec_col: str, max_queries: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded driver-side collect of the query batch: (ids, matrix).
+    Raises loudly past ``max_queries`` instead of silently OOMing the
+    driver — batched kNN broadcasts the query matrix to every task, so
+    its size is a hard design bound, not a soft one."""
+    n = queries.count()
+    if n > max_queries:
+        raise ValueError(
+            f"knn_join query batch has {n} rows > max_queries={max_queries}; "
+            "split the batch (the query matrix is broadcast to every task)"
+        )
+    rows = queries.select(q_id_col, q_vec_col).orderBy(q_id_col).collect()
+    qids = np.array([r[q_id_col] for r in rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[q_vec_col]] for r in rows], dtype=np.float64)
+    return qids, qm
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "embedding",
+    max_queries: int = 65536,
+) -> DataFrame:
+    """Batched exact cosine kNN join: for EVERY query in ``queries``, the
+    top-``k`` neighbors from ``emb`` — ``(qid, vec_id, rank, cosine)``,
+    rank 1-based per query, ties by ``vec_id`` ascending. This is the
+    many-query complement of :func:`cosine_topk` (which plans one
+    TakeOrderedAndProject per query and therefore one job per query).
+
+    Shape for 100 TB: the query matrix (bounded by ``max_queries``,
+    raises loudly beyond it) is broadcast inside an Arrow ``mapInPandas``
+    kernel; each batch computes ONE normalized matmul (n×d @ d×q) and
+    keeps only its LOCAL top-k per query, so at most q×k rows leave each
+    Arrow batch regardless of corpus size. The global merge is a single
+    window over those q×k×batches candidate rows, hash-partitioned by
+    qid — the corpus itself is scanned once and never shuffled. Local
+    top-k per batch is lossless: the global top-k is a subset of every
+    superset's local top-k under the same (cosine desc, id asc) order.
+    """
+    from pyspark.sql import Window
+
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col, max_queries)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            s = x @ qn.T  # (n, q)
+            kk = min(k, len(ids))
+            out_q, out_id, out_c = [], [], []
+            for j in range(qn.shape[0]):
+                col = s[:, j]
+                # top-k by (cosine desc, id asc): lexsort is stable & total
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.append(np.full(kk, qids[j]))
+                out_id.append(ids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="qid long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )
+
+
+def knn_join_ivf(
+    spark,
+    warehouse_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = 2,
+    q_id_col: str = "qid",
+    q_vec_col: str = "embedding",
+    max_queries: int = 65536,
+) -> DataFrame:
+    """Batched kNN join routed through a :func:`build_ivf_index` warehouse:
+    each query probes only its ``nprobe`` nearest inverted lists
+    (``nprobe=None`` probes ALL lists — exact, the oracle operating
+    point). Routing is driver-side NumPy over the tiny codebook; the
+    plan is a partition-pruned scan of the union of routed lists, ONE
+    broadcast join against the (qid, list_id, query_vec) routing table —
+    so each base row is scored only against the queries routed to its
+    list — exact fold-order cosine (:func:`_pair_cosine`, bit-identical
+    to the SQL oracle), and ONE window per qid over the surviving rows.
+    No Python in the scoring path."""
+    from pyspark.sql import Window
+
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    wh = Warehouse(warehouse_path)
+    meta = wh.read_meta(IVF_META)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    qids, qm = _collect_queries(queries, q_id_col, q_vec_col, max_queries)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    n_lists = cent_n.shape[0]
+    np_ = n_lists if nprobe is None else min(nprobe, n_lists)
+    sims = qn @ cent_n.T  # (q, n_lists)
+    routing = []
+    for j in range(qn.shape[0]):
+        order = np.lexsort((np.arange(n_lists), -sims[j]))[:np_]
+        for li in sorted(int(x) for x in order):
+            routing.append((int(qids[j]), li, [float(x) for x in qm[j]]))
+    rt = spark.createDataFrame(routing, "qid long, list_id int, qvec array<double>")
+    lists = sorted({li for _, li, _ in routing})
+    base = wh.read(spark, IVF_TABLE).filter(F.col("list_id").isin(lists))
+    scored = (
+        base.join(F.broadcast(rt), "list_id")
+        .select(
+            "qid",
+            F.col(meta["id_col"]).cast("long").alias("vec_id"),
+            _pair_cosine(F.col(meta["vec_col"]), F.col("qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )

@@ -949,3 +949,69 @@ def test_dsir_weights_sign_and_determinism(spark):
         for r in dsir_weights(df.repartition(7), target.repartition(3), n_buckets=64).collect()
     }
     assert got2 == {k: (v["weight"], v["selected"]) for k, v in got.items()}
+
+
+def test_knn_join_matches_numpy_all_queries(emb):
+    """Batched kNN join == the per-query NumPy brute force for every query
+    in the batch: same neighbors, same ranks, same (cosine desc, id asc)
+    tie order, scores to 1e-9."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import knn_join
+
+    df, vecs = emb
+    m = vecs.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qs = df.filter("vec_id < 6").selectExpr("vec_id as qid", "embedding")
+    got = knn_join(df, qs, k=5).collect()
+    assert len(got) == 6 * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid in range(6):
+        sims = mn @ mn[qid]
+        want = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == want
+        for r in rows:
+            assert abs(r["cosine"] - sims[r["vec_id"]]) < 1e-9
+
+
+def test_knn_join_query_cap_raises(emb):
+    """The broadcast query matrix is a hard design bound: past max_queries
+    the join must refuse loudly instead of OOMing the driver."""
+    import pytest as _pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import knn_join
+
+    df, _ = emb
+    qs = df.selectExpr("vec_id as qid", "embedding")
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn_join(df, qs, k=3, max_queries=8)
+
+
+def test_knn_join_ivf_exact_at_all_lists_and_prunes(emb, tmp_path):
+    """nprobe=ALL routed kNN join == the brute batched join (exact by
+    construction); nprobe=1 scans a strict subset of lists and keeps
+    per-query recall sane (>0 overlap with truth)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        knn_join,
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    df, _ = emb
+    spark = df.sparkSession
+    qs = df.filter("vec_id < 4").selectExpr("vec_id as qid", "embedding")
+    cent = train_centroids(df, 4, iters=2)
+    wh = str(tmp_path / "ivf")
+    build_ivf_index(df, cent, wh)
+    brute = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+             for r in knn_join(df, qs, k=5).collect()}
+    routed = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+              for r in knn_join_ivf(spark, wh, qs, k=5, nprobe=None).collect()}
+    assert routed == brute
+    n1 = knn_join_ivf(spark, wh, qs, k=5, nprobe=1).collect()
+    assert len(n1) > 0
+    got1 = {(r["qid"], r["vec_id"]) for r in n1}
+    truth = {(q, v) for (q, _rk), (v, _c) in brute.items()}
+    assert got1 & truth

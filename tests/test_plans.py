@@ -369,3 +369,38 @@ def test_reverse_nested_agg_plan_shape(spark):
     assert "Generate" in plan and "explode(" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final, keyed
+
+
+def test_knn_join_ivf_prunes_lists_broadcasts_routing_keyed_window(spark, tmp_path):
+    """The routed batched-kNN plan must show: directory-level pruning on
+    list_id (only routed lists read), a broadcast of the tiny routing
+    table (never a shuffle of the vector table), and a qid-keyed window —
+    no SinglePartition anywhere, no cartesian."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding")
+    cent = train_centroids(emb, 4, iters=1)
+    wh = str(tmp_path / "ivf")
+    build_ivf_index(emb, cent, wh)
+    df = knn_join_ivf(spark, wh, qs, k=5, nprobe=1)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters") :]
+    assert "list_id" in seg[: seg.index("]") + 1]
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "hashpartitioning(qid" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
