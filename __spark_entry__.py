@@ -2135,6 +2135,25 @@ def q_sessionize(spark, sf_dir):
     return session_stats(_events(spark, sf_dir), gap_s=3600)
 
 
+def q_turn_context(spark, sf_dir):
+    """Rolling-context assembly over a keyed ordered log — the
+    training-example unit for multi-turn data (turn + previous k turns).
+    Run here over events (key=user_id, order=event_id — unique per key,
+    so the window order is total and contexts deterministic): each
+    event's context is the ' '-join of the previous 3 event_types plus
+    its own. Exact DuckDB twin: array_agg OVER (PARTITION BY user_id
+    ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        turn_contexts,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    return turn_contexts(
+        ev, key_col="user_id", order_col="event_id",
+        text_col="event_type", k_prev=3, sep=" ",
+    )
+
+
 def q_domain_mix(spark, sf_dir):
     """Static domain-mixture rebalancing to target proportions
     en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
@@ -3256,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they rely on the full tools/check_entry.py rehearsal (green) ----
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_topk": q_knn_join_ivf_topk,
+        "turn_context": q_turn_context,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6219,6 +6239,16 @@ LIMIT {K}
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "knn_join_topk": _KNN_SQL,
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
+        "turn_context": """
+SELECT user_id, event_id, len(ctx)::BIGINT AS n_ctx,
+       array_to_string(ctx, ' ') AS context
+FROM (
+  SELECT user_id, event_id,
+         array_agg(event_type) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ctx
+  FROM events WHERE user_id < 10) t
+""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

@@ -77,3 +77,44 @@ def session_stats(
         .cast("long")
         .alias("duration_s"),
     )
+
+
+def turn_contexts(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    k_prev: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Training-example context assembly over a keyed ordered log: for
+    EVERY row, the concatenation of the previous ``k_prev`` texts of the
+    same key plus its own, in order — the "turn + rolling context" unit
+    an LLM fine-tuning pipeline feeds the tokenizer for multi-turn
+    transcripts (key=conv_id, order=turn_idx) and a session-context
+    feature for event logs (key=user_id, order=event_id).
+
+    ``order_col`` must be unique per key (turn_idx / event_id are) — the
+    window order is then total, so contexts are deterministic.
+
+    Output: (key, order, n_ctx, context) where n_ctx counts the rows in
+    the frame (≤ k_prev+1) and context joins them with ``sep``.
+
+    Scale shape: ONE hash-partitioned window keyed by ``key_col`` — the
+    same keyed-window plan as :func:`sessionize` (asserted in
+    tests/test_plans.py), never a single partition, never a global sort.
+    The frame duplicates each text ≤ k_prev+1 times AFTER the shuffle
+    (the shuffle itself carries each row once); state per task is one
+    key's rows."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(-int(k_prev), 0)
+    )
+    ctx = F.collect_list(F.col(text_col)).over(w)
+    return df.select(
+        key_col,
+        order_col,
+        F.size(ctx).cast("long").alias("n_ctx"),
+        F.array_join(ctx, sep).alias("context"),
+    )

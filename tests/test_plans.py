@@ -404,3 +404,21 @@ def test_knn_join_ivf_prunes_lists_broadcasts_routing_keyed_window(spark, tmp_pa
     assert "hashpartitioning(qid" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_turn_contexts_window_is_keyed_not_single_partition(spark):
+    """Context assembly must hash-partition its window by the conv key —
+    never the single-partition WindowExec shape, never a global sort."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        turn_contexts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"c{i%7}", i, f"t{i}") for i in range(100)],
+        "conv_id string, turn_idx int, text string",
+    )
+    plan = _plan(turn_contexts(df, k_prev=3))
+    assert "Window" in plan
+    assert "hashpartitioning(conv_id" in plan
+    assert "SinglePartition" not in plan
+    assert "], true, 0" not in plan  # no global sort

@@ -79,3 +79,44 @@ def test_session_subsecond_gap_is_integer_exact(spark):
         for r in sessionize(ev, gap_s=3600).collect()
     }
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_turn_contexts_matches_pandas_on_transcripts(spark):
+    """Context assembly over a real transcript corpus == a sequential
+    pandas reference: per conv, each turn's context is the '\\n'-join of
+    the previous 2 turn texts plus its own, in turn order."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        turn_contexts,
+    )
+
+    tr = generate_transcripts(spark, n_convs=6, seed=9, partitions=2)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_ctx"], r["context"])
+        for r in turn_contexts(tr, k_prev=2, sep="\n").collect()
+    }
+    pdf = tr.select("conv_id", "turn_idx", "text").toPandas()
+    want = {}
+    for conv, g in pdf.groupby("conv_id"):
+        texts = g.sort_values("turn_idx")
+        rows = list(zip(texts["turn_idx"], texts["text"]))
+        for i, (ti, _t) in enumerate(rows):
+            frame = [t for _, t in rows[max(0, i - 2) : i + 1]]
+            want[(conv, ti)] = (len(frame), "\n".join(frame))
+    assert got == want
+
+
+def test_turn_contexts_frame_is_bounded_by_k_prev(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import (
+        turn_contexts,
+    )
+
+    df = spark.createDataFrame(
+        [("c", i, f"t{i}") for i in range(5)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["turn_idx"]: r for r in turn_contexts(df, k_prev=3).collect()}
+    assert out[0]["context"] == "t0" and out[0]["n_ctx"] == 1
+    assert out[4]["context"] == "t1\nt2\nt3\nt4" and out[4]["n_ctx"] == 4
