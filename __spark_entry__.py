@@ -654,6 +654,20 @@ def q_agg_missing(spark, sf_dir):
     return _cached_nullable_idx(spark, sf_dir).missing_agg(BM25_QUERY, "source_opt")
 
 
+def q_agg_value_count(spark, sf_dir):
+    """ES value_count aggregation — the dual of agg_missing: matching
+    docs with a NON-NULL source_opt (same derived-nullable index)."""
+    return _cached_nullable_idx(spark, sf_dir).value_count_agg(
+        BM25_QUERY, "source_opt"
+    )
+
+
+def q_agg_filter(spark, sf_dir):
+    """ES single-bucket filter aggregation: the match set narrowed to
+    lang='en', then the stats metric sub-agg over n_chars."""
+    return _cached_idx(spark, sf_dir).filter_agg(BM25_QUERY, "lang = 'en'", "n_chars")
+
+
 def q_agg_cardinality(spark, sf_dir):
     """ES cardinality aggregation (exact verification mode; the HLL++
     default is pytest-checked within rsd of this): distinct sources over
@@ -3276,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_topk": q_knn_join_ivf_topk,
         "turn_context": q_turn_context,
+        "agg_value_count": q_agg_value_count,
+        "agg_filter": q_agg_filter,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6248,6 +6264,18 @@ FROM (
            PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ctx
   FROM events WHERE user_id < 10) t
+""",
+        "agg_value_count": f"""
+SELECT count(*) FILTER (WHERE n_chars % 7 <> 0)::BIGINT AS n_values
+FROM documents WHERE doc_id IN ({_MATCHED})
+""",
+        "agg_filter": f"""
+SELECT count(n_chars)::BIGINT AS n,
+       min(n_chars)::DOUBLE AS min_v,
+       max(n_chars)::DOUBLE AS max_v,
+       round(sum(n_chars), 6)::DOUBLE AS sum_v,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v
+FROM documents WHERE doc_id IN ({_MATCHED}) AND lang = 'en'
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

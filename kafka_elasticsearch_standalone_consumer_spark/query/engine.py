@@ -3756,6 +3756,42 @@ class Index:
             return self.spark.createDataFrame([], "n_missing long")
         return aggs.missing_count(scoped, field)
 
+    def value_count_agg(
+        self,
+        query_text: str,
+        field: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES ``value_count`` aggregation: how many matching docs HAVE a
+        value for ``field`` (non-NULL) — the dual of :meth:`missing_agg`,
+        one conditional count over the scoped set."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame([], "n_values long")
+        return scoped.agg(F.count(F.col(field)).cast("long").alias("n_values"))
+
+    def filter_agg(
+        self,
+        query_text: str,
+        filter_where: str,
+        field: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES single-bucket ``filter`` aggregation: narrow the match set
+        by a filter expression, then run the metric sub-aggregation (ES's
+        ubiquitous `filter: {...}, aggs: {stats: ...}` idiom). One scoped
+        scan + one aggregate — the filter fuses into the scan stage."""
+        from kafka_elasticsearch_standalone_consumer_spark.query import aggs
+
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [], "n long, min_v double, max_v double, sum_v double, avg_v double"
+            )
+        return aggs.stats_summary(scoped.filter(filter_where), field)
+
     def scripted_metric_agg(
         self,
         query_text: str,

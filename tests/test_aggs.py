@@ -666,3 +666,26 @@ def test_geo_bounds_and_distance_sort(spark):
         ((i, round(hav(la, lo), 4)) for i, _t, la, lo in pts),
         key=lambda t: (-t[1], t[0]),
     )[:3]]
+
+
+def test_value_count_and_filter_agg(spark):
+    """value_count is the non-NULL dual of missing; filter_agg narrows the
+    match set before the stats metric (and an all-false filter yields the
+    empty-stats row, n=0)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "x", 10),
+            (1, "alpha gamma", None, 20),
+            (2, "alpha beta", "y", 30),
+        ],
+        "doc_id long, text string, tag string, n long",
+    )
+    idx = Index.ephemeral(docs, docs_per_shard=8, n_buckets=4)
+    assert idx.value_count_agg("alpha", "tag").collect()[0]["n_values"] == 2
+    assert idx.value_count_agg("beta", "tag").collect()[0]["n_values"] == 2
+    row = idx.filter_agg("alpha", "tag IS NOT NULL", "n").collect()[0]
+    assert (row["n"], row["min_v"], row["max_v"], row["sum_v"]) == (2, 10.0, 30.0, 40.0)
+    empty = idx.filter_agg("alpha", "tag = 'zz'", "n").collect()[0]
+    assert empty["n"] == 0 and empty["min_v"] is None
