@@ -246,6 +246,14 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
         t["cosine_topk"] = best_of(lambda: cosine_topk(emb, qv, 10).collect())
+
+        from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import knn_join
+
+        # batched kNN: ONE pass answers 32 queries (vs 32 cosine_topk jobs)
+        q32 = emb.filter(F.col("vec_id") < 32).selectExpr(
+            "vec_id as qid", "embedding"
+        )
+        t["knn_join_32q"] = best_of(lambda: knn_join(emb, q32, 10).count())
         recall = ann_recall(spark, emb)
         t["ann_recall_phase"] = recall.pop("_wall")
     finally:
@@ -295,13 +303,15 @@ def ann_recall(spark, emb) -> dict:
     try:
         cent = train_centroids(emb, n_lists=16, iters=3)
         build_ivf_index(emb, cent, ivf_wh)
-        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk", "ivfpq_np4")}
+        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk", "ivfpq_np4", "knn_ivf_np4")}
         denom = 0
-        for qv in queries.values():
+        truths = {}
+        for qid, qv in queries.items():
             truth = {
                 r["vec_id"]
                 for r in cosine_topk(emb, qv, ANN_RECALL_K).collect()
             }
+            truths[qid] = truth
             denom += len(truth)
             got = {
                 "lsh_h1": lsh_topk(emb, qv, ANN_RECALL_K, bits=8, probe_hamming=1),
@@ -316,6 +326,17 @@ def ann_recall(spark, emb) -> dict:
             }
             for name, df in got.items():
                 hits[name] += len(truth & {r["vec_id"] for r in df.collect()})
+        # batched routed kNN join: ONE job answers all queries at nprobe=4
+        from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+            knn_join_ivf,
+        )
+
+        qdf = emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).selectExpr(
+            "vec_id as qid", "embedding"
+        )
+        for r in knn_join_ivf(spark, ivf_wh, qdf, ANN_RECALL_K, nprobe=4).collect():
+            if r["vec_id"] in truths[int(r["qid"])]:
+                hits["knn_ivf_np4"] += 1
         out = {name: round(h / denom, 4) for name, h in hits.items()}
         out["_wall"] = _time.monotonic() - t0
         return out
@@ -355,6 +376,7 @@ partition pruning):
 | PQ (16×64 ADC + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
 | PQ (16×64 ADC + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
 | IVF-PQ (16 lists, residual 16×64, rescore=20) | nprobe=4 | 1/4 of rows × 1/16 of bytes + 20 rows | {recall['ivfpq_np4']} |
+| batched kNN join (IVF-routed, all {ANN_RECALL_QUERIES} queries in ONE job) | nprobe=4 | union of routed lists, once | {recall['knn_ivf_np4']} |
 {RECALL_MD_END}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     text = ""
