@@ -154,6 +154,17 @@ def main(n_convs: int = 400) -> None:
          ranked(cosine_topk(emb, qv, 50), "cosine", "vec_id")],
         k=5,
     ).show()
+
+    print("batched kNN join (one pass, all queries):")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import knn_join
+
+    qs = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id as qid", "embedding")
+    knn_join(emb, qs, k=3).orderBy("qid", "rank").show()
+
+    print("rolling-context training examples (turn + previous 2 turns):")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import turn_contexts
+
+    turn_contexts(turns.limit(200), k_prev=2, sep=" | ").show(5, truncate=60)
     spark.stop()
 
 
