@@ -1932,6 +1932,16 @@ def q_suggest_complete(spark, sf_dir):
     return _cached_idx(spark, sf_dir).suggest_complete("s", 5)
 
 
+def q_suggest_context(spark, sf_dir):
+    """ES 1.x context suggester (category contexts, ES 1.4+): s-prefixed
+    suggestions ranked by document frequency WITHIN the lang='en'
+    context — zero Spark jobs (dictionary range read + one pruned
+    postings decode + pyarrow context set)."""
+    return _docs_wh_idx(spark, sf_dir).suggest_complete_context(
+        "s", [("lang", "=", "en")], 5
+    )
+
+
 def q_search_after(spark, sf_dir):
     """ES search_after deep pagination: page 2 of BM25_QUERY — the k hits
     strictly after page 1's last (score, doc_id) cursor."""
@@ -3292,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_context": q_turn_context,
         "agg_value_count": q_agg_value_count,
         "agg_filter": q_agg_filter,
+        "suggest_context": q_suggest_context,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6277,6 +6288,13 @@ SELECT count(n_chars)::BIGINT AS n,
        round(avg(n_chars), 6)::DOUBLE AS avg_v
 FROM documents WHERE doc_id IN ({_MATCHED}) AND lang = 'en'
 """,
+        "suggest_context": (
+            f"SELECT term AS suggestion, count(*)::BIGINT AS freq "
+            f"FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term "
+            f"      FROM documents WHERE lang = 'en') "
+            "WHERE starts_with(term, 's') GROUP BY term "
+            "ORDER BY freq DESC, suggestion LIMIT 5"
+        ),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

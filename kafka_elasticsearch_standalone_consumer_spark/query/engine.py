@@ -3943,6 +3943,63 @@ class Index:
             [(t, int(f)) for t, f in ranked], out_schema
         )
 
+    def suggest_complete_context(
+        self,
+        prefix: str,
+        context: list[tuple],
+        size: int = 5,
+    ) -> DataFrame:
+        """ES 1.x CONTEXT suggester (the category-context completion field,
+        added in ES 1.4): suggestions ranked by their document frequency
+        WITHIN the context — the docs matching the ``(col, op, value)``
+        filters — instead of the global dictionary df
+        :meth:`suggest_complete` uses (a suggestion popular globally but
+        absent from the user's category must not surface).
+
+        Zero Spark jobs, like the rest of the serving path: prefix
+        expansion over the term-sorted dictionary (bounded by
+        MAX_EXPANSION_SCAN), the context doc set from one pyarrow
+        doc-store read (:meth:`_local_allowed`), ONE pruned postings
+        decode for the candidate terms, and an ``np.isin`` per term.
+        Tombstones excluded — this is a live doc COUNT inside the
+        context, not a corpus statistic, so unlike idf it must not count
+        deleted docs. Ties (-freq, term asc); zero-freq candidates drop.
+        """
+        out_schema = "suggestion string, freq long"
+        cand = self._expand_prefix(prefix, 1 << 20)
+        if not cand:
+            return self.spark.createDataFrame([], out_schema)
+        rows = self._lookup_terms_arrow(cand)
+        if rows is None:
+            raise ValueError(
+                "legacy warehouse layout without term buckets — "
+                "use suggest_complete() or rebuild"
+            )
+        allowed = self._local_allowed(context) if context else None
+        blocked = self._local_blocked()
+        buckets = sorted({int(bk) for _, _, bk in rows})
+        terms = sorted({t for t, _, _ in rows})
+        pdf = self._local_postings(buckets, terms)
+        if pdf is None:
+            return self.spark.createDataFrame([], out_schema)
+        docs_per_shard = int(self.meta["docs_per_shard"])
+        per_term: dict[str, list] = {}
+        for row in pdf.itertuples(index=False):
+            run = kernels._Run(row, 0.0, int(row.shard) * docs_per_shard)
+            d, _t, _l = run.decode_all()
+            per_term.setdefault(row.term, []).append(d)
+        ranked = []
+        for term, parts in per_term.items():
+            d = np.unique(np.concatenate(parts))
+            if allowed is not None:
+                d = d[np.isin(d, allowed)]
+            if blocked is not None and len(d):
+                d = d[~np.isin(d, blocked)]
+            if len(d):
+                ranked.append((term, int(len(d))))
+        ranked.sort(key=lambda tf: (-tf[1], tf[0]))
+        return self.spark.createDataFrame(ranked[: int(size)], out_schema)
+
     def suggest_phrase(
         self,
         text: str,

@@ -1032,3 +1032,48 @@ def test_children_agg_matches_python_recompute(spark, built_index):
     assert got == exp and got
     empty = idx.children_agg("zzqqnotaterm", parents, "grp", metric="length(text)")
     assert empty.count() == 0 and empty.columns == ["bucket", "n_children", "avg_v"]
+
+
+def test_suggest_complete_context(spark, built_index):
+    """Context suggester: freq is the doc count WITHIN the (col, op,
+    value) context — a brute Python recount over the filtered docs must
+    match exactly; empty context list degrades to a live-doc recount of
+    the plain completion ranking; prefix miss stays empty."""
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+
+    def brute(pred):
+        df = Counter()
+        for r in idx._docs_df().select("text", "role").collect():
+            if pred(r["role"]):
+                for t in set(tokenize_text(r["text"])):
+                    df[t] += 1
+        return df
+
+    df_user = brute(lambda role: role == "user")
+    got = [
+        (r["suggestion"], r["freq"])
+        for r in idx.suggest_complete_context(
+            "w000", [("role", "=", "user")], 5
+        ).collect()
+    ]
+    want = sorted(
+        ((t, n) for t, n in df_user.items() if t.startswith("w000")),
+        key=lambda tn: (-tn[1], tn[0]),
+    )[:5]
+    assert got == want and got
+    # no context = plain live-doc counts, same ranking rule
+    df_all = brute(lambda role: True)
+    got_all = [
+        (r["suggestion"], r["freq"])
+        for r in idx.suggest_complete_context("w000", [], 5).collect()
+    ]
+    want_all = sorted(
+        ((t, n) for t, n in df_all.items() if t.startswith("w000")),
+        key=lambda tn: (-tn[1], tn[0]),
+    )[:5]
+    assert got_all == want_all
+    assert idx.suggest_complete_context("zzz", [("role", "=", "user")], 5).count() == 0
