@@ -536,6 +536,36 @@ def main() -> None:
         )
     )
 
+    import tempfile as _tf
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    qs3 = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding")
+    ivf_wh = _tf.mkdtemp(prefix="plans_ivf_")
+    build_ivf_index(emb, train_centroids(emb, 4, iters=1), ivf_wh)
+    kj = knn_join_ivf(spark, ivf_wh, qs3, k=5, nprobe=1)
+    kj.collect()
+    sections.append(
+        (
+            "Batched kNN join, IVF-routed (knn_join_ivf)",
+            "One job answers the whole query batch: the scan is partition-"
+            "pruned to the union of routed lists (PartitionFilters on "
+            "list_id), the tiny (qid, list_id, qvec) routing table "
+            "BroadcastExchanges so each base row is scored only against "
+            "the queries that probed its list, the fold-order pair cosine "
+            "runs in codegen, and the only shuffle is the qid-keyed window "
+            "over surviving rows. Asserted in tests/test_plans.py. The "
+            "brute twin (knn_join) has no join at all — a mapInPandas "
+            "matmul emitting ≤ q×k rows per Arrow batch into the same "
+            "keyed window.",
+            plan_of(kj),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
