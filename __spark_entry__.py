@@ -3295,8 +3295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_query": q_delete_by_query,
         "update_upsert": q_update_upsert,
         # ---- appended AFTER the round-5 rotation window (see note above):
-        # these round-4e late adds can no longer fit any driver window, so
-        # they rely on the full tools/check_entry.py rehearsal (green) ----
+        # these round-4f late adds can no longer fit any driver window, so
+        # they rely on the full tools/check_entry.py rehearsal (green at
+        # sf0.001/0.01/0.1 for each when added) ----
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_topk": q_knn_join_ivf_topk,
         "turn_context": q_turn_context,

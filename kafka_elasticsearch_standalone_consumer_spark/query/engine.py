@@ -5842,6 +5842,10 @@ class FilteredIndex:
         "highlight_local", "term_vectors", "analyze", "stats",
         "doc_keys", "validate_query", "explain_score", "suggest_terms",
         "suggest_complete", "suggest_phrase",
+        # the context suggester's context is the CALLER's query-side
+        # category — ES 1.x applies no alias filter to _suggest, same as
+        # the rest of the suggest family above
+        "suggest_complete_context",
     })
 
     def __init__(self, index: Index, filters: list[tuple]):

@@ -274,3 +274,37 @@ def test_filtered_alias_identity_randomized(spark, built_index, tmp_path, seed):
     assert fidx.facets(q, by="role").collect() == idx.facets(
         q, by="role", where=sql
     ).collect()
+
+
+def test_filtered_alias_routes_new_aggs_and_passes_suggest(spark, built_index, tmp_path):
+    """The round-4f surfaces behave correctly under a filtered alias:
+    value_count_agg / filter_agg get the alias filter AND-ed in (they
+    take where=), and suggest_complete_context passes through unfiltered
+    like the rest of the suggest family (ES applies no alias filter to
+    _suggest)."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.snapshot import (
+        open_alias,
+        set_alias,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _filters_to_sql,
+    )
+
+    idx, path = built_index
+    flt = [("role", "=", "user")]
+    reg = str(tmp_path / "reg4f")
+    set_alias(reg, "r", path, where=flt)
+    fidx = open_alias(spark, reg, "r")
+    sql = _filters_to_sql(flt)
+    q = "w00000 w00003"
+    assert (
+        fidx.value_count_agg(q, "tool").collect()
+        == idx.value_count_agg(q, "tool", where=sql).collect()
+    )
+    assert (
+        fidx.filter_agg(q, "turn_idx >= 2", "turn_idx").collect()
+        == idx.filter_agg(q, "turn_idx >= 2", "turn_idx", where=sql).collect()
+    )
+    got = fidx.suggest_complete_context("w000", [("role", "=", "tool")], 3).collect()
+    want = idx.suggest_complete_context("w000", [("role", "=", "tool")], 3).collect()
+    assert got == want and got
