@@ -2178,6 +2178,30 @@ def q_turn_context(spark, sf_dir):
     )
 
 
+def q_doc_keyterms(spark, sf_dir):
+    """TF-IDF keyword extraction: every document's top-3 terms by
+    tf·ln((N+1)/(df+1)), sort key rounded to 4 dp BEFORE ordering (the
+    geo-sort rule) with term-asc ties, so engine and oracle rank
+    identically."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        doc_keyterms,
+    )
+
+    return doc_keyterms(_docs(spark, sf_dir), k=3)
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """PMI collocation mining: top-20 adjacent-token pairs (seen ≥ 5
+    times) by ln(c_ab·N·N/(P·c_a·c_b)) — the float expression is
+    mirrored verbatim in the oracle and the sort key rounded to 4 dp
+    before ordering, pair-asc ties."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        pmi_pairs,
+    )
+
+    return pmi_pairs(_docs(spark, sf_dir), top_n=20, min_count=5)
+
+
 def q_domain_mix(spark, sf_dir):
     """Static domain-mixture rebalancing to target proportions
     en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
@@ -3304,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_value_count": q_agg_value_count,
         "agg_filter": q_agg_filter,
         "suggest_context": q_suggest_context,
+        "doc_keyterms": q_doc_keyterms,
+        "pmi_pairs": q_pmi_pairs,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6296,6 +6322,40 @@ FROM documents WHERE doc_id IN ({_MATCHED}) AND lang = 'en'
             "WHERE starts_with(term, 's') GROUP BY term "
             "ORDER BY freq DESC, suggestion LIMIT 5"
         ),
+        "doc_keyterms": f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf::DOUBLE * ln((nd.n + 1) / (dfq.df + 1)::DOUBLE), 4) AS score_r
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd),
+r AS (
+  SELECT doc_id, term, tf, score_r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term)::BIGINT AS rank
+  FROM s)
+SELECT doc_id, term, tf, score_r, rank FROM r WHERE rank <= 3
+""",
+        "pmi_pairs": f"""
+WITH t AS (SELECT {SQL_TOKS} AS w FROM documents),
+uc AS (SELECT tt, count(*)::BIGINT AS c FROM (SELECT unnest(w) AS tt FROM t) GROUP BY 1),
+pr AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1])) AS pair
+       FROM t WHERE len(w) >= 2),
+pc AS (SELECT pair, count(*)::BIGINT AS n_pair FROM pr GROUP BY 1 HAVING count(*) >= 5),
+nt AS (SELECT sum(len(w))::DOUBLE AS n FROM t),
+np AS (SELECT sum(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)::DOUBLE AS p FROM t),
+s AS (
+  SELECT pc.pair, pc.n_pair,
+         round(ln(pc.n_pair::DOUBLE * nt.n * nt.n
+                  / (np.p * a.c::DOUBLE * b.c::DOUBLE)), 4) AS pmi_r
+  FROM pc
+  JOIN uc a ON a.tt = split_part(pc.pair, ' ', 1)
+  JOIN uc b ON b.tt = split_part(pc.pair, ' ', 2)
+  CROSS JOIN nt CROSS JOIN np)
+SELECT pair, n_pair, pmi_r FROM s ORDER BY pmi_r DESC, pair LIMIT 20
+""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

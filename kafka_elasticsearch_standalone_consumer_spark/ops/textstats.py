@@ -312,3 +312,136 @@ def lm_doc_quality(
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+def doc_keyterms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-``k`` terms by
+    ``tf · ln((N+1)/(df+1))`` (the classic smoothed idf — never negative,
+    never divides by zero), ties by term ascending. The corpus-wide
+    sibling of the per-query-doc term selection more_like_this does
+    (query/multifield.py _mlt_select): MLT picks ONE doc's salient terms
+    at query time; this materializes them for every doc — the standard
+    keyword/tag-extraction prep step.
+
+    Output: (doc_id, term, tf, score_r, rank), rank 1-based per doc.
+    The sort key is rounded to 4 dp BEFORE ordering (the geo-sort rule:
+    engines' libm ln may differ in the last ulp, and ranking on the
+    rounded key with the term-asc tiebreak makes the order identical
+    across engines instead of merely close).
+
+    Scale shape: one tokenize pass → ONE (doc, term) groupBy for tf →
+    ONE term-keyed groupBy for df (map-side partials; hot terms are the
+    skewed keys AQE splits) → join back on the term key (co-partitioned
+    with the df groupBy — exchange reuse) → ONE doc-keyed window for the
+    per-doc top-k. No all-pairs, no global sort, no driver state; the
+    df dictionary never materializes driver-side."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df").cast("double") + 1.0)),
+            4,
+        ).alias("score_r"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_r"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("doc_id", "term", "tf", "score_r", "rank")
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    top_n: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: the corpus's top-``top_n`` adjacent-token
+    pairs by pointwise mutual information,
+    ``pmi = ln(c_ab·N·N / (P·c_a·c_b))`` (p(ab)=c_ab/P over the pair
+    stream, p(a)=c_a/N over the token stream), restricted to pairs seen
+    ≥ ``min_count`` times (rare-pair PMI is noise). The token-statistics
+    sibling of significant_terms: that finds terms over-represented in a
+    match set, this finds PAIRS over-represented vs independence —
+    phrase-dictionary / tokenizer-merge-candidate mining for a training
+    pipeline. Sort key rounded to 4 dp BEFORE ordering (the geo-sort
+    rule), ties by pair ascending.
+
+    Output: (pair, n_pair, pmi_r) — ``pair`` is the "t1 t2" string, the
+    same adjacent-pair stream the suggester LM persists (index/lm.py).
+
+    Scale shape: one tokenize pass feeds both streams; unigram and pair
+    counts are ONE groupBy each (map-side partials, Zipf-skewed hot keys
+    are AQE-splittable); the two scalar totals reduce to one row each;
+    component counts join back on the term key; the final order is
+    TakeOrderedAndProject over the min_count survivors. No window over
+    the corpus, no driver-side dictionary."""
+    w = tokenize_col(F.col(text_col))
+    toks = df.select(w.alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    pc = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    n_tok = toks.select(F.sum(F.size("w")).cast("double").alias("n")).collect()[0]["n"]
+    n_pairs = toks.select(
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("double").alias("p")
+    ).collect()[0]["p"]
+    ua = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    ub = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        pc.withColumn("t1", F.split("pair", " ")[0])
+        .withColumn("t2", F.split("pair", " ")[1])
+        .join(ua, "t1")
+        .join(ub, "t2")
+        .select(
+            "pair",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.lit(float(n_tok))
+                    * F.lit(float(n_tok))
+                    / (
+                        F.lit(float(n_pairs))
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                4,
+            ).alias("pmi_r"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_r"), F.asc("pair")).limit(int(top_n))

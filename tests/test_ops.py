@@ -1015,3 +1015,72 @@ def test_knn_join_ivf_exact_at_all_lists_and_prunes(emb, tmp_path):
     got1 = {(r["qid"], r["vec_id"]) for r in n1}
     truth = {(q, v) for (q, _rk), (v, _c) in brute.items()}
     assert got1 & truth
+
+
+def test_doc_keyterms_matches_python(docs):
+    """TF-IDF top-k per doc == a sequential Python recount (same smoothed
+    idf, 4-dp-rounded sort key, term-asc ties)."""
+    import math
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import doc_keyterms
+
+    rows = [(r["doc_id"], tokenize_text(r["text"])) for r in docs.collect()]
+    n = len({d for d, _ in rows})
+    dfc = Counter()
+    for _d, toks in rows:
+        for t in set(toks):
+            dfc[t] += 1
+    want = {}
+    for d, toks in rows:
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (t, c, round(c * math.log((n + 1) / (dfc[t] + 1)), 4))
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:2]
+        for rk, (t, c, s) in enumerate(scored, 1):
+            want[(d, rk)] = (t, c, s)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score_r"])
+        for r in doc_keyterms(docs, k=2).collect()
+    }
+    assert got == want
+
+
+def test_pmi_pairs_matches_python(spark):
+    """PMI collocations == a sequential reference on a corpus with one
+    planted strong collocation ('zz qq' always adjacent) that must rank
+    first."""
+    import math
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import pmi_pairs
+
+    texts = [f"zz qq the w{i % 3} the w{(i + 1) % 3} stream" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = [tokenize_text(t) for t in texts]
+    uni = Counter(t for w in toks for t in w)
+    prs = Counter(f"{w[i]} {w[i+1]}" for w in toks for i in range(len(w) - 1))
+    n = float(sum(uni.values()))
+    p = float(sum(max(len(w) - 1, 0) for w in toks))
+    want = sorted(
+        (
+            (pair, c, round(math.log(c * n * n / (p * uni[pair.split()[0]] * uni[pair.split()[1]])), 4))
+            for pair, c in prs.items()
+            if c >= 3
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:5]
+    got = [
+        (r["pair"], r["n_pair"], r["pmi_r"])
+        for r in pmi_pairs(docs, top_n=5, min_count=3).collect()
+    ]
+    assert got == want
+    assert got[0][0] == "zz qq"
