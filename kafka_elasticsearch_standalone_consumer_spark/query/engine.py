@@ -4011,6 +4011,7 @@ class Index:
         error_likelihood: float = 0.5,
         confidence: float = 1.0,
         max_combinations: int = 10_000,
+        collate: bool = False,
     ) -> DataFrame:
         """ES phrase suggester ("did you mean" for whole phrases): per-slot
         candidates from the term dictionary (prefix-pruned, Damerau-
@@ -4174,6 +4175,28 @@ class Index:
             if sc > thresh:
                 scored.append((" ".join(seq), sc))
         scored.sort(key=lambda x: (-x[1], x[0]))
+        if collate:
+            # ES 1.x `collate`: prune suggestions whose collate query
+            # matches nothing — here a conjunctive match on the suggested
+            # terms over live docs (the pruned postings decode on
+            # persisted layouts, the distributed match set on ephemeral
+            # ones). Walk the LM ranking until `size` suggestions survive.
+            kept = []
+            for phrase, sc in scored:
+                terms = phrase.split()
+                if self.wh is not None:
+                    d = self._local_match_set(terms, len(set(terms)))
+                    blocked = self._local_blocked()
+                    if blocked is not None and len(d):
+                        d = d[~np.isin(d, blocked)]
+                    hit = len(d) > 0
+                else:
+                    hit = self._match_set(terms, len(set(terms))).limit(1).count() > 0
+                if hit:
+                    kept.append((phrase, sc))
+                    if len(kept) >= size:
+                        break
+            return self.spark.createDataFrame(kept, out_schema)
         return self.spark.createDataFrame(scored[:size], out_schema)
 
     def search_after(

@@ -1077,3 +1077,32 @@ def test_suggest_complete_context(spark, built_index):
     )[:5]
     assert got_all == want_all
     assert idx.suggest_complete_context("zzz", [("role", "=", "user")], 5).count() == 0
+
+
+def test_suggest_phrase_collate_prunes_unmatched(spark, built_index):
+    """ES collate: a collated suggestion list is exactly the uncollated
+    ranking filtered to suggestions whose terms co-occur in some live
+    doc, in the same order — and every survivor really matches."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    text = idx._docs_df().select("text").first()["text"]
+    toks = tokenize_text(text)
+    q = f"{toks[0]} {toks[1][:-1]}x"  # second slot misspelled
+    # fetch the raw ranking DEEP so collate's walk-until-k-survivors
+    # promotion (a pruned candidate admits the next-ranked one) is
+    # reproduced exactly
+    plain = [(r["suggestion"], r["score"]) for r in
+             idx.suggest_phrase(q, size=50, gen_size=8).collect()]
+    coll = [(r["suggestion"], r["score"]) for r in
+            idx.suggest_phrase(q, size=5, gen_size=8, collate=True).collect()]
+    assert plain, "need at least one raw suggestion for the collate test"
+
+    def matches(phrase):
+        ts = phrase.split()
+        d = idx._local_match_set(ts, len(set(ts)))
+        return len(d) > 0
+
+    want = [(s, v) for s, v in plain if matches(s)][:5]
+    assert coll == want
+    assert all(matches(s) for s, _ in coll)
