@@ -2279,6 +2279,31 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (the label/tenant/date predicate
+    of real-world ANN): IVF search probing ALL lists with
+    where="label % 3 = 0" pushed INSIDE the pruned scan — exact
+    brute-force-over-the-subset by construction, so the filtered cosine
+    SQL hash-verifies it."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = train_centroids(emb, 4, iters=2)
+    wh = tempfile.mkdtemp(prefix="kesc_annf_")
+    build_ivf_index(emb, cent, wh)
+    out = ivf_search(spark, wh, qv, K, nprobe=4, where="label % 3 = 0")
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_knn_join_topk(spark, sf_dir):
     """Batched exact kNN join: top-10 cosine neighbors for EVERY query in
     an 8-query batch (vec_id < 8) in ONE pass over the corpus — broadcast
@@ -3330,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_context": q_suggest_context,
         "doc_keyterms": q_doc_keyterms,
         "pmi_pairs": q_pmi_pairs,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -3834,6 +3860,16 @@ SELECT qid, vec_id, rank, round(cosine, 4) AS cosine_r
 FROM r WHERE rank <= 10
 ORDER BY qid, rank
 """
+
+
+# metadata-filtered vector search: the same brute-force cosine oracle over
+# the label subset (string surgery like _bm25_variant_sql — keep the CROSS
+# JOIN line byte-identical in _COSINE_SQL or the assert fires)
+_COSINE_FILTERED_SQL = _COSINE_SQL.replace(
+    "FROM embeddings e CROSS JOIN q\n)",
+    "FROM embeddings e CROSS JOIN q\n  WHERE e.label % 3 = 0\n)",
+)
+assert _COSINE_FILTERED_SQL != _COSINE_SQL
 
 
 def _phrase_sql(matcher: str) -> str:
@@ -6291,6 +6327,7 @@ LIMIT {K}
 """,
         ),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
+        "ann_filtered_topk": _COSINE_FILTERED_SQL,  # nprobe=ALL => exact over subset
         "knn_join_topk": _KNN_SQL,
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "turn_context": """

@@ -395,11 +395,20 @@ def ivf_search(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
+    where: str | None = None,
 ) -> DataFrame:
     """IVF search over a :func:`build_ivf_index` warehouse: rank centroids
     by normalized dot product against the query (driver-side NumPy — the
     codebook is tiny), scan only the top-``nprobe`` list partitions
-    (partition pruning on ``list_id``), exact cosine inside them."""
+    (partition pruning on ``list_id``), exact cosine inside them.
+
+    ``where`` is the metadata filter of real-world vector search (label /
+    tenant / date predicates next to the similarity): a SQL expression
+    over the index's payload columns, applied INSIDE the pruned scan —
+    Catalyst pushes it into the parquet read, so a selective filter cuts
+    decode bytes, never a post-hoc join. Filtering narrows candidates
+    only; with ``nprobe=ALL`` it is exactly brute-force-over-the-subset
+    (the oracle operating point)."""
     from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
 
     wh = Warehouse(warehouse_path)
@@ -413,6 +422,8 @@ def ivf_search(
     order = np.lexsort((np.arange(sims.size), -sims))[:nprobe]
     lists = sorted(int(i) for i in order)
     cand = wh.read(spark, IVF_TABLE).filter(F.col("list_id").isin(lists))
+    if where is not None:
+        cand = cand.filter(where)
     scored = cand.select(
         F.col(meta["id_col"]).alias("vec_id"),
         _cosine(F.col(meta["vec_col"]), list(map(float, query_vec))).alias("cosine"),

@@ -1084,3 +1084,35 @@ def test_pmi_pairs_matches_python(spark):
     ]
     assert got == want
     assert got[0][0] == "zz qq"
+
+
+def test_ivf_search_where_filter_exact_and_pushed(emb, tmp_path):
+    """Metadata-filtered IVF search at nprobe=ALL == brute force over the
+    filtered subset; the predicate reaches the parquet scan
+    (PushedFilters), never a post-scoring join."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+
+    df, vecs = emb
+    spark = df.sparkSession
+    lab = df.withColumn("label", (df.vec_id % 3).cast("int"))
+    cent = train_centroids(lab, 4, iters=2)
+    wh = str(tmp_path / "ivff")
+    build_ivf_index(lab, cent, wh)
+    q = vecs[0].astype(np.float64)
+    m = vecs.astype(np.float64)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = sorted(
+        (i for i in range(40) if i % 3 == 0), key=lambda i: (-sims[i], i)
+    )[:5]
+    out = ivf_search(spark, wh, [float(x) for x in q], 5, nprobe=4, where="label = 0")
+    got = [r["vec_id"] for r in out.collect()]
+    assert got == want
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    seg = plan[plan.index("PushedFilters") :]
+    assert "label" in seg[: seg.index("]") + 1]
