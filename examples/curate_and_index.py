@@ -161,6 +161,15 @@ def main(n_convs: int = 400) -> None:
     qs = emb.filter(F.col("vec_id") < 3).selectExpr("vec_id as qid", "embedding")
     knn_join(emb, qs, k=3).orderBy("qid", "rank").show()
 
+    print("TF-IDF keyterms (top-2 per doc) and PMI collocations:")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        doc_keyterms,
+        pmi_pairs,
+    )
+
+    doc_keyterms(docs_gc, k=2).show(6)
+    pmi_pairs(docs_gc, top_n=5, min_count=3).show(truncate=False)
+
     print("rolling-context training examples (turn + previous 2 turns):")
     from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import turn_contexts
 

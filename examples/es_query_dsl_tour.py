@@ -81,6 +81,14 @@ def main(n_convs: int = 300) -> None:
     show("term suggester", idx.suggest_terms("w0000x"))
     show("completion suggester", idx.suggest_complete("w000", 3))
     show("phrase suggester", idx.suggest_phrase("w00000 w0001"))
+    show("phrase suggester (collate=True prunes non-matching)",
+         idx.suggest_phrase("w00000 w0001", collate=True))
+    show("context suggester (completion scoped to role=user)",
+         idx.suggest_complete_context("w000", [("role", "=", "user")], 3))
+    show("value_count agg (non-NULL tool over matches)",
+         idx.value_count_agg(q, "tool"))
+    show("filter agg (match set narrowed to user turns, stats on turn_idx)",
+         idx.filter_agg(q, "role = 'user'", "turn_idx"))
     show("_analyze", idx.analyze("The W00000 and W00003!"))
     show("_termvectors doc 7", idx.term_vectors(7))
     show("_count", idx.count_matches(q))
