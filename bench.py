@@ -243,6 +243,14 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         t["pack_shards"] = best_of(lambda: pack_shards(docs, 4096).count())
         t["redact_pii"] = best_of(lambda: redact_pii(docs).count())
 
+        from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+            doc_keyterms,
+            pmi_pairs,
+        )
+
+        t["doc_keyterms"] = best_of(lambda: doc_keyterms(docs, k=3).count())
+        t["pmi_pairs"] = best_of(lambda: pmi_pairs(docs, top_n=20, min_count=5).count())
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
         t["cosine_topk"] = best_of(lambda: cosine_topk(emb, qv, 10).collect())
