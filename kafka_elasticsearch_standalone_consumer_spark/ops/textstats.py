@@ -445,3 +445,74 @@ def pmi_pairs(
         )
     )
     return scored.orderBy(F.desc("pmi_r"), F.asc("pair")).limit(int(top_n))
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+) -> "list[tuple[int, str, str, int]]":
+    """BPE tokenizer-vocabulary induction (Sennrich et al. 2016, the
+    word-level trainer GPT-2-style tokenizers use): learn the top
+    ``n_merges`` byte-pair merges over the corpus. Deterministic: each
+    round merges the pair with the highest summed word count, ties
+    broken lexicographically on (left, right).
+
+    Returns [(rank, left, right, count), ...] (a driver-side list — the
+    merge table IS driver-sized by definition; callers persist it like a
+    codebook).
+
+    Scale shape — the honest split every real BPE trainer uses: the
+    corpus-sized work is ONE distributed groupBy(word).count() (map-side
+    partials; Zipf-hot words are AQE-splittable), because pair counts
+    are a function of the WORD-FREQUENCY dictionary, not the corpus.
+    The merge loop then runs driver-side over that dictionary, which is
+    vocabulary-sized — bounded by ``max_vocab`` with a loud error, the
+    MAX_EXPANSION_SCAN rule, never a silent OOM. Words are the standard
+    analyzer's tokens so "symbol" means the same thing as everywhere
+    else in the engine."""
+    wc = (
+        df.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_vocab = wc.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"BPE word dictionary has {n_vocab} entries > max_vocab="
+            f"{max_vocab}; raise the cap deliberately or pre-filter "
+            "(the merge loop holds the dictionary driver-side)"
+        )
+    rows = wc.collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = tuple(r["w"])
+        vocab[key] = vocab.get(key, 0) + int(r["c"])
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, cnt))
+        merged = lhs + rhs
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges

@@ -1116,3 +1116,44 @@ def test_ivf_search_where_filter_exact_and_pushed(emb, tmp_path):
     )
     seg = plan[plan.index("PushedFilters") :]
     assert "label" in seg[: seg.index("]") + 1]
+
+
+def test_bpe_merges_known_answer_and_cap(spark):
+    """BPE trainer on a hand-computable corpus: 'aaab'×3 + 'aab'×2 —
+    pair counts round 1: (a,a)=3+2=5... wait, 'aaab' has (a,a)x2? No:
+    adjacent pairs of aaab = (a,a),(a,a),(a,b) but pair counts per word
+    count occurrences: we count per-position occurrences weighted by
+    word frequency. See asserts for the exact ground truth."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab aab aab")], "doc_id long, text string"
+    )
+    got = bpe_merges(docs, n_merges=3)
+    # round 1 pair counts: (a,a): 2*3 + 1*2 = 8; (a,b): 3 + 2 = 5 → merge (a,a)
+    assert got[0] == (1, "a", "a", 8)
+    # after merge: aaab -> (aa,a,b)? NO — leftmost greedy: a a a b -> aa,a,b?
+    # greedy scan merges positions 0-1 then cannot merge pos2 with pos1:
+    # 'aaab' -> (aa, a, b); 'aab' -> (aa, b)
+    # round 2: (aa,a)=3, (a,b)=3, (aa,b)=2 → tie 3: lexicographic ('a','b') < ('aa','a')
+    assert got[1] == (2, "a", "b", 3)
+    # after: ('aa','a','b')->('aa','ab')? 'a','b' adjacent -> ab: words:
+    # (aa, ab) x3 ; (aa, b) x2
+    # round 3: (aa,ab)=3, (aa,b)=2 → merge (aa, ab, 3)
+    assert got[2] == (3, "aa", "ab", 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab"):
+        bpe_merges(docs, n_merges=1, max_vocab=1)
+
+
+def test_bpe_merges_deterministic_across_partitionings(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_merges
+
+    tr = generate_transcripts(spark, n_convs=8, seed=3, partitions=2)
+    a = bpe_merges(tr, n_merges=5)
+    b = bpe_merges(tr.repartition(7), n_merges=5)
+    assert a == b and len(a) == 5
