@@ -2202,6 +2202,40 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(_docs(spark, sf_dir), top_n=20, min_count=5)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE trainer round-1 symbol-pair statistics over the documents
+    table: overlapping adjacent character pairs per word, weighted by
+    word frequency (the Sennrich counting rule), top-30 under the total
+    order (pair_cnt desc, l, r) — the distributed half of the trainer,
+    oracled data-dependently by the same expansion in DuckDB."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        bpe_pair_counts,
+    )
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=30)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-vocabulary induction (Sennrich et al. 2016): the
+    top-8 merges learned on the PINNED generated corpus (n_convs=40,
+    seed=11 — independent of sf_dir, like the pipeline probes), so the
+    constant-row oracle's literals are exact at every SF. The iterative
+    merge loop is not SQL-expressible; the round-1 counting pass it
+    consumes is the data-dependently-oracled bpe_pair_counts entry, and
+    the loop itself is hand-verified in tests/test_ops.py's known-answer
+    test. Update the literals if corpus.py's generator changes."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_merges
+
+    tr = generate_transcripts(spark, n_convs=40, seed=11, partitions=2)
+    merges = bpe_merges(tr, n_merges=8)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, cnt long"
+    )
+
+
 def q_domain_mix(spark, sf_dir):
     """Static domain-mixture rebalancing to target proportions
     en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
@@ -3356,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyterms": q_doc_keyterms,
         "pmi_pairs": q_pmi_pairs,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6392,6 +6428,33 @@ s AS (
   JOIN uc b ON b.tt = split_part(pc.pair, ' ', 2)
   CROSS JOIN nt CROSS JOIN np)
 SELECT pair, n_pair, pmi_r FROM s ORDER BY pmi_r DESC, pair LIMIT 20
+""",
+        "bpe_pair_counts": f"""
+WITH wc AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest({SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+), p AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+  FROM wc, unnest(range(1, length(w))) AS t(i)
+)
+SELECT l, r, SUM(c)::BIGINT AS pair_cnt
+FROM p GROUP BY l, r
+ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
+""",
+        # pinned corpus (n_convs=40 seed=11) => constant rows; literals from
+        # the hand-verified trainer (tests/test_ops.py known-answer test)
+        "bpe_merges": """
+SELECT * FROM (VALUES
+  (1, '0', '0', 58905),
+  (2, 'w', '00', 24229),
+  (3, 'w00', '00', 11626),
+  (4, 'w00', '0', 6884),
+  (5, 'w', '0', 4509),
+  (6, 'w0000', '0', 4364),
+  (7, 'w000', '1', 2173),
+  (8, 'w0000', '1', 2001)
+) AS t(merge_rank, lhs, rhs, cnt)
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path

@@ -516,3 +516,45 @@ def bpe_merges(
             nxt[key] = nxt.get(key, 0) + c
         vocab = nxt
     return merges
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Symbol-pair statistics over the word-frequency dictionary — the
+    round-1 counting pass of a BPE trainer (the distributed half of
+    :func:`bpe_merges`), kept fully declarative so it runs at corpus
+    scale: overlapping adjacent character pairs per word, weighted by
+    word frequency ("aaa" contributes (a,a) twice per occurrence, the
+    Sennrich counting rule the merge loop uses).
+
+    Output: (l, r, pair_cnt) ordered by pair_cnt desc then (l, r) asc
+    — a total order, so top_n truncation is deterministic.
+
+    Scale shape: ONE corpus-sized groupBy(word) with map-side partials
+    collapses the token stream to the dictionary; everything after is
+    dictionary-sized. The per-word pair expansion is pure Column
+    algebra (filter(sequence)+transform, no UDF) and the final cut is
+    TakeOrderedAndProject, never a global sort."""
+    wc = (
+        df.select(F.explode(tokenize_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # positions 1..len-1; filter() (not sequence(1, len-1)) because Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty, for 1-char words
+    pairs = wc.select(
+        F.explode(
+            F.expr("filter(sequence(1, length(w)), i -> i < length(w))")
+        ).alias("i"),
+        "w",
+        "c",
+    ).select(
+        F.expr("substring(w, i, 1)").alias("l"),
+        F.expr("substring(w, i + 1, 1)").alias("r"),
+        "c",
+    )
+    out = pairs.groupBy("l", "r").agg(F.sum("c").cast("long").alias("pair_cnt"))
+    return out.orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r")).limit(int(top_n))

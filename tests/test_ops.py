@@ -1157,3 +1157,38 @@ def test_bpe_merges_deterministic_across_partitionings(spark):
     a = bpe_merges(tr, n_merges=5)
     b = bpe_merges(tr.repartition(7), n_merges=5)
     assert a == b and len(a) == 5
+
+
+def test_bpe_pair_counts_agrees_with_trainer_round1(spark):
+    """The distributed pair-statistics pass must agree with the driver-side
+    merge loop's round-1 counts: top pair == first merge, and every counted
+    pair matches a brute-force recount from the word dictionary."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        bpe_merges,
+        bpe_pair_counts,
+    )
+
+    tr = generate_transcripts(spark, n_convs=6, seed=9, partitions=3)
+    got = {(r.l, r.r): r.pair_cnt for r in bpe_pair_counts(tr, top_n=10**6).collect()}
+    first = bpe_merges(tr, n_merges=1)[0]
+    top = min(got.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (top[0][0], top[0][1], top[1]) == (first[1], first[2], first[3])
+    # brute-force recount driver-side
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from pyspark.sql import functions as F
+
+    wc = Counter()
+    for r in tr.select(
+        F.explode(tokenize_col(F.col("text"))).alias("w")
+    ).collect():
+        wc[r.w] += 1
+    want = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            want[(w[i], w[i + 1])] += c
+    assert got == dict(want)
