@@ -2236,6 +2236,65 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+# the BPE merge table the pinned trainer (q_bpe_merges) learns on the
+# n_convs=40 seed=11 corpus — single source of truth for the bpe_merges
+# constant-row oracle AND the bpe_encode entry/oracle pair; update these
+# literals if corpus.py's generator changes (the bpe_merges oracle fails
+# loudly if they drift)
+_BPE_PINNED_MERGES = [
+    (1, "0", "0", 58905),
+    (2, "w", "00", 24229),
+    (3, "w00", "00", 11626),
+    (4, "w00", "0", 6884),
+    (5, "w", "0", 4509),
+    (6, "w0000", "0", 4364),
+    (7, "w000", "1", 2173),
+    (8, "w0000", "1", 2001),
+]
+
+
+def _bpe_merges_oracle_sql() -> str:
+    rows = ",\n  ".join(
+        f"({r}, '{l}', '{h}', {c})" for r, l, h, c in _BPE_PINNED_MERGES
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + "\n) AS t(merge_rank, lhs, rhs, cnt)"
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """The IDENTICAL double-delimiter greedy-merge replace chain the Spark
+    encoder runs (ops/textstats.py bpe_encode), expressed in DuckDB —
+    byte-identical token counts by construction."""
+    expr = (
+        "'|' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, i, 1)), '||') || '|'"
+    )
+    for _, l, r, _c in _BPE_PINNED_MERGES:
+        expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    ntok = f"CAST((length({expr}) - length(replace({expr}, '|', ''))) / 2 AS BIGINT)"
+    return f"""
+WITH words AS (SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents),
+pw AS (SELECT doc_id, {ntok} AS nt, length(w) AS nc FROM words)
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_bpe_tokens,
+       round(sum(nc)::DOUBLE / sum(nt)::DOUBLE, 4) AS fertility_r
+FROM pw GROUP BY doc_id
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the pinned BPE merge table to the documents table via the
+    pure-Column double-delimiter replace chain (no UDF): per-doc word
+    count, BPE token count, and chars-per-token fertility (4 dp). Fully
+    data-dependent — the oracle runs the IDENTICAL replace chain in
+    DuckDB, so greedy-merge semantics are verified byte-for-byte."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), _BPE_PINNED_MERGES)
+
+
 def q_domain_mix(spark, sf_dir):
     """Static domain-mixture rebalancing to target proportions
     en/zh/de = 0.5/0.3/0.2 (langs outside the spec drop): the output is
@@ -3392,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": q_ann_filtered_topk,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6444,18 +6504,8 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
 """,
         # pinned corpus (n_convs=40 seed=11) => constant rows; literals from
         # the hand-verified trainer (tests/test_ops.py known-answer test)
-        "bpe_merges": """
-SELECT * FROM (VALUES
-  (1, '0', '0', 58905),
-  (2, 'w', '00', 24229),
-  (3, 'w00', '00', 11626),
-  (4, 'w00', '0', 6884),
-  (5, 'w', '0', 4509),
-  (6, 'w0000', '0', 4364),
-  (7, 'w000', '1', 2173),
-  (8, 'w0000', '1', 2001)
-) AS t(merge_rank, lhs, rhs, cnt)
-""",
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_indexed_topk": _ann_lsh_sql(),  # rank-identical to the ad-hoc path
         "ivf_topk": _IVF_SQL,

@@ -558,3 +558,57 @@ def bpe_pair_counts(
     )
     out = pairs.groupBy("l", "r").agg(F.sum("c").cast("long").alias("pair_cnt"))
     return out.orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r")).limit(int(top_n))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from :func:`bpe_merges`) to every
+    document and report per-doc tokenizer statistics:
+    (doc_id, n_words, n_bpe_tokens, fertility_r) where fertility is
+    chars-per-BPE-token rounded to 4 dp (the geo-sort rounding rule).
+
+    The encoder is PURE Column algebra — no UDF, whole-stage codegen:
+    each word is rendered with double delimiters ('|c||c||c|') and each
+    merge (l, r) in rank order is ONE left-to-right non-overlapping
+    ``replace('|l||r|' -> '|lr|')`` pass, which is exactly the greedy
+    per-round pass the trainer's re-segmentation loop runs (and what
+    subword-nmt's encoder does), so trainer and encoder agree by
+    construction. The double delimiter makes adjacent matches share no
+    characters, so non-overlapping replace == greedy BPE. Token count
+    falls out as delimiter-count/2 — pure integer arithmetic that any
+    SQL engine reproduces byte-identically.
+
+    Scale shape: one tokenize pass, per-row string algebra, ONE
+    groupBy(doc_id) with map-side partials. No dictionary join, no
+    driver loop, no shuffle beyond the final per-doc agg."""
+    for _, lhs, rhs, _c in merges:
+        if not (lhs.isalnum() and rhs.isalnum()):
+            raise ValueError(f"non-alphanumeric merge symbol: {(lhs, rhs)!r}")
+    expr = (
+        "concat('|', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), '||'), '|')"
+    )
+    for _, lhs, rhs, _c in merges:
+        expr = f"replace({expr}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
+    n_tok = f"CAST((length({expr}) - length(replace({expr}, '|', ''))) / 2 AS BIGINT)"
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_col(F.col(text_col))).alias("w"),
+    )
+    per_word = words.select(
+        "doc_id", F.expr(n_tok).alias("nt"), F.length("w").alias("nc")
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("nt").cast("double"), 4
+            ).alias("fertility_r"),
+        )
+    )

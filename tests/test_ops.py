@@ -1192,3 +1192,50 @@ def test_bpe_pair_counts_agrees_with_trainer_round1(spark):
         for i in range(len(w) - 1):
             want[(w[i], w[i + 1])] += c
     assert got == dict(want)
+
+
+def test_bpe_encode_matches_python_greedy_reference(spark):
+    """The pure-Column double-delimiter replace chain must equal a plain
+    Python greedy BPE encoder (the trainer's own re-segmentation rule:
+    per merge in rank order, one leftmost non-overlapping pass)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import (
+        generate_transcripts,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        bpe_encode,
+        bpe_merges,
+    )
+    from pyspark.sql import functions as F
+
+    tr = generate_transcripts(spark, n_convs=6, seed=21, partitions=3)
+    docs = tr.withColumn("doc_id", F.monotonically_increasing_id())
+    merges = bpe_merges(tr, n_merges=6)
+
+    def py_apply(word):
+        sym = list(word)
+        for _, lhs, rhs, _c in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    want = {}
+    for r in docs.select(
+        "doc_id", tokenize_col(F.col("text")).alias("ws")
+    ).collect():
+        want[r.doc_id] = (
+            len(r.ws),
+            sum(py_apply(w) for w in r.ws),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == want and len(got) > 10

@@ -422,3 +422,21 @@ def test_turn_contexts_window_is_keyed_not_single_partition(spark):
     assert "hashpartitioning(conv_id" in plan
     assert "SinglePartition" not in plan
     assert "], true, 0" not in plan  # no global sort
+
+
+def test_bpe_encode_stays_jvm_side_one_shuffle(spark):
+    """The BPE encoder must be pure codegen Column algebra — no Python
+    eval in the plan, no window, exactly one exchange (the final per-doc
+    partial->final aggregate)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i:05d} alpha beta w{i*7:05d}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    merges = [(1, "0", "0", 9), (2, "w", "00", 5), (3, "a", "l", 3)]
+    plan = _plan(bpe_encode(docs, merges))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2  # partial agg + (AQE) reuse, never more
+    assert "partial_count" in plan or "partial_sum" in plan
