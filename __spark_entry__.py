@@ -1645,6 +1645,20 @@ def q_geohash_cell_topk(spark, sf_dir):
     )
 
 
+def q_geo_shape_topk(spark, sf_dir):
+    """ES geo_shape query (GeoJSON lon-first envelope, relation=disjoint):
+    BM25 matches strictly OUTSIDE the Americas box — exercises the shape
+    parser and the complement relation; filter context, stats global."""
+    out = _geo_idx(spark, sf_dir).search_geo_shape(
+        BM25_QUERY, K,
+        shape={"type": "envelope", "coordinates": [[-130.0, 60.0], [-60.0, 0.0]]},
+        relation="disjoint",
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_agg_geo_bounds(spark, sf_dir):
     """ES geo_bounds aggregation (1.3+): the enclosing lat/lon box of
     the match set as ES reports it — top_left=(max lat, min lon),
@@ -3452,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "geo_shape_topk": q_geo_shape_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6235,6 +6250,16 @@ FROM b ORDER BY bucket
             where=(
                 f"({GEO_LAT}) <= 60.0 AND ({GEO_LAT}) >= 0.0 AND "
                 f"({GEO_LON}) >= -130.0 AND ({GEO_LON}) <= -60.0"
+            ),
+        ),
+        # engine predicate is the bbox conjunction negated (disjoint) —
+        # mirrored literally; the derived lat/lon are never NULL so the
+        # complement is exact in both engines
+        "geo_shape_topk": _bm25_sql(
+            BM25_QUERY,
+            where=(
+                f"NOT (({GEO_LAT}) <= 60.0 AND ({GEO_LAT}) >= 0.0 AND "
+                f"({GEO_LON}) >= -130.0 AND ({GEO_LON}) <= -60.0)"
             ),
         ),
         "agg_geohash_grid": _geohash_oracle_sql(GEO_LAT, GEO_LON, 2),

@@ -5264,6 +5264,99 @@ class Index:
         combined = geo if where is None else f"({geo}) AND ({where})"
         return self.search(query_text, k, where=combined)
 
+    def geo_shape_where(
+        self,
+        shape: dict,
+        relation: str = "intersects",
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+    ) -> str:
+        """Compile an ES 1.x ``geo_shape`` query (GeoJSON-style payload,
+        LON-FIRST coordinates) against geo_point doc fields into a SQL
+        predicate. Point fields make the relation algebra simple:
+        ``within`` ≡ ``intersects`` (a point intersects a shape iff it
+        lies within it) and ``disjoint`` is the complement; ``contains``
+        is meaningless for points and raises. Supported shape types:
+
+        - ``envelope``: ``[[minLon, maxLat], [maxLon, minLat]]`` — four
+          range comparisons, no trig (the geo_bounding_box plan).
+        - ``circle``: center + ``radius`` ("6000km"/"250m"/plain metres,
+          the ES unit grammar subset) — one haversine per row.
+        - ``polygon``: single outer ring (holes raise loudly) — the
+          crossing-parity predicate of :meth:`search_geo_polygon`.
+        - ``point``: exact coordinate equality.
+
+        Everything stays a constant-folded Column expression fused into
+        the doc scan; reference parity: the reference delegates all query
+        semantics to ES 1.5 (MessageHandler.java posts raw bulk JSON)."""
+        typ = str(shape.get("type", "")).lower()
+        coords = shape.get("coordinates")
+        if typ == "envelope":
+            (min_lon, max_lat), (max_lon, min_lat) = coords
+            if float(min_lon) > float(max_lon):
+                raise ValueError(
+                    "envelope crosses the antimeridian; split it into two"
+                )
+            pred = (
+                f"{lat_col} <= {float(max_lat)} AND {lat_col} >= {float(min_lat)} "
+                f"AND {lon_col} >= {float(min_lon)} AND {lon_col} <= {float(max_lon)}"
+            )
+        elif typ == "circle":
+            lon, lat = coords
+            radius = shape.get("radius", 0.0)
+            if isinstance(radius, str):
+                r = radius.strip().lower()
+                if r.endswith("km"):
+                    radius_km = float(r[:-2])
+                elif r.endswith("mi"):
+                    radius_km = float(r[:-2]) * 1.609344
+                elif r.endswith("m"):
+                    radius_km = float(r[:-1]) / 1000.0
+                else:
+                    radius_km = float(r) / 1000.0  # ES default unit: metres
+            else:
+                radius_km = float(radius) / 1000.0
+            d = self._haversine_sql(lat_col, lon_col, float(lat), float(lon))
+            pred = f"{d} <= {radius_km}"
+        elif typ == "polygon":
+            if len(coords) != 1:
+                raise ValueError("polygon holes are not supported")
+            ring = [(float(lat), float(lon)) for lon, lat in coords[0]]
+            if len(ring) >= 2 and ring[0] == ring[-1]:
+                ring = ring[:-1]  # GeoJSON closes the ring; the parity scan doesn't
+            pred = self._point_in_polygon_sql(lat_col, lon_col, ring)
+        elif typ == "point":
+            lon, lat = coords
+            pred = f"{lat_col} = {float(lat)} AND {lon_col} = {float(lon)}"
+        else:
+            raise ValueError(f"unsupported geo_shape type: {shape.get('type')!r}")
+        rel = relation.lower()
+        if rel in ("intersects", "within"):
+            return pred
+        if rel == "disjoint":
+            return f"NOT ({pred})"
+        raise ValueError(
+            f"unsupported geo_shape relation for point fields: {relation!r}"
+        )
+
+    def search_geo_shape(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        shape: dict,
+        relation: str = "intersects",
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``geo_shape`` query in filter context (BM25 stats stay
+        global): the shape compiles via :meth:`geo_shape_where` and fuses
+        into the column-pruned doc scan like every other geo filter."""
+        geo = self.geo_shape_where(shape, relation, lat_col, lon_col)
+        combined = geo if where is None else f"({geo}) AND ({where})"
+        return self.search(query_text, k, where=combined)
+
     # ---- geohash driver-side reference codec (bisection form) ----
 
     @classmethod

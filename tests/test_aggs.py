@@ -689,3 +689,60 @@ def test_value_count_and_filter_agg(spark):
     assert (row["n"], row["min_v"], row["max_v"], row["sum_v"]) == (2, 10.0, 30.0, 40.0)
     empty = idx.filter_agg("alpha", "tag = 'zz'", "n").collect()[0]
     assert empty["n"] == 0 and empty["min_v"] is None
+
+
+def test_geo_shape_relations_match_primitive_filters(spark):
+    """geo_shape must reduce exactly to the primitive geo filters it
+    dispatches to: envelope ≡ bbox, circle ≡ distance, polygon ≡
+    geo_polygon (GeoJSON ring closed, lon-first), point-equality, and
+    disjoint as the exact complement partition of the match set."""
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    pts = [(i, "alpha beta", -80.0 + i * 7.9, -170.0 + i * 17.3) for i in range(21)]
+    df = spark.createDataFrame(pts, "doc_id long, text string, lat double, lon double")
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+
+    def ids(res):
+        return {r["doc_id"] for r in res.collect()}
+
+    env = {"type": "envelope", "coordinates": [[-130.0, 60.0], [-60.0, 0.0]]}
+    want = ids(idx.search_geo_bbox("alpha", 50, top_left=(60.0, -130.0),
+                                   bottom_right=(0.0, -60.0)))
+    assert ids(idx.search_geo_shape("alpha", 50, shape=env)) == want
+    assert ids(idx.search_geo_shape("alpha", 50, shape=env, relation="within")) == want
+
+    circ = {"type": "circle", "coordinates": [-122.42, 37.77], "radius": "6000km"}
+    want_c = ids(idx.search_geo_distance("alpha", 50, origin=(37.77, -122.42),
+                                         radius_km=6000.0))
+    assert ids(idx.search_geo_shape("alpha", 50, shape=circ)) == want_c
+    # metre string and bare-metre number parse to the same circle
+    circ_m = dict(circ, radius="6000000m")
+    assert ids(idx.search_geo_shape("alpha", 50, shape=circ_m)) == want_c
+    assert ids(idx.search_geo_shape("alpha", 50, shape=dict(circ, radius=6000000))) == want_c
+
+    ring = [(70.0, -170.0), (75.0, -40.0), (0.0, -30.0), (-60.0, -70.0), (-20.0, -160.0)]
+    poly = {"type": "polygon",
+            "coordinates": [[[lo, la] for la, lo in ring] + [[ring[0][1], ring[0][0]]]]}
+    want_p = ids(idx.search_geo_polygon("alpha", 50, polygon=ring))
+    assert ids(idx.search_geo_shape("alpha", 50, shape=poly)) == want_p
+
+    # disjoint = exact complement within the text match set (no null geo here)
+    all_ids = ids(idx.search("alpha", 50))
+    dis = ids(idx.search_geo_shape("alpha", 50, shape=env, relation="disjoint"))
+    assert dis == all_ids - want and dis | want == all_ids
+
+    pt = {"type": "point", "coordinates": [pts[3][3], pts[3][2]]}
+    assert ids(idx.search_geo_shape("alpha", 50, shape=pt)) == {3}
+
+    with pytest.raises(ValueError, match="contains"):
+        idx.search_geo_shape("alpha", 5, shape=env, relation="contains")
+    with pytest.raises(ValueError, match="holes"):
+        idx.search_geo_shape("alpha", 5, shape={"type": "polygon",
+                                                "coordinates": [[[0, 0]], [[1, 1]]]})
+    with pytest.raises(ValueError, match="antimeridian"):
+        idx.search_geo_shape("alpha", 5, shape={"type": "envelope",
+                                                "coordinates": [[170.0, 10.0], [-170.0, -10.0]]})
+    with pytest.raises(ValueError, match="type"):
+        idx.search_geo_shape("alpha", 5, shape={"type": "multipolygon", "coordinates": []})
