@@ -353,6 +353,26 @@ def q_mlt_topk(spark, sf_dir):
     )
 
 
+def q_mlt_field_topk(spark, sf_dir):
+    """ES 1.x more_like_this_field: MLT scoped to the title field (first
+    5 tokens of text) seeded by doc 0 — its 3 best title terms by the
+    TITLE's own tf·idf become a weight-1 disjunction scored with the
+    title field's df/avgdl, source doc excluded after scoring."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        more_like_this_field,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    out = more_like_this_field(docs, 0, "title", K, max_query_terms=3)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_phrase_prefix_topk(spark, sf_dir):
     """ES match_phrase_prefix: "table s" — the final slot expands against
     the term dictionary (spark/small/stream/scan/slow/sort here) and any
@@ -3467,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "geo_shape_topk": q_geo_shape_topk,
+        "mlt_field_topk": q_mlt_field_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4231,6 +4252,44 @@ FROM total ORDER BY score DESC, doc_id LIMIT 10
 # more_like_this seeded by doc 0, max_query_terms=5: term selection by
 # tf·idf (BM25 idf) with term-asc ties, then the standard BM25 scoring
 # with every selected term at weight 1, source doc excluded
+def _mlt_doc_sql(toks_expr: str, max_terms: int, src: int = 0, k: int = K) -> str:
+    """Doc-seeded MLT oracle over an arbitrary token-list expression —
+    the field-scoped variant (more_like_this_field) passes the FIELD's
+    token slice so selection AND scoring use that field's own tf/df/
+    avgdl statistics; the plain mlt_topk oracle passes the full text."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks_expr}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({toks_expr})::DOUBLE AS dl FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN dfall USING (term) CROSS JOIN corpus
+  WHERE tf.doc_id = {src}
+  ORDER BY tf.tf * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5)) DESC,
+           tf.term
+  LIMIT {max_terms}
+),
+q AS (SELECT term, 1.0 AS w FROM sel),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * ln(1 + (corpus.n - dfall.df + 0.5) / (dfall.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dfall ON tf.term = dfall.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  WHERE tf.doc_id <> {src}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 _MLT_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -6015,6 +6074,7 @@ LIMIT {K}
         "rescore_topk": _RESCORE_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "bool_topk": _BOOL_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "mlt_topk": _MLT_SQL,
+        "mlt_field_topk": _mlt_doc_sql(f"({SQL_TOKS})[1:5]", 3),
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

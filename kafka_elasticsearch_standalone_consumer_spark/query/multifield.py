@@ -164,3 +164,73 @@ def multi_field_bm25(
             ).alias("score")
         )
     return bm25.topk(scores, k)
+
+
+def more_like_this_field(
+    docs: DataFrame,
+    doc_id: int,
+    field: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES 1.x ``more_like_this_field`` — MLT scoped to ONE field: term
+    selection (tf·idf over the FIELD's own statistics, the classic MLT
+    rule with the tf/df floors, ties term-asc) from the source document's
+    field value, then a weight-1 disjunctive BM25 over that field with
+    the field's own df/avgdl, source doc excluded after scoring (corpus
+    statistics stay global). Reference parity: the reference delegates
+    the whole query DSL to ES 1.5 (ref MessageHandler.java:135-139).
+
+    Scale shape: the source doc is ONE filtered point-read; candidate df
+    is one term-pruned aggregation (predicate reaches the scan) whose
+    result is bounded by the source doc's distinct terms; scoring is the
+    declarative single-field BM25 path — map-side until one aggregation
+    shuffle, top-k via TakeOrderedAndProject."""
+    import math
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    row = docs.filter(F.col(id_col) == int(doc_id)).select(field).collect()
+    if not row or row[0][0] is None:
+        return empty
+    tf = Counter(tokenize_text(row[0][0]))
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return empty
+    n = float(docs.count())
+    dfrows = (
+        doc_term_freqs(docs, text_col=field, id_col=id_col)
+        .filter(F.col("term").isin(cand))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    df_by = {r["term"]: int(r["df"]) for r in dfrows}
+    ranked = sorted(
+        (
+            -tf[t] * math.log(1.0 + (n - df_by[t] + 0.5) / (df_by[t] + 0.5)),
+            t,
+        )
+        for t in cand
+        if df_by.get(t, 0) >= min_doc_freq
+    )
+    selected = [t for _, t in ranked[:max_query_terms]]
+    if not selected:
+        return empty
+    out = multi_field_bm25(
+        docs, " ".join(selected), {field: 1.0}, k + 1,
+        id_col=id_col, k1=k1, b=b,
+    )
+    return (
+        out.filter(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

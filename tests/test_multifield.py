@@ -154,3 +154,46 @@ def test_cross_fields_matches_python(spark, fielded_docs):
     for d, v in cross0.items():
         if d in most:
             assert v <= most[d] + 1e-9
+
+
+def test_more_like_this_field_matches_python(spark, fielded_docs):
+    """Field-scoped MLT vs a pure-Python recompute: term selection on the
+    head field (tf·idf with floors, ties term-asc), then single-field
+    BM25 with the head field's own stats, source doc excluded."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        more_like_this_field,
+    )
+
+    rows = fielded_docs.collect()
+    src = 1
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in more_like_this_field(
+            fielded_docs, src, "head", k=10, max_query_terms=3
+        ).collect()
+    ]
+
+    toks = {r["doc_id"]: tokenize_text(r["head"]) for r in rows}
+    n = len(toks)
+    tf = {}
+    for t in toks[src]:
+        tf[t] = tf.get(t, 0) + 1
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in tf}
+    ranked = sorted(
+        (-c * math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)), t)
+        for t, c in tf.items()
+        if df[t] >= 1
+    )
+    selected = [t for _, t in ranked[:3]]
+    scores = _python_field_scores(rows, "head", 1.0, selected)
+    scores.pop(src, None)
+    want = [
+        (d, round(s, 9))
+        for d, s in sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and abs(gs - ws) < 1e-6
+
+    # unknown source doc -> empty, no crash
+    assert more_like_this_field(fielded_docs, 10**9, "head").count() == 0
