@@ -2406,6 +2406,22 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_range(spark, sf_dir):
+    """Radius (range) vector search: every embedding with cosine >= 0.35
+    against vec 0 — brute-force membership (the margin to the nearest
+    cosine is >= 0.005 at every SF, so the threshold can't flap on
+    float ulps); the IVF/LSH pruned variants compose by pre-filtering
+    the input."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_range,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = cosine_range(emb, qv, 0.35)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
 def q_ann_filtered_topk(spark, sf_dir):
     """Metadata-filtered vector search (the label/tenant/date predicate
     of real-world ANN): IVF search probing ALL lists with
@@ -3488,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "geo_shape_topk": q_geo_shape_topk,
         "mlt_field_topk": q_mlt_field_topk,
+        "ann_range": q_ann_range,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6509,6 +6526,19 @@ LIMIT {K}
         ),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_filtered_topk": _COSINE_FILTERED_SQL,  # nprobe=ALL => exact over subset
+        "ann_range": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS n1,
+         sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) AS n2
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(dot / (n1 * n2), 4) AS cosine_r
+FROM s WHERE dot / (n1 * n2) >= 0.35
+""",
         "knn_join_topk": _KNN_SQL,
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "turn_context": """

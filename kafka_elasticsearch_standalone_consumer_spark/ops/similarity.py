@@ -64,6 +64,26 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def cosine_range(
+    emb: DataFrame,
+    query_vec: list[float],
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) similarity search: every vector whose cosine with
+    ``query_vec`` is >= ``tau`` — (vec_id, cosine), unbounded by k; the
+    caller bounds the result with the radius. The brute-force baseline:
+    one scan with the comparison fused into it by codegen (scan ->
+    project -> filter, no shuffle at all). For the 100 TB path pass a
+    pruned subset (an IVF probe's lists or an LSH bucket union) as
+    ``emb`` — the predicate composes with partition pruning unchanged."""
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"), _cosine(F.col(vec_col), query_vec).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= float(tau))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = _PLANE_SEED) -> np.ndarray:
     """Deterministic Gaussian-ish hyperplanes from a counter-based hash."""
     rng = np.random.default_rng(seed)

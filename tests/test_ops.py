@@ -1239,3 +1239,32 @@ def test_bpe_encode_matches_python_greedy_reference(spark):
         for r in bpe_encode(docs, merges).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_cosine_range_matches_numpy_and_has_no_shuffle(spark):
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_range,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    tau = 0.25
+    got = {r.vec_id: r.cosine for r in cosine_range(emb, q, tau).collect()}
+
+    v64 = vecs.astype(np.float64)
+    qn = np.linalg.norm(np.asarray(q))
+    cos = (v64 @ np.asarray(q)) / (np.linalg.norm(v64, axis=1) * qn)
+    want = {i for i in range(200) if cos[i] >= tau}
+    assert set(got) == want and 0 in got
+    for i, c in got.items():
+        assert abs(c - cos[i]) < 1e-9
+
+    plan = cosine_range(emb, q, tau)._sc is not None and cosine_range(
+        emb, q, tau
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sort" not in plan
