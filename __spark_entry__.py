@@ -1966,6 +1966,15 @@ def q_suggest_complete(spark, sf_dir):
     return _cached_idx(spark, sf_dir).suggest_complete("s", 5)
 
 
+def q_suggest_fuzzy(spark, sf_dir):
+    """ES 1.4 fuzzy completion suggester: input "span" with fuzziness=1
+    (prefix_length=1, the ES defaults) — a term matches when some prefix
+    of it within ±1 of the input's length is within Damerau distance 1
+    (matches scan AND spark here); ranked by document frequency desc,
+    term asc ties, like the exact suggester."""
+    return _cached_idx(spark, sf_dir).suggest_complete("span", 5, fuzziness=1)
+
+
 def q_suggest_context(spark, sf_dir):
     """ES 1.x context suggester (category contexts, ES 1.4+): s-prefixed
     suggestions ranked by document frequency WITHIN the lang='en'
@@ -3505,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_topk": q_geo_shape_topk,
         "mlt_field_topk": q_mlt_field_topk,
         "ann_range": q_ann_range,
+        "suggest_fuzzy": q_suggest_fuzzy,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6440,6 +6450,18 @@ ORDER BY doc_id
             f"FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents) "
             "WHERE starts_with(term, 's') GROUP BY term "
             "ORDER BY freq DESC, suggestion LIMIT 5"
+        ),
+        # the j-window fuzzy-automaton acceptance rule, verbatim: some
+        # prefix of the term with length in [3, 5] within damerau 1 of
+        # the input; length >= 3 mirrors the engine's pigeonhole band
+        "suggest_fuzzy": (
+            f"SELECT term AS suggestion, count(*)::BIGINT AS freq "
+            f"FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents) "
+            "WHERE substr(term, 1, 1) = 's' AND length(term) >= 3 "
+            "AND least(damerau_levenshtein(substr(term, 1, 3), 'span'), "
+            "          damerau_levenshtein(substr(term, 1, 4), 'span'), "
+            "          damerau_levenshtein(substr(term, 1, 5), 'span')) <= 1 "
+            "GROUP BY term ORDER BY freq DESC, suggestion LIMIT 5"
         ),
         "search_after": _bm25_page2_sql(BM25_QUERY),
         "function_score_topk": _bm25_function_score_sql(BM25_QUERY),

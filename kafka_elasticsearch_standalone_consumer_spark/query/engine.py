@@ -3922,14 +3922,54 @@ class Index:
                 out.append((tok, t, int(d), int(df_by.get(t, 0))))
         return self.spark.createDataFrame(out, out_schema)
 
-    def suggest_complete(self, prefix: str, size: int = 5) -> DataFrame:
+    def suggest_complete(
+        self,
+        prefix: str,
+        size: int = 5,
+        fuzziness: int = 0,
+        prefix_length: int = 1,
+        min_length: int = 3,
+    ) -> DataFrame:
         """ES completion suggester over the term dictionary: terms
         starting with ``prefix`` ranked by document frequency desc (the
         popularity weight ES completion fields default to), term asc
         ties. Pure driver-side dictionary range read — serving-latency
-        cheap, like :meth:`search_local`."""
+        cheap, like :meth:`search_local`.
+
+        ``fuzziness > 0`` enables the ES 1.4 fuzzy completion option
+        (defaults mirror ES: ``prefix_length=1`` initial chars must match
+        exactly, inputs shorter than ``min_length`` stay exact): a
+        dictionary term matches when SOME prefix of it within
+        ``fuzziness`` of the input's length is within Damerau-Levenshtein
+        distance ``fuzziness`` of the input (the Lucene fuzzy-automaton
+        acceptance, stated as the j-window rule so the DuckDB oracle can
+        run it verbatim). Ranking stays (-freq, term) — ES scores fuzzy
+        completions by weight, not by distance. The expansion scan is
+        pruned by the literal ``prefix_length`` prefix plus the
+        edit-distance length pigeonhole pushed into the parquet read, and
+        capped by MAX_EXPANSION_SCAN like every other fuzzy surface."""
         out_schema = "suggestion string, freq long"
-        cand = self._expand_prefix(prefix, 1 << 20)
+        if fuzziness and len(prefix) >= int(min_length):
+            if prefix_length < 1:
+                raise ValueError(
+                    "prefix_length must be ≥1: an unpruned fuzzy completion "
+                    "scans the whole term dictionary (same guard as search_fuzzy)"
+                )
+            lp, f = len(prefix), int(fuzziness)
+            cand = [
+                t
+                for t in self._expand_prefix(
+                    prefix[:prefix_length],
+                    1 << 20,
+                    length_band=(max(lp - f, 1), 1 << 20),
+                )
+                if any(
+                    _damerau_levenshtein(prefix, t[:j], f) <= f
+                    for j in range(max(lp - f, 1), lp + f + 1)
+                )
+            ]
+        else:
+            cand = self._expand_prefix(prefix, 1 << 20)
         if not cand:
             return self.spark.createDataFrame([], out_schema)
         rows = self._lookup_terms_arrow(cand)

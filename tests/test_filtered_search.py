@@ -1106,3 +1106,49 @@ def test_suggest_phrase_collate_prunes_unmatched(spark, built_index):
     want = [(s, v) for s, v in plain if matches(s)][:5]
     assert coll == want
     assert all(matches(s) for s, _ in coll)
+
+
+def test_suggest_complete_fuzzy(spark, built_index):
+    """ES 1.4 fuzzy completion: j-window damerau acceptance vs a pure-
+    Python recompute over the corpus dictionary; short inputs stay
+    exact (min_length), prefix_length guard raises."""
+    from collections import Counter
+
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+
+    idx, _ = built_index
+    df = Counter()
+    for r in idx._docs_df().select("text").collect():
+        for t in set(tokenize_text(r["text"])):
+            df[t] += 1
+
+    prefix, f = "w0q01", 1
+    lp = len(prefix)
+
+    def accepts(t):
+        if t[0] != prefix[0] or len(t) < lp - f:
+            return False
+        return any(
+            _damerau_levenshtein(prefix, t[: j], f) <= f
+            for j in range(max(lp - f, 1), lp + f + 1)
+        )
+
+    want = sorted(
+        ((t, n) for t, n in df.items() if accepts(t)),
+        key=lambda tn: (-tn[1], tn[0]),
+    )[:5]
+    got = [
+        (r["suggestion"], r["freq"])
+        for r in idx.suggest_complete(prefix, 5, fuzziness=1).collect()
+    ]
+    assert got == want and got  # the typo'd prefix must still complete
+
+    # below min_length the input stays exact: no fuzzy matches for "zz"
+    assert idx.suggest_complete("zz", 5, fuzziness=1).count() == 0
+    with pytest.raises(ValueError, match="prefix_length"):
+        idx.suggest_complete("w0q01", 5, fuzziness=1, prefix_length=0)
