@@ -2431,6 +2431,38 @@ def q_ann_range(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-10 (Carbonell & Goldstein 1998, lam=0.5) over
+    the top-20 cosine candidates of vec 0, with EXACT copies of vec 0
+    planted at +100000/+200000 (the semdedup planting pattern): a plain
+    cosine top-k would rank the copies 2nd/3rd; MMR's marginal score
+    for an exact duplicate is 0.5·1 − 0.5·1 = 0, so both copies must be
+    absent from the selection — asserted in-entry. Selection keys are
+    bit-identical to the oracle's recursive-CTE greedy (sequential
+    list_sum-fold arithmetic driver-side)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base0 = emb.filter("vec_id = 0")
+    planted = emb.unionByName(
+        base0.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base0.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    qv = [float(x) for x in base0.collect()[0]["embedding"]]
+    out = mmr_rerank(planted, qv, k=10, n_candidates=20, lam=0.5)
+    rows = out.collect()
+    picked = {r["vec_id"] for r in rows}
+    assert rows[0]["vec_id"] == 0 and picked.isdisjoint({100000, 200000}), (
+        "MMR failed to diversify away the planted exact duplicates"
+    )
+    return spark.createDataFrame(rows, out.schema).select(
+        "step", "vec_id", F.round("mmr", 6).alias("mmr_r")
+    )
+
+
 def q_ann_filtered_topk(spark, sf_dir):
     """Metadata-filtered vector search (the label/tenant/date predicate
     of real-world ANN): IVF search probing ALL lists with
@@ -3515,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_field_topk": q_mlt_field_topk,
         "ann_range": q_ann_range,
         "suggest_fuzzy": q_suggest_fuzzy,
+        "mmr_rerank": q_mmr_rerank,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6548,6 +6581,50 @@ LIMIT {K}
         ),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_filtered_topk": _COSINE_FILTERED_SQL,  # nprobe=ALL => exact over subset
+        # the MMR greedy as a recursive CTE over the planted candidate set:
+        # anchor = argmax rel, each step a LATERAL argmax of
+        # 0.5*rel - 0.5*max(sim to selected); arithmetic shapes mirror the
+        # driver-side sequential folds bit-for-bit
+        "mmr_rerank": """
+WITH RECURSIVE planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id = 0
+  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id = 0
+),
+q AS (SELECT embedding AS qe FROM planted WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS rel
+  FROM planted e CROSS JOIN q
+  ORDER BY rel DESC, e.vec_id LIMIT 20
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+  FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+),
+sel AS (
+  (SELECT 1 AS step, vec_id, rel AS mmr, [vec_id] AS ids
+   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  (SELECT s.step + 1, nxt.vec_id, nxt.sc, list_append(s.ids, nxt.vec_id)
+   FROM sel s, LATERAL (
+     SELECT c.vec_id,
+            0.5 * c.rel - 0.5 * (SELECT max(p.sim) FROM pairs p
+                                 WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)) AS sc
+     FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+     ORDER BY sc DESC, c.vec_id LIMIT 1
+   ) nxt
+   WHERE s.step < 10)
+)
+SELECT step, vec_id, round(mmr, 6) AS mmr_r FROM sel
+""",
         "ann_range": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 s AS (

@@ -84,6 +84,89 @@ def cosine_range(
     return scored.filter(F.col("cosine") >= float(tau))
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    ``lam * rel(i) - (1 - lam) * max_sim(i, selected)``, ties by id asc;
+    the first pick is the plain argmax of relevance. Returns
+    (step, vec_id, mmr) in selection order — step 1's mmr is the
+    relevance itself, later steps the marginal score.
+
+    Scale shape: the corpus-sized work is ONE distributed top-N
+    (TakeOrderedAndProject, same plan as cosine_topk); the greedy loop
+    is k × n_candidates over the COLLECTED candidate set — bounded by
+    ``n_candidates``, never the corpus (an MMR rerank is candidate-sized
+    by definition, like a cross-encoder rerank stage).
+
+    Determinism: every relevance and pairwise similarity that feeds the
+    greedy is recomputed driver-side with a SEQUENTIAL float64 left fold
+    — the exact arithmetic of a SQL engine's ``list_sum`` and of the
+    Spark ``aggregate`` fold — so the selection keys are BIT-identical
+    to the oracle's recursive-CTE greedy and near-orthogonal candidates
+    (whose marginal scores tie within float noise) break on vec_id in
+    lockstep, never on last-ulp summation-order differences. The
+    distributed cut itself orders by the Column-algebra cosine, whose
+    gaps (~1e-4 on this data) dwarf summation noise, same contract as
+    cosine_topk."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _cosine(F.col(vec_col), query_vec).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(int(n_candidates))
+        .collect()
+    )
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], "step int, vec_id long, mmr double"
+        )
+
+    def _seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    import math
+
+    ids = [int(r["vec_id"]) for r in rows]
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(_seq_dot(qv, qv)) or 1e-30
+    nrm = [math.sqrt(_seq_dot(v, v)) or 1e-30 for v in vecs]
+    rel = [_seq_dot(v, qv) / (nrm[i] * qn) for i, v in enumerate(vecs)]
+    sims = [
+        [_seq_dot(vecs[i], vecs[j]) / (nrm[i] * nrm[j]) for j in range(len(ids))]
+        for i in range(len(ids))
+    ]
+    # anchor = argmax of the RECOMPUTED relevance (ties id asc) — the same
+    # keys the oracle's anchor ORDER BY sees, not the distributed cut's order
+    a0 = max(range(len(ids)), key=lambda i: (rel[i], -ids[i]))
+    selected: list[int] = [a0]
+    out = [(1, ids[a0], float(rel[a0]))]
+    while len(selected) < min(int(k), len(ids)):
+        best = None
+        for i in range(len(ids)):
+            if i in selected:
+                continue
+            sc = lam * rel[i] - (1.0 - lam) * max(sims[i][j] for j in selected)
+            if best is None or (sc, -ids[i]) > (best[1], -ids[best[0]]):
+                best = (i, sc)
+        selected.append(best[0])
+        out.append((len(selected), ids[best[0]], float(best[1])))
+    return emb.sparkSession.createDataFrame(out, "step int, vec_id long, mmr double")
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = _PLANE_SEED) -> np.ndarray:
     """Deterministic Gaussian-ish hyperplanes from a counter-based hash."""
     rng = np.random.default_rng(seed)

@@ -1268,3 +1268,92 @@ def test_cosine_range_matches_numpy_and_has_no_shuffle(spark):
         emb, q, tau
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_mmr_rerank_matches_python_greedy_and_diversifies(spark):
+    """MMR vs a plain greedy recompute on clustered vectors: three tight
+    clusters near the query — MMR must interleave clusters instead of
+    exhausting the nearest one, and an exact duplicate of the anchor
+    scores 0 marginal and falls behind every cross-cluster pick."""
+    import math
+
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        mmr_rerank,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((3, 8))
+    rows = []
+    for i in range(30):
+        c = centers[i % 3]
+        v = c + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((999, list(rows[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    got = [
+        (r.step, r.vec_id, r.mmr)
+        for r in mmr_rerank(emb, q, k=8, n_candidates=15, lam=0.5).collect()
+    ]
+
+    # plain greedy recompute with sequential folds (float32-cast inputs)
+    def f32(v):
+        return [float(np.float32(x)) for x in v]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    # stored vectors round-trip through float32; the query stays raw float64
+    cand = sorted(
+        (
+            (
+                dot(f32(v), q)
+                / (math.sqrt(dot(f32(v), f32(v))) * math.sqrt(dot(q, q))),
+                -i,
+            ),
+            i,
+            f32(v),
+        )
+        for i, v in rows
+    )[::-1][:15]
+    ids = [i for _, i, _ in cand]
+    rel = {i: key[0] for key, i, _ in cand}
+    vec = {i: v for _, i, v in cand}
+    sims = {
+        (a, b): dot(vec[a], vec[b])
+        / (math.sqrt(dot(vec[a], vec[a])) * math.sqrt(dot(vec[b], vec[b])))
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    sel = [max(ids, key=lambda i: (rel[i], -i))]
+    want = [(1, sel[0], rel[sel[0]])]
+    while len(sel) < 8:
+        best = max(
+            (i for i in ids if i not in sel),
+            key=lambda i: (
+                0.5 * rel[i] - 0.5 * max(sims[(i, j)] for j in sel),
+                -i,
+            ),
+        )
+        want.append(
+            (
+                len(sel) + 1,
+                best,
+                0.5 * rel[best] - 0.5 * max(sims[(best, j)] for j in sel),
+            )
+        )
+        sel.append(best)
+    assert [(s, v) for s, v, _ in got] == [(s, v) for s, v, _ in want]
+    for (_, _, gm), (_, _, wm) in zip(got, want):
+        assert abs(gm - wm) < 1e-12
+    # diversification: the duplicate never precedes a cross-cluster pick
+    order = [v for _, v, _ in got]
+    assert order[0] == 0 and (999 not in order[:4])
+    # clusters interleave: the first three non-anchor picks span >1 cluster
+    assert len({v % 3 for v in order[1:4] if v != 999}) > 1
