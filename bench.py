@@ -26,6 +26,8 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
   dedup_simhash   SimHash near-dup pairs over documents.parquet
   quality         text-quality feature pass over documents.parquet
   dup_spans       cross-doc exact-substring duplication stats (Lee et al.)
+  bpe_train16     BPE trainer, 16 merges (one corpus groupBy + driver loop)
+  bpe_encode      pure-Column BPE encoder applying those merges corpus-wide
   cosine_topk     brute-force cosine top-10 over embeddings.parquet
 
 ``--scaling`` additionally reruns the index build at pinned local[N]
@@ -250,6 +252,18 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
 
         t["doc_keyterms"] = best_of(lambda: doc_keyterms(docs, k=3).count())
         t["pmi_pairs"] = best_of(lambda: pmi_pairs(docs, top_n=20, min_count=5).count())
+
+        from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+            bpe_encode,
+            bpe_merges,
+        )
+
+        # trainer (one corpus groupBy + driver merge loop) then the
+        # pure-Column encoder applying those merges over the whole corpus
+        t0 = time.monotonic()
+        merges = bpe_merges(docs, n_merges=16)
+        t["bpe_train16"] = time.monotonic() - t0
+        t["bpe_encode"] = best_of(lambda: bpe_encode(docs, merges).count())
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]

@@ -566,6 +566,26 @@ def main() -> None:
         )
     )
 
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import bpe_encode
+
+    enc = bpe_encode(
+        tr.withColumn("doc_id", F.monotonically_increasing_id()),
+        [(1, "0", "0", 9), (2, "w", "00", 5)],
+    )
+    enc.collect()
+    sections.append(
+        (
+            "BPE encoder (pure-Column greedy merge chain)",
+            "The double-delimiter replace chain runs entirely inside "
+            "whole-stage codegen — no BatchEvalPython/ArrowEvalPython, no "
+            "window, and exactly ONE exchange (the final per-doc "
+            "partial→final aggregate). Token counting is length arithmetic "
+            "on the chain's output, so the whole encoder is scan-speed. "
+            "Asserted in tests/test_plans.py.",
+            plan_of(enc),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
