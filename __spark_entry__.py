@@ -2759,6 +2759,58 @@ def q_transcripts_invariant(spark, sf_dir):
     return spark.createDataFrame([(n, n_bad)], "n_turns long, n_mismatch long")
 
 
+def q_optimize_segments(spark, sf_dir):
+    """ES _optimize(max_num_segments=2): base + two appended segments
+    partially merge into base + one (doc_ids preserved, registry totals
+    the same integers), every probe identical before/after at 6 dp, the
+    merged batches' idempotency keys retired (replay no-op). Counters —
+    mismatches must be 0."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        append_segment,
+        list_segments,
+        optimize,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    def hits(idx, q):
+        res = idx.search(q, K).join(idx.doc_keys(), "doc_id")
+        return sorted(
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6)) for r in res.collect()
+        )
+
+    full = generate_transcripts(spark, n_convs=60, seed=5, partitions=4).persist()
+    a = full.filter("conv_id < 'conv0000000030'")
+    b = full.filter(
+        "conv_id >= 'conv0000000030' and conv_id < 'conv0000000045'"
+    )
+    c = full.filter("conv_id >= 'conv0000000045'")
+    root = tempfile.mkdtemp(prefix="kesc_opt_")
+    build_index(spark, a, f"{root}/seg", docs_per_shard=256, n_buckets=8)
+    append_segment(spark, b, f"{root}/seg", idempotency_key="b")
+    append_segment(spark, c, f"{root}/seg", idempotency_key="c")
+    probes = ["w00000 w00003", "w00250", "w00001 w01500"]
+    idx0 = Index(spark, f"{root}/seg")
+    want = {q: hits(idx0, q) for q in probes}
+    retired = optimize(spark, f"{root}/seg", max_num_segments=2)
+    n_segs = len(list_segments(Warehouse(f"{root}/seg")))
+    idx1 = Index(spark, f"{root}/seg")
+    n_bad = sum(want[q] != hits(idx1, q) for q in probes)
+    replay_noop = (
+        append_segment(spark, b, f"{root}/seg", idempotency_key="b") is None
+        and append_segment(spark, c, f"{root}/seg", idempotency_key="c") is None
+    )
+    spark.catalog.clearCache()
+    return spark.createDataFrame(
+        [(len(probes), int(retired), int(n_segs), int(n_bad), bool(replay_noop))],
+        "n_probes long, n_retired long, n_segments long, n_mismatch long, replay_noop boolean",
+    )
+
+
 def q_incremental_segments(spark, sf_dir):
     """Segmented index (base + 1 appended segment + replay) answers every
     probe query identically to a one-shot build over the full corpus, and
@@ -3548,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range": q_ann_range,
         "suggest_fuzzy": q_suggest_fuzzy,
         "mmr_rerank": q_mmr_rerank,
+        "optimize_segments": q_optimize_segments,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6743,6 +6796,11 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
         ),
         "transcripts_invariant": _TRANSCRIPTS_INVARIANT_SQL,
         "incremental_segments": _INCREMENTAL_SEGMENTS_SQL,
+        "optimize_segments": (
+            "SELECT 3::BIGINT AS n_probes, 1::BIGINT AS n_retired, "
+            "2::BIGINT AS n_segments, 0::BIGINT AS n_mismatch, "
+            "true AS replay_noop"
+        ),
         "delete_tombstones": _DELETE_TOMBSTONES_SQL,
         "delete_by_query": _DELETE_BY_QUERY_SQL,
         "update_upsert": _UPDATE_UPSERT_SQL,

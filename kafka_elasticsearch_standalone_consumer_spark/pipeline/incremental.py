@@ -432,6 +432,116 @@ def reindex(
     return int(Warehouse(dst_warehouse).read_meta("sys_meta")["n_docs"])
 
 
+def optimize(
+    spark: SparkSession,
+    warehouse_path: str,
+    max_num_segments: int = 1,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> int:
+    """ES 1.x ``_optimize`` (force-merge) with ``max_num_segments``:
+    tiered PARTIAL compaction. ``max_num_segments=1`` delegates to
+    :func:`compact` (full merge, tombstones purged). For N ≥ 2, the
+    NEWEST ``n_segments - N + 1`` segments — the micro-batch tail tiered
+    merging exists for — merge into ONE new segment: doc_ids are
+    PRESERVED (the merged run is contiguous by construction, so no
+    remapping and tombstones stay valid), the registry totals are the
+    same integers (global n_docs/avgdl bit-identical → every query
+    scores identically before and after), and only the merged segment's
+    block-max bounds are re-baked, at its own merged avgdl, exactly like
+    an append. Deliberate deviation from Lucene, documented: tombstones
+    SURVIVE a partial optimize (this engine freezes corpus stats until
+    :func:`compact`, which purges them) — observable query results are
+    unchanged either way. Returns the number of segments retired.
+
+    Crash ordering mirrors append/compact: the merged segment builds in
+    a temp dir, renames into place, THEN the registry swaps (the commit
+    point, after which readers see keep+merged), then the retired
+    segment dirs drop — a crash anywhere leaves either the old registry
+    with all old dirs or the new registry with the new dir present.
+    Reference parity: the reference's ES owns this via the _optimize API
+    (delegated at ref MessageHandler.java:135-139)."""
+    if max_num_segments <= 1:
+        return compact(spark, warehouse_path, num_partitions=num_partitions, run_id=run_id)
+    wh = Warehouse(warehouse_path)
+    segs = _ensure_base_segment_row(wh)
+    if len(segs) <= max_num_segments:
+        return 0
+    keep, merge = segs[: max_num_segments - 1], segs[max_num_segments - 1 :]
+    assert merge[0]["seg_id"] != 0, "base segment is never in the merge tail"
+    meta = wh.read_meta("sys_meta")
+    positions = bool(meta.get("positions", False))
+    new_id = segs[-1]["seg_id"] + 1
+    tmp_root = os.path.join(wh.root, "_optimize_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    swh = Warehouse(tmp_root)
+    docs = seg_warehouse(wh, merge[0]["seg_id"]).read(spark, "docs")
+    for s in merge[1:]:
+        docs = docs.unionByName(seg_warehouse(wh, s["seg_id"]).read(spark, "docs"))
+    swh.write(docs, "docs")
+    toks = doc_term_freqs(
+        swh.read(spark, "docs"), positions=positions,
+        analyzer=str(meta.get("analyzer", "standard")),
+    )
+    swh.write(toks, "tokens")
+    ds = with_shard(
+        build_doc_stats(swh.read(spark, "docs"), swh.read(spark, "tokens")),
+        int(meta["docs_per_shard"]),
+    )
+    swh.write(ds, "doc_stats")
+    ts = build_term_stats(swh.read(spark, "tokens"), n_buckets=int(meta["n_buckets"]))
+    swh.write(ts, "term_stats")
+    # registry integers are exact — reuse them so totals stay bit-identical
+    n_m = sum(int(s["n_docs"]) for s in merge)
+    dl_m = sum(int(s["sum_dl"]) for s in merge)
+    baked = (dl_m / n_m) if n_m else 0.0
+    swh.write_meta("seg_meta", {"n_docs": n_m, "sum_dl": dl_m})
+    postings = build_postings(
+        swh.read(spark, "tokens"),
+        avgdl=baked or 1e-9,
+        docs_per_shard=int(meta["docs_per_shard"]),
+        n_buckets=int(meta["n_buckets"]),
+        num_partitions=num_partitions,
+        positions=positions,
+    )
+    swh.write(postings, "postings", partition_by=("term_bucket",))
+    # retire the merged batches' idempotency keys FIRST: a replay of one of
+    # them must stay a no-op whether or not the swap below has happened yet
+    wh.append_rows(
+        RETIRED_KEYS_TABLE,
+        [(s["idempotency_key"], time.time()) for s in merge],
+        _retired_schema(),
+    )
+    final_dir = os.path.join(wh.root, "segments", str(new_id))
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.rename(tmp_root, final_dir)
+    # registry swap — the commit point
+    fields = [f.name for f in _segments_schema()]
+    rows = [tuple(s[f] for f in fields) for s in keep] + [
+        (
+            new_id,
+            f"optimize-{new_id}",
+            n_m,
+            int(merge[0]["doc_id_lo"]),
+            int(merge[-1]["doc_id_hi"]),
+            dl_m,
+            baked,
+            time.time(),
+        )
+    ]
+    reg_tmp = Warehouse(os.path.join(wh.root, "_optimize_reg_tmp"))
+    shutil.rmtree(reg_tmp.root, ignore_errors=True)
+    reg_tmp.append_rows(SEGMENTS_TABLE, rows, _segments_schema())
+    dst = wh.path(SEGMENTS_TABLE)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(reg_tmp.path(SEGMENTS_TABLE), dst)
+    shutil.rmtree(reg_tmp.root, ignore_errors=True)
+    for s in merge:
+        shutil.rmtree(os.path.join(wh.root, "segments", str(s["seg_id"])), ignore_errors=True)
+    return len(merge) - 1
+
+
 def compact(
     spark: SparkSession,
     warehouse_path: str,

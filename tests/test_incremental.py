@@ -376,3 +376,64 @@ def test_update_docs_replace_upsert_replay(spark, tmp_path):
     assert idx2.stats()["n_deleted"] == 0
     assert idx2._docs_df().count() == n0 + 1
     assert idx2.count_matches("zzupdated").collect()[0]["n"] == 3
+
+
+def test_optimize_partial_merge_preserves_results(spark, corpora, tmp_path):
+    """ES _optimize(max_num_segments=N): the newest segments merge into
+    one with doc_ids preserved and global stats bit-identical — every
+    probe query (both modes) scores identically before and after; merged
+    batches' replays stay no-ops; appends keep working; tombstones
+    survive a partial optimize and purge only at compact."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_docs,
+        optimize,
+    )
+
+    full, a, b, c = corpora
+    wh = str(tmp_path / "opt")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    append_segment(spark, b, wh, idempotency_key="b1")
+    append_segment(spark, c, wh, idempotency_key="b2")
+    before = {q: _hits(spark, Index(spark, wh), q) for q in QUERIES}
+    m_before = dict(Warehouse(wh).read_meta("sys_meta"))
+
+    # noop when already at or under the target
+    assert optimize(spark, wh, max_num_segments=3) == 0
+    # merge the two appended segments into one: 3 -> 2 segments
+    assert optimize(spark, wh, max_num_segments=2) == 1
+    segs = list_segments(Warehouse(wh))
+    assert [s["seg_id"] for s in segs] == [0, 3]
+    idx = Index(spark, wh)
+    for q in QUERIES:
+        for mode in ("bmw", "exact"):
+            assert _hits(spark, idx, q, mode=mode) == before[q], (q, mode)
+    m_after = Warehouse(wh).read_meta("sys_meta")
+    assert m_after["n_docs"] == m_before["n_docs"]
+    assert m_after["avgdl"] == m_before["avgdl"]
+
+    # merged batches' idempotency keys are retired: replays are no-ops
+    assert append_segment(spark, b, wh, idempotency_key="b1") is None
+    assert append_segment(spark, c, wh, idempotency_key="b2") is None
+
+    # appends keep working after an optimize
+    extra = generate_transcripts(spark, n_convs=5, seed=99, partitions=2)
+    extra = extra.withColumn("conv_id", extra["conv_id"].substr(1, 4))
+    assert append_segment(spark, extra, wh, idempotency_key="post-opt") == 4
+
+    # tombstones survive a partial optimize (stats frozen), purge at compact
+    n_del = delete_docs(spark, wh, "conv_id = 'conv0000000000'")
+    assert n_del > 0
+    masked = {q: _hits(spark, Index(spark, wh), q) for q in QUERIES}
+    assert optimize(spark, wh, max_num_segments=2) == 1
+    idx2 = Index(spark, wh)
+    for q in QUERIES:
+        assert _hits(spark, idx2, q) == masked[q], q
+    assert Warehouse(wh).count_rows("sys_deletes") == n_del
+    assert optimize(spark, wh, max_num_segments=1) > 0  # delegates to compact
+    assert not Warehouse(wh).exists("sys_deletes")
+    # compact PURGES tombstones and re-derives stats over survivors, so
+    # scores legitimately shift — hit IDENTITY must still match the
+    # masked result set (deleted docs stay gone)
+    idx3 = Index(spark, wh)
+    for q in QUERIES:
+        assert set(_hits(spark, idx3, q)) == set(masked[q]), q
