@@ -33,6 +33,7 @@ def index_stream_writer(
     checkpoint_dir: str,
     num_partitions: int | None = None,
     compact_every: int | None = None,
+    optimize_to: int | None = None,
 ):
     """Return a ready-to-start ``DataStreamWriter`` that indexes each
     micro-batch of transcripts as a new segment. Caller picks the trigger
@@ -42,15 +43,26 @@ def index_stream_writer(
     The base index must already exist (build_index once over the initial
     corpus, possibly empty).
 
-    ``compact_every=N`` runs the Lucene-style merge whenever N or more
-    segments have accumulated (the ES background-merge analogue): query
-    read amplification is linear in segment count, so a long-running
-    stream keeps it bounded. Compaction is an exact rebuild — results are
-    identical before and after (tested) — and is itself safe to replay.
+    ``compact_every=N`` runs the Lucene-style FULL merge whenever N or
+    more segments have accumulated (the ES background-merge analogue):
+    query read amplification is linear in segment count, so a
+    long-running stream keeps it bounded. Compaction is an exact rebuild
+    — results are identical before and after (tested) — and is itself
+    safe to replay.
+
+    ``optimize_to=N`` instead runs the TIERED partial merge
+    (pipeline/incremental.optimize) after every batch that leaves more
+    than N segments — merging only the micro-batch tail, never
+    re-touching the base build. This is the production shape for a
+    long-running stream: per-batch merge cost stays proportional to the
+    recent tail while a full compaction re-reads the whole corpus every
+    time. The two knobs compose — tiered merges keep the count at N
+    between the rarer full compactions.
     """
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
         compact,
         list_segments,
+        optimize,
     )
 
     wh = Warehouse(warehouse_path)
@@ -72,6 +84,13 @@ def index_stream_writer(
         )
         if compact_every and len(list_segments(wh)) - 1 >= compact_every:
             compact(spark, warehouse_path, num_partitions=num_partitions)
+        elif optimize_to and len(list_segments(wh)) > optimize_to:
+            optimize(
+                spark,
+                warehouse_path,
+                max_num_segments=optimize_to,
+                num_partitions=num_partitions,
+            )
 
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

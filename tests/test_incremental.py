@@ -437,3 +437,39 @@ def test_optimize_partial_merge_preserves_results(spark, corpora, tmp_path):
     idx3 = Index(spark, wh)
     for q in QUERIES:
         assert set(_hits(spark, idx3, q)) == set(masked[q]), q
+
+
+def test_streaming_tiered_optimize(spark, corpora, tmp_path):
+    """optimize_to=2 keeps the stream's segment count bounded by tiered
+    PARTIAL merges (the base build is never re-read) and query results
+    equal a one-shot build over everything ingested."""
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import TRANSCRIPTS_SCHEMA
+    from kafka_elasticsearch_standalone_consumer_spark.streaming.ingest import (
+        index_stream_writer,
+    )
+
+    full, a, b, c = corpora
+    src, wh, ckpt = str(tmp_path / "src"), str(tmp_path / "wh"), str(tmp_path / "ck")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    b.filter("conv_id < 'conv0000000060'").coalesce(1).write.parquet(src)
+    b.filter("conv_id >= 'conv0000000060'").coalesce(1).write.mode("append").parquet(src)
+    c.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        index_stream_writer(spark, stream, wh, ckpt, optimize_to=2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    segs = list_segments(Warehouse(wh))
+    assert len(segs) == 2 and segs[0]["seg_id"] == 0  # base untouched
+    full_path = str(tmp_path / "full")
+    build_index(spark, full, full_path, docs_per_shard=256, n_buckets=8)
+    for query in QUERIES[:2]:
+        assert _hits(spark, Index(spark, wh), query) == _hits(
+            spark, Index(spark, full_path), query
+        ), query
