@@ -67,3 +67,41 @@ def test_positions_roundtrip(tf_list, block_size):
         s = bounds[i * block_size]
         e = bounds[min((i + 1) * block_size, tfs.size)]
         assert np.array_equal(got[i], flat[s:e]), i
+
+
+# --- BPE encoder equivalence: the double-delimiter replace chain (what the
+# Spark Column expression and the DuckDB oracle both run) must equal the
+# trainer's greedy re-segmentation loop for ANY word and ANY merge list ---
+
+def _bpe_chain_tokens(word: str, merges) -> int:
+    s = "|" + "||".join(word) + "|"
+    for l, r in merges:
+        s = s.replace(f"|{l}||{r}|", f"|{l}{r}|")
+    return (len(s) - len(s.replace("|", ""))) // 2
+
+
+def _bpe_loop_tokens(word: str, merges) -> int:
+    sym = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+_sym = st.text(alphabet="ab01", min_size=1, max_size=3)
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="ab01", min_size=1, max_size=14),
+    st.lists(st.tuples(_sym, _sym), max_size=6),
+)
+def test_bpe_replace_chain_equals_greedy_loop(word, merges):
+    assert _bpe_chain_tokens(word, merges) == _bpe_loop_tokens(word, merges)
