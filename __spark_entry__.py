@@ -707,6 +707,15 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_significant_terms_bg(spark, sf_dir):
+    """ES significant_terms with background_filter (1.x): same foreground
+    match set, background statistics narrowed to lang='en' docs —
+    "significant vs my category" instead of vs the whole corpus."""
+    return _cached_idx(spark, sf_dir).significant_terms(
+        BM25_QUERY, size=10, background_where="lang = 'en'"
+    )
+
+
 def q_function_score_topk(spark, sf_dir):
     """ES function_score + field_value_factor: BM25 × log1p(n_chars·0.01)
     (boost_mode=multiply, ES default) — longer matching docs boosted."""
@@ -3601,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_fuzzy": q_suggest_fuzzy,
         "mmr_rerank": q_mmr_rerank,
         "optimize_segments": q_optimize_segments,
+        "significant_terms_bg": q_significant_terms_bg,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6529,6 +6539,30 @@ WHERE (
 ORDER BY doc_id
 """,
         "significant_terms": _SIGTERMS_SQL,
+        "significant_terms_bg": f"""
+WITH toksd AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+fg AS ({_MATCHED}),
+bg AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+sizes AS (
+  SELECT (SELECT count(*) FROM fg)::DOUBLE AS fg_size,
+         (SELECT count(*) FROM bg)::DOUBLE AS bg_size
+),
+fgc AS (
+  SELECT term, count(*)::BIGINT AS fg_n FROM toksd
+  WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term
+),
+bgc AS (
+  SELECT term, count(*)::BIGINT AS bg_n FROM toksd
+  WHERE doc_id IN (SELECT doc_id FROM bg) GROUP BY term
+)
+SELECT term, fg_n, bg_n,
+       round((fg_n / fg_size - bg_n / bg_size)
+             * ((fg_n / fg_size) / (bg_n / bg_size)), 6) AS score_r
+FROM fgc JOIN bgc USING (term) CROSS JOIN sizes
+WHERE fg_n / fg_size > bg_n / bg_size
+ORDER BY score_r DESC, term
+LIMIT 10
+""",
         "explain_score": _EXPLAIN_SQL,
         "suggest_terms": _SUGGEST_SQL,
         "suggest_complete": (

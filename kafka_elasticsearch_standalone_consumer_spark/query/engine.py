@@ -5809,12 +5809,18 @@ class Index:
         min_doc_count: int = 1,
         where: str | None = None,
         min_should_match: int = 1,
+        background_where: str | None = None,
     ) -> DataFrame:
         """ES significant_terms over the indexed text: terms over-represented
         in the foreground (docs matching the query, post-filter) versus the
         background (all live docs), scored with ES's JLH heuristic
         ``(fg% − bg%) · (fg% / bg%)`` on distinct-doc frequencies; only
         terms with fg% > bg% qualify (ES's positive-signal rule).
+
+        ``background_where`` is ES 1.x's ``background_filter``: it narrows
+        the BACKGROUND statistics scope (bg counts and bg size) without
+        touching the foreground match set — "significant vs my category"
+        instead of "significant vs the whole corpus".
 
         Plan shape: one distinct over the (doc_id, term) token stream
         feeds BOTH frequency sides (foreground via a left-semi join on the
@@ -5836,6 +5842,13 @@ class Index:
             fg = fg.join(
                 self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
             )
+        bg = live
+        if background_where is not None:
+            bg = bg.join(
+                self._docs_df().filter(background_where).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
         toks = (
             self._tokens_df()
             .join(live, "doc_id", "left_semi")
@@ -5847,9 +5860,13 @@ class Index:
             .groupBy("term")
             .agg(F.count("*").cast("long").alias("fg_n"))
         )
-        bg_counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("bg_n"))
+        bg_counts = (
+            toks.join(bg, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("bg_n"))
+        )
         sizes = fg.agg(F.count("*").cast("double").alias("fg_size")).crossJoin(
-            live.agg(F.count("*").cast("double").alias("bg_size"))
+            bg.agg(F.count("*").cast("double").alias("bg_size"))
         )
         j = fg_counts.join(bg_counts, "term").crossJoin(F.broadcast(sizes))
         fg_pct = F.col("fg_n") / F.col("fg_size")

@@ -746,3 +746,55 @@ def test_geo_shape_relations_match_primitive_filters(spark):
                                                 "coordinates": [[170.0, 10.0], [-170.0, -10.0]]})
     with pytest.raises(ValueError, match="type"):
         idx.search_geo_shape("alpha", 5, shape={"type": "multipolygon", "coordinates": []})
+
+
+def test_significant_terms_background_filter(spark, built_index):
+    """background_where narrows ONLY the background stats: a tautological
+    filter reproduces the plain agg exactly; a real one changes bg_n and
+    the JLH ordering recomputes from the narrowed scope (pure Python
+    recount)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    plain = [tuple(r) for r in idx.significant_terms(q, size=10).collect()]
+    taut = [
+        tuple(r)
+        for r in idx.significant_terms(
+            q, size=10, background_where="turn_idx >= 0"
+        ).collect()
+    ]
+    assert plain == taut
+
+    rows = idx._docs_df().select("doc_id", "turn_idx", "text").collect()
+    toks = {r["doc_id"]: set(tokenize_text(r["text"])) for r in rows}
+    bg_ids = {r["doc_id"] for r in rows if r["turn_idx"] % 2 == 0}
+    qt = set(tokenize_text(q))
+    fg_ids = {d for d, ts in toks.items() if ts & qt}
+    fg_size, bg_size = float(len(fg_ids)), float(len(bg_ids))
+    fgc, bgc = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            if d in fg_ids:
+                fgc[t] = fgc.get(t, 0) + 1
+            if d in bg_ids:
+                bgc[t] = bgc.get(t, 0) + 1
+    scored = []
+    for t, fn in fgc.items():
+        bn = bgc.get(t)
+        if bn is None:
+            continue
+        fp, bp = fn / fg_size, bn / bg_size
+        if fp > bp:
+            scored.append((round((fp - bp) * (fp / bp), 6), t, fn, bn))
+    want = [
+        (t, fn, bn, s)
+        for s, t, fn, bn in sorted(scored, key=lambda x: (-x[0], x[1]))[:10]
+    ]
+    got = [
+        (r["term"], r["fg_n"], r["bg_n"], r["score_r"])
+        for r in idx.significant_terms(
+            q, size=10, background_where="turn_idx % 2 = 0"
+        ).collect()
+    ]
+    assert got == want and got != plain
