@@ -707,6 +707,17 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_terminate_after_topk(spark, sf_dir):
+    """ES 1.4 terminate_after=3: each 128-doc shard collects only its
+    first 3 matching doc_ids (index order, deterministic) with GLOBAL
+    scoring stats; the response carries the terminated_early flag."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search_terminate_after(BM25_QUERY, K, terminate_after=3)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r"), "terminated_early"
+    )
+
+
 def q_significant_terms_bg(spark, sf_dir):
     """ES significant_terms with background_filter (1.x): same foreground
     match set, background statistics narrowed to lang='en' docs —
@@ -3611,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "optimize_segments": q_optimize_segments,
         "significant_terms_bg": q_significant_terms_bg,
+        "terminate_after_topk": q_terminate_after_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6539,6 +6551,28 @@ WHERE (
 ORDER BY doc_id
 """,
         "significant_terms": _SIGTERMS_SQL,
+        # per-shard first-3-matching collection over the full score set,
+        # global flag = a 1-row aggregate; shard id = doc_id // 128
+        # (mirrors _cached_idx's docs_per_shard=128)
+        "terminate_after_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            """SELECT e.doc_id,
+       row_number() OVER (ORDER BY e.score DESC, e.doc_id) AS rank,
+       round(e.score, 4) AS score_r,
+       f.terminated_early
+FROM (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
+    FROM scored) WHERE rn <= 3
+) e
+CROSS JOIN (
+  SELECT max(c) > 3 AS terminated_early
+  FROM (SELECT count(*) AS c FROM scored GROUP BY doc_id // 128)
+) f
+ORDER BY e.score DESC, e.doc_id
+LIMIT 10""",
+        ),
         "significant_terms_bg": f"""
 WITH toksd AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
 fg AS ({_MATCHED}),

@@ -5951,6 +5951,49 @@ class Index:
             scores = scores.join(deletes, "doc_id", "left_anti")
         return scores if k is None else bm25.topk(scores, k)
 
+    def search_terminate_after(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        terminate_after: int,
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES 1.4 ``terminate_after``: every SHARD stops collecting after
+        ``terminate_after`` matching documents. Lucene collects in index
+        order, so the eligible set is exactly the first N matching
+        doc_ids of each shard — deterministic, not sampled — and the
+        response carries ES's ``terminated_early`` flag (true iff some
+        shard actually hit the cap). Scoring statistics stay GLOBAL (the
+        cap limits collection, not idf/avgdl).
+
+        Declarative shape: the full tombstone-masked score set gets ONE
+        shard-keyed window (hash-partitioned on the shard id, never
+        SinglePartition) for the per-shard collection rank; the global
+        flag is a 1-row aggregate broadcast back (the accepted 1-row
+        crossJoin pattern). Returns (doc_id, score, terminated_early),
+        score desc / doc_id asc, top k."""
+        if terminate_after < 1:
+            raise ValueError("terminate_after must be ≥ 1")
+        from pyspark.sql import Window
+
+        dps = int(self.meta["docs_per_shard"])
+        scores = self.search_oracle(
+            query_text, None, where=where, min_should_match=min_should_match
+        ).withColumn("shard", F.expr(f"doc_id DIV {dps}"))
+        w = Window.partitionBy("shard").orderBy(F.asc("doc_id"))
+        ranked = scores.withColumn("rn", F.row_number().over(w))
+        flag = ranked.groupBy("shard").agg(F.count("*").alias("c")).agg(
+            (F.max("c") > int(terminate_after)).alias("terminated_early")
+        )
+        hits = (
+            ranked.filter(F.col("rn") <= int(terminate_after))
+            .select("doc_id", "score")
+            .crossJoin(F.broadcast(flag))
+        )
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
 
 # -- filtered aliases ---------------------------------------------------------
 

@@ -1152,3 +1152,41 @@ def test_suggest_complete_fuzzy(spark, built_index):
     assert idx.suggest_complete("zz", 5, fuzziness=1).count() == 0
     with pytest.raises(ValueError, match="prefix_length"):
         idx.suggest_complete("w0q01", 5, fuzziness=1, prefix_length=0)
+
+
+def test_terminate_after_per_shard_collection(spark, built_index):
+    """terminate_after: eligible set = first N matching doc_ids per shard
+    (python recount), scores stay global, flag true iff some shard hit
+    the cap; a cap above every shard's match count reproduces plain
+    search with flag false."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    dps = int(idx.meta["docs_per_shard"])
+    full = {r["doc_id"]: r["score"] for r in idx.search(q, 10**6).collect()}
+    by_shard = {}
+    for d in sorted(full):
+        by_shard.setdefault(d // dps, []).append(d)
+    n = 2
+    eligible = {d for ds in by_shard.values() for d in ds[:n]}
+    want = sorted(
+        ((d, round(full[d], 9)) for d in eligible),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = idx.search_terminate_after(q, 10, terminate_after=n).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == want
+    assert all(r["terminated_early"] for r in got)
+    assert any(len(ds) > n for ds in by_shard.values())
+
+    big = idx.search_terminate_after(q, 10, terminate_after=10**6).collect()
+    plain = idx.search(q, 10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in big] == [
+        (r["doc_id"], round(r["score"], 9)) for r in plain
+    ]
+    assert not any(r["terminated_early"] for r in big)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="terminate_after"):
+        idx.search_terminate_after(q, 10, terminate_after=0)
