@@ -707,6 +707,28 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+_HARD_NEG_POS = [(q, q + 20) for q in range(6)] + [(q, q + 40) for q in range(6)]
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR practice): per query (vec_id < 6) the
+    top-10 cosine neighbors excluding its labeled positives (q+20, q+40)
+    and itself — one knn_join pass + broadcast label anti-join + qid
+    window; oracle = the q×n cross join with NOT EXISTS over the same
+    literal label set."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        hard_negatives,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    pos = spark.createDataFrame(_HARD_NEG_POS, "qid long, pos_id long")
+    out = hard_negatives(emb, qs, pos, k=K)
+    return out.select("qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+
+
 def q_terminate_after_topk(spark, sf_dir):
     """ES 1.4 terminate_after=3: each 128-doc shard collects only its
     first 3 matching doc_ids (index order, deterministic) with GLOBAL
@@ -3496,7 +3518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # has_child_sum_topk .. update_upsert (positions 50-99; recomputed against
     # CORRECTNESS_r01-03 + this window) — put THOSE first next round; they
     # exactly fill the final 50-entry window, so add NO new entries ahead
-    # of them (append new ones after position 99 instead).
+    # of them (append new ones after position 99 instead). Every entry at
+    # position 100+ (the round-4f/4g late adds) can never fit a driver
+    # window; each was verified by the full tools/check_entry.py rehearsal
+    # at sf0.001/0.01/0.1 when added, and a COMPLETE 205-entry rehearsal ran
+    # green at sf0.01 late in round 4 (see CLAUDE.md round-4g note).
     return {
         "ann_pq_topk": q_ann_pq_topk,
         "nested_sort_topk": q_nested_sort_topk,
@@ -3623,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_segments": q_optimize_segments,
         "significant_terms_bg": q_significant_terms_bg,
         "terminate_after_topk": q_terminate_after_topk,
+        "hard_negatives": q_hard_negatives,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4119,6 +4146,32 @@ s AS (
          / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
             * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
   FROM embeddings e CROSS JOIN q
+),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, rank, round(cosine, 4) AS cosine_r
+FROM r WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _hard_neg_sql() -> str:
+    """kNN cross-join oracle with the literal positive-label set excluded
+    via NOT EXISTS plus self-exclusion — mirrors hard_negatives exactly."""
+    vals = ", ".join(f"({q}, {p})" for q, p in _HARD_NEG_POS)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 6),
+pos(qid, vec_id) AS (VALUES {vals}),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+    AND NOT EXISTS (SELECT 1 FROM pos p WHERE p.qid = q.qid AND p.vec_id = e.vec_id)
 ),
 r AS (SELECT qid, vec_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
@@ -6760,6 +6813,7 @@ SELECT vec_id, round(dot / (n1 * n2), 4) AS cosine_r
 FROM s WHERE dot / (n1 * n2) >= 0.35
 """,
         "knn_join_topk": _KNN_SQL,
+        "hard_negatives": _hard_neg_sql(),
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "turn_context": """
 SELECT user_id, event_id, len(ctx)::BIGINT AS n_ctx,

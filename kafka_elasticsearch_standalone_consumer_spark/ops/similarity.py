@@ -1085,6 +1085,52 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    pos_id_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR/contrastive
+    practice): for every query, the top-``k`` most similar corpus
+    vectors EXCLUDING the query's labeled positives and the query's own
+    vector id (qids are assumed to live in the corpus id space; a qid
+    absent from the corpus makes the self-exclusion a no-op). Returns
+    (qid, vec_id, rank, cosine), rank 1-based per query, (cosine desc,
+    id asc) total order.
+
+    Scale shape: ONE :func:`knn_join` pass fetching k + max_positives + 1
+    candidates per query (enough that the exclusions can never starve a
+    query below k), a BROADCAST anti-join against the label set (labels
+    are training-pair sized, corpus never shuffles), and the same
+    qid-keyed window re-rank knn_join already does."""
+    from pyspark.sql import Window
+
+    max_pos = int(
+        positives.groupBy(q_id_col).count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    cand = knn_join(
+        emb, queries, k + max_pos + 1,
+        id_col=id_col, vec_col=vec_col, q_id_col=q_id_col,
+    ).drop("rank")
+    excl = positives.select(
+        F.col(q_id_col), F.col(pos_id_col).cast("long").alias("vec_id")
+    ).unionByName(
+        queries.select(F.col(q_id_col), F.col(q_id_col).cast("long").alias("vec_id"))
+    )
+    neg = cand.join(F.broadcast(excl), [q_id_col, "vec_id"], "left_anti")
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(q_id_col, "vec_id", "rank", "cosine")
+    )
+
+
 def knn_join_ivf(
     spark,
     warehouse_path: str,

@@ -1357,3 +1357,44 @@ def test_mmr_rerank_matches_python_greedy_and_diversifies(spark):
     assert order[0] == 0 and (999 not in order[:4])
     # clusters interleave: the first three non-anchor picks span >1 cluster
     assert len({v % 3 for v in order[1:4] if v != 999}) > 1
+
+
+def test_hard_negatives_excludes_labels_and_self(spark):
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        hard_negatives,
+        knn_join,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter("vec_id < 3").selectExpr("vec_id as qid", "embedding")
+    pos = spark.createDataFrame(
+        [(q, q + 10) for q in range(3)] + [(q, q + 11) for q in range(3)],
+        "qid long, pos_id long",
+    )
+    k = 5
+    got = hard_negatives(emb, qs, pos, k=k).collect()
+    excl = {(q, q + d) for q in range(3) for d in (0, 10, 11)}
+    assert all((r.qid, r.vec_id) not in excl for r in got)
+    assert sorted((r.qid, r.rank) for r in got) == [
+        (q, r) for q in range(3) for r in range(1, k + 1)
+    ]
+    # equals the full knn ranking with exclusions dropped and re-ranked
+    full = knn_join(emb, qs, 80).collect()
+    want = {}
+    for q in range(3):
+        rows = [
+            (r.vec_id, r.cosine)
+            for r in sorted(full, key=lambda r: (r.qid, r.rank))
+            if r.qid == q and (q, r.vec_id) not in excl
+        ][:k]
+        want[q] = rows
+    for q in range(3):
+        mine = [(r.vec_id, r.cosine) for r in sorted(got, key=lambda r: r.rank) if r.qid == q]
+        assert mine == want[q]
