@@ -174,6 +174,36 @@ def main(n_convs: int = 400) -> None:
     from kafka_elasticsearch_standalone_consumer_spark.ops.sessions import turn_contexts
 
     turn_contexts(turns.limit(200), k_prev=2, sep=" | ").show(5, truncate=60)
+
+    print("BPE tokenizer: train 8 merges, encode the corpus (pure Column):")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        bpe_encode,
+        bpe_merges,
+        bpe_pair_counts,
+    )
+
+    bpe_pair_counts(docs_gc, top_n=5).show()
+    merges = bpe_merges(docs_gc, n_merges=8)
+    print("  merges:", [(l, r) for _, l, r, _ in merges])
+    bpe_encode(docs_gc, merges).orderBy("doc_id").show(5)
+
+    print("MMR diversified top-5 (duplicates fall behind diverse picks):")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_range,
+        hard_negatives,
+        mmr_rerank,
+    )
+
+    mmr_rerank(emb, qv, k=5, n_candidates=20, lam=0.5).show()
+    print("radius search (cosine >= 0.4):")
+    cosine_range(emb, qv, 0.4).show()
+    print("hard negatives for 2 queries (positives q+10/q+11 excluded):")
+    pos = spark.createDataFrame(
+        [(q, q + 10) for q in range(2)] + [(q, q + 11) for q in range(2)],
+        "qid long, pos_id long",
+    )
+    qs2 = emb.filter(F.col("vec_id") < 2).selectExpr("vec_id as qid", "embedding")
+    hard_negatives(emb, qs2, pos, k=3).orderBy("qid", "rank").show()
     spark.stop()
 
 

@@ -195,6 +195,37 @@ def main(n_convs: int = 300) -> None:
     show("sort by nested field (mode=max, missing last)",
          nidx.search_nested_sort(q, 3, nested_col="calls", sort_expr="x.ms",
                                  inner_where="x.name IS NOT NULL", mode="max"))
+
+    # --- round 4g: geo_shape, field MLT, fuzzy completion, terminate_after,
+    # background-filtered significant_terms ------------------------------
+    gdocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "((doc_id * 937) % 17000) / 100.0 - 85.0 AS lat",
+        "((doc_id * 1409) % 36000) / 100.0 - 180.0 AS lon",
+    )
+    gidx = Index.ephemeral(gdocs, docs_per_shard=1024, n_buckets=8)
+    show("geo_shape envelope (disjoint = outside the box)",
+         gidx.search_geo_shape(q, 3,
+             shape={"type": "envelope", "coordinates": [[-130.0, 60.0], [-60.0, 0.0]]},
+             relation="disjoint"))
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        more_like_this_field,
+    )
+    from pyspark.sql import functions as F
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    fdocs = idx._docs_df().select(
+        "doc_id",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    show("more_like_this_field (title-scoped MLT, doc 0 seed)",
+         more_like_this_field(fdocs, 0, "title", 3, max_query_terms=3))
+    print("\n-- fuzzy completion (input 'w0q01', distance 1):",
+          [tuple(r) for r in idx.suggest_complete("w0q01", 3, fuzziness=1).collect()])
+    show("terminate_after=2 (first 2 matching docs per shard)",
+         idx.search_terminate_after(q, 3, terminate_after=2))
+    show("significant_terms with background_filter (even turns)",
+         idx.significant_terms(q, size=5, background_where="turn_idx % 2 = 0"))
     print("\nDSL tour complete.")
     spark.stop()
 

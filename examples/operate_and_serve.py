@@ -93,6 +93,28 @@ def main(n_convs: int = 400) -> None:
     print("templated index analyzer:", tidx.meta["analyzer"],
           "| stopword query hits:", tidx.search("the and of", 3).count())
 
+    # 6. ES _optimize: tiered partial merge (max_num_segments), doc_ids
+    # preserved, queries score identically before and after
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        append_segment,
+        list_segments,
+        optimize,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
+
+    extra1 = turns.filter("turn_idx % 3 = 0").selectExpr(
+        "concat(conv_id, '-x1') AS conv_id", "turn_idx", "role", "text", "tool", "ts")
+    extra2 = turns.filter("turn_idx % 3 = 1").selectExpr(
+        "concat(conv_id, '-x2') AS conv_id", "turn_idx", "role", "text", "tool", "ts")
+    append_segment(spark, extra1, tpath, idempotency_key="x1")
+    append_segment(spark, extra2, tpath, idempotency_key="x2")
+    before = [tuple(r) for r in Index(spark, tpath).search("the and of", 3).collect()]
+    retired = optimize(spark, tpath, max_num_segments=2)
+    after = [tuple(r) for r in Index(spark, tpath).search("the and of", 3).collect()]
+    print("optimize retired", retired, "segments ->",
+          len(list_segments(Warehouse(tpath))), "left; results identical:",
+          before == after)
+
     spark.stop()
 
 
