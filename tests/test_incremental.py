@@ -473,3 +473,42 @@ def test_streaming_tiered_optimize(spark, corpora, tmp_path):
         assert _hits(spark, Index(spark, wh), query) == _hits(
             spark, Index(spark, full_path), query
         ), query
+
+
+def test_optimize_crash_debris_is_harmless(spark, corpora, tmp_path):
+    """Crash-window debris must never corrupt reads or block a retry:
+    a stale _optimize_tmp from a crashed build is wiped on the next run,
+    and an unreferenced segment dir (crash after registry swap, before
+    dir deletion) is invisible — Index loads segments from the REGISTRY,
+    never by globbing dirs."""
+    import os
+    import shutil
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        optimize,
+    )
+
+    full, a, b, c = corpora
+    wh = str(tmp_path / "crash")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    append_segment(spark, b, wh, idempotency_key="b1")
+    append_segment(spark, c, wh, idempotency_key="b2")
+    before = {q: _hits(spark, Index(spark, wh), q) for q in QUERIES[:2]}
+
+    # simulate a crash mid-build: partial junk in the temp dir
+    os.makedirs(os.path.join(wh, "_optimize_tmp", "docs"), exist_ok=True)
+    with open(os.path.join(wh, "_optimize_tmp", "docs", "junk"), "w") as f:
+        f.write("partial")
+    assert optimize(spark, wh, max_num_segments=2) == 1
+    idx = Index(spark, wh)
+    for q in QUERIES[:2]:
+        assert _hits(spark, idx, q) == before[q], q
+    assert not os.path.exists(os.path.join(wh, "_optimize_tmp"))
+
+    # simulate a crash after the registry swap: an unreferenced segment dir
+    stale = os.path.join(wh, "segments", "99")
+    shutil.copytree(os.path.join(wh, "segments", "3"), stale)
+    idx2 = Index(spark, wh)
+    for q in QUERIES[:2]:
+        assert _hits(spark, idx2, q) == before[q], q
+    assert len(list_segments(Warehouse(wh))) == 2  # registry is the truth
