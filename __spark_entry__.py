@@ -707,6 +707,24 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003, k=5, w=4): per-doc
+    count/xor/min of the distinct min-hash-per-window selection over
+    portable md5-prefix k-gram hashes — any shared >= k+w-1-token
+    substring shares a fingerprint; the oracle replays the identical
+    hash + window-min arithmetic in DuckDB."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        winnow_fingerprints,
+    )
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        F.expr("bit_xor(fp)").cast("long").alias("fp_xor"),
+        F.min("fp").cast("long").alias("fp_min"),
+    )
+
+
 _HARD_NEG_POS = [(q, q + 20) for q in range(6)] + [(q, q + 40) for q in range(6)]
 
 
@@ -3650,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_bg": q_significant_terms_bg,
         "terminate_after_topk": q_terminate_after_topk,
         "hard_negatives": q_hard_negatives,
+        "winnow_fp": q_winnow_fp,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6814,6 +6833,22 @@ FROM s WHERE dot / (n1 * n2) >= 0.35
 """,
         "knn_join_topk": _KNN_SQL,
         "hard_negatives": _hard_neg_sql(),
+        "winnow_fp": f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS wl FROM documents),
+g AS (SELECT doc_id, i,
+        ('0x' || substr(md5(array_to_string(wl[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      FROM t, unnest(range(1, len(wl) - 5 + 2)) AS u(i)
+      WHERE len(wl) >= 5),
+wm AS (SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         count(*) OVER (PARTITION BY doc_id) AS m
+       FROM g),
+fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE i <= m - 4 + 1)
+SELECT doc_id, count(*)::BIGINT AS n_fp, bit_xor(fp)::BIGINT AS fp_xor,
+       min(fp)::BIGINT AS fp_min
+FROM fps GROUP BY doc_id
+""",
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "turn_context": """
 SELECT user_id, event_id, len(ctx)::BIGINT AS n_ctx,

@@ -612,3 +612,50 @@ def bpe_encode(
             ).alias("fertility_r"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram with the
+    engine's PORTABLE 60-bit md5-prefix hash, slide a w-hash window, and
+    keep the minimum hash of each window; the fingerprint is the doc's
+    DISTINCT selected-hash set. Winnowing's guarantee: any shared
+    substring of at least k + w - 1 tokens yields at least one shared
+    fingerprint, so a fingerprint equi-join finds plagiarism/copy
+    candidates without all-pairs comparison — the positional variant's
+    rightmost-tie rule only affects positions, which the value-set form
+    drops, so both engines agree without a tie rule.
+
+    Returns exploded (doc_id, fp) rows — join-ready, like the LSH band
+    tables. Scale shape: per-doc pure Column algebra (k-gram hashing +
+    per-window array_min inside codegen, ~dl windows per doc), one
+    distinct; candidate discovery is then ONE fp-keyed self-join, the
+    same bucketed shape as minhash banding."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints needs k >= 1 and w >= 1")
+    toks = tokenize_col(F.col(text_col))
+    grams = F.expr(
+        f"transform(filter(sequence(1, greatest(size(toks), 1)), "
+        f"i -> i <= size(toks) - {int(k)} + 1), "
+        f"i -> array_join(slice(toks, i, {int(k)}), ' '))"
+    )
+    hashes = F.expr(
+        "transform(grams, g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+    )
+    wins = F.expr(
+        f"array_distinct(transform(filter(sequence(1, greatest(size(hs), 1)), "
+        f"j -> j <= size(hs) - {int(w)} + 1), "
+        f"j -> array_min(slice(hs, j, {int(w)}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", hashes.alias("hs"))
+        .select("doc_id", F.explode(wins).alias("fp"))
+    )

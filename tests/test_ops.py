@@ -1398,3 +1398,46 @@ def test_hard_negatives_excludes_labels_and_self(spark):
     for q in range(3):
         mine = [(r.vec_id, r.cosine) for r in sorted(got, key=lambda r: r.rank) if r.qid == q]
         assert mine == want[q]
+
+
+def test_winnow_fingerprints_matches_python_and_guarantee(spark):
+    """Winnowing vs a pure-Python reimplementation (same md5-prefix
+    hashes, min per window, distinct values), plus the paper's
+    guarantee: docs sharing a >= k+w-1-token substring share >= 1
+    fingerprint; docs shorter than k yield none."""
+    import hashlib
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "xx yy alpha beta gamma delta epsilon zeta qq rr ss tt"),
+        (2, "one two"),
+        (3, "solo words entirely different from anything else written here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 3, 3
+    got = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    def py_winnow(text):
+        ts = tokenize_text(text)
+        hs = [
+            int(hashlib.md5(" ".join(ts[i : i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ts) - k + 1)
+        ]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    for i, text in rows:
+        assert got.get(i, set()) == py_winnow(text), i
+    assert got[0] & got[1]  # shared 6-token substring >= k+w-1 = 5
+    assert 2 not in got and not (got[0] & got[3])
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="winnow"):
+        winnow_fingerprints(docs, k=0)
