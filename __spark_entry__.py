@@ -707,6 +707,19 @@ def q_significant_terms(spark, sf_dir):
     return _cached_idx(spark, sf_dir).significant_terms(BM25_QUERY, size=10)
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Training-data drift gate: Jensen-Shannon divergence (nats, 6 dp)
+    between the en and non-en slices' unigram distributions plus vocab
+    overlap — the float expression p·ln(2p/(p+q)) is mirrored verbatim
+    in DuckDB and summed over the full-outer-joined vocabulary."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        corpus_drift,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return corpus_drift(docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"))
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003, k=5, w=4): per-doc
     count/xor/min of the distinct min-hash-per-window selection over
@@ -3669,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terminate_after_topk": q_terminate_after_topk,
         "hard_negatives": q_hard_negatives,
         "winnow_fp": q_winnow_fp,
+        "corpus_drift": q_corpus_drift,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6848,6 +6862,34 @@ fps AS (SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE i <= m - 4 + 1)
 SELECT doc_id, count(*)::BIGINT AS n_fp, bit_xor(fp)::BIGINT AS fp_xor,
        min(fp)::BIGINT AS fp_min
 FROM fps GROUP BY doc_id
+""",
+        "corpus_drift": f"""
+WITH ca AS (
+  SELECT t, count(*)::DOUBLE AS c_a
+  FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents WHERE lang = 'en')
+  GROUP BY t
+),
+cb AS (
+  SELECT t, count(*)::DOUBLE AS c_b
+  FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents WHERE lang <> 'en')
+  GROUP BY t
+),
+j AS (
+  SELECT coalesce(ca.t, cb.t) AS t,
+         coalesce(c_a, 0.0) AS c_a, coalesce(c_b, 0.0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t
+),
+tot AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM j),
+s AS (SELECT c_a, c_b, c_a / na AS p, c_b / nb AS q FROM j CROSS JOIN tot)
+SELECT sum(c_a)::BIGINT AS n_tokens_a, sum(c_b)::BIGINT AS n_tokens_b,
+       sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+       sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+       sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_shared,
+       round(sum(
+         CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+         + CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END
+       ) * 0.5, 6) AS jsd_r
+FROM s
 """,
         "knn_join_ivf_topk": _KNN_SQL,  # nprobe=ALL lists => exact batched kNN
         "turn_context": """

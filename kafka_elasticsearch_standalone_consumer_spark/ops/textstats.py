@@ -659,3 +659,62 @@ def winnow_fingerprints(
         .select("doc_id", hashes.alias("hs"))
         .select("doc_id", F.explode(wins).alias("fp"))
     )
+
+
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data drift check between two corpus snapshots/slices:
+    Jensen-Shannon divergence (nats) between their unigram term
+    distributions, plus vocabulary sizes and overlap — the standard QA
+    gate before swapping a data source or accepting a new crawl dump
+    into a training mix. One row:
+    (n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_shared, jsd_r).
+
+    JSD = 0.5·KL(P‖M) + 0.5·KL(Q‖M), M = (P+Q)/2, natural log, terms
+    absent from one side contribute only the other side's half (the
+    p·ln(2p/(p+q)) form is 0-safe at p=0). Bounded by ln 2.
+
+    Scale shape: each side is ONE tokenize pass + ONE groupBy(term) with
+    map-side partials; the comparison is a full-outer join on the
+    vocabulary (vocab-sized, not corpus-sized) and a single-row
+    aggregate. Nothing is collected until the final row."""
+    def counts(df, side):
+        return (
+            df.select(F.explode(tokenize_col(F.col(text_col))).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").cast("double").alias(f"c_{side}"))
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    j = ca.join(cb, "t", "full_outer").select(
+        "t",
+        F.coalesce("c_a", F.lit(0.0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0.0)).alias("c_b"),
+    )
+    tot = j.agg(
+        F.sum("c_a").alias("na"), F.sum("c_b").alias("nb")
+    )
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "t", "c_a", "c_b",
+        (F.col("c_a") / F.col("na")).alias("p"),
+        (F.col("c_b") / F.col("nb")).alias("q"),
+    )
+    term_kl = (
+        F.when(F.col("p") > 0,
+               F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0,
+                 F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))))
+        .otherwise(F.lit(0.0))
+    )
+    return scored.agg(
+        F.sum("c_a").cast("long").alias("n_tokens_a"),
+        F.sum("c_b").cast("long").alias("n_tokens_b"),
+        F.sum((F.col("c_a") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("c_b") > 0).cast("long")).alias("vocab_b"),
+        F.sum(((F.col("c_a") > 0) & (F.col("c_b") > 0)).cast("long")).alias("vocab_shared"),
+        F.round(F.sum(term_kl) * 0.5, 6).alias("jsd_r"),
+    )

@@ -1441,3 +1441,28 @@ def test_winnow_fingerprints_matches_python_and_guarantee(spark):
 
     with _pt.raises(ValueError, match="winnow"):
         winnow_fingerprints(docs, k=0)
+
+
+def test_corpus_drift_jsd_properties(spark):
+    """JSD: 0 for identical corpora, symmetric, bounded by ln 2 on
+    disjoint vocabularies, and equal to a hand-computed value."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        corpus_drift,
+    )
+
+    a = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(0, "x y y")], "doc_id long, text string")
+    c = spark.createDataFrame([(0, "p q r")], "doc_id long, text string")
+    same = corpus_drift(a, a).collect()[0]
+    assert same["jsd_r"] == 0.0 and same["vocab_shared"] == 2
+    ab = corpus_drift(a, b).collect()[0]
+    ba = corpus_drift(b, a).collect()[0]
+    assert ab["jsd_r"] == ba["jsd_r"]
+    want = 0.5 * (2 / 3 * math.log((2 / 3) / 0.5) + 1 / 3 * math.log((1 / 3) / 0.5)) \
+        + 0.5 * (1 / 3 * math.log((1 / 3) / 0.5) + 2 / 3 * math.log((2 / 3) / 0.5))
+    assert abs(ab["jsd_r"] - round(want, 6)) < 1e-9
+    disj = corpus_drift(a, c).collect()[0]
+    assert abs(disj["jsd_r"] - round(math.log(2.0), 6)) < 1e-9
+    assert disj["vocab_shared"] == 0
