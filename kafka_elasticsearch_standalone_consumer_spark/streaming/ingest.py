@@ -34,6 +34,7 @@ def index_stream_writer(
     num_partitions: int | None = None,
     compact_every: int | None = None,
     optimize_to: int | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Return a ready-to-start ``DataStreamWriter`` that indexes each
     micro-batch of transcripts as a new segment. Caller picks the trigger
@@ -58,6 +59,17 @@ def index_stream_writer(
     recent tail while a full compaction re-reads the whole corpus every
     time. The two knobs compose — tiered merges keep the count at N
     between the rarer full compactions.
+
+    ``quarantine_dir`` enables the reference's failed-event quarantine on
+    the streaming path (the reference daemon routes messages its handler
+    cannot transform to a side channel instead of poisoning the bulk
+    request — reference ``AccessLogMessageHandler.java``'s catch path):
+    rows that cannot become documents (NULL/empty ``text``, NULL
+    ``conv_id`` or ``turn_idx``) are written under
+    ``quarantine_dir/batch_id=<id>/`` via dynamic partition overwrite —
+    the same replay-safety trick streaming/alerts.py uses, so a replayed
+    micro-batch overwrites its own quarantine partition instead of
+    duplicating it — and only the valid rows are indexed.
     """
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
         compact,
@@ -72,9 +84,29 @@ def index_stream_writer(
             "(an empty-transcripts build bootstraps a fresh warehouse)"
         )
 
+    bad_cond = (
+        "text IS NULL OR length(trim(text)) = 0 "
+        "OR conv_id IS NULL OR turn_idx IS NULL"
+    )
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if quarantine_dir is not None:
+            from pyspark.sql import functions as F
+
+            bad = batch_df.filter(bad_cond).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            )
+            (
+                bad.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(quarantine_dir)
+            )
+            batch_df = batch_df.filter(f"NOT ({bad_cond})")
+            if batch_df.isEmpty():
+                return
         append_segment(
             spark,
             batch_df,

@@ -512,3 +512,61 @@ def test_optimize_crash_debris_is_harmless(spark, corpora, tmp_path):
     for q in QUERIES[:2]:
         assert _hits(spark, idx2, q) == before[q], q
     assert len(list_segments(Warehouse(wh))) == 2  # registry is the truth
+
+
+def test_streaming_quarantine_routes_bad_rows(spark, corpora, tmp_path):
+    """quarantine_dir: rows that cannot become documents (NULL/empty
+    text, NULL keys) land in the batch_id-partitioned side channel and
+    never reach the index; results equal a build over the good rows."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.corpus import TRANSCRIPTS_SCHEMA
+    from kafka_elasticsearch_standalone_consumer_spark.streaming.ingest import (
+        index_stream_writer,
+    )
+
+    full, a, b, _c = corpora
+    src, wh, ckpt = str(tmp_path / "src"), str(tmp_path / "wh"), str(tmp_path / "ck")
+    qdir = str(tmp_path / "quarantine")
+    build_index(spark, a, wh, docs_per_shard=256, n_buckets=8)
+    bad = spark.createDataFrame(
+        [
+            ("convBAD0000001", 0, "user", None, None, None),
+            ("convBAD0000002", 0, "user", "   ", None, None),
+            (None, 0, "user", "orphan text row", None, None),
+        ],
+        # all-nullable twin of TRANSCRIPTS_SCHEMA (the point is the nulls)
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    b.unionByName(bad).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        index_stream_writer(spark, stream, wh, ckpt, quarantine_dir=qdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    bad_cond = (
+        "text IS NULL OR length(trim(text)) = 0 "
+        "OR conv_id IS NULL OR turn_idx IS NULL"
+    )
+    n_gen_bad = b.filter(bad_cond).count()  # the corpus plants empty-text rows
+    quarantined = spark.read.parquet(qdir)
+    assert quarantined.count() == 3 + n_gen_bad
+    assert {"convBAD0000001", "convBAD0000002", None} <= {
+        r["conv_id"] for r in quarantined.collect()
+    }
+    # index == build over (a + good rows of b) only; nothing leaked in
+    want_path = str(tmp_path / "want")
+    good_b = b.filter(f"NOT ({bad_cond})")
+    build_index(spark, a.unionByName(good_b), want_path, docs_per_shard=256, n_buckets=8)
+    for query in QUERIES[:2]:
+        assert _hits(spark, Index(spark, wh), query) == _hits(
+            spark, Index(spark, want_path), query
+        ), query
+    assert Index(spark, wh).meta["n_docs"] == Index(spark, want_path).meta["n_docs"]
