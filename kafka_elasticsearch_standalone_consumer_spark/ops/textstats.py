@@ -681,14 +681,25 @@ def corpus_drift(
     map-side partials; the comparison is a full-outer join on the
     vocabulary (vocab-sized, not corpus-sized) and a single-row
     aggregate. Nothing is collected until the final row."""
-    def counts(df, side):
-        return (
-            df.select(F.explode(tokenize_col(F.col(text_col))).alias("t"))
-            .groupBy("t")
-            .agg(F.count("*").cast("double").alias(f"c_{side}"))
-        )
+    ca = unigram_counts(df_a, text_col).withColumnRenamed("c", "c_a")
+    cb = unigram_counts(df_b, text_col).withColumnRenamed("c", "c_b")
+    return drift_between_counts(ca, cb)
 
-    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(t, c) unigram counts of a corpus slice — ONE tokenize pass + ONE
+    groupBy; the reusable half of :func:`corpus_drift` (the streaming
+    drift monitor computes the baseline side once and reuses it)."""
+    return (
+        df.select(F.explode(tokenize_col(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+
+
+def drift_between_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """JSD + vocab stats from two precomputed count tables (t, c_a) and
+    (t, c_b) — see :func:`corpus_drift` for semantics."""
     j = ca.join(cb, "t", "full_outer").select(
         "t",
         F.coalesce("c_a", F.lit(0.0)).alias("c_a"),
