@@ -1647,6 +1647,26 @@ def q_geo_distance_local(spark, sf_dir):
     warehouse, numpy-haversine allowed set + the shared local kernel —
     asserted in-entry identical to the distributed search_geo_distance,
     then checked against the same filtered-BM25 oracle."""
+    idx = _geo_wh_idx(spark, sf_dir)
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_geo_distance(
+            BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+        ).collect()
+    ]
+    loc = idx.search_geo_distance_local(
+        BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+    )
+    assert loc == dist, "geo serving twin diverged from the distributed path"
+    out = spark.createDataFrame(loc, "doc_id long, score double")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def _geo_wh_idx(spark, sf_dir):
+    """The persisted geo warehouse q_geo_distance_local builds — shared
+    by every geo serving-twin entry (build once per sf_dir)."""
     import tempfile
 
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
@@ -1666,16 +1686,24 @@ def q_geo_distance_local(spark, sf_dir):
         build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
         idx = Index(spark, wh)
         _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_geo_shape_local(spark, sf_dir):
+    """geo_shape on the zero-Spark-job serving path: the NumPy envelope
+    mask (disjoint relation) + the shared local kernel — asserted
+    in-entry identical to the distributed search_geo_shape, then checked
+    against the same negated-bbox BM25 oracle as geo_shape_topk."""
+    idx = _geo_wh_idx(spark, sf_dir)
+    shape = {"type": "envelope", "coordinates": [[-130.0, 60.0], [-60.0, 0.0]]}
     dist = [
         (r["doc_id"], r["score"])
-        for r in idx.search_geo_distance(
-            BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
+        for r in idx.search_geo_shape(
+            BM25_QUERY, K, shape=shape, relation="disjoint"
         ).collect()
     ]
-    loc = idx.search_geo_distance_local(
-        BM25_QUERY, K, origin=GEO_ORIGIN, radius_km=6000.0
-    )
-    assert loc == dist, "geo serving twin diverged from the distributed path"
+    loc = idx.search_geo_shape_local(BM25_QUERY, K, shape=shape, relation="disjoint")
+    assert loc == dist, "geo_shape serving twin diverged from the distributed path"
     out = spark.createDataFrame(loc, "doc_id long, score double")
     return _rank(out, "score", "doc_id").select(
         "doc_id", "rank", F.round("score", 4).alias("score_r")
@@ -3683,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "winnow_fp": q_winnow_fp,
         "corpus_drift": q_corpus_drift,
+        "geo_shape_local": q_geo_shape_local,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6537,6 +6566,13 @@ FROM b ORDER BY bucket
         # mirrored literally; the derived lat/lon are never NULL so the
         # complement is exact in both engines
         "geo_shape_topk": _bm25_sql(
+            BM25_QUERY,
+            where=(
+                f"NOT (({GEO_LAT}) <= 60.0 AND ({GEO_LAT}) >= 0.0 AND "
+                f"({GEO_LON}) >= -130.0 AND ({GEO_LON}) <= -60.0)"
+            ),
+        ),
+        "geo_shape_local": _bm25_sql(
             BM25_QUERY,
             where=(
                 f"NOT (({GEO_LAT}) <= 60.0 AND ({GEO_LAT}) >= 0.0 AND "

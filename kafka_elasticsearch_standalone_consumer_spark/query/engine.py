@@ -1311,12 +1311,24 @@ class Index:
         may differ by a trig ulp between libm implementations — pick radii
         off the boundary (every real query does). ``where`` tuples narrow
         the set further, like the serving-path filter surface."""
+        ids, lat_deg, lon_deg = self._local_geo_coords(
+            lat_col, lon_col, "search_geo_distance_local"
+        )
+        if ids is None:
+            return []
+        dist = self._np_haversine_km(lat_deg, lon_deg, origin)
+        allowed = np.unique(ids[dist <= float(radius_km)])
+        return self._local_geo_finish(query_text, k, allowed, where, mode)
+
+    def _local_geo_coords(self, lat_col: str, lon_col: str, caller: str):
+        """(doc_ids, lat_deg, lon_deg) float64 arrays from a pruned pyarrow
+        read of every segment's doc store — the geo serving twins' input."""
         import pyarrow.dataset as pads
 
         if self.wh is None:
             raise ValueError(
-                "search_geo_distance_local serves from warehouse files — "
-                "use search_geo_distance() on ephemeral indexes"
+                f"{caller} serves from warehouse files — "
+                "use the distributed surface on ephemeral indexes"
             )
         ids_parts, lat_parts, lon_parts = [], [], []
         for w in self._seg_whs:
@@ -1328,17 +1340,27 @@ class Index:
                 lat_parts.append(np.asarray(tbl.column(lat_col), dtype=np.float64))
                 lon_parts.append(np.asarray(tbl.column(lon_col), dtype=np.float64))
         if not ids_parts:
-            return []
-        ids = np.concatenate(ids_parts)
-        lat = np.radians(np.concatenate(lat_parts))
-        lon = np.radians(np.concatenate(lon_parts))
+            return None, None, None
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(lat_parts),
+            np.concatenate(lon_parts),
+        )
+
+    @staticmethod
+    def _np_haversine_km(lat_deg, lon_deg, origin) -> "np.ndarray":
+        lat = np.radians(lat_deg)
+        lon = np.radians(lon_deg)
         lat0, lon0 = np.radians(origin[0]), np.radians(origin[1])
         a = (
             np.sin((lat - lat0) / 2) ** 2
             + np.cos(lat) * np.cos(lat0) * np.sin((lon - lon0) / 2) ** 2
         )
-        dist = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
-        allowed = np.unique(ids[dist <= float(radius_km)])
+        return 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+
+    def _local_geo_finish(self, query_text, k, allowed, where, mode):
+        """Shared tail of the geo serving twins: filters + tombstones, the
+        shared local kernel, (score desc, id asc) top-k."""
         if where is not None:
             allowed = np.intersect1d(allowed, self._local_allowed(where))
         blocked = self._local_blocked()
@@ -1349,6 +1371,83 @@ class Index:
         )
         top = np.lexsort((dd, -ss))[:k]
         return [(int(dd[i]), float(ss[i])) for i in top]
+
+    def search_geo_shape_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        shape: dict,
+        relation: str = "intersects",
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        mode: str = "bmw",
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job twin of :meth:`search_geo_shape`: the shape
+        membership mask is computed with NumPy arithmetic that mirrors
+        the compiled SQL predicates expression-for-expression (bbox range
+        comparisons; the haversine of the distance twin; the SAME
+        divisionless crossing-parity terms as
+        :meth:`_point_in_polygon_sql` in identical operation order, so
+        float results agree bit-for-bit), then the shared local kernel
+        scores exactly like :meth:`search_local`."""
+        ids, lat, lon = self._local_geo_coords(
+            lat_col, lon_col, "search_geo_shape_local"
+        )
+        if ids is None:
+            return []
+        typ = str(shape.get("type", "")).lower()
+        coords = shape.get("coordinates")
+        if typ == "envelope":
+            (min_lon, max_lat), (max_lon, min_lat) = coords
+            if float(min_lon) > float(max_lon):
+                raise ValueError(
+                    "envelope crosses the antimeridian; split it into two"
+                )
+            mask = (
+                (lat <= float(max_lat))
+                & (lat >= float(min_lat))
+                & (lon >= float(min_lon))
+                & (lon <= float(max_lon))
+            )
+        elif typ == "circle":
+            q_lon, q_lat = coords
+            radius_km = self._parse_geo_radius_km(shape.get("radius", 0.0))
+            mask = self._np_haversine_km(lat, lon, (float(q_lat), float(q_lon))) <= radius_km
+        elif typ == "polygon":
+            if len(coords) != 1:
+                raise ValueError("polygon holes are not supported")
+            ring = [(float(la), float(lo)) for lo, la in coords[0]]
+            if len(ring) >= 2 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            pts = list(ring)
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            crossings = np.zeros(len(ids), dtype=np.int64)
+            for (y1, x1), (y2, x2) in zip(pts, pts[1:]):
+                if y1 == y2:
+                    continue
+                dy, dx = y2 - y1, x2 - x1
+                cross_val = (lon - x1) * dy - (lat - y1) * dx
+                cross = cross_val < 0 if dy > 0 else cross_val > 0
+                straddle = (y1 > lat) != (y2 > lat)
+                crossings += (straddle & cross).astype(np.int64)
+            mask = crossings % 2 == 1
+        elif typ == "point":
+            q_lon, q_lat = coords
+            mask = (lat == float(q_lat)) & (lon == float(q_lon))
+        else:
+            raise ValueError(f"unsupported geo_shape type: {shape.get('type')!r}")
+        rel = relation.lower()
+        if rel == "disjoint":
+            mask = ~mask
+        elif rel not in ("intersects", "within"):
+            raise ValueError(
+                f"unsupported geo_shape relation for point fields: {relation!r}"
+            )
+        allowed = np.unique(ids[mask])
+        return self._local_geo_finish(query_text, k, allowed, where, mode)
 
     _NESTED_LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
@@ -5329,6 +5428,29 @@ class Index:
         Everything stays a constant-folded Column expression fused into
         the doc scan; reference parity: the reference delegates all query
         semantics to ES 1.5 (MessageHandler.java posts raw bulk JSON)."""
+        return self._geo_shape_pred(shape, relation, lat_col, lon_col)
+
+    @staticmethod
+    def _parse_geo_radius_km(radius) -> float:
+        """ES unit grammar subset: "6000km"/"250m"/"10mi"/bare metres."""
+        if isinstance(radius, str):
+            r = radius.strip().lower()
+            if r.endswith("km"):
+                return float(r[:-2])
+            if r.endswith("mi"):
+                return float(r[:-2]) * 1.609344
+            if r.endswith("m"):
+                return float(r[:-1]) / 1000.0
+            return float(r) / 1000.0  # ES default unit: metres
+        return float(radius) / 1000.0
+
+    def _geo_shape_pred(
+        self,
+        shape: dict,
+        relation: str,
+        lat_col: str,
+        lon_col: str,
+    ) -> str:
         typ = str(shape.get("type", "")).lower()
         coords = shape.get("coordinates")
         if typ == "envelope":
@@ -5343,19 +5465,7 @@ class Index:
             )
         elif typ == "circle":
             lon, lat = coords
-            radius = shape.get("radius", 0.0)
-            if isinstance(radius, str):
-                r = radius.strip().lower()
-                if r.endswith("km"):
-                    radius_km = float(r[:-2])
-                elif r.endswith("mi"):
-                    radius_km = float(r[:-2]) * 1.609344
-                elif r.endswith("m"):
-                    radius_km = float(r[:-1]) / 1000.0
-                else:
-                    radius_km = float(r) / 1000.0  # ES default unit: metres
-            else:
-                radius_km = float(radius) / 1000.0
+            radius_km = self._parse_geo_radius_km(shape.get("radius", 0.0))
             d = self._haversine_sql(lat_col, lon_col, float(lat), float(lon))
             pred = f"{d} <= {radius_km}"
         elif typ == "polygon":

@@ -544,3 +544,46 @@ def test_span_local_twins_identical(spark, local_pos_wh):
     assert idx.search_span_near_local(["zzabsent", a], slop=2, k=10) == []
     with pytest.raises(ValueError, match="repeated terms"):
         idx.search_span_near_local([a, a], slop=2, in_order=False)
+
+
+def test_geo_shape_local_identical_to_distributed(spark, tmp_path):
+    """search_geo_shape_local ≡ search_geo_shape for every shape type and
+    relation: the NumPy masks mirror the compiled SQL predicates
+    expression-for-expression (the polygon parity terms bit-for-bit),
+    same kernels, exact score equality."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "text",
+            F.expr("((doc_id * 937) % 17000) / 100.0 - 85.0").alias("lat"),
+            F.expr("((doc_id * 1409) % 36000) / 100.0 - 180.0").alias("lon"),
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+    )
+    wh = str(tmp_path / "geoshapeidx")
+    build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+    idx = Index(spark, wh)
+    q = "join hash filter"
+    ring = [(70.0, -170.0), (75.0, -40.0), (0.0, -30.0), (-60.0, -70.0), (-20.0, -160.0)]
+    shapes = [
+        {"type": "envelope", "coordinates": [[-130.0, 60.0], [-60.0, 0.0]]},
+        {"type": "circle", "coordinates": [-122.42, 37.77], "radius": "8000km"},
+        {"type": "polygon",
+         "coordinates": [[[lo, la] for la, lo in ring] + [[ring[0][1], ring[0][0]]]]},
+    ]
+    n_nonempty = 0
+    for shape in shapes:
+        for rel in ("intersects", "disjoint"):
+            dist = [
+                (row["doc_id"], row["score"])
+                for row in idx.search_geo_shape(
+                    q, 10, shape=shape, relation=rel
+                ).collect()
+            ]
+            loc = idx.search_geo_shape_local(q, 10, shape=shape, relation=rel)
+            assert loc == dist, (shape["type"], rel)
+            n_nonempty += bool(dist)
+    assert n_nonempty >= 5  # the probes genuinely exercise both relations
