@@ -771,6 +771,31 @@ def q_terminate_after_topk(spark, sf_dir):
     )
 
 
+def q_terminate_after_local(spark, sf_dir):
+    """terminate_after on the zero-Spark-job serving path (persisted
+    docs warehouse, docs_per_shard=128 like the oracle's shard id):
+    asserted in-entry identical — hits AND flag — to the distributed
+    search_terminate_after, then checked against the same per-shard
+    first-3 SQL as terminate_after_topk."""
+    idx = _docs_wh_idx(spark, sf_dir)
+    dist = idx.search_terminate_after(BM25_QUERY, K, terminate_after=3).collect()
+    d_hits = [(r["doc_id"], r["score"]) for r in dist]
+    d_flag = bool(dist[0]["terminated_early"]) if dist else False
+    l_hits, l_flag = idx.search_terminate_after_local(
+        BM25_QUERY, K, terminate_after=3
+    )
+    assert (l_hits, l_flag) == (d_hits, d_flag), (
+        "terminate_after serving twin diverged from the distributed path"
+    )
+    out = spark.createDataFrame(
+        [(d, s, l_flag) for d, s in l_hits],
+        "doc_id long, score double, terminated_early boolean",
+    )
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r"), "terminated_early"
+    )
+
+
 def q_significant_terms_bg(spark, sf_dir):
     """ES significant_terms with background_filter (1.x): same foreground
     match set, background statistics narrowed to lang='en' docs —
@@ -3712,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "corpus_drift": q_corpus_drift,
         "geo_shape_local": q_geo_shape_local,
+        "terminate_after_local": q_terminate_after_local,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6677,6 +6703,25 @@ ORDER BY doc_id
         # global flag = a 1-row aggregate; shard id = doc_id // 128
         # (mirrors _cached_idx's docs_per_shard=128)
         "terminate_after_topk": _bm25_variant_sql(
+            BM25_QUERY,
+            """SELECT e.doc_id,
+       row_number() OVER (ORDER BY e.score DESC, e.doc_id) AS rank,
+       round(e.score, 4) AS score_r,
+       f.terminated_early
+FROM (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
+    FROM scored) WHERE rn <= 3
+) e
+CROSS JOIN (
+  SELECT max(c) > 3 AS terminated_early
+  FROM (SELECT count(*) AS c FROM scored GROUP BY doc_id // 128)
+) f
+ORDER BY e.score DESC, e.doc_id
+LIMIT 10""",
+        ),
+        "terminate_after_local": _bm25_variant_sql(
             BM25_QUERY,
             """SELECT e.doc_id,
        row_number() OVER (ORDER BY e.score DESC, e.doc_id) AS rank,

@@ -1291,6 +1291,58 @@ class Index:
         top = np.lexsort((dd, -ss))[:k]
         return [(int(dd[i]), float(ss[i])) for i in top]
 
+    def search_terminate_after_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        terminate_after: int,
+        where: list[tuple] | None = None,
+        mode: str = "bmw",
+    ) -> tuple[list[tuple[int, float]], bool]:
+        """Zero-Spark-job twin of :meth:`search_terminate_after`: the FULL
+        local score set (``per_shard_k=None`` — the cap selects by index
+        order, so per-shard score pruning would be unsound here), each
+        shard truncated to its first ``terminate_after`` matching doc_ids,
+        then the usual (score desc, id asc) top-k. Returns
+        ``(hits, terminated_early)`` — the flag is ES's response field.
+        Scores are identical to the distributed path (same kernels, same
+        global stats)."""
+        if terminate_after < 1:
+            raise ValueError("terminate_after must be ≥ 1")
+        if self.wh is None:
+            raise ValueError(
+                "search_terminate_after_local serves from warehouse files — "
+                "use search_terminate_after() on ephemeral indexes"
+            )
+        blocked = self._local_blocked()
+        allowed = None
+        if where is not None:
+            allowed = self._local_allowed(where)
+            if blocked is not None:
+                allowed = np.setdiff1d(allowed, blocked)
+            blocked = None
+        dd, ss = self._local_term_scores(
+            query_text, allowed, blocked, per_shard_k=None, mode=mode
+        )
+        if not len(dd):
+            return [], False
+        dps = int(self.meta["docs_per_shard"])
+        order = np.argsort(dd)
+        d_sorted, s_sorted = dd[order], ss[order]
+        shard = d_sorted // dps
+        change = np.r_[True, shard[1:] != shard[:-1]]
+        start = np.maximum.accumulate(np.where(change, np.arange(len(shard)), 0))
+        rank = np.arange(len(shard)) - start
+        keep = rank < int(terminate_after)
+        terminated_early = bool(np.any(~keep))
+        d_kept, s_kept = d_sorted[keep], s_sorted[keep]
+        top = np.lexsort((d_kept, -s_kept))[:k]
+        return (
+            [(int(d_kept[i]), float(s_kept[i])) for i in top],
+            terminated_early,
+        )
+
     def search_geo_distance_local(
         self,
         query_text: str,

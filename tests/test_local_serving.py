@@ -587,3 +587,19 @@ def test_geo_shape_local_identical_to_distributed(spark, tmp_path):
             assert loc == dist, (shape["type"], rel)
             n_nonempty += bool(dist)
     assert n_nonempty >= 5  # the probes genuinely exercise both relations
+
+
+def test_terminate_after_local_identical_to_distributed(spark, built_index):
+    """search_terminate_after_local ≡ search_terminate_after: same
+    eligible sets (first-N-matching per shard), identical scores, same
+    terminated_early flag — for a biting cap and a non-binding one."""
+    idx, _ = built_index
+    q = "w00000 w00003"
+    for cap in (2, 10**6):
+        dist = idx.search_terminate_after(q, 10, terminate_after=cap).collect()
+        d_hits = [(r["doc_id"], r["score"]) for r in dist]
+        d_flag = bool(dist[0]["terminated_early"]) if dist else False
+        l_hits, l_flag = idx.search_terminate_after_local(q, 10, terminate_after=cap)
+        assert l_hits == d_hits and l_flag == d_flag, cap
+    assert idx.search_terminate_after_local(q, 10, terminate_after=2)[1] is True
+    assert idx.search_terminate_after_local("zzznope", 10, terminate_after=2) == ([], False)
