@@ -440,3 +440,47 @@ def test_bpe_encode_stays_jvm_side_one_shuffle(spark):
     assert "Window" not in plan and "SinglePartition" not in plan
     assert plan.count("Exchange") <= 2  # partial agg + (AQE) reuse, never more
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_winnow_fingerprints_is_shuffle_free_scan(spark):
+    """Winnowing is per-row Column algebra + an explode — NO exchange, no
+    Python eval; any shuffle belongs to the caller's downstream join."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(winnow_fingerprints(docs, k=3, w=3))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_broadcasts_labels_keyed_window(spark):
+    """The label exclusion must be a BROADCAST anti-join (labels never
+    shuffle the corpus) and the re-rank a qid-keyed window — no
+    cartesian, no single partition."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter("vec_id < 2").selectExpr("vec_id as qid", "embedding")
+    pos = spark.createDataFrame(
+        [(0, 10), (1, 11)], "qid long, pos_id long"
+    )
+    df = hard_negatives(emb, qs, pos, k=5)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "hashpartitioning(qid" in plan
+    assert "CartesianProduct" not in plan and "SinglePartition" not in plan
