@@ -3605,7 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of them (append new ones after position 99 instead). Every entry at
     # position 100+ (the round-4f/4g late adds) can never fit a driver
     # window; each was verified by the full tools/check_entry.py rehearsal
-    # at sf0.001/0.01/0.1 when added, and a COMPLETE 210-entry rehearsal ran
+    # at sf0.001/0.01/0.1 when added, and a COMPLETE 212-entry rehearsal ran
     # green at sf0.01 late in round 4 (see CLAUDE.md round-4g note).
     return {
         "ann_pq_topk": q_ann_pq_topk,
