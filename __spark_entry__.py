@@ -373,6 +373,35 @@ def q_mlt_field_topk(spark, sf_dir):
     )
 
 
+def q_flt_field_topk(spark, sf_dir):
+    """ES 1.x fuzzy_like_this_field: FLT scoped to the title field (first
+    5 tokens of text) — 'streem filtr' fuzzifies against the TITLE's own
+    dictionary (prefix+length-band pruned, Damerau ≤1), each source-term
+    group gets ONE blended idf from the group's max TITLE df, variants
+    weighted by edit similarity, scored with the title field's df/avgdl.
+    Rank keys are rounded to 4 dp BEFORE ordering (the geo-sort rule:
+    engines' libm ln may differ in the last ulp) over the FULL match set,
+    ties doc_id asc, so the top-K cut is engine-identical."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        fuzzy_like_this_field,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    out = fuzzy_like_this_field(
+        docs, "streem filtr", "title", k=1_000_000,
+        fuzziness=1, prefix_length=1, max_query_terms=50,
+    ).select("doc_id", F.round("score", 4).alias("score_r"))
+    return (
+        _rank(out, "score_r", "doc_id")
+        .filter(F.col("rank") <= K)
+        .select("doc_id", "rank", "score_r")
+    )
+
+
 def q_phrase_prefix_topk(spark, sf_dir):
     """ES match_phrase_prefix: "table s" — the final slot expands against
     the term dictionary (spark/small/stream/scan/slow/sort here) and any
@@ -3738,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "geo_shape_local": q_geo_shape_local,
         "terminate_after_local": q_terminate_after_local,
+        "flt_field_topk": q_flt_field_topk,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4681,6 +4711,50 @@ scored AS (
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT {K}
+"""
+
+
+# fuzzy_like_this_field 'streem filtr' over the title field (first 5
+# tokens of text): same blended-idf fuzzy disjunction as _FLT_SQL but
+# every statistic (df, dl, avgdl, n-via-dl) comes from the TITLE token
+# slice; rank keys rounded to 4 dp BEFORE ordering over the full match
+# set (geo-sort rule) to mirror the entry's rounded rerank
+_FLT_FIELD_SQL = f"""
+WITH base AS (SELECT doc_id, ({SQL_TOKS})[1:5] AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM base),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+src(s) AS (VALUES ('streem'), ('filtr')),
+vars AS (
+  SELECT src.s, dfall.term, dfall.df,
+         1.0 - damerau_levenshtein(src.s, dfall.term)::DOUBLE
+               / least(length(src.s), length(dfall.term)) AS sim
+  FROM dfall CROSS JOIN src
+  WHERE starts_with(dfall.term, src.s[1:1])
+    AND abs(length(dfall.term) - length(src.s)) <= 1
+    AND damerau_levenshtein(src.s, dfall.term) <= 1
+),
+blend AS (SELECT s, max(df) AS dmax FROM vars GROUP BY s),
+q AS (
+  SELECT vars.term,
+         sum(vars.sim * ln(1 + (corpus.n - blend.dmax + 0.5) / (blend.dmax + 0.5))) AS w
+  FROM vars JOIN blend USING (s) CROSS JOIN corpus
+  GROUP BY vars.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.w * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))) AS score
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
 """
 
 
@@ -6351,6 +6425,7 @@ LIMIT {K}
         "bool_topk": _BOOL_SQL.format(matcher=_PHRASE_MATCH_EXACT),
         "mlt_topk": _MLT_SQL,
         "mlt_field_topk": _mlt_doc_sql(f"({SQL_TOKS})[1:5]", 3),
+        "flt_field_topk": _FLT_FIELD_SQL,
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

@@ -166,6 +166,140 @@ def multi_field_bm25(
     return bm25.topk(scores, k)
 
 
+def fuzzy_like_this_field(
+    docs: DataFrame,
+    like_text: str,
+    field: str,
+    k: int = 10,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_query_terms: int = 25,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES 1.x ``fuzzy_like_this_field`` (Lucene FuzzyLikeThisQuery scoped
+    to ONE field — removed in ES 2): fuzzify every analyzed term of
+    ``like_text`` against the FIELD's own term dictionary, keep the
+    ``max_query_terms`` best variants, and run a SCORED disjunction with
+    the field's own df/avgdl statistics — the field-scoped twin of
+    ``Index.fuzzy_like_this`` exactly as :func:`more_like_this_field`
+    twins ``more_like_this``. Reference parity: the reference delegates
+    the whole query DSL to ES 1.5 (ref MessageHandler.java:135-139).
+
+    Lucene semantics kept: every variant of a source term shares one
+    BLENDED idf from the group's max df (a variant never uses its own
+    idf — "this would favor rarer terms, such as misspellings"); each
+    variant is down-weighted by edit similarity ``1 − d/min(|src|,|v|)``
+    (classic FuzzyTermEnum), zero-similarity variants dropped. Selection
+    caps at ``max_query_terms`` by (weight desc, variant asc, source
+    asc) with the weight key rounded HALF-UP to 4 dp before ordering
+    (the geo-sort rule: engines' libm ``ln`` may differ in the last ulp;
+    the rounded key + lexicographic tiebreaks make the cut identical
+    across engines).
+
+    Scale shape: the candidate dictionary slice is pruned BEFORE the df
+    aggregation (prefix + length-band predicates — the same guards
+    ``Index.search_fuzzy`` pushes into its scan), so the driver collects
+    only the bounded fuzzy neighborhood, never the dictionary; scoring
+    is the declarative single-field BM25 path — term-filtered tokens,
+    broadcast weights, one aggregation shuffle, TakeOrderedAndProject
+    top-k."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+
+    if prefix_length < 1:
+        raise ValueError(
+            "prefix_length must be ≥1: an unpruned fuzzy expansion scans "
+            "the whole field dictionary (same scale guard as search_fuzzy)"
+        )
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    src_terms = sorted(
+        {t for t in tokenize_text(like_text) if len(t) >= prefix_length}
+    )
+    if not src_terms:
+        return empty
+    toks = doc_term_freqs(docs, text_col=field, id_col=id_col)
+    cond = None
+    for t in src_terms:
+        c = F.col("term").startswith(t[:prefix_length]) & F.length("term").between(
+            len(t) - fuzziness, len(t) + fuzziness
+        )
+        cond = c if cond is None else (cond | c)
+    dfrows = toks.filter(cond).groupBy("term").agg(F.count("*").alias("df")).collect()
+    df_by = {r["term"]: int(r["df"]) for r in dfrows}
+    groups: dict[str, dict[str, float]] = {}
+    for t in src_terms:
+        for v in df_by:
+            if not v.startswith(t[:prefix_length]) or abs(len(v) - len(t)) > fuzziness:
+                continue
+            d = _damerau_levenshtein(t, v, fuzziness)
+            if d <= fuzziness:
+                sim = 1.0 - d / min(len(t), len(v))
+                if sim > 0.0:
+                    groups.setdefault(t, {})[v] = sim
+    if not groups:
+        return empty
+    n = float(docs.count())
+    sel: list[tuple[int, str, str, float]] = []
+    for t, variants in groups.items():
+        dmax = max(df_by[v] for v in variants)
+        idf = math.log(1.0 + (n - dmax + 0.5) / (dmax + 0.5))
+        for v, sim in variants.items():
+            w = sim * idf
+            sel.append((math.floor(w * 10000.0 + 0.5), v, t, w))
+    sel.sort(key=lambda x: (-x[0], x[1], x[2]))
+    sel = sel[:max_query_terms]
+    idfw: dict[str, float] = {}
+    for _key, v, _t, w in sel:
+        idfw[v] = idfw.get(v, 0.0) + w
+    avgdl = (
+        docs.select(F.size(tokenize_col(F.col(field))).alias("dl"))
+        .agg(F.avg("dl"))
+        .collect()[0][0]
+        or 1e-9
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(idfw.items())],
+            "term string, idfw double",
+        )
+    )
+    # Deterministic accumulation (repo invariant: every BM25 path sums
+    # per-term contributions in SORTED-TERM order so distributed / local /
+    # recompute scores stay BIT-identical, not just rank-identical):
+    # collect the ≤max_query_terms matched (term, contrib) pairs per doc,
+    # sort by term, left-fold in float64 — a plain groupBy().sum() adds in
+    # partition order and flips last-ulp ties.
+    scored = (
+        toks.filter(F.col("term").isin(list(idfw)))
+        .join(qdf, "term")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "term",
+            (
+                F.col("idfw")
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    return bm25.topk(scored, k)
+
+
 def more_like_this_field(
     docs: DataFrame,
     doc_id: int,

@@ -197,3 +197,88 @@ def test_more_like_this_field_matches_python(spark, fielded_docs):
 
     # unknown source doc -> empty, no crash
     assert more_like_this_field(fielded_docs, 10**9, "head").count() == 0
+
+
+def test_fuzzy_like_this_field_matches_python(spark, fielded_docs):
+    """Field-scoped FLT vs a pure-Python recompute: fuzzify against the
+    head field's own dictionary (prefix + length-band pruning, restricted
+    Damerau ≤ fuzziness), blended idf per source-term group from the
+    group's max df, similarity-weighted variants capped by the half-up
+    4-dp-rounded weight key, then single-field BM25 with head's stats."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.multifield import (
+        fuzzy_like_this_field,
+    )
+
+    rows = fielded_docs.collect()
+    toks = {r["doc_id"]: tokenize_text(r["head"]) for r in rows}
+    n = len(toks)
+    # one real head term with a typo: take the most common head term and
+    # mutate its last character so expansion is non-trivial
+    from collections import Counter
+
+    common = Counter(t for ts in toks.values() for t in ts).most_common(1)[0][0]
+    like = common[:-1] + ("x" if common[-1] != "x" else "y")
+    fz, plen, mqt = 1, 1, 5
+
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in fuzzy_like_this_field(
+            fielded_docs, like, "head", k=10, fuzziness=fz,
+            prefix_length=plen, max_query_terms=mqt,
+        ).collect()
+    ]
+
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    variants = {}
+    for v in df:
+        if not v.startswith(like[:plen]) or abs(len(v) - len(like)) > fz:
+            continue
+        d = _damerau_levenshtein(like, v, fz)
+        if d <= fz:
+            sim = 1.0 - d / min(len(like), len(v))
+            if sim > 0:
+                variants[v] = sim
+    assert variants, "typo produced no expansion — pick a better seed term"
+    dmax = max(df[v] for v in variants)
+    idf = math.log(1.0 + (n - dmax + 0.5) / (dmax + 0.5))
+    sel = sorted(
+        (-math.floor(sim * idf * 10000.0 + 0.5), v, like, sim * idf)
+        for v, sim in variants.items()
+    )[:mqt]
+    idfw = {}
+    for _k2, v, _t, w in sel:
+        idfw[v] = idfw.get(v, 0.0) + w
+    scores = {}
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    for d_, ts in toks.items():
+        s = 0.0
+        # sorted-term fold — the repo's bit-identity invariant for every
+        # BM25 accumulation path (kernels sort runs by term; the field
+        # variant array_sorts its (term, contrib) pairs before folding)
+        for v in sorted(idfw):
+            w = idfw[v]
+            c = ts.count(v)
+            if c:
+                s += w * c / (c + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+        if s:
+            scores[d_] = s
+    want = [
+        (d_, round(s, 9))
+        for d_, s in sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and gs == ws
+
+    # guards: unpruned expansion refused; no-expansion like_text -> empty
+    with pytest.raises(ValueError, match="prefix_length"):
+        fuzzy_like_this_field(fielded_docs, "x", "head", prefix_length=0)
+    assert fuzzy_like_this_field(fielded_docs, "zzzzqqq", "head").count() == 0
