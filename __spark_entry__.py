@@ -3627,15 +3627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds' windows) are listed first; previously gated entries follow.  Keep
     # rotating each round so every entry eventually lands inside the window.
     # Round-5 rotation note: after the round-4 gate (first 50 keys of THIS
-    # dict), the never-gated backlog is EXACTLY the 50-entry contiguous block
-    # has_child_sum_topk .. update_upsert (positions 50-99; recomputed against
-    # CORRECTNESS_r01-03 + this window) — put THOSE first next round; they
-    # exactly fill the final 50-entry window, so add NO new entries ahead
-    # of them (append new ones after position 99 instead). Every entry at
-    # position 100+ (the round-4f/4g late adds) can never fit a driver
-    # window; each was verified by the full tools/check_entry.py rehearsal
-    # at sf0.001/0.01/0.1 when added, and a COMPLETE 212-entry rehearsal ran
-    # green at sf0.01 late in round 4 (see CLAUDE.md round-4g note).
+    # dict), the never-gated backlog is the contiguous block starting at
+    # has_child_topk (position 50) through the end of the round-4 late adds
+    # (recomputed against CORRECTNESS_r01-03 + this window; 77+ entries —
+    # more than one final window holds). Next round, move the FIRST 50 of
+    # that block (has_child_topk .. knn_join_ivf_topk) to the head; the
+    # remainder can never fit a driver window — each was verified by the
+    # full tools/check_entry.py rehearsal at sf0.001/0.01/0.1 when added,
+    # and a COMPLETE rehearsal ran green at sf0.01 late in round 4 (see
+    # CLAUDE.md round-4g note). Append new entries at the END only.
     return {
         "ann_pq_topk": q_ann_pq_topk,
         "nested_sort_topk": q_nested_sort_topk,
