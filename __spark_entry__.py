@@ -402,6 +402,45 @@ def q_flt_field_topk(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-50 corpus terms via the two-pass Misra–Gries design
+    (ops/sketches.heavy_hitters): per-partition bounded sketch → candidate
+    union → exact counting pass restricted to candidates — the 100-TB
+    shape where the aggregation never keys on the full vocabulary. The
+    result is certified exact (k-th count strictly above the
+    N/(capacity+1) miss threshold, or no partition ever reduced), so the
+    plain GROUP-BY oracle must match it row for row."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_col(F.col("text"))).alias("term")
+    )
+    out = heavy_hitters(toks, "term", k=50, capacity=4096)
+    return out.select(F.col("value").alias("term"), "freq", "rank")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Sequential Poisson weighted sample (Ohlsson 1998 πps design,
+    ops/curation.weighted_sample): key ξ = md5(doc_id:7)-uniform / weight,
+    weight = token count, 100 smallest keys win. ξ is BIT-identical across
+    engines (exact integer/2^32 hash, one IEEE division by an
+    integer-valued double), so the oracle mirrors the arithmetic with no
+    rounding rule. Zero-token docs (the corpus plants empty texts) have
+    inclusion probability 0 and are excluded in both engines."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokenize_col(F.col("text"))).cast("double").alias("w")
+    )
+    return weighted_sample(docs, "w", k=100, seed=7, id_col="doc_id").select(
+        "doc_id", "w", "xi"
+    )
+
+
 def q_phrase_prefix_topk(spark, sf_dir):
     """ES match_phrase_prefix: "table s" — the final slot expands against
     the term dictionary (spark/small/stream/scan/slow/sort here) and any
@@ -3768,6 +3807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_local": q_geo_shape_local,
         "terminate_after_local": q_terminate_after_local,
         "flt_field_topk": q_flt_field_topk,
+        "heavy_hitters": q_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4755,6 +4796,33 @@ scored AS (
 SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank,
        round(score, 4) AS score_r
 FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
+"""
+
+
+# heavy_hitters top-50 terms: the sketch result is CERTIFIED exact (or the
+# entry raises), so the oracle is the plain exhaustive GROUP BY — ties by
+# term asc, the repo's deterministic top-k rule
+_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS}) AS term FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term)
+SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+FROM c ORDER BY freq DESC, term LIMIT 50
+"""
+
+
+# Sequential Poisson sample: ξ = (md5(doc_id:7) 8-hex prefix / 2^32) / w is
+# bit-identical across engines (exact hash fraction, one IEEE division by an
+# integer-valued weight), so no rounding rule is needed; w ≤ 0 rows are
+# excluded (πps inclusion probability 0)
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH base AS (SELECT doc_id, len({SQL_TOKS})::DOUBLE AS w FROM documents),
+keyed AS (
+  SELECT doc_id, w,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT::DOUBLE
+          / 4294967296.0) / w AS xi
+  FROM base WHERE w > 0
+)
+SELECT doc_id, w, xi FROM keyed ORDER BY xi ASC, doc_id ASC LIMIT 100
 """
 
 
@@ -6426,6 +6494,8 @@ LIMIT {K}
         "mlt_topk": _MLT_SQL,
         "mlt_field_topk": _mlt_doc_sql(f"({SQL_TOKS})[1:5]", 3),
         "flt_field_topk": _FLT_FIELD_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

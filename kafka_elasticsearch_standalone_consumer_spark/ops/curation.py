@@ -89,6 +89,47 @@ def stratified_sample(
     return df.filter(u < frac)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Sequential
+    Poisson Sampling (Ohlsson 1998, the πps design used by production
+    survey/sampling systems): every row gets the key ξ = u / w where u is
+    the portable md5(id:seed) unit-interval hash and w its weight; the k
+    smallest keys are the sample. Higher weight → smaller expected key →
+    proportionally higher inclusion probability. The curation use is
+    quality- or length-weighted training-data selection where the pick
+    must be reproducible across engines, cluster sizes, and reruns.
+
+    Float identity across engines: u is an integer < 2^32 divided by
+    2^32 (both exact in binary64) and ξ is one IEEE-correctly-rounded
+    division, so ξ is BIT-identical in any engine that computes w
+    identically — no rounding rule needed, unlike the ln/pow form of
+    Efraimidis–Espirakis keys. Rows with w ≤ 0 have inclusion
+    probability 0 and are excluded (πps semantics).
+
+    Scale shape: a per-row hash + one TakeOrderedAndProject top-k by
+    (ξ asc, id asc) — no shuffle beyond the per-partition top-k merge,
+    no RNG state, order-independent."""
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("xi", u / w)
+        .orderBy(F.asc("xi"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def domain_mix(
     df: DataFrame,
     domain_col: str,

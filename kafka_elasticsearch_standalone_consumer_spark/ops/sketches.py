@@ -1,0 +1,160 @@
+"""Mergeable frequency sketches for corpus-scale term statistics.
+
+At 100 TB a plain ``groupBy(value).count().orderBy(...)`` computes exact
+counts for EVERY distinct value just to keep the top k — the shuffle
+carries the whole long tail (in a web corpus, billions of once-seen
+tokens).  The classic fix is a two-pass design built on the Misra–Gries
+(space-saving) summary:
+
+pass 1  each partition streams its values through a bounded
+        Misra–Gries sketch (``capacity`` counters, O(capacity) memory
+        regardless of partition size) and emits only its survivors —
+        every value whose GLOBAL frequency exceeds N/(capacity+1) is
+        guaranteed to survive in at least one partition (if it were
+        below the local threshold everywhere, summing the per-partition
+        bounds would put it below the global threshold too);
+pass 2  exact counts for the candidate union only — the aggregation key
+        set is now bounded by the sketch, not by the vocabulary.
+
+The result is EXACT (not approximate) whenever the k-th candidate's
+exact count clears the N/(capacity+1) miss threshold — the function
+certifies that inequality and raises loudly when the capacity was too
+small to prove the top-k, so callers never silently get a maybe-list.
+Reference parity: the reference delegates term statistics to ES/Lucene
+(ref MessageHandler.java:135-139); this is the bounded-memory analogue
+of a "top terms" facet over a corpus too large to groupBy raw.
+
+Misra & Gries 1982; merge/undercount bound from Agarwal et al.,
+"Mergeable Summaries" (PODS 2012): merging exact batch counts into a
+summary and reducing back to ``capacity`` counters by subtracting the
+(capacity+1)-th largest count keeps total undercount ≤ N_p/(capacity+1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_reduce(counters: dict[str, int], capacity: int) -> None:
+    """Shrink ``counters`` to ≤ capacity entries in place by subtracting
+    the (capacity+1)-th largest count from every counter (the mergeable-
+    summaries reduction; equivalent to a run of pairwise decrements)."""
+    if len(counters) <= capacity:
+        return
+    counts = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
+    # (capacity+1)-th largest == index -(capacity+1) in ascending order
+    delta = int(np.partition(counts, -(capacity + 1))[-(capacity + 1)])
+    for k in list(counters):
+        c = counters[k] - delta
+        if c > 0:
+            counters[k] = c
+        else:
+            del counters[k]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+    require_certified: bool = True,
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``value_col`` without a
+    full-vocabulary aggregation: per-partition Misra–Gries candidate
+    sketch, then one exact counting pass restricted to the candidates.
+    Output ``(value, freq, rank)`` ordered by (freq desc, value asc) —
+    the deterministic tiebreak every top-k in this repo uses.
+
+    Certification: any value missing from the candidate set has global
+    frequency ≤ N/(capacity+1); if the k-th candidate's exact count is
+    strictly above that threshold the returned top-k is provably exact.
+    When the inequality fails, ``require_certified=True`` (default)
+    raises with the failing numbers and the remedy (raise ``capacity``);
+    ``False`` returns the best-effort list for exploratory use.
+
+    Scale shape: pass 1 is a scan with O(capacity) state per partition
+    emitting ≤ capacity+1 rows each (survivors + one partition-total
+    marker); the distinct over survivors and the join-back shuffle only
+    sketch-sized data. Pass 2's groupBy keys are candidates only, so the
+    exchange after the map-side partial agg carries ≤ (#partitions ×
+    capacity) rows no matter how large the vocabulary is. Nothing ever
+    collects to the driver except the two certification scalars."""
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    if capacity <= k:
+        raise ValueError(
+            f"capacity ({capacity}) must exceed k ({k}): the certification "
+            "threshold N/(capacity+1) can never sit below the k-th count "
+            "otherwise"
+        )
+    vals = df.select(F.col(value_col).cast("string").alias("value"))
+
+    cap = int(capacity)
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_part = 0
+        reduced = False
+        for pdf in batches:
+            s = pdf["value"].dropna()
+            n_part += len(s)
+            for v, c in s.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                reduced = True
+                _mg_reduce(counters, cap)
+        out = pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "n_part": [0] * len(counters) + [n_part],
+                "reduced": [False] * len(counters) + [reduced],
+            }
+        )
+        yield out
+
+    summary = vals.mapInPandas(sketch, schema="value string, n_part long, reduced boolean")
+    summary = summary.persist()
+    try:
+        tot = summary.agg(
+            F.sum("n_part").alias("n"), F.max("reduced").alias("any_reduced")
+        ).collect()[0]
+        n_total = tot["n"] or 0
+        any_reduced = bool(tot["any_reduced"])
+        candidates = summary.filter(F.col("value").isNotNull()).select("value").distinct()
+        # broadcast is the point: the candidate set is sketch-bounded, so the
+        # exact pass is a scan-side hash-join filter + partial agg — the
+        # corpus itself is never shuffled on the value key
+        exact = (
+            vals.join(candidates.hint("broadcast"), "value")
+            .groupBy("value")
+            .agg(F.count("*").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("value"))
+            .limit(k)
+        )
+        rows = exact.collect()
+    finally:
+        summary.unpersist()
+    threshold = n_total / (cap + 1)
+    kth = rows[-1]["freq"] if len(rows) == k else 0
+    # no partition ever reduced -> the candidate set IS the vocabulary and
+    # the exact pass is unconditionally complete; otherwise the k-th count
+    # must clear the miss threshold (strictly — a tie could hide outside)
+    certified = (not any_reduced) or (len(rows) == k and kth > threshold)
+    if require_certified and not certified:
+        raise RuntimeError(
+            f"heavy_hitters could not certify the top-{k}: k-th exact count "
+            f"{kth} is not above the miss threshold N/(capacity+1) = "
+            f"{threshold:.1f} (N={n_total}, capacity={cap}). Raise capacity "
+            f"above ~{int(n_total / max(kth, 1)) + 1} and rerun."
+        )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(r["value"], int(r["freq"]), i + 1) for i, r in enumerate(rows)],
+        "value string, freq long, rank long",
+    )
+    return out

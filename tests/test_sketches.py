@@ -1,0 +1,127 @@
+"""Misra–Gries heavy hitters and Sequential Poisson weighted sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+    _mg_reduce,
+    heavy_hitters,
+)
+from kafka_elasticsearch_standalone_consumer_spark.ops.curation import weighted_sample
+
+
+def _zipf_values(n_kinds: int = 300, scale: int = 1) -> list[str]:
+    """Deterministic skewed multiset: value v_i appears scale*(n_kinds-i)
+    times — strictly decreasing frequencies, no ties."""
+    out = []
+    for i in range(n_kinds):
+        out.extend([f"v{i:04d}"] * (scale * (n_kinds - i)))
+    return out
+
+
+def test_mg_reduce_bounds_and_keeps_heavy():
+    counters = {f"v{i}": i + 1 for i in range(100)}
+    _mg_reduce(counters, 10)
+    assert len(counters) <= 10
+    # the heaviest keys survive a reduction
+    assert "v99" in counters and "v98" in counters
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    vals = _zipf_values()
+    df = spark.createDataFrame([(v,) for v in vals], "value string").repartition(8)
+    # capacity below the 300-value vocab so partitions reduce, but large
+    # enough that the 10th count (291) clears N/(capacity+1) = 175.7
+    got = heavy_hitters(df, "value", k=10, capacity=256).collect()
+    want = (
+        df.groupBy("value")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("value"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["value"], r["freq"]) for r in got] == [
+        (r["value"], r["freq"]) for r in want
+    ]
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_heavy_hitters_no_reduction_small_vocab(spark):
+    # vocab smaller than capacity -> no partition reduces -> exact even when
+    # the k-th count sits below the miss threshold
+    df = spark.createDataFrame([(f"v{i % 5}",) for i in range(50)], "value string")
+    got = heavy_hitters(df, "value", k=5, capacity=100).collect()
+    assert len(got) == 5 and all(r["freq"] == 10 for r in got)
+    # fewer distinct values than k: returns them all, still certified
+    got2 = heavy_hitters(df, "value", k=4 + 10, capacity=100).collect()
+    assert len(got2) == 5
+
+
+def test_heavy_hitters_uncertifiable_raises(spark):
+    # near-uniform data with a tiny capacity: reductions happen and the
+    # k-th count cannot clear N/(capacity+1)
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(2000)], "value string"
+    ).repartition(4)
+    with pytest.raises(RuntimeError, match="could not certify"):
+        heavy_hitters(df, "value", k=5, capacity=20)
+    # best-effort mode returns whatever survived, without the guarantee
+    # (uniform freq-1 data can empty the sketch entirely — no heavy hitter
+    # exists, so an empty candidate set is honest)
+    rows = heavy_hitters(df, "value", k=5, capacity=20, require_certified=False).collect()
+    assert len(rows) <= 5
+
+
+def test_heavy_hitters_ignores_nulls_and_guards(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "value string")
+    got = heavy_hitters(df, "value", k=2, capacity=10).collect()
+    assert [(r["value"], r["freq"]) for r in got] == [("a", 2), ("b", 1)]
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "value", k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "value", k=10, capacity=10)
+
+
+def _sps_key(doc_id: int, w: float, seed: int) -> float:
+    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:8]
+    return (int(h, 16) / 4294967296.0) / w
+
+
+def test_weighted_sample_matches_python_recompute(spark):
+    rows = [(i, float(1 + i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["xi"])
+        for r in weighted_sample(df, "w", k=25, seed=7).collect()
+    ]
+    want = sorted(
+        ((_sps_key(i, w, 7), i) for i, w in rows),
+    )[:25]
+    assert [d for _, d in want] == [d for d, _ in got]
+    for (wk, _), (_, gx) in zip(want, got):
+        assert gx == wk  # bit-identical keys, no rounding
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", k=10, seed=42).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 4]
+    # reruns and repartitioning don't change the pick
+    again = weighted_sample(df.repartition(3), "w", k=10, seed=42).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "w", k=0)
+
+
+def test_weighted_sample_weight_bias(spark):
+    # two weight classes 10:1 — the heavy class must dominate the sample
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", k=200, seed=3).collect()
+    heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy > 150
