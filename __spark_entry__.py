@@ -441,6 +441,19 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_count_query(spark, sf_dir):
+    """ES 1.x _count API (search_type=count): live docs matching any of
+    'join hash filter' — no fetch, no scoring. The zero-job serving twin
+    (count_local: pruned postings decode + NumPy set algebra) is asserted
+    bit-equal in-entry; the oracle is the bare COUNT over the same match
+    set."""
+    idx = _docs_wh_idx(spark, sf_dir)
+    out = idx.count("join hash filter")
+    total = out.collect()[0]["total"]
+    assert idx.count_local("join hash filter") == total
+    return spark.createDataFrame([(int(total),)], "total long")
+
+
 def q_phrase_prefix_topk(spark, sf_dir):
     """ES match_phrase_prefix: "table s" — the final slot expands against
     the term dictionary (spark/small/stream/scan/slow/sort here) and any
@@ -3809,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flt_field_topk": q_flt_field_topk,
         "heavy_hitters": q_heavy_hitters,
         "weighted_sample": q_weighted_sample,
+        "count_query": q_count_query,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6496,6 +6510,7 @@ LIMIT {K}
         "flt_field_topk": _FLT_FIELD_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "count_query": f"SELECT count(*)::BIGINT AS total FROM documents WHERE doc_id IN ({_MATCHED})",
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

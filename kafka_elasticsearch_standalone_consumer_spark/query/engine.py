@@ -6113,6 +6113,64 @@ class Index:
             scores = scores.join(deletes, "doc_id", "left_anti")
         return scores if k is None else bm25.topk(scores, k)
 
+    def count(
+        self,
+        query_text: str = "",
+        where: str | None = None,
+        min_should_match: int = 1,
+    ) -> DataFrame:
+        """ES 1.x ``_count`` API (also ``search_type=count``): the number
+        of live, filtered documents matching ≥ ``min_should_match``
+        distinct analyzed query terms — no fetch, no scoring, no top-k.
+        An empty / all-stopword query counts every live doc (ES
+        ``match_all`` default). Returns one row ``total`` (long).
+        Reference parity: the reference delegates the search API family
+        to ES 1.5 (ref MessageHandler.java:135-139).
+
+        Scale shape: the match set is the same term-pruned tokens scan +
+        one aggregation every agg runs over (:meth:`_agg_scope`); the
+        count itself is a partial-agg reduce — nothing is fetched, no
+        window, no sort."""
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            docs = self._docs_df()
+            if where is not None:
+                docs = docs.filter(where)
+            deletes = self._deletes_df()
+            if deletes is not None:
+                docs = docs.join(deletes, "doc_id", "left_anti")
+            scoped = docs
+        return scoped.agg(F.count("*").cast("long").alias("total"))
+
+    def count_local(
+        self,
+        query_text: str = "",
+        where: list[tuple] | None = None,
+        min_should_match: int = 1,
+    ) -> int:
+        """Zero-Spark-job twin of :meth:`count`: pruned postings decode
+        for the match set, pyarrow doc-store read for the filter, NumPy
+        set algebra for tombstones — same semantics, returns the bare
+        int. ``where`` is the serving-path ``(col, op, value)`` tuple
+        surface (see :meth:`_local_allowed`)."""
+        import numpy as np
+
+        if self.wh is None:
+            raise ValueError("count_local serves from warehouse files")
+        terms = sorted(set(self._analyze(query_text)))
+        if terms:
+            if min_should_match > len(terms):
+                return 0
+            d = self._local_match_set(terms, min_should_match)
+            if where is not None:
+                d = np.intersect1d(d, self._local_allowed(where))
+        else:
+            d = self._local_allowed(where or [])
+        blocked = self._local_blocked()
+        if blocked is not None:
+            d = np.setdiff1d(d, blocked)
+        return int(d.size)
+
     def search_terminate_after(
         self,
         query_text: str,
