@@ -57,6 +57,21 @@ def _mg_reduce(counters: dict[str, int], capacity: int) -> None:
             del counters[k]
 
 
+def _exact_pass(vals: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Pass 2: exact counts restricted to the candidate set. The
+    broadcast is the point — the sketch-bounded candidates hash-join as
+    a scan-side filter + partial agg, so the corpus itself is never
+    shuffled on the value key; the top-k is a TakeOrderedAndProject,
+    never a global sort."""
+    return (
+        vals.join(candidates.hint("broadcast"), "value")
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("value"))
+        .limit(k)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -126,17 +141,7 @@ def heavy_hitters(
         n_total = tot["n"] or 0
         any_reduced = bool(tot["any_reduced"])
         candidates = summary.filter(F.col("value").isNotNull()).select("value").distinct()
-        # broadcast is the point: the candidate set is sketch-bounded, so the
-        # exact pass is a scan-side hash-join filter + partial agg — the
-        # corpus itself is never shuffled on the value key
-        exact = (
-            vals.join(candidates.hint("broadcast"), "value")
-            .groupBy("value")
-            .agg(F.count("*").cast("long").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("value"))
-            .limit(k)
-        )
-        rows = exact.collect()
+        rows = _exact_pass(vals, candidates, k).collect()
     finally:
         summary.unpersist()
     threshold = n_total / (cap + 1)

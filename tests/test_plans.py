@@ -484,3 +484,36 @@ def test_hard_negatives_broadcasts_labels_keyed_window(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "hashpartitioning(qid" in plan
     assert "CartesianProduct" not in plan and "SinglePartition" not in plan
+
+
+def test_heavy_hitters_exact_pass_broadcasts_candidates(spark):
+    """Pass 2 of heavy_hitters: the sketch-bounded candidate set must be
+    a BROADCAST hash-join filter (the corpus is never shuffled on the
+    value key) and the top-k a TakeOrderedAndProject, not a global sort."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import _exact_pass
+
+    vals = spark.createDataFrame(
+        [(f"v{i % 40}",) for i in range(400)], "value string"
+    ).repartition(4)
+    cands = spark.createDataFrame([(f"v{i}",) for i in range(10)], "value string")
+    df = _exact_pass(vals, cands, 5)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_scan_plus_topk(spark):
+    """Sequential Poisson sampling: per-row hash key + one
+    TakeOrderedAndProject — no exchange beyond the top-k merge, no
+    Python eval, no global sort."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 5)) for i in range(200)], "doc_id long, w double"
+    ).repartition(4)
+    plan = _plan(weighted_sample(df, "w", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
