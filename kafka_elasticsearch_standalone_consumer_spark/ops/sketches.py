@@ -40,12 +40,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_reduce(counters: dict[str, int], capacity: int) -> None:
+def _mg_reduce(counters: dict[str, int], capacity: int) -> int:
     """Shrink ``counters`` to ≤ capacity entries in place by subtracting
     the (capacity+1)-th largest count from every counter (the mergeable-
-    summaries reduction; equivalent to a run of pairwise decrements)."""
+    summaries reduction; equivalent to a run of pairwise decrements).
+    Returns the subtracted delta — any value's true-count undercount
+    grows by at most that much, which is what the streaming monitor's
+    error bound accumulates."""
     if len(counters) <= capacity:
-        return
+        return 0
     counts = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
     # (capacity+1)-th largest == index -(capacity+1) in ascending order
     delta = int(np.partition(counts, -(capacity + 1))[-(capacity + 1)])
@@ -55,6 +58,45 @@ def _mg_reduce(counters: dict[str, int], capacity: int) -> None:
             counters[k] = c
         else:
             del counters[k]
+    return delta
+
+
+# per-partition sketch output: one row per surviving counter (cnt is its
+# LOWER-bound count) plus one marker row (value NULL) whose n_part is the
+# partition's total item count, reduced says whether any reduction
+# happened, and cnt carries the partition's summed reduction deltas (the
+# per-value undercount bound contribution)
+SKETCH_SCHEMA = "value string, cnt long, n_part long, reduced boolean"
+
+
+def _sketch_partitions(cap: int):
+    """mapInPandas kernel factory: stream a partition's ``value`` column
+    through a bounded Misra–Gries summary and emit survivors + marker.
+    Shared by the batch :func:`heavy_hitters` (which ignores ``cnt`` and
+    recounts exactly) and the streaming monitor (which merges the counted
+    summaries into persistent state)."""
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_part = 0
+        dropped = 0
+        for pdf in batches:
+            s = pdf["value"].dropna()
+            n_part += len(s)
+            for v, c in s.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                dropped += _mg_reduce(counters, cap)
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "cnt": list(counters.values()) + [dropped],
+                "n_part": [0] * len(counters) + [n_part],
+                "reduced": [False] * len(counters) + [dropped > 0],
+            }
+        )
+
+    return sketch
 
 
 def _exact_pass(vals: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
@@ -108,31 +150,8 @@ def heavy_hitters(
             "otherwise"
         )
     vals = df.select(F.col(value_col).cast("string").alias("value"))
-
     cap = int(capacity)
-
-    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        n_part = 0
-        reduced = False
-        for pdf in batches:
-            s = pdf["value"].dropna()
-            n_part += len(s)
-            for v, c in s.value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > cap:
-                reduced = True
-                _mg_reduce(counters, cap)
-        out = pd.DataFrame(
-            {
-                "value": list(counters) + [None],
-                "n_part": [0] * len(counters) + [n_part],
-                "reduced": [False] * len(counters) + [reduced],
-            }
-        )
-        yield out
-
-    summary = vals.mapInPandas(sketch, schema="value string, n_part long, reduced boolean")
+    summary = vals.mapInPandas(_sketch_partitions(cap), schema=SKETCH_SCHEMA)
     summary = summary.persist()
     try:
         tot = summary.agg(
