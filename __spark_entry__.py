@@ -695,6 +695,21 @@ def q_agg_date_histogram(spark, sf_dir):
     return date_histogram(_events(spark, sf_dir), "ts", "day")
 
 
+def q_agg_date_histogram_bounds(spark, sf_dir):
+    """ES date_histogram with ``min_doc_count=0`` + ``extended_bounds``
+    (ES 1.x fill semantics: every calendar day between the bounds-widened
+    endpoints appears, empties as n=0). Events filtered to a sparse
+    deterministic subset so interior gaps exist; the bounds push leading
+    and trailing all-zero days at every SF."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import date_histogram
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 41 == 0)
+    return date_histogram(
+        ev, "ts", "day", min_doc_count=0,
+        extended_bounds=("2023-12-29", "2024-02-03"),
+    )
+
+
 def q_agg_percentiles(spark, sf_dir):
     """ES percentiles aggregation (exact interpolated mode — the
     sketch mode is pytest-checked against it): n_chars quartiles + p95
@@ -3823,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "count_query": q_count_query,
+        "agg_date_histogram_bounds": q_agg_date_histogram_bounds,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6511,6 +6527,23 @@ LIMIT {K}
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "count_query": f"SELECT count(*)::BIGINT AS total FROM documents WHERE doc_id IN ({_MATCHED})",
+        "agg_date_histogram_bounds": """
+WITH counts AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS t, count(*)::BIGINT AS n
+  FROM events WHERE event_id % 41 = 0 GROUP BY 1
+),
+b AS (
+  SELECT least(min(t), TIMESTAMP '2023-12-29') AS lo,
+         greatest(max(t), TIMESTAMP '2024-02-03') AS hi
+  FROM counts
+),
+series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS t FROM b
+)
+SELECT strftime(s.t, '%Y-%m-%d') AS bucket, coalesce(c.n, 0)::BIGINT AS n
+FROM series s LEFT JOIN counts c ON s.t = c.t
+ORDER BY bucket
+""",
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

@@ -528,18 +528,62 @@ def missing_count(df: DataFrame, field: str) -> DataFrame:
     )
 
 
-def date_histogram(df: DataFrame, ts_field: str, unit: str = "day") -> DataFrame:
+def date_histogram(
+    df: DataFrame,
+    ts_field: str,
+    unit: str = "day",
+    min_doc_count: int = 1,
+    extended_bounds: tuple[str, str] | None = None,
+) -> DataFrame:
     """ES date_histogram: calendar-interval buckets (day/month/year/hour),
     emitted as strings so cross-engine comparisons are timezone-stable
-    (the session zone is pinned to UTC in session.py)."""
+    (the session zone is pinned to UTC in session.py).
+
+    ES 1.x semantics knobs (api ``min_doc_count`` / ``extended_bounds``):
+    buckets with fewer than ``min_doc_count`` docs are omitted; at 0 the
+    histogram is FILLED — every calendar step between the (possibly
+    bounds-widened) first and last bucket appears, empties as n=0.  The
+    fill is plan-side: a 1-row min/max aggregate feeds ``sequence`` +
+    ``explode`` (≤ one row per calendar step, never data-sized) and the
+    observed counts left-join onto the series, so at 100 TB the only
+    added cost is the scalar aggregate.  Empty input with no explicit
+    bounds yields zero rows (``sequence`` over NULL explodes to nothing);
+    with bounds it yields the all-zero series, exactly as ES does."""
     fmt = {
         "hour": "yyyy-MM-dd HH:00",
         "day": "yyyy-MM-dd",
         "month": "yyyy-MM",
         "year": "yyyy",
     }[unit]
-    return (
+    counts = (
         df.groupBy(F.date_format(F.col(ts_field), fmt).alias("bucket"))
         .agg(F.count("*").cast("long").alias("n"))
+    )
+    if min_doc_count >= 1:
+        if min_doc_count > 1:
+            counts = counts.filter(F.col("n") >= int(min_doc_count))
+        return counts.orderBy("bucket")
+    # min_doc_count == 0: fill the calendar series with empty buckets
+    ts_type = df.schema[ts_field].dataType
+    lo = F.date_trunc(unit, F.min(ts_field))
+    hi = F.date_trunc(unit, F.max(ts_field))
+    if extended_bounds is not None:
+        eb_lo, eb_hi = extended_bounds
+        # least/greatest skip NULLs in both Spark and DuckDB, so explicit
+        # bounds still apply when the frame is empty
+        lo = F.least(lo, F.date_trunc(unit, F.lit(eb_lo).cast(ts_type)))
+        hi = F.greatest(hi, F.date_trunc(unit, F.lit(eb_hi).cast(ts_type)))
+    series = (
+        df.agg(lo.alias("lo"), hi.alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(f"interval 1 {unit}"))
+            ).alias("t")
+        )
+        .select(F.date_format("t", fmt).alias("bucket"))
+    )
+    return (
+        series.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("bucket")
     )
