@@ -695,6 +695,29 @@ def q_agg_date_histogram(spark, sf_dir):
     return date_histogram(_events(spark, sf_dir), "ts", "day")
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-authority curation weight (ops/graph.pagerank, deterministic
+    fold): synthesized 3-out-link graph over document ids (dst =
+    (id·1409 + 937·j) % N, j∈{0,1,2} — the repo's wrapping-multiplier
+    trick; ids are contiguous so no node dangles), 5 damped iterations,
+    top-20. Scores are BIT-identical to the oracle's unrolled CTEs:
+    per-node contributions fold in ascending-src order on both sides
+    (sequential float64 == DuckDB list_sum, the MMR precedent)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    dsts = [
+        ((F.col("doc_id") * 1409 + 937 * j) % n).cast("long") for j in range(3)
+    ]
+    edges = d.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    )
+    pr = pagerank(edges, n_iter=5, damping=0.85, deterministic=True)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
+    return _rank(top, "pr", "node").select("node", "rank", "pr")
+
+
 def q_agg_date_histogram_bounds(spark, sf_dir):
     """ES date_histogram with ``min_doc_count=0`` + ``extended_bounds``
     (ES 1.x fill semantics: every calendar day between the bounds-widened
@@ -3839,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "count_query": q_count_query,
         "agg_date_histogram_bounds": q_agg_date_histogram_bounds,
+        "pagerank": q_pagerank,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6283,6 +6307,42 @@ ORDER BY d.doc_id LIMIT 10
 """
 
 
+def _pagerank_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
+    """Unrolled power-iteration CTE chain mirroring ops/graph.pagerank
+    (deterministic mode) literally: same edge synthesis, same teleport
+    expression (1−0.85 subtracted in-engine so the bits match Python's
+    1.0−0.85), and per-node contribution folds in ascending-src order
+    (list_sum over list(... ORDER BY src) == Spark's sequential
+    aggregate fold)."""
+    sql = """
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 1409 + 937 * t.j) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0), (1), (2)) t(j)
+),
+outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+it0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS v FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+it{i} AS (
+  SELECT nodes.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS v
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, list_sum(list(p.v / d.deg ORDER BY e.src)) AS s
+    FROM edges e JOIN it{i - 1} p ON e.src = p.node JOIN outdeg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON nodes.node = s.node
+)"""
+    sql += f"""
+SELECT node, row_number() OVER (ORDER BY v DESC, node) AS rank, v AS pr
+FROM it{n_iter} ORDER BY v DESC, node LIMIT {k}
+"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "terms_lookup_local": _TERMS_LOOKUP_SQL,
@@ -6544,6 +6604,7 @@ SELECT strftime(s.t, '%Y-%m-%d') AS bucket, coalesce(c.n, 0)::BIGINT AS n
 FROM series s LEFT JOIN counts c ON s.t = c.t
 ORDER BY bucket
 """,
+        "pagerank": _pagerank_oracle_sql(),
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

@@ -517,3 +517,22 @@ def test_weighted_sample_is_scan_plus_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_iteration_is_keyed_joins_no_cartesian(spark):
+    """One PageRank round = edges⋈pr hash join on src + a dst-keyed
+    aggregation — never a cartesian product, never a single-partition
+    exchange, no Python eval anywhere (the fold is a JVM higher-order
+    function)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(200)], "src long, dst long"
+    ).repartition(4)
+    df = pagerank(edges, n_iter=2, deterministic=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "SinglePartition" not in plan
+    assert "hashpartitioning(dst" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    det = _plan(pagerank(edges, n_iter=1, deterministic=True))
+    assert "aggregate(" in det and "BatchEvalPython" not in det
