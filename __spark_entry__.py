@@ -2947,6 +2947,24 @@ def q_lm_doc_quality(spark, sf_dir):
     )
 
 
+def q_lm_importance(spark, sf_dir):
+    """Contrastive LM importance (CCNet-style; ops/textstats.
+    lm_importance_scores): nll under the whole-corpus background bigram
+    LM minus nll under a target-domain LM trained on the lang='fr'
+    slice — positive = reads more French-domain-like. Sort key rounded
+    to 4 dp BEFORE ordering (the geo-sort rule), ties doc_id asc,
+    top-50."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        lm_importance_scores,
+    )
+
+    d = _docs(spark, sf_dir)
+    out = lm_importance_scores(d, d.filter(F.col("lang") == "fr"))
+    scored = out.select("doc_id", F.round("score", 4).alias("score_r"))
+    top = scored.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(50)
+    return _rank(top, "score_r", "doc_id").select("doc_id", "rank", "score_r")
+
+
 def q_lang_guess(spark, sf_dir):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
 
@@ -3863,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_query": q_count_query,
         "agg_date_histogram_bounds": q_agg_date_histogram_bounds,
         "pagerank": q_pagerank,
+        "lm_importance": q_lm_importance,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -5063,6 +5082,53 @@ s AS (
   GROUP BY p.doc_id
 )
 SELECT doc_id, round(nll, 4) AS nll_r, n_bigrams FROM s
+"""
+
+# contrastive importance: the background legs mirror _LM_QUALITY_SQL
+# verbatim; the target LM (lang='fr' slice) attaches by LEFT joins whose
+# NULLs coalesce to 0 so Laplace prices unseen grams exactly as the
+# Spark path does. The two avgs stay separate (Spark subtracts the two
+# per-doc means, not the mean of differences); 4-dp rounding BEFORE the
+# ordering absorbs sum-order ulp skew.
+_LM_IMPORTANCE_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+tt AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents WHERE lang = 'fr'),
+p AS (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM t WHERE len(w) >= 2
+),
+uni AS (
+  SELECT u, count(*)::DOUBLE AS c1
+  FROM (SELECT unnest(w) AS u FROM t) GROUP BY u
+),
+v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+big AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM p GROUP BY w1, w2),
+pt AS (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM tt WHERE len(w) >= 2
+),
+unit AS (
+  SELECT u, count(*)::DOUBLE AS c1
+  FROM (SELECT unnest(w) AS u FROM tt) GROUP BY u
+),
+vt AS (SELECT count(*)::DOUBLE AS v FROM unit),
+bigt AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM pt GROUP BY w1, w2),
+s AS (
+  SELECT p.doc_id,
+         avg(-ln((big.c2 + 0.5) / (uni.c1 + 0.5 * v.v))) AS nll_bg,
+         avg(-ln((coalesce(bigt.c2, CAST(0 AS DOUBLE)) + 0.5)
+                 / (coalesce(unit.c1, CAST(0 AS DOUBLE)) + 0.5 * vt.v))) AS nll_tg
+  FROM p
+  JOIN big USING (w1, w2)
+  JOIN uni ON p.w1 = uni.u
+  LEFT JOIN bigt ON p.w1 = bigt.w1 AND p.w2 = bigt.w2
+  LEFT JOIN unit ON p.w1 = unit.u
+  CROSS JOIN v CROSS JOIN vt
+  GROUP BY p.doc_id
+)
+SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank, score_r
+FROM (SELECT doc_id, round(nll_bg - nll_tg, 4) AS score_r FROM s)
+ORDER BY score_r DESC, doc_id LIMIT 50
 """
 
 _QUALITY_SQL = f"""
@@ -6605,6 +6671,7 @@ FROM series s LEFT JOIN counts c ON s.t = c.t
 ORDER BY bucket
 """,
         "pagerank": _pagerank_oracle_sql(),
+        "lm_importance": _LM_IMPORTANCE_SQL,
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

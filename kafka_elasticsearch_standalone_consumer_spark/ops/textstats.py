@@ -253,29 +253,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return th.mapInPandas(gen, schema=FP_SCHEMA)
 
 
-def lm_doc_quality(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    analyzer: str = "standard",
-) -> DataFrame:
-    """Per-document bigram-LM negative log-likelihood — the CCNet-style
-    perplexity proxy used to quality-filter web-scale training corpora
-    (low nll = fluent/common phrasing, high = gibberish or boilerplate
-    soup). Returns (doc_id, nll, n_bigrams) for docs with >= 2 tokens.
-
-    Model: the same add-0.5 Laplace bigram LM the phrase suggester uses
-    (engine.suggest_phrase / index/lm.py) — P(w2|w1) = (big(w1,w2)+0.5)
-    / (uni(w1)+0.5·V) with counts over THIS corpus; nll is the mean
-    −ln P over the doc's adjacent bigrams.
-
-    100 TB shape: one tokenize pass feeds (a) the unigram aggregation
-    and (b) the adjacent-pair stream; pair probabilities attach via a
-    join on the bigram key against the Zipf-bounded bigram-count table
-    (map-side partial aggregation on both counts, AQE picks
-    broadcast vs shuffle by the table's real size), then one per-doc
-    aggregation. No driver-side data-plane collect — the only scalar is
-    V (one count())."""
+def _lm_counts(
+    docs: DataFrame, text_col: str, id_col: str, analyzer: str
+) -> tuple[DataFrame, DataFrame, DataFrame, float]:
+    """(pairs, uni, big, vocab) for an add-0.5 Laplace bigram LM: the
+    per-doc adjacent-pair stream, the unigram and bigram count tables,
+    and the vocabulary size (the only driver scalar)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         tokenize_col(F.col(text_col), analyzer).alias("w"),
@@ -302,15 +285,86 @@ def lm_doc_quality(
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
-    nll = -F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * vocab))
-    return (
-        pairs.join(big, ["w1", "w2"])
-        .join(uni, pairs["w1"] == uni["u"])
-        .groupBy("doc_id")
-        .agg(
-            F.avg(nll).alias("nll"),
-            F.count("*").cast("long").alias("n_bigrams"),
+    return pairs, uni, big, vocab
+
+
+def lm_doc_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+    ref_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the CCNet-style
+    perplexity proxy used to quality-filter web-scale training corpora
+    (low nll = fluent/common phrasing, high = gibberish or boilerplate
+    soup). Returns (doc_id, nll, n_bigrams) for docs with >= 2 tokens.
+
+    Model: the same add-0.5 Laplace bigram LM the phrase suggester uses
+    (engine.suggest_phrase / index/lm.py) — P(w2|w1) = (big(w1,w2)+0.5)
+    / (uni(w1)+0.5·V). By default counts come from the scored corpus
+    itself (every doc bigram exists in the tables, inner joins).  With
+    ``ref_docs`` the LM trains on THAT corpus instead and scores these
+    docs under it: bigrams/unigrams unseen in the reference left-join to
+    NULL and coalesce to 0, so Laplace smoothing prices them exactly as
+    the model demands (unseen pair under unseen w1 → P = 1/V).
+
+    100 TB shape: one tokenize pass feeds (a) the unigram aggregation
+    and (b) the adjacent-pair stream; pair probabilities attach via a
+    join on the bigram key against the Zipf-bounded bigram-count table
+    (map-side partial aggregation on both counts, AQE picks
+    broadcast vs shuffle by the table's real size), then one per-doc
+    aggregation. No driver-side data-plane collect — the only scalar is
+    V (one count())."""
+    pairs, uni, big, vocab = _lm_counts(docs, text_col, id_col, analyzer)
+    if ref_docs is None:
+        nll = -F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * vocab))
+        scored = pairs.join(big, ["w1", "w2"]).join(uni, pairs["w1"] == uni["u"])
+    else:
+        _, uni, big, vocab = _lm_counts(ref_docs, text_col, id_col, analyzer)
+        nll = -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0.0)) + 0.5)
+            / (F.coalesce(F.col("c1"), F.lit(0.0)) + 0.5 * vocab)
         )
+        scored = pairs.join(big, ["w1", "w2"], "left").join(
+            uni, pairs["w1"] == uni["u"], "left"
+        )
+    return scored.groupBy("doc_id").agg(
+        F.avg(nll).alias("nll"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+
+
+def lm_importance_scores(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """Contrastive LM importance for domain-targeted data selection
+    (CCNet, Wenzek et al. 2020; the LM-based sibling of the hashed-
+    feature DSIR in ops/curation.dsir_select): score = nll under the
+    BACKGROUND LM (the corpus itself) − nll under the TARGET-domain LM.
+    Positive = the doc reads more like the target domain than like the
+    background — importance-sample by it to tilt a 100 TB crawl toward
+    a small high-quality target set. Returns (doc_id, nll_bg,
+    nll_target, score) for docs with ≥ 2 tokens.
+
+    Scale shape: two lm_doc_quality passes sharing the pair stream's
+    shape (the target LM's count tables are target-sized, typically
+    broadcastable), joined once on doc_id."""
+    bg = lm_doc_quality(docs, text_col, id_col, analyzer).select(
+        "doc_id", F.col("nll").alias("nll_bg")
+    )
+    tg = lm_doc_quality(
+        docs, text_col, id_col, analyzer, ref_docs=target_docs
+    ).select("doc_id", F.col("nll").alias("nll_target"))
+    return bg.join(tg, "doc_id").select(
+        "doc_id",
+        "nll_bg",
+        "nll_target",
+        (F.col("nll_bg") - F.col("nll_target")).alias("score"),
     )
 
 

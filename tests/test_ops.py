@@ -1466,3 +1466,43 @@ def test_corpus_drift_jsd_properties(spark):
     disj = corpus_drift(a, c).collect()[0]
     assert abs(disj["jsd_r"] - round(math.log(2.0), 6)) < 1e-9
     assert disj["vocab_shared"] == 0
+
+
+def test_lm_ref_mode_and_importance(spark):
+    """ref_docs mode: the LM trains on the target slice and Laplace
+    prices grams the slice never saw — hand-computable on a 2-doc
+    target. Importance = nll_bg − nll_target, positive for docs that
+    read target-like."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        lm_doc_quality,
+        lm_importance_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y x y"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id IN (1, 3)")  # the {a,b} domain
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in lm_doc_quality(docs, ref_docs=target).collect()
+    }
+    # target LM: vocab {a,b}, uni(a)=3, uni(b)=3; big(a,b)=3, big(b,a)=1
+    V = 2.0
+    p_ab = (3 + 0.5) / (3 + 0.5 * V)
+    p_ba = (1 + 0.5) / (3 + 0.5 * V)
+    p_unseen = (0 + 0.5) / (0 + 0.5 * V)  # x/y never seen: P = 1/V
+    assert abs(out[1] - (-(math.log(p_ab) * 2 + math.log(p_ba)) / 3)) < 1e-12
+    assert abs(out[2] - (-math.log(p_unseen))) < 1e-12
+    assert abs(out[3] - (-math.log(p_ab))) < 1e-12
+
+    imp = {
+        r["doc_id"]: r["score"]
+        for r in lm_importance_scores(docs, target).collect()
+    }
+    assert imp[1] > 0 and imp[3] > 0  # target-domain docs gain
+    assert imp[2] < 0  # the x/y doc reads background-like only
+    # self-mode regression: ref=docs equals the default path to fp noise
+    a = {r["doc_id"]: r["nll"] for r in lm_doc_quality(docs).collect()}
+    b = {r["doc_id"]: r["nll"] for r in lm_doc_quality(docs, ref_docs=docs).collect()}
+    assert a.keys() == b.keys() and all(abs(a[k] - b[k]) < 1e-12 for k in a)
