@@ -253,6 +253,28 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         t["doc_keyterms"] = best_of(lambda: doc_keyterms(docs, k=3).count())
         t["pmi_pairs"] = best_of(lambda: pmi_pairs(docs, top_n=20, min_count=5).count())
 
+        from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+        from kafka_elasticsearch_standalone_consumer_spark.ops.graph import pagerank
+        from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import heavy_hitters
+
+        # certified exact top-50 terms without a full-vocabulary groupBy
+        toks = docs.select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+        t["heavy_hitters"] = best_of(
+            lambda: heavy_hitters(toks, "term", k=50, capacity=4096).count()
+        )
+        # 5 damped iterations over the synthesized 3-out-link doc graph
+        # (plain-sum scale path, not the deterministic verification fold)
+        n_docs = docs.count()
+        pr_edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[((F.col("doc_id") * 1409 + 937 * j) % n_docs).cast("long") for j in range(3)]
+                )
+            ).alias("dst"),
+        )
+        t["pagerank_5it"] = best_of(lambda: pagerank(pr_edges, n_iter=5).count())
+
         from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
             bpe_encode,
             bpe_merges,

@@ -586,6 +586,26 @@ def main() -> None:
         )
     )
 
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import pagerank
+
+    edges = spark.range(500).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
+    )
+    pr = pagerank(edges, n_iter=2)
+    pr.collect()
+    sections.append(
+        (
+            "PageRank iteration (link-authority curation weight)",
+            "One round = edges⋈rank hash join keyed on src plus ONE "
+            "dst-keyed partial→final aggregation — never a cartesian "
+            "product, never a single-partition exchange, no Python eval. "
+            "At 100 TB the edge table is bucketed by src once so every "
+            "round's join co-locates; AQE splits celebrity-in-degree skew. "
+            "Asserted in tests/test_plans.py.",
+            plan_of(pr),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
