@@ -3729,6 +3729,46 @@ def q_c4_filter(spark, sf_dir):
     return c4_clean(_c4_planted(spark, sf_dir))
 
 
+def q_inner_hits_child(spark, sf_dir):
+    """ES 1.5.0 inner_hits on has_child (score_mode=max): the top-K
+    conversations by best matching turn, each flattened with its top-3
+    matching child turns ranked by BM25 score desc / doc_id asc — the
+    child evidence has_child alone discards. Parent and child scores
+    rounded to 4 dp for display; ordering uses the raw doubles, which are
+    bit-identical across engines (shared driver-planned idf)."""
+    out = _conv_idx(spark, sf_dir).search_has_child_inner(
+        BM25_QUERY, K, inner_k=3, score_mode="max", group_col="conv_key"
+    )
+    return out.select(
+        "conv_key",
+        F.round("parent_score", 4).alias("parent_score_r"),
+        "child_doc_id",
+        F.round("child_score", 4).alias("child_score_r"),
+        F.col("child_rank").cast("long").alias("child_rank"),
+    )
+
+
+def q_inner_hits_nested(spark, sf_dir):
+    """ES 1.5.0 inner_hits on a nested query (score_mode=max,
+    inner_score=x.value): the top-K docs matching BM25_QUERY with >=1
+    error event of value>=9 in the SAME object, each flattened with its
+    top-3 matching nested events ranked by value desc / event_id asc
+    (array position order == event_id order — the stored array is
+    sorted). Parent score = BM25 + max matching value."""
+    out = _nested_idx(spark, sf_dir).search_nested_inner(
+        BM25_QUERY, K, inner_k=3,
+        nested_col="evs", inner_where=NESTED_WHERE,
+        inner_score="x.value", score_mode="max",
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 4).alias("score_r"),
+        F.col("inner_rank").cast("long").alias("inner_rank"),
+        F.col("hit.event_id").alias("event_id"),
+        F.round("iscore", 4).alias("iscore_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -3882,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram_bounds": q_agg_date_histogram_bounds,
         "pagerank": q_pagerank,
         "lm_importance": q_lm_importance,
+        "inner_hits_child": q_inner_hits_child,
+        "inner_hits_nested": q_inner_hits_nested,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6672,6 +6714,55 @@ ORDER BY bucket
 """,
         "pagerank": _pagerank_oracle_sql(),
         "lm_importance": _LM_IMPORTANCE_SQL,
+        # inner_hits on has_child: top-K parents (same block as
+        # has_child_topk) joined back to the per-parent child ranking
+        "inner_hits_child": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT p.conv_key,
+       round(p.pscore, 4) AS parent_score_r,
+       c.doc_id AS child_doc_id,
+       round(c.score, 4) AS child_score_r,
+       c.child_rank
+FROM (SELECT (s.doc_id % 50)::VARCHAR AS conv_key, max(s.score) AS pscore
+      FROM scored s GROUP BY 1
+      ORDER BY max(s.score) DESC, conv_key LIMIT {K}) p
+JOIN (SELECT (s.doc_id % 50)::VARCHAR AS conv_key, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.doc_id % 50
+                                ORDER BY s.score DESC, s.doc_id) AS child_rank
+      FROM scored s) c ON c.conv_key = p.conv_key
+WHERE c.child_rank <= 3
+ORDER BY p.pscore DESC, p.conv_key, c.child_rank
+""",
+        ),
+        # inner_hits on nested: parents = nested_topk's score-sum block
+        # with max(value) as the clause score; inner hits = per-doc
+        # matching events ranked value desc, event_id asc (== the stored
+        # array's position order on ties)
+        "inner_hits_nested": _bm25_variant_sql(
+            BM25_QUERY,
+            f"""SELECT p.doc_id,
+       round(p.tot, 4) AS score_r,
+       c.inner_rank,
+       c.event_id,
+       round(c.value, 4) AS iscore_r
+FROM (SELECT s.doc_id, s.score + n.nscore AS tot
+      FROM scored s
+      JOIN (SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+                   max(value) AS nscore
+            FROM events WHERE event_type = 'error' AND value >= 9.0
+            GROUP BY 1) n USING (doc_id)
+      ORDER BY s.score + n.nscore DESC, s.doc_id LIMIT {K}) p
+JOIN (SELECT doc_id, event_id, value,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY value DESC, event_id) AS inner_rank
+      FROM (SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+                   event_id, value
+            FROM events WHERE event_type = 'error' AND value >= 9.0)
+     ) c USING (doc_id)
+WHERE c.inner_rank <= 3
+ORDER BY p.tot DESC, p.doc_id, c.inner_rank
+""",
+        ),
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

@@ -4919,6 +4919,68 @@ class Index:
             .limit(k)
         )
 
+    def search_has_child_inner(
+        self,
+        query_text: str,
+        k: int = 10,
+        inner_k: int = 3,
+        score_mode: str = "max",
+        group_col: str = "conv_id",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES 1.5.0 ``inner_hits`` on a ``has_child`` query: the top ``k``
+        parent conversations (same ranking as :meth:`search_has_child`)
+        each carrying their top ``inner_k`` matching child turns — "show
+        me the best conversations AND the turns that made them match",
+        flattened to one row per (parent, child) pair. ES 1.5 (the
+        reference's exact ES line, ref: ``pom.xml:22``) introduced
+        inner_hits precisely because has_child otherwise discards the
+        child evidence.
+
+        Children rank within their parent by BM25 score desc, doc_id asc
+        (Lucene's tie order). Output (``group_col``, parent_score,
+        child_doc_id, child_score, child_rank), ordered parent score
+        desc / parent asc / child_rank asc.
+
+        Plan shape: the score-all BM25 aggregation → one column-pruned
+        join to the parent key → ONE parent groupBy +
+        TakeOrderedAndProject for the top-k parents (exactly
+        has_child's cost) → the ≤k parent rows BROADCAST back against
+        the scored children, so the per-parent row_number window runs
+        over only the survivors' children — never a global window. At
+        10^12 turns the added cost over has_child is one broadcast
+        probe of the match set.
+        """
+        fns = {"max": F.max, "sum": F.sum, "avg": F.avg, "min": F.min}
+        if score_mode not in fns:
+            raise ValueError(f"unknown has_child score_mode: {score_mode}")
+        scored = self.search_oracle(query_text, None, where=where)
+        j = scored.join(self._docs_df().select("doc_id", group_col), "doc_id")
+        parents = (
+            j.groupBy(group_col)
+            .agg(fns[score_mode]("score").alias("parent_score"))
+            .orderBy(F.desc("parent_score"), F.asc(group_col))
+            .limit(k)
+        )
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            j.join(F.broadcast(parents), group_col)
+            .withColumn("child_rank", F.row_number().over(w))
+            .filter(F.col("child_rank") <= int(inner_k))
+            .select(
+                group_col,
+                "parent_score",
+                F.col("doc_id").alias("child_doc_id"),
+                F.col("score").alias("child_score"),
+                "child_rank",
+            )
+            .orderBy(
+                F.desc("parent_score"), F.asc(group_col), F.asc("child_rank")
+            )
+        )
+
     def search_has_parent(
         self,
         query_text: str,
@@ -5077,6 +5139,77 @@ class Index:
             .select("doc_id", (F.col("score") + F.col("nscore")).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def search_nested_inner(
+        self,
+        query_text: str,
+        k: int = 10,
+        inner_k: int = 3,
+        *,
+        nested_col: str,
+        inner_where: str,
+        inner_score: str | None = None,
+        score_mode: str = "avg",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES 1.5.0 ``inner_hits`` on a ``nested`` query: the top ``k``
+        documents of :meth:`search_nested` (same query, same score), each
+        carrying its top ``inner_k`` MATCHING nested objects ranked by
+        their per-object score — the nested-object evidence ES 1.5 added
+        inner_hits to surface (reference ES line, ref: ``pom.xml:22``).
+
+        Inner hits rank by ``inner_score`` desc with ties broken by array
+        position asc (the array is stored sorted, so position order is a
+        stable document order — Lucene's inner-hit tie rule). Output
+        (doc_id, score, inner_rank, iscore, hit) where ``hit`` is the
+        nested object struct; one row per surfaced object, ordered parent
+        score desc / doc_id asc / inner_rank asc.
+
+        Plan shape: :meth:`search_nested`'s plan for the top-k parents,
+        then the ≤k parent rows BROADCAST against the column-pruned doc
+        scan; ranking/slicing the matching objects is pure higher-order
+        Column algebra (filter → transform-with-index → array_sort →
+        slice) fused into that single probe, and only the ≤ k×inner_k
+        surviving objects ever explode into rows. No window, no extra
+        shuffle beyond search_nested's own.
+        """
+        top = self.search_nested(
+            query_text,
+            k,
+            nested_col=nested_col,
+            inner_where=inner_where,
+            score_mode=score_mode,
+            inner_score=inner_score,
+            where=where,
+        )
+        iscore = inner_score or "1.0"
+        matched = f"filter({nested_col}, x -> ({inner_where}))"
+        ranked = (
+            f"array_sort(transform({matched}, (x, i) -> "
+            f"struct(CAST({iscore} AS DOUBLE) AS iscore, i AS pos, x AS hit)), "
+            "(l, r) -> CASE WHEN l.iscore > r.iscore THEN -1 "
+            "WHEN l.iscore < r.iscore THEN 1 "
+            "WHEN l.pos < r.pos THEN -1 ELSE 1 END)"
+        )
+        docs = self._docs_df().select("doc_id", nested_col)
+        return (
+            docs.join(F.broadcast(top), "doc_id")
+            .select(
+                "doc_id",
+                "score",
+                F.posexplode(F.expr(f"slice({ranked}, 1, {int(inner_k)})")).alias(
+                    "ipos", "ranked"
+                ),
+            )
+            .select(
+                "doc_id",
+                "score",
+                (F.col("ipos") + 1).cast("int").alias("inner_rank"),
+                F.col("ranked.iscore").alias("iscore"),
+                F.col("ranked.hit").alias("hit"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("inner_rank"))
         )
 
     def nested_agg(

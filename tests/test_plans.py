@@ -536,3 +536,44 @@ def test_pagerank_iteration_is_keyed_joins_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     det = _plan(pagerank(edges, n_iter=1, deterministic=True))
     assert "aggregate(" in det and "BatchEvalPython" not in det
+
+
+def test_inner_hits_window_runs_after_broadcast_parent_prune(spark):
+    """inner_hits (has_child flavor): the per-parent child ranking must
+    be a window over ONLY the top-k parents' children — the parent top-k
+    is broadcast back against the scored set (BroadcastHashJoin), the
+    window partitions on the parent key (never SinglePartition over the
+    full match set), and no cartesian product appears. The nested flavor
+    must keep search_nested's no-Generate scan for the parents and add
+    exactly one bounded Generate (the ≤ k×inner_k explode)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [
+            (i, "alpha beta", str(i % 5), [{"name": "a", "ms": float(i)}])
+            for i in range(40)
+        ],
+        "doc_id long, text string, conv_key string, "
+        "calls array<struct<name:string,ms:double>>",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+
+    child = _plan(
+        idx.search_has_child_inner("alpha", 3, inner_k=2, group_col="conv_key")
+    )
+    assert "BroadcastHashJoin" in child
+    assert "CartesianProduct" not in child
+    assert "Window" in child and "hashpartitioning(conv_key" in child
+
+    nested = _plan(
+        idx.search_nested_inner(
+            "alpha", 3, inner_k=2,
+            nested_col="calls", inner_where="x.ms >= 2.0",
+            inner_score="x.ms", score_mode="max",
+        )
+    )
+    # exactly ONE Generate node (the post-top-k explode): formatted mode
+    # prints each node once in the tree and once in the detail section
+    assert nested.count("Generate") == 2
+    assert "Window" not in nested and "CartesianProduct" not in nested
+    assert "BroadcastHashJoin" in nested
