@@ -3729,6 +3729,37 @@ def q_c4_filter(spark, sf_dir):
     return c4_clean(_c4_planted(spark, sf_dir))
 
 
+def q_mpercolate(spark, sf_dir):
+    """ES 1.x _mpercolate: a batch of 5 percolate requests (the texts of
+    docs 0-4, req_id = doc_id — reconstructible in DuckDB) answered in
+    one broadcast-join pass against the 3 registered queries; q2 needs
+    >=2 of its 3 terms. The bounded 5-row collect is the request payload,
+    not a data path."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import mpercolate
+
+    rows = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .collect()
+    )
+    reqs = [(int(r["doc_id"]), r["text"] or "") for r in rows]
+    return mpercolate(spark, reqs, PERCOLATE_QUERIES, minimum_should_match=2)
+
+
+def q_count_percolate(spark, sf_dir):
+    """ES 1.x percolate count mode: per document, how many of the 3
+    registered queries match (0 included — ES reports total:0 rather
+    than omitting the request)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+        count_percolate,
+    )
+
+    return count_percolate(
+        _docs(spark, sf_dir), PERCOLATE_QUERIES, minimum_should_match=2
+    )
+
+
 def q_inner_hits_child(spark, sf_dir):
     """ES 1.5.0 inner_hits on has_child (score_mode=max): the top-K
     conversations by best matching turn, each flattened with its top-3
@@ -3924,6 +3955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_importance": q_lm_importance,
         "inner_hits_child": q_inner_hits_child,
         "inner_hits_nested": q_inner_hits_nested,
+        "mpercolate": q_mpercolate,
+        "count_percolate": q_count_percolate,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6763,6 +6796,45 @@ WHERE c.inner_rank <= 3
 ORDER BY p.tot DESC, p.doc_id, c.inner_rank
 """,
         ),
+        # _mpercolate: the percolate oracle with the request batch (docs
+        # 0-4, req_id = doc_id) as the document side
+        "mpercolate": f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id AS req_id, unnest({SQL_TOKS}) AS term
+  FROM documents WHERE doc_id < 5
+),
+q(query_id, term, required) AS (VALUES
+  (1, 'dup', 1),
+  (2, 'filter', 2), (2, 'hash', 2), (2, 'join', 2),
+  (3, 'stream', 2), (3, 'vector', 2)
+)
+SELECT req_id, query_id, count(*)::BIGINT AS n_matched
+FROM dt JOIN q USING (term)
+GROUP BY req_id, query_id, required
+HAVING count(*) >= required
+ORDER BY req_id, query_id
+""",
+        # percolate count mode: per-doc matching-query totals, 0 included
+        "count_percolate": f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+),
+q(query_id, term, required) AS (VALUES
+  (1, 'dup', 1),
+  (2, 'filter', 2), (2, 'hash', 2), (2, 'join', 2),
+  (3, 'stream', 2), (3, 'vector', 2)
+),
+m AS (
+  SELECT doc_id, query_id
+  FROM dt JOIN q USING (term)
+  GROUP BY doc_id, query_id, required
+  HAVING count(*) >= required
+)
+SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_queries
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM m GROUP BY 1) c USING (doc_id)
+ORDER BY d.doc_id
+""",
         "mlt_text_topk": _mlt_text_sql(MLT_TEXT, 3),
         "facets_by_lang": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

@@ -97,3 +97,77 @@ def percolate(
         .select(id_col, "query_id", "n_matched")
         .orderBy(F.asc(id_col), F.asc("query_id"))
     )
+
+
+def mpercolate(
+    spark,
+    requests: list[tuple[int, str]],
+    queries: list[tuple[int, str]],
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES 1.x ``_mpercolate``: a batch of independent percolate requests
+    (req_id, document text) answered in ONE pass — the multi-document
+    sibling of the percolate API (ES 1.5.1, the reference's line, ships
+    it; single-doc percolate round-trips are the anti-pattern it exists
+    to batch away).
+
+    Returns (req_id, query_id, n_matched) for matching pairs, ordered
+    req_id asc, query_id asc. Semantics per request are IDENTICAL to
+    :func:`percolate` — same analyzer, same operator/msm rules — because
+    it IS the same broadcast-join pass with the request batch as the
+    document side; the registered-query side stays broadcast no matter
+    how many requests ride one call."""
+    docs = spark.createDataFrame(
+        [(int(i), t) for i, t in requests], "req_id long, text string"
+    )
+    return percolate(
+        docs,
+        queries,
+        id_col="req_id",
+        operator=operator,
+        minimum_should_match=minimum_should_match,
+        analyzer=analyzer,
+    )
+
+
+def count_percolate(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    analyzer: str = "standard",
+) -> DataFrame:
+    """ES 1.x percolate count mode (``/_percolate/count``): how many
+    registered queries match each document — the total without the
+    per-query match list. Docs matching NO query report 0 (ES returns
+    ``total: 0`` rather than omitting the request).
+
+    One extra left join against the doc keys on top of the percolate
+    pass; the matches side is already aggregated to ≤ |docs| rows, so
+    at 100 TB this costs one shuffle keyed on the doc id."""
+    matches = percolate(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        operator=operator,
+        minimum_should_match=minimum_should_match,
+        analyzer=analyzer,
+    )
+    counts = matches.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_queries")
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_queries"), F.lit(0)).cast("long").alias("n_queries"),
+        )
+        .orderBy(F.asc(id_col))
+    )

@@ -113,3 +113,50 @@ def test_percolate_in_streaming_foreachbatch(spark, transcripts, tmp_path):
     )
     want = _python_matches(rows, QUERIES)
     assert got == want and got
+
+
+def test_mpercolate_equals_per_request_percolate(spark, built_index):
+    """_mpercolate: the batched pass must answer each request exactly as
+    a single-doc percolate call would — same analyzer, operator, msm."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+        mpercolate,
+    )
+
+    idx, _ = built_index
+    rows = idx._docs_df().select("doc_id", "text").limit(6).collect()
+    reqs = [(int(r["doc_id"]), r["text"] or "") for r in rows]
+    got = sorted(
+        (r["req_id"], r["query_id"], r["n_matched"])
+        for r in mpercolate(
+            spark, reqs, QUERIES, minimum_should_match=2
+        ).collect()
+    )
+    want = []
+    for rid, text in reqs:
+        one = spark.createDataFrame([(rid, text)], "doc_id long, text string")
+        for r in percolate(one, QUERIES, minimum_should_match=2).collect():
+            want.append((rid, r["query_id"], r["n_matched"]))
+    assert got == sorted(want)
+
+
+def test_count_percolate_totals_include_zero(spark):
+    """Count mode: every doc reports a total, 0 included (ES returns
+    total:0 rather than omitting the request)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+        count_percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w00000 w00001"),   # matches q1 (1 term) and q2 (2 of 3)
+            (1, "w00003"),          # q3 needs both terms with 'and'-ish msm
+            (2, "zzz"),             # matches nothing
+            (3, None),              # NULL text matches nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_queries"]
+        for r in count_percolate(docs, QUERIES, minimum_should_match=2).collect()
+    }
+    assert got == {0: 2, 1: 0, 2: 0, 3: 0}
