@@ -3729,6 +3729,22 @@ def q_c4_filter(spark, sf_dir):
     return c4_clean(_c4_planted(spark, sf_dir))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-resampled language mixture at alpha=0.5 (the c^alpha
+    flattening rule of multilingual LM training): unnormalized weights
+    w=sqrt(c) — correctly rounded in every IEEE libm, so the rates
+    min(w*T/c, 1) with T=min(c/w) are bit-identical across engines with
+    NO rounding step (other alphas go through pow and are only
+    last-ulp-close — keep 0.5 here). The smallest language keeps
+    everything; output sizes end up proportional to sqrt(c)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        temperature_mix,
+    )
+
+    out = temperature_mix(_docs(spark, sf_dir), "lang", alpha=0.5, seed=42)
+    return out.select("doc_id", "lang")
+
+
 def q_mpercolate(spark, sf_dir):
     """ES 1.x _mpercolate: a batch of 5 percolate requests (the texts of
     docs 0-4, req_id = doc_id — reconstructible in DuckDB) answered in
@@ -3957,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_hits_nested": q_inner_hits_nested,
         "mpercolate": q_mpercolate,
         "count_percolate": q_count_percolate,
+        "temperature_mix": q_temperature_mix,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6796,6 +6813,29 @@ WHERE c.inner_rank <= 3
 ORDER BY p.tot DESC, p.doc_id, c.inner_rank
 """,
         ),
+
+        # temperature mixture alpha=0.5: sqrt weights keep the rate
+        # arithmetic bit-identical (mirror ops/curation.py:temperature_mix
+        # expression-for-expression; the binding domain's rate hits 1.0)
+        "temperature_mix": """
+WITH cnt AS (
+  SELECT lang AS d, count(*)::DOUBLE AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+w AS (SELECT d, c, sqrt(c) AS wd FROM cnt),
+tot AS (SELECT min(c / wd) AS t FROM w),
+rate AS (
+  SELECT d, least(wd * tot.t / c, 1.0::DOUBLE) AS r
+  FROM w CROSS JOIN tot
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+) x JOIN rate ON x.lang = rate.d
+WHERE u < r
+""",
         # _mpercolate: the percolate oracle with the request batch (docs
         # 0-4, req_id = doc_id) as the document side
         "mpercolate": f"""

@@ -177,6 +177,56 @@ def domain_mix(
     return stratified_sample(df, domain_col, rates, seed=seed, id_col=id_col)
 
 
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-resampled domain mixture — the ``p_d ∝ c_d^alpha``
+    flattening rule multilingual LM pipelines use to upweight rare
+    domains/languages (XLM-R's alpha=0.3, mT5's alpha=0.3, GPT-style
+    corpus reweighting): with ``alpha < 1`` large domains are
+    downsampled toward the flattened share while the binding (smallest
+    effective) domain keeps everything — output domain sizes end up
+    proportional to ``c_d^alpha``.
+
+    Downsample-only realization (no upsampling, like :func:`domain_mix`):
+    unnormalized weights w_d = c_d^alpha, feasible total scale
+    T = min_d(c_d / w_d), keep rate r_d = min(w_d * T / c_d, 1). The
+    normalizer Σ c^alpha cancels symbolically, so it is never computed —
+    that's what keeps the rates bit-reproducible in any engine that
+    mirrors the same three ops (pow, min, multiply-divide). At
+    ``alpha=0.5`` the power is ``sqrt`` — IEEE-correctly-rounded in every
+    libm, hence bit-identical cross-engine; other alphas go through
+    ``pow`` and are only last-ulp-close, so pin 0.5 where engine
+    identity is asserted. Selection is :func:`stratified_sample`'s
+    portable (id, seed) hash; NULL domains drop.
+
+    Scale shape: ONE count-by-domain aggregation (key cardinality =
+    #domains, collected driver-side) + the scan-speed per-row hash
+    filter — identical cost to :func:`domain_mix`."""
+    import math
+
+    counts = {
+        r["d"]: float(r["c"])
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+        if r["d"] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    w = {
+        d: math.sqrt(c) if alpha == 0.5 else math.pow(c, float(alpha))
+        for d, c in counts.items()
+    }
+    t = min(counts[d] / w[d] for d in counts)
+    rates = {d: min(w[d] * t / counts[d], 1.0) for d in counts}
+    return stratified_sample(df, domain_col, rates, seed=seed, id_col=id_col)
+
+
 def normalize_unicode(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

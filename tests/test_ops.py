@@ -1506,3 +1506,50 @@ def test_lm_ref_mode_and_importance(spark):
     a = {r["doc_id"]: r["nll"] for r in lm_doc_quality(docs).collect()}
     b = {r["doc_id"]: r["nll"] for r in lm_doc_quality(docs, ref_docs=docs).collect()}
     assert a.keys() == b.keys() and all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_temperature_mix_flattens_toward_c_alpha(spark):
+    """alpha=0.5: the smallest domain binds (rate exactly 1.0, every row
+    kept), larger domains downsample so expected output sizes are
+    proportional to sqrt(c); the selection is the stratified_sample hash
+    with the symbolically-cancelled rates — asserted by recomputing them
+    by hand."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        stratified_sample,
+        temperature_mix,
+    )
+
+    rows = []
+    sizes = {"en": 360, "fr": 90, "zz": 10}
+    i = 0
+    for d, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, d, f"t{i}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in temperature_mix(df, "lang", alpha=0.5, seed=9).collect()
+    )
+    # hand-recomputed rates: w=sqrt(c), T=min(c/w)=sqrt(10)
+    import math
+
+    t = math.sqrt(10)
+    rates = {d: min(math.sqrt(c) * t / c, 1.0) for d, c in sizes.items()}
+    assert rates["zz"] == 1.0
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(df, "lang", rates, seed=9).collect()
+    )
+    assert got == want and got
+    # the binding domain keeps EVERY row
+    zz_ids = {i for i, d in [(r[0], r[1]) for r in rows] if d == "zz"}
+    assert zz_ids <= {i for i, _ in got}
+    # larger domains flatten: en kept fraction ≈ sqrt(10*360)/360 ≈ 0.167
+    n_en = sum(1 for _, d in got if d == "en")
+    assert 0 < n_en < 180  # strictly subsampled
+    # NULL domains drop
+    df2 = df.union(spark.createDataFrame([(999, None, "x")], df.schema))
+    got2 = {r["doc_id"] for r in temperature_mix(df2, "lang", seed=9).collect()}
+    assert 999 not in got2
