@@ -204,6 +204,32 @@ def main(n_convs: int = 400) -> None:
     )
     qs2 = emb.filter(F.col("vec_id") < 2).selectExpr("vec_id as qid", "embedding")
     hard_negatives(emb, qs2, pos, k=3).orderBy("qid", "rank").show()
+
+    print("temperature-resampled role mixture (alpha=0.5 flattening):")
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        temperature_mix,
+    )
+
+    mixed = temperature_mix(clean, "role", alpha=0.5)
+    clean.groupBy("role").count().withColumnRenamed("count", "before").join(
+        mixed.groupBy("role").count().withColumnRenamed("count", "after"), "role"
+    ).orderBy("role").show()
+
+    print("certified heavy hitters + PageRank authority weights:")
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import pagerank
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        heavy_hitters,
+    )
+
+    toks = clean.select(F.explode(tokenize_col(F.col("text"))).alias("term"))
+    heavy_hitters(toks, "term", k=5, capacity=512).show()
+    n_cl = clean.count()
+    edges = clean.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 1409 + 937) % n_cl).cast("long").alias("dst"),
+    )
+    pagerank(edges, n_iter=5).orderBy(F.desc("pr"), "node").show(5)
     spark.stop()
 
 

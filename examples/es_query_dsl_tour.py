@@ -226,6 +226,30 @@ def main(n_convs: int = 300) -> None:
          idx.search_terminate_after(q, 3, terminate_after=2))
     show("significant_terms with background_filter (even turns)",
          idx.significant_terms(q, size=5, background_where="turn_idx % 2 = 0"))
+
+    # --- round-4i additions: inner_hits, _mpercolate, percolate count ----
+    cdocs = idx._docs_df().select(
+        "doc_id", "text", (F.col("doc_id") % 7).cast("string").alias("conv_key")
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index as _Ix
+
+    cidx = _Ix.ephemeral(cdocs, docs_per_shard=128, n_buckets=8)
+    show("inner_hits on has_child (top convs + their top-2 matching turns)",
+         cidx.search_has_child_inner(q, 3, inner_k=2, group_col="conv_key"))
+    show("inner_hits on nested (matching objects ranked by x.ms)",
+         nidx.search_nested_inner(q, 3, inner_k=2, nested_col="calls",
+                                  inner_where="x.ms >= 2.0",
+                                  inner_score="x.ms", score_mode="max"))
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+        count_percolate,
+        mpercolate,
+    )
+
+    show("_mpercolate (2 requests, one broadcast pass)",
+         mpercolate(spark, [(0, "w00000 stream"), (1, q)],
+                    [(1, "w00000"), (2, q)]))
+    show("percolate count mode (0-totals included)",
+         count_percolate(idx._docs_df().limit(5), [(1, "w00000"), (2, q)]))
     print("\nDSL tour complete.")
     spark.stop()
 
