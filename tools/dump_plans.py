@@ -606,6 +606,33 @@ def main() -> None:
         )
     )
 
+    cdocs = spark.createDataFrame(
+        [
+            (i, "alpha beta", str(i % 5), [{"name": "a", "ms": float(i)}])
+            for i in range(40)
+        ],
+        "doc_id long, text string, conv_key string, "
+        "calls array<struct<name:string,ms:double>>",
+    )
+    cix = Index.ephemeral(cdocs, docs_per_shard=8, n_buckets=4)
+    ih = cix.search_has_child_inner("alpha", 3, inner_k=2, group_col="conv_key")
+    ih.collect()
+    sections.append(
+        (
+            "inner_hits on has_child (ES 1.5.0 — parent evidence)",
+            "The parent top-k is the existing has_child aggregation "
+            "(parent-keyed groupBy + TakeOrderedAndProject); the ≤k "
+            "surviving parents BROADCAST back against the scored children "
+            "(BroadcastHashJoin), so the per-parent row_number window only "
+            "ever ranks survivors' children — never a global window, never "
+            "a cartesian product. The nested flavor ranks objects with "
+            "higher-order Columns and explodes only ≤ k×inner_k rows AFTER "
+            "the top-k join (exactly one Generate, plan-asserted). "
+            "Asserted in tests/test_plans.py.",
+            plan_of(ih),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
