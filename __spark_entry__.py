@@ -3745,6 +3745,29 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_classifier_score(spark, sf_dir):
+    """FastText-style hashed linear classifier inference: 512 feature
+    buckets, dyadic weights ((bucket%7 - 3) * 0.25) so per-doc logits
+    are float-EXACT in any engine and keep = logit > 0 cannot flap; the
+    sigmoid is display-only and rounded to 4 dp (exp ulp). Weights
+    broadcast; one tokenize pass + one doc-keyed aggregation."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        classifier_score,
+    )
+
+    weights = spark.range(512).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") % 7) - 3).cast("double") * F.lit(0.25)).alias("weight"),
+    )
+    out = classifier_score(_docs(spark, sf_dir), weights, n_buckets=512)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("score", 4).alias("score_r"),
+        "keep",
+    )
+
+
 def q_mpercolate(spark, sf_dir):
     """ES 1.x _mpercolate: a batch of 5 percolate requests (the texts of
     docs 0-4, req_id = doc_id — reconstructible in DuckDB) answered in
@@ -3974,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mpercolate": q_mpercolate,
         "count_percolate": q_count_percolate,
         "temperature_mix": q_temperature_mix,
+        "classifier_score": q_classifier_score,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6814,6 +6838,31 @@ ORDER BY p.tot DESC, p.doc_id, c.inner_rank
 """,
         ),
 
+        # hashed linear classifier inference: dyadic weights make the
+        # logit sum exact; keep compares the logit, sigmoid is 4-dp display
+        "classifier_score": f"""
+WITH rawtok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+),
+b AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bucket
+  FROM rawtok
+),
+w AS (
+  SELECT bucket, ((bucket % 7) - 3) * CAST(0.25 AS DOUBLE) AS weight
+  FROM (SELECT unnest(range(512)) AS bucket)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(weight)::DOUBLE AS logit
+  FROM b JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-coalesce(agg.logit, CAST(0 AS DOUBLE)))), 4) AS score_r,
+       coalesce(agg.logit, CAST(0 AS DOUBLE)) > CAST(0 AS DOUBLE) AS keep
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+""",
         # temperature mixture alpha=0.5: sqrt weights keep the rate
         # arithmetic bit-identical (mirror ops/curation.py:temperature_mix
         # expression-for-expression; the binding domain's rate hits 1.0)

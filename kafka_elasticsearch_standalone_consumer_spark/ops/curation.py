@@ -341,6 +341,69 @@ def _hash_bucket(c: Column, n_buckets: int) -> Column:
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FastText-style hashed linear classifier INFERENCE over the corpus —
+    the "apply the quality classifier to everything" pass every
+    pretraining pipeline runs after training a tiny supervised model
+    (fastText's trick: hash tokens into ``n_buckets`` feature buckets, a
+    linear layer over bucket counts, sigmoid): per doc, logit =
+    bias + Σ weight[hash(token)], score = sigmoid(logit), keep =
+    logit > threshold.
+
+    ``weights`` is the trained (bucket:long, weight:double) table — TINY
+    (n_buckets rows), so it broadcasts; the corpus side is one tokenize
+    pass + ONE doc-keyed aggregation, the same cost class as
+    :func:`dsir_weights`. Tokens hash with the portable md5-prefix
+    bucket (shared with DSIR) so any engine reproduces the features.
+
+    Cross-engine exactness guidance: keep decisions compare the LOGIT
+    (not the sigmoid) against ``threshold`` — with dyadic-rational
+    weights (multiples of 2^-k) the sum is float-EXACT in any engine and
+    summation order cannot flip a keep; the sigmoid is display-only
+    (round it before asserting equality — exp differs in the last ulp
+    across libms). Docs with no tokens score at the bare bias.
+
+    Returns (id, n_tokens, logit, score, keep), one row per input doc."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize_col(F.col(text_col))).alias("tok"),
+    )
+    per = (
+        toks.select(id_col, _hash_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+                + F.lit(float(bias))
+            ).alias("logit"),
+        )
+    )
+    out = df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("logit", F.lit(float(bias))).alias("logit"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "logit",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("score"),
+        (F.col("logit") > F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,

@@ -1553,3 +1553,48 @@ def test_temperature_mix_flattens_toward_c_alpha(spark):
     df2 = df.union(spark.createDataFrame([(999, None, "x")], df.schema))
     got2 = {r["doc_id"] for r in temperature_mix(df2, "lang", seed=9).collect()}
     assert 999 not in got2
+
+
+def test_classifier_score_exact_logits_and_bias_path(spark):
+    """Dyadic weights ⇒ the logit sum is float-exact at ANY partitioning
+    (keep decisions can't flap); empty docs score at the bare bias; the
+    sigmoid is monotone in the logit."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        _hash_bucket,  # noqa: F401 (documented shared hash)
+        classifier_score,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13:05d} w{(i * 7) % 13:05d} common") for i in range(60)]
+        + [(99, ""), (100, None)],
+        "doc_id long, text string",
+    )
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") % 5) - 2).cast("double") * F.lit(0.25)).alias("weight"),
+    )
+    a = classifier_score(docs, weights, n_buckets=64, bias=0.25).collect()
+    b = classifier_score(
+        docs.repartition(13), weights, n_buckets=64, bias=0.25
+    ).collect()
+    ra = {r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"]) for r in a}
+    rb = {r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"]) for r in b}
+    assert ra == rb  # bit-exact across partitionings
+    assert ra[99] == (0, 0.25, True) and ra[100] == (0, 0.25, True)
+    # recompute one doc by hand through the same portable hash
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    toks = tokenize_text("w00001 w00007 common")
+    want = 0.25 + sum(((bucket(t) % 5) - 2) * 0.25 for t in toks)
+    got = next(r for r in a if r["doc_id"] == 1)
+    assert got["logit"] == want and got["n_tokens"] == len(toks)
+    # sigmoid is monotone display: score order == logit order
+    import math
+
+    for r in a:
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 1e-12
