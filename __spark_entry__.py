@@ -3745,6 +3745,37 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_similarity_classic(spark, sf_dir):
+    """ES 1.x DEFAULT similarity (Lucene practical TF-IDF): coord(m/|q|)
+    · Σ √tf·idf²/√dl with idf = 1 + ln(n/(df+1)); queryNorm omitted
+    (constant per query — cannot change ranking). Scores rounded to 4 dp
+    BEFORE ordering (ln ulp), ties doc_id asc."""
+    out = _cached_idx(spark, sf_dir).search_similarity(
+        BM25_QUERY, K, similarity="classic"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def q_similarity_lm_dirichlet(spark, sf_dir):
+    """ES 1.x LMDirichlet similarity (Zhai & Lafferty 2001, mu=2000):
+    Σ ln(1 + tf/(mu·p_t)) + |q|·ln(mu/(dl+mu)), p_t = collection
+    frequency / total tokens. 4-dp-rounded sort keys, ties doc_id."""
+    out = _cached_idx(spark, sf_dir).search_similarity(
+        BM25_QUERY, K, similarity="lm_dirichlet", mu=2000.0
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def q_similarity_lm_jm(spark, sf_dir):
+    """ES 1.x LMJelinekMercer similarity (lambda=0.1): Σ ln(1 +
+    ((1-λ)/λ)·(tf/dl)/p_t). The ratio is computed with the same float
+    ops in both engines ((1-0.1)/0.1 — never a bare 9.0 literal)."""
+    out = _cached_idx(spark, sf_dir).search_similarity(
+        BM25_QUERY, K, similarity="lm_jm", lam=0.1
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
 def q_classifier_score(spark, sf_dir):
     """FastText-style hashed linear classifier inference: 512 feature
     buckets, dyadic weights ((bucket%7 - 3) * 0.25) so per-doc logits
@@ -3998,6 +4029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_percolate": q_count_percolate,
         "temperature_mix": q_temperature_mix,
         "classifier_score": q_classifier_score,
+        "similarity_classic": q_similarity_classic,
+        "similarity_lm_dirichlet": q_similarity_lm_dirichlet,
+        "similarity_lm_jm": q_similarity_lm_jm,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6838,6 +6872,68 @@ ORDER BY p.tot DESC, p.doc_id, c.inner_rank
 """,
         ),
 
+        # ES 1.x similarity modules over the same match set: classic
+        # TF-IDF / LMDirichlet / LMJelinekMercer — 4-dp-rounded sort keys
+        # (ln ulp), every stat recomputed from first principles in SQL
+        "similarity_classic": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+m AS (SELECT * FROM tf WHERE term IN ('filter', 'hash', 'join')),
+idf AS (
+  SELECT term,
+         CAST(1 AS DOUBLE)
+           + ln((SELECT count(*)::DOUBLE FROM documents)
+                / (count(*)::DOUBLE + CAST(1 AS DOUBLE))) AS idf
+  FROM m GROUP BY term
+),
+scored AS (
+  SELECT m.doc_id,
+         (count(*)::DOUBLE / CAST(3 AS DOUBLE))
+           * sum(sqrt(m.tf) * idf.idf * idf.idf / sqrt(dl.dl)) AS score
+  FROM m JOIN idf USING (term) JOIN dl USING (doc_id)
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
+""",
+        "similarity_lm_dirichlet": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+m AS (SELECT * FROM tf WHERE term IN ('filter', 'hash', 'join')),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM m GROUP BY 1),
+scored AS (
+  SELECT m.doc_id,
+         sum(ln(CAST(1 AS DOUBLE)
+                + (m.tf * tot.total) / (CAST(2000 AS DOUBLE) * cf.cf)))
+           + CAST(3 AS DOUBLE)
+             * ln(CAST(2000 AS DOUBLE) / (dl.dl + CAST(2000 AS DOUBLE))) AS score
+  FROM m JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY m.doc_id, dl.dl
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
+""",
+        "similarity_lm_jm": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+m AS (SELECT * FROM tf WHERE term IN ('filter', 'hash', 'join')),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM m GROUP BY 1),
+scored AS (
+  SELECT m.doc_id,
+         sum(ln(CAST(1 AS DOUBLE)
+                + ((CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) / CAST(0.1 AS DOUBLE))
+                  * (m.tf * tot.total) / (dl.dl * cf.cf))) AS score
+  FROM m JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
+""",
         # hashed linear classifier inference: dyadic weights make the
         # logit sum exact; keep compares the logit, sigmoid is 4-dp display
         "classifier_score": f"""

@@ -6246,6 +6246,111 @@ class Index:
             scores = scores.join(deletes, "doc_id", "left_anti")
         return scores if k is None else bm25.topk(scores, k)
 
+    def search_similarity(
+        self,
+        query_text: str,
+        k: int = 10,
+        similarity: str = "classic",
+        mu: float = 2000.0,
+        lam: float = 0.1,
+    ) -> DataFrame:
+        """ES 1.x per-field similarity modules: score the same match set
+        under a ranking model other than BM25 — the ``similarity``
+        mapping knob ES 1.5 exposes (the reference's ES line, ref:
+        ``pom.xml:22``; BM25 there is opt-in, these are the others).
+
+        * ``classic`` — Lucene's practical TF-IDF (ES 1.x DEFAULT):
+          coord(m/|q|) · Σ √tf · idf² / √dl with idf = 1 + ln(n/(df+1)).
+          queryNorm is omitted: it is constant per query and cannot
+          change ranking (documented deviation).
+        * ``lm_dirichlet`` — Dirichlet-smoothed query likelihood
+          (Zhai & Lafferty 2001; Lucene LMDirichletSimilarity):
+          Σ_matched ln(1 + tf/(μ·p_t)) + |q|·ln(μ/(dl+μ)) with
+          p_t = cf_t/total (collection frequency, not df).
+        * ``lm_jm`` — Jelinek-Mercer smoothing:
+          Σ_matched ln(1 + ((1-λ)/λ)·(tf/dl)/p_t).
+
+        Rank-determinism contract: scores involve ln (last-ulp skew
+        across libms), so cross-engine assertions must round to 4 dp
+        BEFORE ordering (the geo-sort rule); ties break doc_id asc.
+
+        Plan shape: identical to the BM25 oracle — term-pruned tokens
+        scan, broadcast per-term stats (plus one term-keyed cf
+        aggregation over the SAME pruned scan for the LM models), one
+        doc-keyed aggregation, TakeOrderedAndProject. Corpus-scale cost
+        is unchanged from search_oracle.
+        """
+        if similarity not in ("classic", "lm_dirichlet", "lm_jm"):
+            raise ValueError(f"unknown similarity: {similarity}")
+        tokens, doc_stats = self._oracle_tokens()
+        terms = sorted(set(self._analyze(query_text)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        nq = float(len(terms))
+        matched = tokens.filter(F.col("term").isin(terms)).select(
+            "doc_id", "term", F.col("tf").cast("double").alias("tf")
+        )
+        mu_l = F.lit(float(mu))
+        if similarity == "classic":
+            n = F.lit(float(self.meta["n_docs"]))
+            stats = self.term_stats.filter(F.col("term").isin(terms)).select(
+                "term", F.col("df").cast("double").alias("df")
+            )
+            idf = F.lit(1.0) + F.log(n / (F.col("df") + F.lit(1.0)))
+            j = (
+                matched.join(F.broadcast(stats), "term")
+                .join(doc_stats.select("doc_id", F.col("dl").cast("double").alias("dl")), "doc_id")
+                .withColumn(
+                    "contrib", F.sqrt(F.col("tf")) * idf * idf / F.sqrt(F.col("dl"))
+                )
+            )
+            scores = j.groupBy("doc_id").agg(
+                (
+                    (F.count("*").cast("double") / F.lit(nq)) * F.sum("contrib")
+                ).alias("score")
+            )
+        else:
+            total = float(
+                doc_stats.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]
+            )
+            cf = matched.groupBy("term").agg(
+                F.sum("tf").cast("double").alias("cf")
+            )
+            j = matched.join(F.broadcast(cf), "term").join(
+                doc_stats.select(
+                    "doc_id", F.col("dl").cast("double").alias("dl")
+                ),
+                "doc_id",
+            )
+            if similarity == "lm_dirichlet":
+                part = F.log(
+                    F.lit(1.0)
+                    + (F.col("tf") * F.lit(total)) / (mu_l * F.col("cf"))
+                )
+                scores = (
+                    j.groupBy("doc_id", "dl")
+                    .agg(F.sum(part).alias("s"))
+                    .select(
+                        "doc_id",
+                        (
+                            F.col("s")
+                            + F.lit(nq) * F.log(mu_l / (F.col("dl") + mu_l))
+                        ).alias("score"),
+                    )
+                )
+            else:  # lm_jm
+                ratio = F.lit((1.0 - float(lam)) / float(lam))
+                part = F.log(
+                    F.lit(1.0)
+                    + ratio
+                    * (F.col("tf") * F.lit(total))
+                    / (F.col("dl") * F.col("cf"))
+                )
+                scores = j.groupBy("doc_id").agg(F.sum(part).alias("score"))
+        return scores.orderBy(
+            F.desc(F.round(F.col("score"), 4)), F.asc("doc_id")
+        ).limit(k)
+
     def count(
         self,
         query_text: str = "",
