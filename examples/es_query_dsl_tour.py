@@ -250,6 +250,12 @@ def main(n_convs: int = 300) -> None:
                     [(1, "w00000"), (2, q)]))
     show("percolate count mode (0-totals included)",
          count_percolate(idx._docs_df().limit(5), [(1, "w00000"), (2, q)]))
+    show("similarity module: classic TF-IDF (ES 1.x default, with coord)",
+         idx.search_similarity(q, 3, similarity="classic"))
+    show("similarity module: LMDirichlet (mu=2000)",
+         idx.search_similarity(q, 3, similarity="lm_dirichlet"))
+    show("similarity module: LMJelinekMercer (lambda=0.1)",
+         idx.search_similarity(q, 3, similarity="lm_jm"))
     print("\nDSL tour complete.")
     spark.stop()
 
