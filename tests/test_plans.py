@@ -577,3 +577,23 @@ def test_inner_hits_window_runs_after_broadcast_parent_prune(spark):
     assert nested.count("Generate") == 2
     assert "Window" not in nested and "CartesianProduct" not in nested
     assert "BroadcastHashJoin" in nested
+
+
+def test_similarity_modules_share_the_oracle_plan_shape(spark):
+    """search_similarity must cost what the BM25 oracle costs: term-pruned
+    tokens scan, broadcast per-term stats, ONE doc-keyed aggregation,
+    TakeOrderedAndProject — never a cartesian product, never a global
+    Sort, no Python eval."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma"[: 5 + (i % 3) * 5]) for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    for sim in ("classic", "lm_dirichlet", "lm_jm"):
+        plan = _plan(idx.search_similarity("alpha beta", 5, similarity=sim))
+        assert "TakeOrderedAndProject" in plan, sim
+        assert "CartesianProduct" not in plan, sim
+        assert "BroadcastHashJoin" in plan, sim
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, sim
