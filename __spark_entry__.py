@@ -3870,6 +3870,37 @@ def q_inner_hits_nested(spark, sf_dir):
     )
 
 
+def q_sig_terms_mi(spark, sf_dir):
+    """ES 1.4 significant_terms with the mutual_information heuristic
+    (Manning IR §13.5.1, the formula ES's docs cite; log2, 0·log0=0,
+    background-is-superset 2x2 table). Scores rounded to 6 dp BEFORE
+    ordering (log2 ulp), ties term asc; the positive-signal fg%>bg%
+    qualifier is ES's include_negatives=false default."""
+    return _cached_idx(spark, sf_dir).significant_terms(
+        BM25_QUERY, size=10, heuristic="mutual_information"
+    )
+
+
+def q_sig_terms_chi2(spark, sf_dir):
+    """ES 1.4 significant_terms with the chi_square heuristic (Manning IR
+    §13.5.2). Every input is an exact integer-as-double and the formula
+    is mul/sub/div only, so the score is bit-identical cross-engine; the
+    6-dp rounding is display-convention only."""
+    return _cached_idx(spark, sf_dir).significant_terms(
+        BM25_QUERY, size=10, heuristic="chi_square"
+    )
+
+
+def q_sig_terms_gnd(spark, sf_dir):
+    """ES 1.4 significant_terms with the gnd heuristic (Google Normalized
+    Distance, Cilibrasi & Vitányi 2007 — the paper ES's docs cite),
+    reported as exp(-gnd) so larger = more significant. 6-dp-rounded
+    sort keys (ln ulp), ties term asc."""
+    return _cached_idx(spark, sf_dir).significant_terms(
+        BM25_QUERY, size=10, heuristic="gnd"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4032,6 +4063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_classic": q_similarity_classic,
         "similarity_lm_dirichlet": q_similarity_lm_dirichlet,
         "similarity_lm_jm": q_similarity_lm_jm,
+        "sig_terms_mi": q_sig_terms_mi,
+        "sig_terms_chi2": q_sig_terms_chi2,
+        "sig_terms_gnd": q_sig_terms_gnd,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6244,6 +6278,65 @@ LIMIT 10
 """
 
 
+def _sigterms_heuristic_sql(score_sql: str) -> str:
+    """significant_terms oracle for the ES 1.4 heuristics: the same
+    distinct-doc frequency table as _SIGTERMS_SQL, widened to the 2x2
+    contingency cells (all exact integers-as-doubles — the additions and
+    subtractions are exact, so only the ``score_sql`` float expression
+    matters and it mirrors the engine's Column arithmetic verbatim).
+    Background is the superset: N = bg_size, N11 = fg_n, N1. = fg_size,
+    N.1 = bg_n."""
+    return f"""
+WITH toksd AS (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+fg AS ({_MATCHED}),
+sizes AS (
+  SELECT (SELECT count(*) FROM fg)::DOUBLE AS fg_size,
+         (SELECT count(*) FROM documents)::DOUBLE AS bg_size
+),
+fgc AS (
+  SELECT term, count(*)::BIGINT AS fg_n FROM toksd
+  WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term
+),
+bgc AS (SELECT term, count(*)::BIGINT AS bg_n FROM toksd GROUP BY term),
+tab AS (
+  SELECT term, fg_n, bg_n,
+         bg_size AS n,
+         fg_n::DOUBLE AS n11,
+         fg_size AS n1_,
+         bg_n::DOUBLE AS n_1,
+         fg_size - fg_n::DOUBLE AS n10,
+         bg_n::DOUBLE - fg_n::DOUBLE AS n01,
+         bg_size - fg_size - bg_n::DOUBLE + fg_n::DOUBLE AS n00,
+         bg_size - fg_size AS n0_,
+         bg_size - bg_n::DOUBLE AS n_0
+  FROM fgc JOIN bgc USING (term) CROSS JOIN sizes
+  WHERE fg_n / fg_size > bg_n / bg_size
+)
+SELECT term, fg_n, bg_n, round({score_sql}, 6) AS score_r
+FROM tab
+ORDER BY score_r DESC, term
+LIMIT 10
+"""
+
+
+_SIG_MI_SQL = _sigterms_heuristic_sql(
+    "(CASE WHEN n11 > 0 THEN (n11 / n) * log2(n * n11 / (n1_ * n_1)) ELSE 0.0 END"
+    " + CASE WHEN n10 > 0 THEN (n10 / n) * log2(n * n10 / (n1_ * n_0)) ELSE 0.0 END"
+    " + CASE WHEN n01 > 0 THEN (n01 / n) * log2(n * n01 / (n0_ * n_1)) ELSE 0.0 END"
+    " + CASE WHEN n00 > 0 THEN (n00 / n) * log2(n * n00 / (n0_ * n_0)) ELSE 0.0 END)"
+)
+
+_SIG_CHI2_SQL = _sigterms_heuristic_sql(
+    "n * ((n11 * n00 - n10 * n01) * (n11 * n00 - n10 * n01))"
+    " / (n1_ * n_1 * n0_ * n_0)"
+)
+
+_SIG_GND_SQL = _sigterms_heuristic_sql(
+    "exp(-((greatest(ln(n1_), ln(n_1)) - ln(n11))"
+    " / (ln(n) - least(ln(n1_), ln(n_1)))))"
+)
+
+
 def _bm25_min_score_sql(query: str, cut: float, k: int = K) -> str:
     """min_score oracle: filter-then-topk ≡ the engine's topk-then-filter
     because the score order is total."""
@@ -6934,6 +7027,11 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score_r FROM scored
 ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
 """,
+        # ES 1.4 significance heuristics: the shared 2x2-contingency oracle
+        # with the score expression mirroring the engine's Column arithmetic
+        "sig_terms_mi": _SIG_MI_SQL,
+        "sig_terms_chi2": _SIG_CHI2_SQL,
+        "sig_terms_gnd": _SIG_GND_SQL,
         # hashed linear classifier inference: dyadic weights make the
         # logit sum exact; keep compares the logit, sigmoid is 4-dp display
         "classifier_score": f"""

@@ -6105,6 +6105,7 @@ class Index:
         where: str | None = None,
         min_should_match: int = 1,
         background_where: str | None = None,
+        heuristic: str = "jlh",
     ) -> DataFrame:
         """ES significant_terms over the indexed text: terms over-represented
         in the foreground (docs matching the query, post-filter) versus the
@@ -6116,6 +6117,29 @@ class Index:
         the BACKGROUND statistics scope (bg counts and bg size) without
         touching the foreground match set — "significant vs my category"
         instead of "significant vs the whole corpus".
+
+        ``heuristic`` selects the scoring function (ES 1.4 added pluggable
+        significance heuristics next to the JLH default — the reference's
+        ES 1.5.1, ``ref:pom.xml:22``, ships all four):
+
+        - ``"jlh"`` (default): ``(fg% − bg%) · (fg% / bg%)``.
+        - ``"mutual_information"``: pointwise MI of the 2×2 contingency
+          table, Manning et al. *Introduction to Information Retrieval*
+          §13.5.1 (the formula ES's docs cite), in bits (log2), with the
+          0·log 0 = 0 convention. Background is the superset (ES's
+          ``background_is_superset=true``): N = bg_size, N11 = fg_n,
+          N1. = fg_size, N.1 = bg_n.
+        - ``"chi_square"``: Manning §13.5.2,
+          ``N·(N11·N00 − N10·N01)² / (N1.·N.1·N0.·N.0)``.
+        - ``"gnd"``: Google Normalized Distance (Cilibrasi & Vitányi 2007,
+          the paper ES's docs cite): ``gnd = (max(ln fg_size, ln bg_n) −
+          ln fg_n) / (ln N − min(ln fg_size, ln bg_n))``; reported as
+          ``exp(−gnd)`` so larger = more significant (documented transform
+          choice — ES 1.x also maps the distance onto an ascending score).
+
+        ES applies ``include_negatives=false`` by default to the NXY
+        heuristics; we keep the same positive-signal qualifier
+        (fg% > bg%) across all four, which is that default.
 
         Plan shape: one distinct over the (doc_id, term) token stream
         feeds BOTH frequency sides (foreground via a left-semi join on the
@@ -6166,13 +6190,49 @@ class Index:
         j = fg_counts.join(bg_counts, "term").crossJoin(F.broadcast(sizes))
         fg_pct = F.col("fg_n") / F.col("fg_size")
         bg_pct = F.col("bg_n") / F.col("bg_size")
+        # 2x2 contingency table, background-is-superset framing (doubles).
+        n = F.col("bg_size")
+        n11 = F.col("fg_n").cast("double")
+        n1_ = F.col("fg_size")
+        n_1 = F.col("bg_n").cast("double")
+        n10 = n1_ - n11
+        n01 = n_1 - n11
+        n00 = n - n1_ - n_1 + n11
+        n0_ = n - n1_
+        n_0 = n - n_1
+
+        def _mi_term(nij, ni, nj):
+            # 0·log 0 = 0 convention; nij > 0 implies ni, nj > 0.
+            return F.when(
+                nij > 0.0, (nij / n) * F.log2(n * nij / (ni * nj))
+            ).otherwise(F.lit(0.0))
+
+        if heuristic == "jlh":
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        elif heuristic == "mutual_information":
+            score = (
+                _mi_term(n11, n1_, n_1)
+                + _mi_term(n10, n1_, n_0)
+                + _mi_term(n01, n0_, n_1)
+                + _mi_term(n00, n0_, n_0)
+            )
+        elif heuristic == "chi_square":
+            d = n11 * n00 - n10 * n01
+            score = n * (d * d) / (n1_ * n_1 * n0_ * n_0)
+        elif heuristic == "gnd":
+            gnd = (F.greatest(F.log(n1_), F.log(n_1)) - F.log(n11)) / (
+                F.log(n) - F.least(F.log(n1_), F.log(n_1))
+            )
+            score = F.exp(-gnd)
+        else:
+            raise ValueError(f"unknown significance heuristic {heuristic!r}")
         scored = j.filter(
             (fg_pct > bg_pct) & (F.col("fg_n") >= int(min_doc_count))
         ).select(
             "term",
             "fg_n",
             "bg_n",
-            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score_r"),
+            F.round(score, 6).alias("score_r"),
         )
         return scored.orderBy(F.desc("score_r"), F.asc("term")).limit(size)
 

@@ -200,6 +200,64 @@ def test_significant_terms_matches_python(spark, built_index):
     assert {r["term"] for r in got} & set(tokenize_text(Q))
 
 
+def test_significant_terms_heuristics_match_python(spark, built_index):
+    """ES 1.4 heuristics (mutual_information / chi_square / gnd) vs an
+    independent Python fold over the same 2x2 contingency table."""
+    import math
+
+    idx, _ = built_index
+    fg_rows = _matched_rows(idx, Q)
+    all_rows = idx._docs_df().collect()
+    fg_n, bg_n = Counter(), Counter()
+    for r in all_rows:
+        for t in set(tokenize_text(r["text"])):
+            bg_n[t] += 1
+    for r in fg_rows:
+        for t in set(tokenize_text(r["text"])):
+            fg_n[t] += 1
+    fs, bs = float(len(fg_rows)), float(len(all_rows))
+
+    def table(t):
+        n11 = float(fg_n[t])
+        n1_, n_1, n = fs, float(bg_n[t]), bs
+        n10, n01 = n1_ - n11, n_1 - n11
+        n00 = n - n1_ - n_1 + n11
+        return n, n11, n1_, n_1, n10, n01, n00, n - n1_, n - n_1
+
+    def mi(t):
+        n, n11, n1_, n_1, n10, n01, n00, n0_, n_0 = table(t)
+
+        def term(nij, ni, nj):
+            return (nij / n) * math.log2(n * nij / (ni * nj)) if nij > 0 else 0.0
+
+        return term(n11, n1_, n_1) + term(n10, n1_, n_0) + term(n01, n0_, n_1) + term(n00, n0_, n_0)
+
+    def chi2(t):
+        n, n11, n1_, n_1, n10, n01, n00, n0_, n_0 = table(t)
+        d = n11 * n00 - n10 * n01
+        return n * (d * d) / (n1_ * n_1 * n0_ * n_0)
+
+    def gnd(t):
+        n, n11, n1_, n_1, *_ = table(t)
+        g = (max(math.log(n1_), math.log(n_1)) - math.log(n11)) / (
+            math.log(n) - min(math.log(n1_), math.log(n_1))
+        )
+        return math.exp(-g)
+
+    for name, fn in [("mutual_information", mi), ("chi_square", chi2), ("gnd", gnd)]:
+        got = idx.significant_terms(Q, size=5, heuristic=name).collect()
+        scored = []
+        for t, nf in fg_n.items():
+            if nf / fs > bg_n[t] / bs:
+                scored.append((-round(fn(t), 6), t, nf, bg_n[t]))
+        want = [(t, nf, b, -s) for s, t, nf, b in sorted(scored)[:5]]
+        assert [(r["term"], r["fg_n"], r["bg_n"], r["score_r"]) for r in got] == want, name
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx.significant_terms(Q, heuristic="nope").collect()
+
+
 def test_terms_metric_matches_python(spark, built_index):
     idx, _ = built_index
     got = idx.terms_agg(Q, "role", "turn_idx", ("avg", "max"), size=10).collect()
