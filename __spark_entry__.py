@@ -3901,6 +3901,26 @@ def q_sig_terms_gnd(spark, sf_dir):
     )
 
 
+def q_terms_agg_sharded(spark, sf_dir):
+    """ES 1.4 terms aggregation with the REAL distributed collection
+    semantics (``shard_size`` + ``doc_count_error_upper_bound``, the
+    ``show_term_doc_count_error`` surface): every 128-doc shard returns
+    only its local top-20 terms by document frequency (ties term asc),
+    the coordinator sums whatever arrived, and err_bound sums — over
+    the shards that did NOT return the term — the smallest count each
+    such shard DID return.  All-integer arithmetic, so the DuckDB
+    oracle mirrors the exact per-shard windows; the entry additionally
+    asserts ES's certificate df_est ≤ df_true ≤ df_est + err_bound
+    row by row (df_true is the exact-recount verification twin a
+    100 TB deployment would drop)."""
+    df = _docs_wh_idx(spark, sf_dir).terms_agg_sharded(size=10, shard_size=20)
+    rows = df.collect()
+    assert rows and all(
+        r["df_est"] <= r["df_true"] <= r["df_est"] + r["err_bound"] for r in rows
+    ), "doc_count_error_upper_bound certificate violated"
+    return spark.createDataFrame(rows, df.schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4066,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_mi": q_sig_terms_mi,
         "sig_terms_chi2": q_sig_terms_chi2,
         "sig_terms_gnd": q_sig_terms_gnd,
+        "terms_agg_sharded": q_terms_agg_sharded,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7032,6 +7053,47 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_mi": _SIG_MI_SQL,
         "sig_terms_chi2": _SIG_CHI2_SQL,
         "sig_terms_gnd": _SIG_GND_SQL,
+        # ES 1.4 sharded terms agg: per-shard top-shard_size windows over
+        # doc_id // 128 shards (the terminate_after modulus), coordinator
+        # sum + floor-count error bound — all integer arithmetic, mirrored
+        # window for window
+        "terms_agg_sharded": f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+), per AS (
+  SELECT doc_id // 128 AS shard, term, count(*)::BIGINT AS df_s
+  FROM toksd GROUP BY 1, 2
+), ranked AS (
+  SELECT shard, term, df_s,
+         row_number() OVER (PARTITION BY shard ORDER BY df_s DESC, term ASC) AS rn
+  FROM per
+), returned AS (
+  SELECT shard, term, df_s FROM ranked WHERE rn <= 20
+), shard_last AS (
+  SELECT shard,
+         (CASE WHEN count(*) <= 20 THEN 0
+               ELSE max(CASE WHEN rn = 20 THEN df_s END) END)::BIGINT AS last_df
+  FROM ranked GROUP BY shard
+), top AS (
+  SELECT term, sum(df_s)::BIGINT AS df_est
+  FROM returned GROUP BY term
+  ORDER BY df_est DESC, term ASC LIMIT 10
+), err AS (
+  SELECT t.term, sum(sl.last_df)::BIGINT AS err_bound
+  FROM top t CROSS JOIN shard_last sl
+  WHERE NOT EXISTS (
+    SELECT 1 FROM returned r WHERE r.shard = sl.shard AND r.term = t.term)
+  GROUP BY t.term
+)
+SELECT t.term, t.df_est, td.df_true,
+       coalesce(e.err_bound, 0)::BIGINT AS err_bound
+FROM top t
+JOIN (SELECT term, count(*)::BIGINT AS df_true FROM toksd GROUP BY term) td
+  USING (term)
+LEFT JOIN err e USING (term)
+ORDER BY df_est DESC, term ASC
+""",
         # hashed linear classifier inference: dyadic weights make the
         # logit sum exact; keep compares the logit, sigmoid is 4-dp display
         "classifier_score": f"""

@@ -3782,6 +3782,89 @@ class Index:
             return self.spark.createDataFrame([], schema)
         return aggs.terms_metric(scoped, bucket_by, metric_field, metrics, size)
 
+    def terms_agg_sharded(
+        self,
+        size: int = 10,
+        shard_size: int = 20,
+        with_true: bool = True,
+    ) -> DataFrame:
+        """ES 1.x terms aggregation over the indexed TEXT field with the
+        real distributed collection semantics (ES 1.4's accuracy
+        surface): every shard returns only its local top ``shard_size``
+        terms by document frequency (ties term asc, Lucene's ordinal
+        determinism), the coordinator sums the per-shard counts of
+        whatever arrived, and each reported term carries
+        ``doc_count_error_upper_bound`` — the sum, over shards that did
+        NOT return the term, of the last (smallest) count each such
+        shard DID return; a shard that returned its whole vocabulary
+        bounds its missing terms by 0. That is exactly ES 1.4's
+        ``show_term_doc_count_error`` arithmetic, and it certifies
+        ``df_est ≤ df_true ≤ df_est + err_bound``.
+
+        Shards are the index's own layout (``doc_id DIV
+        docs_per_shard`` — the terminate_after precedent), tombstones
+        masked like every stats surface. ``with_true`` adds the exact
+        recount column ``df_true`` as the verification twin (the
+        heavy_hitters pattern); it is the only full-vocabulary pass, so
+        a 100 TB deployment drops it.
+
+        Plan shape: the distinct (doc, term) stream Catalyst already
+        builds for df stats feeds ONE composite-key groupBy with
+        map-side partials; the per-shard ranking window is
+        hash-partitioned on the shard id over post-aggregation rows
+        (vocab × shards, not doc rows); the per-shard floor counts are a
+        tiny broadcast; the error anti-join touches only (size ×
+        n_shards) candidate pairs. Returns (term, df_est[, df_true],
+        err_bound), df_est desc / term asc."""
+        from pyspark.sql import Window
+
+        if shard_size < 1:
+            raise ValueError("shard_size must be ≥ 1")
+        dps = int(self.meta["docs_per_shard"])
+        live = self._docs_df().select("doc_id")
+        deletes = self._deletes_df()
+        if deletes is not None:
+            live = live.join(deletes, "doc_id", "left_anti")
+        toksd = (
+            self._tokens_df()
+            .join(live, "doc_id", "left_semi")
+            .select("doc_id", "term")
+            .distinct()
+        )
+        per = (
+            toksd.withColumn("shard", F.expr(f"doc_id DIV {dps}"))
+            .groupBy("shard", "term")
+            .agg(F.count("*").cast("long").alias("df_s"))
+        )
+        w = Window.partitionBy("shard").orderBy(F.desc("df_s"), F.asc("term"))
+        ranked = per.withColumn("rn", F.row_number().over(w))
+        returned = ranked.filter(F.col("rn") <= int(shard_size))
+        shard_last = ranked.groupBy("shard").agg(
+            F.when(F.count("*") <= int(shard_size), F.lit(0).cast("long"))
+            .otherwise(F.max(F.when(F.col("rn") == int(shard_size), F.col("df_s"))))
+            .alias("last_df")
+        )
+        est = returned.groupBy("term").agg(F.sum("df_s").cast("long").alias("df_est"))
+        top = est.orderBy(F.desc("df_est"), F.asc("term")).limit(int(size))
+        missing = top.crossJoin(F.broadcast(shard_last)).join(
+            returned.select("shard", "term"), ["shard", "term"], "left_anti"
+        )
+        err = missing.groupBy("term").agg(
+            F.sum("last_df").cast("long").alias("err_bound")
+        )
+        out = top.join(err, "term", "left")
+        cols = ["term", "df_est"]
+        if with_true:
+            true_df = toksd.groupBy("term").agg(
+                F.count("*").cast("long").alias("df_true")
+            )
+            out = out.join(true_df, "term")
+            cols.append("df_true")
+        return out.select(
+            *cols,
+            F.coalesce(F.col("err_bound"), F.lit(0).cast("long")).alias("err_bound"),
+        ).orderBy(F.desc("df_est"), F.asc("term"))
+
     def nested_terms_agg(
         self,
         query_text: str,

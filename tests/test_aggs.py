@@ -258,6 +258,51 @@ def test_significant_terms_heuristics_match_python(spark, built_index):
         idx.significant_terms(Q, heuristic="nope").collect()
 
 
+def test_terms_agg_sharded_matches_python(spark, built_index):
+    """ES 1.4 shard-approximate terms agg vs a pure-Python simulation of
+    the per-shard top-shard_size collection, plus ES's certificate
+    df_est <= df_true <= df_est + err_bound and the exact-collapse case."""
+    idx, _ = built_index
+    dps = int(idx.meta["docs_per_shard"])
+    per: dict[int, Counter] = {}
+    true = Counter()
+    for r in idx._docs_df().collect():
+        c = per.setdefault(r["doc_id"] // dps, Counter())
+        for t in set(tokenize_text(r["text"])):
+            c[t] += 1
+            true[t] += 1
+    assert len(per) > 1, "fixture must span multiple shards"
+    shard_size = 5
+    returned, last = {}, {}
+    for s, c in per.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        returned[s] = dict(ranked[:shard_size])
+        last[s] = 0 if len(ranked) <= shard_size else ranked[shard_size - 1][1]
+    est = Counter()
+    for c in returned.values():
+        for t, n in c.items():
+            est[t] += n
+    want = []
+    for t, e in sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:7]:
+        err = sum(last[s] for s in per if t not in returned[s])
+        want.append((t, e, true[t], err))
+    got = [
+        (r["term"], r["df_est"], r["df_true"], r["err_bound"])
+        for r in idx.terms_agg_sharded(size=7, shard_size=shard_size).collect()
+    ]
+    assert got == want
+    assert all(e <= tr <= e + err for _, e, tr, err in got)
+    # shard_size >= every shard's vocabulary: estimate exact, bound 0
+    exact = idx.terms_agg_sharded(size=5, shard_size=10**6).collect()
+    assert exact and all(
+        r["df_est"] == r["df_true"] and r["err_bound"] == 0 for r in exact
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        idx.terms_agg_sharded(shard_size=0)
+
+
 def test_terms_metric_matches_python(spark, built_index):
     idx, _ = built_index
     got = idx.terms_agg(Q, "role", "turn_idx", ("avg", "max"), size=10).collect()
