@@ -3921,6 +3921,32 @@ def q_terms_agg_sharded(spark, sf_dir):
     return spark.createDataFrame(rows, df.schema)
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """Portable HyperLogLog distinct count (Flajolet et al. 2007) of the
+    (doc_id, term) pair stream — the mergeable cardinality sketch ES's
+    cardinality agg uses, rebuilt on the repo's cross-engine md5 hash so
+    the DuckDB oracle reproduces the ESTIMATE bit for bit: register
+    index = 16 hash bits mod 512, rho = 53 - length(bin(52 hash bits)),
+    register sum kept as the exact int64 Σ 2^(53-M), bias constant
+    folded to one float literal, so the raw estimate is a single IEEE
+    division.  n_exact (the full-distinct verification twin a 100 TB
+    run drops) rides along; the entry asserts the 3-sigma accuracy
+    envelope in-entry."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokens_from
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import hll_cardinality
+
+    toks = tokens_from(_docs(spark, sf_dir), id_cols=("doc_id",))
+    pairs = toks.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("term")).alias("pair")
+    )
+    df = hll_cardinality(pairs, "pair", p=9, with_exact=True)
+    r = df.collect()[0]
+    assert abs(r["est_r"] / r["n_exact"] - 1.0) < 3 * 1.04 / 512**0.5, (
+        "HLL estimate outside the 3-sigma envelope"
+    )
+    return spark.createDataFrame([r], df.schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4087,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_chi2": q_sig_terms_chi2,
         "sig_terms_gnd": q_sig_terms_gnd,
         "terms_agg_sharded": q_terms_agg_sharded,
+        "hll_cardinality": q_hll_cardinality,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7093,6 +7120,37 @@ JOIN (SELECT term, count(*)::BIGINT AS df_true FROM toksd GROUP BY term) td
   USING (term)
 LEFT JOIN err e USING (term)
 ORDER BY df_est DESC, term ASC
+""",
+        # portable HLL: md5-prefix hash, integer register sum 2^(53-M),
+        # ONE float literal x ONE IEEE division = bit-identical estimate;
+        # the ln branch (linear counting) is 4-dp-rounded like every ln
+        "hll_cardinality": f"""
+WITH vals AS (
+  SELECT doc_id::VARCHAR || ':' || term AS pair FROM (
+    SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+), h AS (
+  SELECT ('0x' || substr(md5(pair), 1, 4))::BIGINT % 512 AS j,
+         ('0x' || substr(md5(pair), 5, 13))::BIGINT AS v
+  FROM vals
+), regs AS (
+  SELECT j, max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END)::BIGINT AS rho
+  FROM h GROUP BY j
+), frame AS (
+  SELECT coalesce(r.rho, 0)::INT AS M
+  FROM range(512) t(j) LEFT JOIN regs r USING (j)
+), s AS (
+  SELECT sum(1::BIGINT << (53 - M))::BIGINT AS s_scaled,
+         sum(CASE WHEN M = 0 THEN 1 ELSE 0 END)::BIGINT AS reg_zeros
+  FROM frame
+)
+SELECT round(CASE WHEN {0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * float(1 << 53)!r} / s_scaled::DOUBLE <= 1280.0
+                   AND reg_zeros > 0
+             THEN 512.0 * ln(512.0 / reg_zeros::DOUBLE)
+             ELSE {0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * float(1 << 53)!r} / s_scaled::DOUBLE END,
+             4) AS est_r,
+       reg_zeros,
+       (SELECT count(DISTINCT pair)::BIGINT FROM vals) AS n_exact
+FROM s
 """,
         # hashed linear classifier inference: dyadic weights make the
         # logit sum exact; keep compares the logit, sigmoid is 4-dp display

@@ -114,6 +114,91 @@ def _exact_pass(vals: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
     )
 
 
+def hll_registers(df: DataFrame, value_col: str, p: int = 9) -> DataFrame:
+    """HyperLogLog register table ``(j, rho)`` for ``value_col`` — the
+    PORTABLE sketch (Flajolet et al. 2007): hash = md5 (the repo's
+    cross-engine hash idiom, see ops/dedup.py), register index j = the
+    first 16 hash bits mod m (uniform because m divides 2^16), rho = the
+    leading-zero rank of the next 52 hash bits computed as
+    ``53 - length(bin(v))`` — pure integer/string ops that evaluate
+    identically in Spark and DuckDB, which is what makes the estimate
+    oracle-able bit for bit (Spark's own approx_count_distinct is a
+    different HLL++ implementation and matches nothing outside the JVM).
+
+    Scale shape: one groupBy(j).max(rho) — map-side partial max means the
+    exchange carries at most m rows per input partition regardless of
+    corpus size, and register tables MERGE by the same max, so shards /
+    days / segments can sketch independently and combine (the property
+    ES's cardinality agg relies on)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16] (m = 2^p registers)")
+    m = 1 << p
+    h = F.md5(F.col(value_col).cast("string"))
+    v = F.conv(F.substring(h, 5, 13), 16, 10).cast("long")
+    return (
+        df.select(
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m).alias("j"),
+            F.when(v == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(v)))
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame, value_col: str, p: int = 9, with_exact: bool = False
+) -> DataFrame:
+    """Approximate distinct count of ``value_col`` via the portable HLL
+    sketch of :func:`hll_registers` — one row ``(est_r, reg_zeros
+    [, n_exact])``. Standard error ≈ 1.04/sqrt(2^p) (~4.6% at p=9).
+
+    Determinism contract: the register sum is kept as the EXACT integer
+    ``sum(2^(53 - M))`` — every term is a dyadic integer and the total
+    stays under 2^(53+p) < 2^63, so it is overflow-free int64 arithmetic
+    in any engine and any partitioning; the bias constant alpha·m²·2^53
+    is folded to ONE Python float literal, so the raw estimate is a
+    single IEEE division — bit-identical cross-engine. The small-range
+    branch (raw ≤ 2.5m with empty registers, Flajolet's linear counting
+    ``m·ln(m/zeros)``) is the only libm call and the 4-dp output
+    rounding absorbs its last-ulp skew (the repo's established ln rule).
+
+    ``with_exact=True`` attaches the exact distinct count (a full
+    shuffle on the value — the verification twin a 100 TB run drops)."""
+    m = 1 << p
+    num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << 53)
+    spark = df.sparkSession
+    frame = (
+        spark.range(m)
+        .select(F.col("id").alias("j"))
+        .join(hll_registers(df, value_col, p), "j", "left")
+        .select(F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("M"))
+    )
+    s = frame.agg(
+        F.sum(F.expr("shiftleft(1L, cast(53 - M as int))")).cast("long").alias("s_scaled"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("reg_zeros"),
+    )
+    raw = F.lit(num) / F.col("s_scaled").cast("double")
+    out = s.select(
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("reg_zeros") > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("reg_zeros").cast("double")),
+            ).otherwise(raw),
+            4,
+        ).alias("est_r"),
+        "reg_zeros",
+    )
+    if with_exact:
+        exact = df.agg(
+            F.count_distinct(F.col(value_col).cast("string")).cast("long").alias("n_exact")
+        )
+        out = out.crossJoin(exact)  # 1 row × 1 row
+    return out
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,

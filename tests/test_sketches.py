@@ -125,3 +125,41 @@ def test_weighted_sample_weight_bias(spark):
     got = weighted_sample(df, "w", k=200, seed=3).collect()
     heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
     assert heavy > 150
+
+
+def test_hll_cardinality_accuracy_and_determinism(spark):
+    """Portable HLL: estimate within the 3-sigma envelope of the exact
+    count, bit-identical under repartitioning (the integer register sum
+    is order-free), and exact linear counting at tiny cardinalities."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        hll_cardinality,
+    )
+
+    df = spark.range(20000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    # duplicates must not move the estimate: union the stream with itself
+    dup = df.unionAll(df)
+    r = hll_cardinality(dup, "v", p=9, with_exact=True).collect()[0]
+    assert r["n_exact"] == 20000
+    assert abs(r["est_r"] / 20000 - 1.0) < 3 * 1.04 / 512**0.5
+    r2 = hll_cardinality(dup.repartition(13), "v", p=9).collect()[0]
+    assert r2["est_r"] == r["est_r"] and r2["reg_zeros"] == r["reg_zeros"]
+    with pytest.raises(ValueError, match="p must be"):
+        hll_cardinality(df, "v", p=3)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Register tables from disjoint halves max-merge to the whole-stream
+    sketch — the mergeability that lets shards sketch independently."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b = spark.range(3000, 7000).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    whole = {
+        (r["j"], r["rho"]) for r in hll_registers(a.unionAll(b), "v").collect()
+    }
+    ra = {r["j"]: r["rho"] for r in hll_registers(a, "v").collect()}
+    for r in hll_registers(b, "v").collect():
+        ra[r["j"]] = max(ra.get(r["j"], 0), r["rho"])
+    assert set(ra.items()) == whole
