@@ -3947,6 +3947,32 @@ def q_hll_cardinality(spark, sf_dir):
     return spark.createDataFrame([r], df.schema)
 
 
+def q_similarity_dfr(spark, sf_dir):
+    """ES 1.x DFR similarity (Amati & van Rijsbergen 2002; Lucene
+    DFRSimilarity basic model I(n), after-effect L, normalization H2,
+    c=1): tfn = tf·log2(1+avgdl/dl), score = Σ (tfn/(1+tfn)) ·
+    log2((N+1)/(df+0.5)). avgdl is recomputed as ONE IEEE division of
+    exact integer totals (never the meta product); log2 = ln/LN2 with
+    LN2 a shared float LITERAL in both engines (no ln(2) libm seam);
+    4-dp-rounded sort keys (ln ulp), ties doc_id asc."""
+    out = _cached_idx(spark, sf_dir).search_similarity(
+        BM25_QUERY, K, similarity="dfr_inl2"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def q_similarity_ib(spark, sf_dir):
+    """ES 1.x IB similarity (Clinchant & Gaussier 2010; Lucene
+    IBSimilarity distribution=LL, lambda=DF, normalization=H2):
+    λ_t = (df+1)/(N+1), tfn = tf·log2(1+avgdl/dl), score =
+    Σ −log2(λ_t/(λ_t+tfn)). Same exact-integer avgdl and shared-literal
+    LN2 contract as similarity_dfr; 4-dp-rounded keys, ties doc_id."""
+    out = _cached_idx(spark, sf_dir).search_similarity(
+        BM25_QUERY, K, similarity="ib_ll"
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4114,6 +4140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_gnd": q_sig_terms_gnd,
         "terms_agg_sharded": q_terms_agg_sharded,
         "hll_cardinality": q_hll_cardinality,
+        "similarity_dfr": q_similarity_dfr,
+        "similarity_ib": q_similarity_ib,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7151,6 +7179,63 @@ SELECT round(CASE WHEN {0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * float(1 << 53
        reg_zeros,
        (SELECT count(DISTINCT pair)::BIGINT FROM vals) AS n_exact
 FROM s
+""",
+        # ES 1.x DFR / IB similarity modules: avgdl = ONE IEEE division of
+        # exact integer totals; log2 = ln / a shared LN2 float literal (no
+        # ln(2) libm seam); 4-dp-rounded sort keys (ln ulp), ties doc_id
+        "similarity_dfr": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+avgd AS (SELECT (SELECT count(*)::DOUBLE FROM tok)
+                / (SELECT count(*)::DOUBLE FROM documents) AS avgdl),
+m AS (SELECT * FROM tf WHERE term IN ('filter', 'hash', 'join')),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+tfn AS (
+  SELECT m.doc_id,
+         m.tf * (ln(CAST(1 AS DOUBLE) + avgd.avgdl / dl.dl)
+                 / 0.6931471805599453) AS tfn,
+         dfc.df AS df
+  FROM m JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN avgd
+),
+scored AS (
+  SELECT doc_id,
+         sum((tfn / (CAST(1 AS DOUBLE) + tfn))
+             * (ln((nd.n + CAST(1 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                / 0.6931471805599453)) AS score
+  FROM tfn CROSS JOIN nd
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
+""",
+        "similarity_ib": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+avgd AS (SELECT (SELECT count(*)::DOUBLE FROM tok)
+                / (SELECT count(*)::DOUBLE FROM documents) AS avgdl),
+m AS (SELECT * FROM tf WHERE term IN ('filter', 'hash', 'join')),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY term),
+tfn AS (
+  SELECT m.doc_id,
+         m.tf * (ln(CAST(1 AS DOUBLE) + avgd.avgdl / dl.dl)
+                 / 0.6931471805599453) AS tfn,
+         dfc.df AS df
+  FROM m JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN avgd
+),
+scored AS (
+  SELECT doc_id,
+         sum(-(ln(((df + CAST(1 AS DOUBLE)) / (nd.n + CAST(1 AS DOUBLE)))
+                  / (((df + CAST(1 AS DOUBLE)) / (nd.n + CAST(1 AS DOUBLE))) + tfn))
+               / 0.6931471805599453)) AS score
+  FROM tfn CROSS JOIN nd
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
 """,
         # hashed linear classifier inference: dyadic weights make the
         # logit sum exact; keep compares the logit, sigmoid is 4-dp display

@@ -6412,10 +6412,22 @@ class Index:
           p_t = cf_t/total (collection frequency, not df).
         * ``lm_jm`` — Jelinek-Mercer smoothing:
           Σ_matched ln(1 + ((1-λ)/λ)·(tf/dl)/p_t).
+        * ``dfr_inl2`` — Divergence From Randomness (Amati & van
+          Rijsbergen 2002; Lucene DFRSimilarity with basic model I(n),
+          after-effect L, normalization H2, c=1):
+          tfn = tf·log2(1 + avgdl/dl), then
+          Σ (tfn/(1+tfn)) · log2((N+1)/(df+0.5)).
+        * ``ib_ll`` — Information-Based (Clinchant & Gaussier 2010;
+          Lucene IBSimilarity, log-logistic distribution, lambda=DF,
+          normalization H2): λ_t = (df+1)/(N+1), same tfn, then
+          Σ −log2(λ_t/(λ_t+tfn)).
 
         Rank-determinism contract: scores involve ln (last-ulp skew
         across libms), so cross-engine assertions must round to 4 dp
         BEFORE ordering (the geo-sort rule); ties break doc_id asc.
+        avgdl is recomputed as total_tokens/n_docs — ONE IEEE division
+        of two exact integers-as-doubles, bit-identical cross-engine
+        (never the meta avgdl·n product, which is ulp-off).
 
         Plan shape: identical to the BM25 oracle — term-pruned tokens
         scan, broadcast per-term stats (plus one term-keyed cf
@@ -6423,7 +6435,7 @@ class Index:
         doc-keyed aggregation, TakeOrderedAndProject. Corpus-scale cost
         is unchanged from search_oracle.
         """
-        if similarity not in ("classic", "lm_dirichlet", "lm_jm"):
+        if similarity not in ("classic", "lm_dirichlet", "lm_jm", "dfr_inl2", "ib_ll"):
             raise ValueError(f"unknown similarity: {similarity}")
         tokens, doc_stats = self._oracle_tokens()
         terms = sorted(set(self._analyze(query_text)))
@@ -6452,6 +6464,40 @@ class Index:
                     (F.count("*").cast("double") / F.lit(nq)) * F.sum("contrib")
                 ).alias("score")
             )
+        elif similarity in ("dfr_inl2", "ib_ll"):
+            n = float(self.meta["n_docs"])
+            total = float(
+                doc_stats.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]
+            )
+            # ONE IEEE division of two exact integers-as-doubles — the
+            # oracle recomputes the same division on the same operands.
+            avgdl = F.lit(total / n)
+            stats = self.term_stats.filter(F.col("term").isin(terms)).select(
+                "term", F.col("df").cast("double").alias("df")
+            )
+            j = matched.join(F.broadcast(stats), "term").join(
+                doc_stats.select(
+                    "doc_id", F.col("dl").cast("double").alias("dl")
+                ),
+                "doc_id",
+            )
+            # math.log(2), correctly rounded — a shared float LITERAL in
+            # both engines so log2 = ln/LN2 has no ln(2) libm seam.
+            ln2 = F.lit(0.6931471805599453)
+            tfn = F.col("tf") * (
+                F.log(F.lit(1.0) + avgdl / F.col("dl")) / ln2
+            )
+            if similarity == "dfr_inl2":
+                contrib = (tfn / (F.lit(1.0) + tfn)) * (
+                    F.log(
+                        (F.lit(n) + F.lit(1.0)) / (F.col("df") + F.lit(0.5))
+                    )
+                    / ln2
+                )
+            else:  # ib_ll
+                lam = (F.col("df") + F.lit(1.0)) / (F.lit(n) + F.lit(1.0))
+                contrib = -(F.log(lam / (lam + tfn)) / ln2)
+            scores = j.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
         else:
             total = float(
                 doc_stats.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]

@@ -45,10 +45,26 @@ def _python_scores(similarity, mu=2000.0, lam=0.1):
     total = float(sum(dl.values()))
     df = {t: sum(1 for d, _ in DOCS if (d, t) in tf) for t in terms}
     cf = {t: float(sum(v for (d2, t2), v in tf.items() if t2 == t)) for t in terms}
+    avgdl = total / n
     out = {}
     for d, _ in DOCS:
         matched = [t for t in terms if (d, t) in tf]
         if not matched:
+            continue
+        if similarity == "dfr_inl2":
+            s = 0.0
+            for t in matched:
+                tfn = tf[(d, t)] * math.log2(1.0 + avgdl / dl[d])
+                s += (tfn / (1.0 + tfn)) * math.log2((n + 1.0) / (df[t] + 0.5))
+            out[d] = s
+            continue
+        if similarity == "ib_ll":
+            s = 0.0
+            for t in matched:
+                tfn = tf[(d, t)] * math.log2(1.0 + avgdl / dl[d])
+                lt = (df[t] + 1.0) / (n + 1.0)
+                s += -math.log2(lt / (lt + tfn))
+            out[d] = s
             continue
         if similarity == "classic":
             s = sum(
@@ -73,7 +89,9 @@ def _python_scores(similarity, mu=2000.0, lam=0.1):
     return out
 
 
-@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "lm_jm"])
+@pytest.mark.parametrize(
+    "sim", ["classic", "lm_dirichlet", "lm_jm", "dfr_inl2", "ib_ll"]
+)
 def test_similarity_matches_hand_computation(sim_idx, sim):
     got = {
         r["doc_id"]: r["score"]
@@ -102,6 +120,34 @@ def test_dirichlet_length_prior_orders_equal_tf(sim_idx):
     assert want[4] > want[1]
     got = [r["doc_id"] for r in sim_idx.search_similarity(
         Q, 10, similarity="lm_dirichlet").collect()]
+    assert got.index(4) < got.index(1)
+
+
+def test_dfr_rare_term_outweighs_common(sim_idx):
+    """Under DFR I(n), the information content log2((N+1)/(df+0.5))
+    rewards rarer terms: 'join' (df=3) carries more than 'hash' (df=3)?
+    Both df=3 here, so instead check the saturation: doc 0 (tf=2 on both
+    terms) must outrank doc 4 (tf=1 each, same dl ordering) because tfn
+    grows with tf while the L after-effect only saturates, never
+    inverts."""
+    want = _python_scores("dfr_inl2")
+    assert want[0] > want[4] > want[1]
+    got = [
+        r["doc_id"]
+        for r in sim_idx.search_similarity(Q, 10, similarity="dfr_inl2").collect()
+    ]
+    assert got[0] == 0
+
+
+def test_ib_ll_two_term_match_beats_one(sim_idx):
+    """IB log-logistic: matching both query terms accumulates two
+    positive information terms — doc 4 must outrank single-term doc 1."""
+    want = _python_scores("ib_ll")
+    assert want[4] > want[1]
+    got = [
+        r["doc_id"]
+        for r in sim_idx.search_similarity(Q, 10, similarity="ib_ll").collect()
+    ]
     assert got.index(4) < got.index(1)
 
 
