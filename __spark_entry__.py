@@ -3947,6 +3947,18 @@ def q_hll_cardinality(spark, sf_dir):
     return spark.createDataFrame([r], df.schema)
 
 
+def q_sig_terms_pct(spark, sf_dir):
+    """ES 1.5.0 significant_terms with the percentage heuristic (the
+    reference's exact minor): score = fg_n/bg_n — ONE IEEE division of
+    two exact integers-as-doubles, so the score is bit-identical
+    cross-engine and the 6-dp rounding is display-convention only.
+    Positive-signal fg%>bg% qualifier (include_negatives=false), ties
+    term asc."""
+    return _cached_idx(spark, sf_dir).significant_terms(
+        BM25_QUERY, size=10, heuristic="percentage"
+    )
+
+
 def q_similarity_dfr(spark, sf_dir):
     """ES 1.x DFR similarity (Amati & van Rijsbergen 2002; Lucene
     DFRSimilarity basic model I(n), after-effect L, normalization H2,
@@ -4142,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "similarity_dfr": q_similarity_dfr,
         "similarity_ib": q_similarity_ib,
+        "sig_terms_pct": q_sig_terms_pct,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6412,6 +6425,8 @@ _SIG_GND_SQL = _sigterms_heuristic_sql(
     " / (ln(n) - least(ln(n1_), ln(n_1)))))"
 )
 
+_SIG_PCT_SQL = _sigterms_heuristic_sql("n11 / n_1")
+
 
 def _bm25_min_score_sql(query: str, cut: float, k: int = K) -> str:
     """min_score oracle: filter-then-topk ≡ the engine's topk-then-filter
@@ -7108,6 +7123,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_mi": _SIG_MI_SQL,
         "sig_terms_chi2": _SIG_CHI2_SQL,
         "sig_terms_gnd": _SIG_GND_SQL,
+        "sig_terms_pct": _SIG_PCT_SQL,
         # ES 1.4 sharded terms agg: per-shard top-shard_size windows over
         # doc_id // 128 shards (the terminate_after modulus), coordinator
         # sum + floor-count error bound — all integer arithmetic, mirrored

@@ -6219,6 +6219,10 @@ class Index:
           ln fg_n) / (ln N − min(ln fg_size, ln bg_n))``; reported as
           ``exp(−gnd)`` so larger = more significant (documented transform
           choice — ES 1.x also maps the distance onto an ascending score).
+        - ``"percentage"`` (ES 1.5.0, the reference's exact minor): the
+          fraction of the term's documents that are in the foreground,
+          ``fg_n / bg_n`` — ONE IEEE division of two exact
+          integers-as-doubles, bit-identical cross-engine.
 
         ES applies ``include_negatives=false`` by default to the NXY
         heuristics; we keep the same positive-signal qualifier
@@ -6307,6 +6311,8 @@ class Index:
                 F.log(n) - F.least(F.log(n1_), F.log(n_1))
             )
             score = F.exp(-gnd)
+        elif heuristic == "percentage":
+            score = n11 / n_1
         else:
             raise ValueError(f"unknown significance heuristic {heuristic!r}")
         scored = j.filter(

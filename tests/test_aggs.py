@@ -244,7 +244,16 @@ def test_significant_terms_heuristics_match_python(spark, built_index):
         )
         return math.exp(-g)
 
-    for name, fn in [("mutual_information", mi), ("chi_square", chi2), ("gnd", gnd)]:
+    def pct(t):
+        _, n11, _, n_1, *_ = table(t)
+        return n11 / n_1
+
+    for name, fn in [
+        ("mutual_information", mi),
+        ("chi_square", chi2),
+        ("gnd", gnd),
+        ("percentage", pct),
+    ]:
         got = idx.significant_terms(Q, size=5, heuristic=name).collect()
         scored = []
         for t, nf in fg_n.items():
