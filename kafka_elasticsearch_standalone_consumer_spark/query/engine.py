@@ -6546,6 +6546,43 @@ class Index:
             F.desc(F.round(F.col("score"), 4)), F.asc("doc_id")
         ).limit(k)
 
+    def search_params(
+        self, query_text: str, k: int = 10, *, k1: float, b: float
+    ) -> DataFrame:
+        """ES 1.x tunable BM25 similarity parameters — the ``similarity``
+        mapping setting (``{"type": "BM25", "k1": ..., "b": ...}``) the
+        reference's ES 1.5 exposes per field (ref MessageHandler.java
+        delegates mapping/search to ES).
+
+        Runs the DECLARATIVE score-all path with the overridden
+        constants. The posting lists' block-max impacts are baked with
+        the index's build-time (k1, b), so BMW pruning is deliberately
+        NOT used here — pruning against impacts computed under different
+        constants would be unsound (could prune a block whose true upper
+        bound under the query's k1/b is higher). Plan shape = search_oracle:
+        term-pruned tokens scan, broadcast per-term stats, ONE doc-keyed
+        aggregation, TakeOrderedAndProject — same corpus-scale cost.
+
+        Scores stay raw doubles (BM25 arithmetic is bit-identical
+        cross-engine when the constants are shared decimal literals);
+        ties break doc_id asc."""
+        tokens, doc_stats = self._oracle_tokens()
+        scores = bm25.bm25_scores_oracle(
+            tokens,
+            self.term_stats,
+            doc_stats,
+            query_text,
+            n_docs=self.meta["n_docs"],
+            avgdl=self.meta["avgdl"] or 1e-9,
+            k1=float(k1),
+            b=float(b),
+            analyzer=self.meta.get("analyzer", "standard"),
+        )
+        deletes = self._deletes_df()
+        if deletes is not None:
+            scores = scores.join(deletes, "doc_id", "left_anti")
+        return bm25.topk(scores, k)
+
     def count(
         self,
         query_text: str = "",

@@ -151,6 +151,43 @@ def test_ib_ll_two_term_match_beats_one(sim_idx):
     assert got.index(4) < got.index(1)
 
 
+def test_search_params_matches_hand_bm25(sim_idx):
+    """Tunable k1/b (ES per-field similarity settings): hand-recomputed
+    BM25 with k1=1.6, b=0.25 over the tiny corpus; k1→0 must flatten tf
+    saturation (scores approach pure idf sums)."""
+    tf, dl = _tf_dl()
+    terms = sorted(set(tokenize_text(Q)))
+    n = len(DOCS)
+    avgdl = sum(dl.values()) / n
+    df = {t: sum(1 for d, _ in DOCS if (d, t) in tf) for t in terms}
+    k1, b = 1.6, 0.25
+    want = {}
+    for d, _ in DOCS:
+        s = 0.0
+        for t in terms:
+            if (d, t) not in tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf[(d, t)] / (
+                tf[(d, t)] + k1 * (1.0 - b + b * dl[d] / avgdl)
+            )
+        if s:
+            want[d] = s
+    got = {
+        r["doc_id"]: r["score"]
+        for r in sim_idx.search_params(Q, 10, k1=k1, b=b).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+    # k1=0: score degenerates to Σ idf of matched terms, tf-independent
+    flat = {
+        r["doc_id"]: r["score"]
+        for r in sim_idx.search_params(Q, 10, k1=0.0, b=0.25).collect()
+    }
+    assert flat[0] == pytest.approx(flat[4], abs=1e-12)  # same matched set
+
+
 def test_similarity_unknown_raises(sim_idx):
     with pytest.raises(ValueError):
         sim_idx.search_similarity(Q, 5, similarity="bm42")
