@@ -3985,6 +3985,38 @@ def q_similarity_ib(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
 
+def q_bm25_params(spark, sf_dir):
+    """ES 1.x tunable BM25 similarity parameters (the per-field
+    ``similarity`` mapping setting): same query, k1=1.6 / b=0.25 —
+    shared DECIMAL LITERALS in both engines, so the scores stay
+    bit-identical cross-engine like every other BM25 path. Runs the
+    declarative score-all plan (BMW impacts are baked with build-time
+    k1/b; pruning under different constants would be unsound — the
+    engine refuses it by construction)."""
+    out = _cached_idx(spark, sf_dir).search_params(BM25_QUERY, K, k1=1.6, b=0.25)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy (nats) of the unigram term distribution —
+    the repetition/templating curation signal. Expanded form
+    H = ln(dl) − (Σ tf·ln tf)/dl with ONE division by dl; sort keys
+    rounded to 4 dp BEFORE ordering (Σ accumulation-order ulp + ln
+    ulp), ties doc_id asc. Top 50 most-diverse docs."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        token_entropy,
+    )
+
+    out = token_entropy(_docs(spark, sf_dir))
+    return (
+        out.select("doc_id", "dl", F.round("entropy", 4).alias("entropy_r"))
+        .orderBy(F.desc("entropy_r"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4155,6 +4187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_dfr": q_similarity_dfr,
         "similarity_ib": q_similarity_ib,
         "sig_terms_pct": q_sig_terms_pct,
+        "bm25_params_topk": q_bm25_params,
+        "token_entropy": q_token_entropy,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4322,6 +4356,19 @@ def _bm25_variant_sql(query: str, replacement: str, k: int = K) -> str:
     final = _bm25_final_block(k)
     assert final in base
     return base.replace(final, replacement)
+
+
+def _bm25_params_sql(query: str, k1_lit: str, b_lit: str, k: int = K) -> str:
+    """Tunable-k1/b oracle (ES per-field similarity settings): the
+    standard BM25 SQL with the two similarity constants swapped for the
+    entry's decimal literals — the scored CTE's expression SHAPE is
+    untouched, so scores stay bit-identical to the engine's Column
+    arithmetic under the same literals. The assert pins the template's
+    constant spelling; update both together."""
+    base = _bm25_sql(query, k=k)
+    old = "1.2 * (1 - 0.75 + 0.75 *"
+    assert base.count(old) == 1
+    return base.replace(old, f"{k1_lit} * (1 - {b_lit} + {b_lit} *")
 
 
 def _highlight_sql(query: str, k: int = K, n_chars: int = 80) -> str:
@@ -7124,6 +7171,23 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_chi2": _SIG_CHI2_SQL,
         "sig_terms_gnd": _SIG_GND_SQL,
         "sig_terms_pct": _SIG_PCT_SQL,
+        # tunable-k1/b BM25 (ES per-field similarity settings): shared
+        # decimal literals keep scores bit-identical cross-engine
+        "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),
+        # per-doc unigram Shannon entropy, expanded form: ONE division by
+        # dl; 4-dp-rounded sort keys (sum-order + ln ulp), ties doc_id
+        "token_entropy": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS dl, sum(tf * ln(tf)) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, dl, round(ln(dl::DOUBLE) - s / dl::DOUBLE, 4) AS entropy_r
+FROM agg
+ORDER BY entropy_r DESC, doc_id
+LIMIT 50
+""",
         # ES 1.4 sharded terms agg: per-shard top-shard_size windows over
         # doc_id // 128 shards (the terminate_after modulus), coordinator
         # sum + floor-count error bound — all integer arithmetic, mirrored

@@ -64,6 +64,40 @@ def mean_token_len(c: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the unigram term
+    distribution — a repetition/templating quality signal (low entropy =
+    repetitive text; the distributional cousin of the Gopher top-n-gram
+    coverage features). Computed in the algebraically expanded form
+    ``H = ln(dl) − (Σ tf·ln tf)/dl`` — ONE division by dl, so both
+    engines share the same float-op sequence and only the Σ's
+    accumulation order differs (absorbed by 4-dp display rounding
+    downstream). Single-term docs get exactly 0; docs with no tokens
+    are dropped (no distribution to measure). Returns
+    (id_col, dl long, entropy double).
+
+    Scale shape: one tokenize pass, one (doc, term)-keyed aggregation,
+    one doc-keyed aggregation — per-doc keys, no global skew, no
+    window, no collect."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("tf"))
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.sum(F.col("tf") * F.log(F.col("tf"))).alias("s"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("dl"),
+        (
+            F.log(F.col("dl").cast("double")) - F.col("s") / F.col("dl").cast("double")
+        ).alias("entropy"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc curation features + a composite [0,1] quality score."""
     c = F.col(text_col)

@@ -120,6 +120,25 @@ def test_quality_features_values(spark):
     assert abs(r["mean_token_len"] - 3.0) < 1e-5
 
 
+def test_token_entropy_hand_values(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # single term: H = 0 exactly
+            (2, "a b c d"),          # uniform over 4: H = ln 4
+            (3, "a a b"),            # H = ln3 - (2 ln2)/3
+            (4, ""),                 # no tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["dl"], r["entropy"]) for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (4, 0.0)
+    assert got[2][1] == pytest.approx(math.log(4.0), abs=1e-12)
+    assert got[3][1] == pytest.approx(math.log(3.0) - 2 * math.log(2.0) / 3, abs=1e-12)
+
+
 def test_lang_guess(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
 
