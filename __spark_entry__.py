@@ -4017,6 +4017,30 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_index_stats(spark, sf_dir):
+    """ES ``_stats`` docs/terms scalars as one distributed row: exact
+    long counts (docs, total tokens, vocabulary size) plus avgdl
+    recomputed as ONE IEEE division of two exact integers-as-doubles —
+    bit-identical cross-engine, no rounding needed."""
+    return _cached_idx(spark, sf_dir).corpus_summary()
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-exponent corpus analytic: closed-form OLS of ln(freq) on
+    ln(rank) over the top-100 terms (rank = freq desc, term asc — total
+    order, so the head set is identical cross-engine). Slope/intercept
+    rounded to 4 dp (≤100-element sum-order + ln ulp); the OLS algebra
+    is mirrored expression-for-expression in SQL."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import zipf_fit
+
+    out = zipf_fit(_docs(spark, sf_dir), top_n=100)
+    return out.select(
+        F.round("slope", 4).alias("slope_r"),
+        F.round("intercept", 4).alias("intercept_r"),
+        "n_terms",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
     # so entries the gate has never seen (new this round, or skipped by earlier
@@ -4189,6 +4213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_pct": q_sig_terms_pct,
         "bm25_params_topk": q_bm25_params,
         "token_entropy": q_token_entropy,
+        "index_stats": q_index_stats,
+        "zipf_fit": q_zipf_fit,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7187,6 +7213,41 @@ SELECT doc_id, dl, round(ln(dl::DOUBLE) - s / dl::DOUBLE, 4) AS entropy_r
 FROM agg
 ORDER BY entropy_r DESC, doc_id
 LIMIT 50
+""",
+        # ES _stats docs/terms scalars: exact longs + avgdl as ONE IEEE
+        # division of exact integers — raw double, bit-identical
+        "index_stats": f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tok)::DOUBLE
+         / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+""",
+        # Zipf OLS over the top-100 term head: rank is a total order
+        # (freq desc, term asc); the OLS algebra mirrors the engine's
+        # Column arithmetic expression-for-expression; 4-dp keys
+        "zipf_fit": f"""
+WITH tok AS (SELECT unnest({SQL_TOKS}) AS term FROM documents),
+freqs AS (
+  SELECT term, count(*)::DOUBLE AS freq FROM tok GROUP BY term
+  ORDER BY freq DESC, term LIMIT 100
+),
+xy AS (
+  SELECT ln((row_number() OVER (ORDER BY freq DESC, term))::DOUBLE) AS x,
+         ln(freq) AS y
+  FROM freqs
+),
+agg AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_r,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS intercept_r,
+       n::BIGINT AS n_terms
+FROM agg
 """,
         # ES 1.4 sharded terms agg: per-shard top-shard_size windows over
         # doc_id // 128 shards (the terminate_after modulus), coordinator

@@ -98,6 +98,56 @@ def token_entropy(
     )
 
 
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 100
+) -> DataFrame:
+    """Zipf-exponent fit of the corpus term-frequency distribution:
+    closed-form OLS of y = ln(freq) on x = ln(rank) over the ``top_n``
+    most frequent terms (rank = freq desc, term asc — a total order).
+    Natural-language corpora sit near slope ≈ −1 (Zipf 1949); a mix
+    drifting toward templated/duplicated text steepens the head — a
+    corpus-health analytic next to :func:`corpus_drift`.
+
+    Returns ONE row (slope, intercept, n_terms). slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx), intercept = (Σy − slope·Σx)/n —
+    the sums run over ≤ top_n values, so accumulation-order ulp is
+    absorbed by 4-dp display rounding downstream.
+
+    Scale shape: one tokenize pass + one term-keyed count, then
+    TakeOrderedAndProject for the top_n head (never a global sort); the
+    rank window runs over ≤ top_n rows (the accepted ≤k-row window),
+    and the OLS is one 1-row aggregate."""
+    toks = df.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
+    freqs = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("double").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(int(top_n))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    xy = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.col("n").cast("long").alias("n_terms"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc curation features + a composite [0,1] quality score."""
     c = F.col(text_col)

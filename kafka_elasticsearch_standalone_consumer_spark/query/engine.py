@@ -301,6 +301,34 @@ class Index:
             )
         return out
 
+    def corpus_summary(self) -> DataFrame:
+        """ES ``_stats`` docs/terms section as ONE distributed row:
+        (n_docs, total_tokens, n_terms, avgdl). The counts are exact
+        longs (doc-stats rows include zero-token docs, exactly as the
+        build's corpus stats do; tombstoned docs stay counted until
+        compaction purges them — the frozen-stats invariant); avgdl is
+        recomputed HERE as total_tokens/n_docs — ONE IEEE division of
+        two exact integers-as-doubles, bit-identical cross-engine.
+        Driver-side scalars (segments, deletes, lineage) live in
+        :meth:`stats`; this is the distributed-aggregate subset an
+        oracle can mirror.
+
+        Plan shape: two 1-row aggregates (doc stats, term stats) joined
+        by the accepted 1-row broadcast crossJoin — no window, no sort,
+        no collect."""
+        _tokens, doc_stats = self._oracle_tokens()
+        ds = doc_stats.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        vocab = self.term_stats.select("term").distinct().agg(
+            F.count("*").cast("long").alias("n_terms")
+        )
+        return ds.crossJoin(F.broadcast(vocab)).withColumn(
+            "avgdl",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+
     def doc_keys(self) -> DataFrame:
         """(doc_id, conv_id, turn_idx) across base + segments — the stable
         user-facing identity (internal doc_ids are re-keyed by compaction,

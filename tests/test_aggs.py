@@ -267,6 +267,23 @@ def test_significant_terms_heuristics_match_python(spark, built_index):
         idx.significant_terms(Q, heuristic="nope").collect()
 
 
+def test_corpus_summary_matches_raw_corpus(spark, built_index, transcripts):
+    """ES _stats scalars vs direct recomputation over the raw transcripts:
+    exact counts, vocabulary size, and avgdl as the exact-integer
+    division (NOT the stored meta product)."""
+    idx, _ = built_index
+    r = idx.corpus_summary().collect()[0]
+    rows = transcripts.select("text").collect()
+    tok_lists = [tokenize_text(x["text"]) for x in rows]
+    n_docs = len(rows)
+    total = sum(len(t) for t in tok_lists)
+    vocab = len({t for toks in tok_lists for t in toks})
+    assert r["n_docs"] == n_docs
+    assert r["total_tokens"] == total
+    assert r["n_terms"] == vocab
+    assert r["avgdl"] == float(total) / float(n_docs)  # bit-exact division
+
+
 def test_terms_agg_sharded_matches_python(spark, built_index):
     """ES 1.4 shard-approximate terms agg vs a pure-Python simulation of
     the per-shard top-shard_size collection, plus ES's certificate

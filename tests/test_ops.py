@@ -139,6 +139,34 @@ def test_token_entropy_hand_values(spark):
     assert got[3][1] == pytest.approx(math.log(3.0) - 2 * math.log(2.0) / 3, abs=1e-12)
 
 
+def test_zipf_fit_recovers_planted_exponent(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import zipf_fit
+
+    # Plant an exactly Zipfian corpus: term ti appears round(720/i) times.
+    words = []
+    freqs = {}
+    for i in range(1, 13):
+        c = round(720 / i)
+        freqs[f"t{i:02d}"] = c
+        words += [f"t{i:02d}"] * c
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = zipf_fit(df, top_n=12).collect()[0]
+    # Hand OLS on the same (ln rank, ln freq) points.
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(float(c)) for _, c in ranked]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r["n_terms"] == 12
+    assert r["slope"] == pytest.approx(slope, abs=1e-9)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-9)
+    assert -1.05 < r["slope"] < -0.95  # the planted exponent
+
+
 def test_lang_guess(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import lang_guess
 
