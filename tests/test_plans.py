@@ -591,9 +591,37 @@ def test_similarity_modules_share_the_oracle_plan_shape(spark):
         "doc_id long, text string",
     )
     idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
-    for sim in ("classic", "lm_dirichlet", "lm_jm"):
+    for sim in ("classic", "lm_dirichlet", "lm_jm", "dfr_inl2", "ib_ll"):
         plan = _plan(idx.search_similarity("alpha beta", 5, similarity=sim))
         assert "TakeOrderedAndProject" in plan, sim
         assert "CartesianProduct" not in plan, sim
         assert "BroadcastHashJoin" in plan, sim
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, sim
+    # tunable-k1/b path shares the oracle shape too (no BMW, by design)
+    plan = _plan(idx.search_params("alpha beta", 5, k1=1.6, b=0.25))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_and_entropy_plans_stay_aggregated(spark):
+    """zipf_fit: term count + TakeOrderedAndProject head (never a global
+    Sort over the vocabulary); the rank window runs over <= top_n rows.
+    token_entropy: two keyed aggregations, no window, no Python eval."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        token_entropy,
+        zipf_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta"[: 6 + (i % 4) * 5]) for i in range(40)],
+        "doc_id long, text string",
+    )
+    zplan = _plan(zipf_fit(df, top_n=10))
+    assert "TakeOrderedAndProject" in zplan
+    assert "CartesianProduct" not in zplan
+    assert "BatchEvalPython" not in zplan and "ArrowEvalPython" not in zplan
+    eplan = _plan(token_entropy(df))
+    assert "Window" not in eplan
+    assert "CartesianProduct" not in eplan
+    assert "BatchEvalPython" not in eplan and "ArrowEvalPython" not in eplan
