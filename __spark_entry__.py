@@ -4017,6 +4017,20 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_suggest_popular(spark, sf_dir):
+    """ES 1.x term suggester suggest_mode=popular: corrections must be
+    STRICTLY more frequent (distinct-doc df) than the input term — the
+    floor is 0 for absent inputs. Inputs 'a' and 'agg' are mutual
+    first-char distance-2 neighbors whose document frequencies FLIP
+    order across the SFs, so the popular filter provably bites in one
+    direction at every SF; 'filtr' is absent (popular ≡ always there).
+    Ranked dist asc, freq desc, suggestion asc, top 3 per input."""
+    out = _cached_idx(spark, sf_dir).suggest_terms(
+        "a agg filtr", max_edits=2, suggest_mode="popular"
+    )
+    return out.orderBy("input", "suggestion")
+
+
 def q_index_stats(spark, sf_dir):
     """ES ``_stats`` docs/terms scalars as one distributed row: exact
     long counts (docs, total tokens, vocabulary size) plus avgdl
@@ -4215,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "index_stats": q_index_stats,
         "zipf_fit": q_zipf_fit,
+        "suggest_popular": q_suggest_popular,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6500,6 +6515,40 @@ _SIG_GND_SQL = _sigterms_heuristic_sql(
 
 _SIG_PCT_SQL = _sigterms_heuristic_sql("n11 / n_1")
 
+# ES term suggester suggest_mode=popular: same candidate rule as
+# _SUGGEST_SQL at max_edits=2, plus the strictly-more-frequent floor
+# (0 for absent inputs via the LEFT JOIN coalesce)
+_SUGGEST_POPULAR_SQL = f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS freq
+  FROM (SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+inputs(input) AS (VALUES ('a'), ('agg'), ('filtr')),
+own AS (
+  SELECT i.input, coalesce(v.freq, 0)::BIGINT AS own_freq
+  FROM inputs i LEFT JOIN vocab v ON v.term = i.input
+),
+cand AS (
+  SELECT o.input, v.term AS suggestion,
+         damerau_levenshtein(o.input, v.term)::INT AS dist, v.freq
+  FROM own o
+  JOIN vocab v
+    ON starts_with(v.term, substr(o.input, 1, 1))
+   AND abs(length(v.term) - length(o.input)) <= 2
+   AND v.term <> o.input
+  WHERE damerau_levenshtein(o.input, v.term) <= 2
+    AND v.freq > o.own_freq
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY dist, freq DESC, suggestion
+  ) AS rn FROM cand
+)
+SELECT input, suggestion, dist, freq FROM ranked WHERE rn <= 3
+ORDER BY input, suggestion
+"""
+
 
 def _bm25_min_score_sql(query: str, cut: float, k: int = K) -> str:
     """min_score oracle: filter-then-topk ≡ the engine's topk-then-filter
@@ -7197,6 +7246,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_chi2": _SIG_CHI2_SQL,
         "sig_terms_gnd": _SIG_GND_SQL,
         "sig_terms_pct": _SIG_PCT_SQL,
+        "suggest_popular": _SUGGEST_POPULAR_SQL,
         # tunable-k1/b BM25 (ES per-field similarity settings): shared
         # decimal literals keep scores bit-identical cross-engine
         "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),

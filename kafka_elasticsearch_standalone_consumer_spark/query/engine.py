@@ -4137,10 +4137,16 @@ class Index:
         ranks candidates — distance asc, then document frequency desc,
         then term asc — top ``size`` each. ``suggest_mode='missing'``
         (ES default) only suggests for tokens absent from the index;
-        ``'always'`` suggests for every token. The dictionary read is
+        ``'always'`` suggests for every token; ``'popular'`` suggests
+        for every token but keeps only corrections STRICTLY more
+        frequent than the input term itself (ES 1.x's third mode — the
+        input's own df is 0 when absent, so popular ⊇ missing's
+        corrections for absent tokens). The dictionary read is
         pruned by ``prefix_length`` exactly like :meth:`search_fuzzy`."""
         from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
+        if suggest_mode not in ("missing", "always", "popular"):
+            raise ValueError(f"unknown suggest_mode: {suggest_mode!r}")
         if prefix_length < 1:
             raise ValueError(
                 "prefix_length must be ≥1 — an unpruned suggester scans the "
@@ -4154,6 +4160,9 @@ class Index:
         if present_rows is None:
             present_rows = self._lookup_terms_spark(toks)
         present = {t for t, _, _ in present_rows}
+        own_df: dict[str, int] = {}
+        for t, d, _b in present_rows:
+            own_df[t] = own_df.get(t, 0) + int(d)
         out = []
         for tok in toks:
             if suggest_mode == "missing" and tok in present:
@@ -4179,6 +4188,9 @@ class Index:
             df_by: dict[str, int] = {}
             for term, df, _bucket in rows:
                 df_by[term] = df_by.get(term, 0) + int(df)
+            if suggest_mode == "popular":
+                floor = own_df.get(tok, 0)
+                near = [(t, d) for t, d in near if df_by.get(t, 0) > floor]
             ranked = sorted(near, key=lambda td: (td[1], -df_by.get(td[0], 0), td[0]))
             for t, d in ranked[:size]:
                 out.append((tok, t, int(d), int(df_by.get(t, 0))))

@@ -393,6 +393,33 @@ def test_suggest_terms(spark, built_index):
     assert freqs == sorted(freqs, reverse=True)
     with pytest.raises(ValueError, match="prefix_length"):
         idx.suggest_terms("w0000x", prefix_length=0)
+    with pytest.raises(ValueError, match="suggest_mode"):
+        idx.suggest_terms("w0000x", suggest_mode="nope")
+
+
+def test_suggest_terms_popular_mode(spark, built_index):
+    """suggest_mode=popular: corrections must be STRICTLY more frequent
+    than the input term — for a present input it's 'always' minus the
+    less-frequent candidates; for an absent input the floor is 0, so it
+    equals 'always' there."""
+    idx, _ = built_index
+    present = "w00000"
+    own = {t: d for t, d, _b in idx._lookup_terms_arrow([present])}[present]
+    always = idx.suggest_terms(present, max_edits=1, suggest_mode="always").collect()
+    popular = idx.suggest_terms(present, max_edits=1, suggest_mode="popular").collect()
+    want = sorted(
+        [(r["suggestion"], r["dist"], r["freq"]) for r in always if r["freq"] > own],
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:3]
+    assert sorted(
+        [(r["suggestion"], r["dist"], r["freq"]) for r in popular],
+        key=lambda x: (x[1], -x[2], x[0]),
+    ) == want
+    assert all(r["freq"] > own for r in popular)
+    # absent input: floor 0 → popular == always
+    pa = idx.suggest_terms("w0000x", max_edits=1, suggest_mode="popular").collect()
+    aa = idx.suggest_terms("w0000x", max_edits=1, suggest_mode="always").collect()
+    assert {tuple(r) for r in pa} == {tuple(r) for r in aa}
 
 
 def test_search_after_pagination(spark, built_index):
