@@ -4017,6 +4017,19 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_msm_spec(spark, sf_dir):
+    """ES minimum_should_match SPEC syntax (percentages/negatives/
+    conditionals): '1<-34%' over the 3-term query → 3 > 1, so -34%
+    applies → floor(34%·3)=1 clause may be missing → msm=2. Exact
+    integer arithmetic in the parser ((N·n)//100 — no float), so the
+    resolved msm is unambiguous; the oracle is the plain msm=2 SQL."""
+    idx = _cached_idx(spark, sf_dir)
+    out = idx.search(BM25_QUERY, K, mode="bmw", min_should_match="1<-34%")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_suggest_popular(spark, sf_dir):
     """ES 1.x term suggester suggest_mode=popular: corrections must be
     STRICTLY more frequent (distinct-doc df) than the input term — the
@@ -4230,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "zipf_fit": q_zipf_fit,
         "suggest_popular": q_suggest_popular,
+        "msm_spec_topk": q_msm_spec,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7247,6 +7261,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_gnd": _SIG_GND_SQL,
         "sig_terms_pct": _SIG_PCT_SQL,
         "suggest_popular": _SUGGEST_POPULAR_SQL,
+        "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         # tunable-k1/b BM25 (ES per-field similarity settings): shared
         # decimal literals keep scores bit-identical cross-engine
         "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),

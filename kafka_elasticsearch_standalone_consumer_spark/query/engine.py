@@ -345,6 +345,20 @@ class Index:
         return out
 
     # -- planning ---------------------------------------------------------
+    def _msm(self, min_should_match: "int | str", query_text: str) -> int:
+        """Resolve a minimum_should_match value: ints pass through;
+        strings run the full ES spec parser against the DISTINCT
+        analyzed term count of this query."""
+        if isinstance(min_should_match, str):
+            from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+                parse_min_should_match,
+            )
+
+            return parse_min_should_match(
+                min_should_match, len(set(self._analyze(query_text)))
+            )
+        return int(min_should_match)
+
     def _analyze(self, text: str) -> list[str]:
         """Query-time analysis with the INDEX's analyzer (meta-recorded
         at build) — ES's invariant that query and index analysis agree.
@@ -505,7 +519,7 @@ class Index:
         k: int = 10,
         mode: str = "bmw",
         where: str | None = None,
-        min_should_match: int = 1,
+        min_should_match: "int | str" = 1,
         min_score: float | None = None,
         _allowed_docs: DataFrame | None = None,
         _blocked_docs: DataFrame | None = None,
@@ -542,7 +556,12 @@ class Index:
         scores unchanged for survivors (the match set comes from one
         term-pruned tokens scan and rides the same allowed-doc cogroup
         as the filter clause). ``m = len(terms)`` equals mode='intersect'.
+        A STRING value is parsed with the full ES spec syntax
+        (percentages, negatives, I<SPEC conditionals — see
+        :func:`querystring.parse_min_should_match`) against the distinct
+        analyzed term count.
         """
+        min_should_match = self._msm(min_should_match, query_text)
         idfw, buckets = _plan if _plan is not None else self._plan_terms(query_text)
         if not idfw:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -6398,13 +6417,15 @@ class Index:
         query_text: str,
         k: int | None = 10,
         where: str | None = None,
-        min_should_match: int = 1,
+        min_should_match: "int | str" = 1,
     ) -> DataFrame:
         """Verification path: pure DataFrame BM25 over the tokens table.
         ``where``/``min_should_match`` restrict the returned doc set
         (left-semi joins) with global stats — same as search().
         ``k=None`` returns the FULL unranked score set (used by clause
-        composition, e.g. query_string's term+phrase sum)."""
+        composition, e.g. query_string's term+phrase sum). A string
+        ``min_should_match`` runs the ES spec parser (see search)."""
+        min_should_match = self._msm(min_should_match, query_text)
         tokens, doc_stats = self._oracle_tokens()
         idfw, _buckets = self._plan_terms(query_text)
         scores = bm25.bm25_scores_oracle(
@@ -6627,7 +6648,7 @@ class Index:
         self,
         query_text: str = "",
         where: str | None = None,
-        min_should_match: int = 1,
+        min_should_match: "int | str" = 1,
     ) -> DataFrame:
         """ES 1.x ``_count`` API (also ``search_type=count``): the number
         of live, filtered documents matching ≥ ``min_should_match``
@@ -6640,7 +6661,9 @@ class Index:
         Scale shape: the match set is the same term-pruned tokens scan +
         one aggregation every agg runs over (:meth:`_agg_scope`); the
         count itself is a partial-agg reduce — nothing is fetched, no
-        window, no sort."""
+        window, no sort. A string ``min_should_match`` runs the ES spec
+        parser (see search)."""
+        min_should_match = self._msm(min_should_match, query_text)
         scoped = self._agg_scope(query_text, where, min_should_match)
         if scoped is None:
             docs = self._docs_df()

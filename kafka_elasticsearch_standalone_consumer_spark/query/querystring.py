@@ -60,6 +60,62 @@ _TOKEN_RE = re.compile(
 _TEMPLATE_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
 
 
+def parse_min_should_match(spec: "int | str", n_optional: int) -> int:
+    """ES ``minimum_should_match`` spec (the full ES 1.x syntax; the
+    reference's ES 1.5 applies it to bool/match/query_string queries):
+
+    - positive integer — that many optional clauses required;
+    - negative integer — that many clauses may be MISSING
+      (``n_optional - |n|``);
+    - ``"N%"`` — that percentage of ``n_optional``, rounded DOWN
+      (exact integer arithmetic: ``(N*n)//100`` — no float);
+    - ``"-N%"`` — that percentage may be missing, rounded down before
+      subtracting (the ES doc's asymmetric rounding rule);
+    - ``"I<SPEC"`` — conditional: SPEC applies only when
+      ``n_optional > I``, otherwise ALL clauses are required;
+    - multiple space-separated conditionals — the entry with the
+      LARGEST ``I`` still below ``n_optional`` wins; none applicable →
+      all required.
+
+    Results ≤ 0 mean "no constraint" and collapse to 1 (in OR
+    semantics a doc matching zero clauses never scores anyway). A
+    result above ``n_optional`` is NOT clamped — such a query matches
+    nothing, exactly like Lucene's BooleanQuery."""
+
+    def one(token: str) -> int:
+        token = token.strip()
+        if token.endswith("%"):
+            p = int(token[:-1])
+            if p < 0:
+                return n_optional - ((-p) * n_optional) // 100
+            return (p * n_optional) // 100
+        v = int(token)
+        return n_optional + v if v < 0 else v
+
+    if isinstance(spec, int):
+        got = spec
+    else:
+        parts = str(spec).split()
+        if not parts:
+            raise ValueError("empty minimum_should_match spec")
+        if len(parts) == 1 and "<" not in parts[0]:
+            got = one(parts[0])
+        else:
+            best: tuple[int, str] | None = None
+            for p in parts:
+                if "<" not in p:
+                    raise ValueError(
+                        f"plain value {p!r} in a multi-part minimum_should_match "
+                        "spec — combinations must all be conditional (I<SPEC)"
+                    )
+                i_s, sub = p.split("<", 1)
+                i = int(i_s)
+                if n_optional > i and (best is None or i > best[0]):
+                    best = (i, sub)
+            got = n_optional if best is None else one(best[1])
+    return max(got, 1)
+
+
 def render_template(template: str, params: dict[str, object]) -> str:
     """ES 1.x ``/_search/template`` rendering: substitute mustache-style
     ``{{param}}`` placeholders with the given params (stringified — ES's

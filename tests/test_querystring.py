@@ -223,3 +223,55 @@ def test_validate_query_renders_range_and_exists(spark, built_index):
     assert row["valid"]
     assert "#n_chars:[100 TO *}" in row["explanation"]
     assert "#_exists_:tool" in row["explanation"]
+
+
+def test_parse_min_should_match_full_spec():
+    """The ES minimum_should_match spec table, including the asymmetric
+    percentage rounding and conditional combinations."""
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.querystring import (
+        parse_min_should_match as msm,
+    )
+
+    assert msm(3, 5) == 3
+    assert msm("3", 5) == 3
+    assert msm("-2", 5) == 3
+    assert msm("75%", 5) == 3          # floor(3.75)
+    assert msm("-25%", 9) == 7         # floor(2.25)=2 may be missing
+    assert msm("100%", 4) == 4
+    assert msm("3<90%", 3) == 3        # n not > 3 → all required
+    assert msm("3<90%", 10) == 9
+    assert msm("2<-25% 9<3", 11) == 3  # largest I below n wins
+    assert msm("2<-25% 9<3", 6) == 5   # 2 wins: floor(25%·6)=1 missing
+    assert msm("2<-25% 9<3", 2) == 2   # none applicable → all
+    assert msm("0", 4) == 1            # no constraint collapses to 1
+    assert msm("-100%", 4) == 1        # everything may be missing
+    assert msm("200%", 3) == 6         # NOT clamped: matches nothing
+    with pytest.raises(ValueError):
+        msm("90% 2<3", 5)              # plain value in a multi-part spec
+    with pytest.raises(ValueError):
+        msm("  ", 5)
+
+
+def test_search_accepts_msm_spec_strings(spark, built_index):
+    """String specs resolve against the distinct analyzed term count and
+    rank-match the equivalent integer msm on every path."""
+    idx, _ = built_index
+    q = "w00000 w00003 w00412"
+    want = [tuple(r) for r in idx.search(q, 10, min_should_match=2).collect()]
+    got = [tuple(r) for r in idx.search(q, 10, min_should_match="1<-34%").collect()]
+    assert got == want and got
+    got_o = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_oracle(q, 10, min_should_match="67%").collect()
+    ]
+    want_o = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_oracle(q, 10, min_should_match=2).collect()
+    ]
+    assert got_o == want_o and got_o
+    assert (
+        idx.count(q, min_should_match="67%").collect()[0]["total"]
+        == idx.count(q, min_should_match=2).collect()[0]["total"]
+    )
