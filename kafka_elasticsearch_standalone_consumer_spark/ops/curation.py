@@ -89,6 +89,65 @@ def stratified_sample(
     return df.filter(u < frac)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    eval_frac: float = 0.1,
+    n: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination-aware train/eval split: a deterministic hash split
+    (the portable md5(id:seed) unit-interval trick shared with
+    stratified_sample) proposes an eval set, then every proposed eval
+    doc sharing ANY word n-gram shingle with the train side is MOVED
+    BACK to train — the final eval set is shingle-disjoint from train
+    by construction (the Lee et al. 2022 / GPT-3-appendix n-gram
+    leakage rule applied at split time; the fix biases the eval set
+    smaller, never contaminated). Docs with < n tokens carry no
+    shingles and stay where the hash put them. Returns (doc_id, split)
+    for EVERY input doc, split ∈ ('train', 'eval').
+
+    Scale shape: the proposed eval side is eval_frac of the corpus;
+    its distinct-shingle set broadcasts, the train shingle stream is
+    scanned ONCE against it (left-semi — never a cross join, and the
+    train side never shuffles), and the resulting dirty-shingle set —
+    ⊆ the eval shingles — broadcasts back to convict eval docs. The
+    verdict rides to the full corpus via one left join on doc_id."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import shingle_df
+
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    tagged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (u < F.lit(float(eval_frac))).alias("cand"),
+    )
+    ev = tagged.filter(F.col("cand"))
+    tr = tagged.filter(~F.col("cand"))
+    ev_sh = shingle_df(ev, "text", "doc_id", n)
+    dirty_grams = (
+        shingle_df(tr, "text", "doc_id", n)
+        .select("shingle")
+        .join(F.broadcast(ev_sh.select("shingle").distinct()), "shingle", "left_semi")
+        .distinct()
+    )
+    dirty_docs = (
+        ev_sh.join(F.broadcast(dirty_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    return tagged.join(dirty_docs, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("cand") & F.col("dirty").isNull(), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -139,6 +139,39 @@ def test_token_entropy_hand_values(spark):
     assert got[3][1] == pytest.approx(math.log(3.0) - 2 * math.log(2.0) / 3, abs=1e-12)
 
 
+def test_leakage_safe_split_moves_contaminated_eval_docs(spark):
+    """Planted leak: one hash-eval doc copies a train doc's 8-gram run —
+    it must come back as 'train'; an eval doc with unique text stays
+    'eval'; every input doc gets exactly one verdict."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        leakage_safe_split,
+    )
+
+    # find ids that hash under/over the 0.5 threshold deterministically
+    import hashlib
+
+    def u(i, seed=42):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) / 2**32
+
+    ev_ids = [i for i in range(100) if u(i) < 0.5][:2]
+    tr_ids = [i for i in range(100) if u(i) >= 0.5][:1]
+    shared = "q w e r t y u i o p"  # a 10-token run: shares 8-grams
+    rows = [
+        (ev_ids[0], shared),                    # leaked: shares with train
+        (ev_ids[1], "z x c v b n m k j h"),     # clean: unique 8-grams
+        (tr_ids[0], shared + " extra tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df, eval_frac=0.5, n=8, seed=42).collect()
+    }
+    assert len(got) == 3
+    assert got[ev_ids[0]] == "train"  # moved back by the leakage rule
+    assert got[ev_ids[1]] == "eval"
+    assert got[tr_ids[0]] == "train"
+
+
 def test_zipf_fit_recovers_planted_exponent(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import zipf_fit
 

@@ -604,6 +604,23 @@ def test_similarity_modules_share_the_oracle_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_leakage_split_broadcasts_and_never_cross_joins(spark):
+    """leakage_safe_split: the eval shingle set and the dirty-gram set
+    ride broadcast joins; the train side never cartesian-joins."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta eps zeta eta theta iota") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(leakage_safe_split(df, eval_frac=0.3, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_zipf_and_entropy_plans_stay_aggregated(spark):
     """zipf_fit: term count + TakeOrderedAndProject head (never a global
     Sort over the vocabulary); the rank window runs over <= top_n rows.
