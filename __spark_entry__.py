@@ -4017,6 +4017,19 @@ def q_token_entropy(spark, sf_dir):
     )
 
 
+def q_qs_boost(spark, sf_dir):
+    """ES query_string caret boost: 'hash^2 join stream' weights hash's
+    idf ×2 (one bare occurrence would add ×1 more). The plan is built
+    driver-side (weight·idf, the _plan_terms float-op order) and runs
+    through the fast BMW kernel via the _plan hook; the oracle carries
+    the same weights in its VALUES clause, so scores stay bit-identical
+    like every BM25 path."""
+    out = _cached_idx(spark, sf_dir).query_string("hash^2 join stream", K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_leakage_split(spark, sf_dir):
     """Contamination-aware train/eval split: md5(id:42) hash proposes a
     10% eval set, then eval docs sharing ANY 8-gram shingle with the
@@ -4269,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_popular": q_suggest_popular,
         "msm_spec_topk": q_msm_spec,
         "leakage_split": q_leakage_split,
+        "qs_boost_topk": q_qs_boost,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -4436,6 +4450,16 @@ def _bm25_variant_sql(query: str, replacement: str, k: int = K) -> str:
     final = _bm25_final_block(k)
     assert final in base
     return base.replace(final, replacement)
+
+
+def _bm25_weighted_sql(weights: "dict[str, float]", k: int = K) -> str:
+    """Weighted-disjunction oracle (query_string term^boost): the standard
+    BM25 SQL with explicit per-term weights in the VALUES clause — q.w·idf
+    mirrors the engine's driver-side weight·idf plan product."""
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(weights.items()))
+    return _BM25_SQL_TEMPLATE.format(
+        toks=SQL_TOKS, qvals=qvals, having="", k=k, scored_where=""
+    )
 
 
 def _bm25_params_sql(query: str, k1_lit: str, b_lit: str, k: int = K) -> str:
@@ -7320,6 +7344,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         "leakage_split": _LEAKAGE_SPLIT_SQL,
+        "qs_boost_topk": _bm25_weighted_sql({"hash": 2.0, "join": 1.0, "stream": 1.0}),
         # tunable-k1/b BM25 (ES per-field similarity settings): shared
         # decimal literals keep scores bit-identical cross-engine
         "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),

@@ -6,6 +6,9 @@ syntax (implicit in shipping documents to ES 1.5.1, reference
 engine and documents its semantics precisely:
 
     hash join              bare terms — OR (should), BM25 sum
+    hash^2                 boosted term — its idf weight is multiplied
+                           by the boost (ES query_string caret syntax);
+                           composes with must/must_not/filters
     +hash join             '+' term — must: doc must contain it (still
                            scored together with the should terms, ES bool
                            must + should)
@@ -51,7 +54,7 @@ _TOKEN_RE = re.compile(
   | (?P<field>[A-Za-z_][A-Za-z0-9_]*):(?P<value>[A-Za-z0-9_.-]+)
   | (?P<plus>\+)(?P<mterm>[^\s+\-"]+)
   | (?P<minus>-)(?P<nterm>[^\s+\-"]+)
-  | (?P<word>[^\s+\-"][^\s"]*)
+  | (?P<word>[^\s+\-"][^\s"^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?
     """,
     re.VERBOSE,
 )
@@ -148,6 +151,9 @@ class ParsedQuery:
     # trailing-* prefix clauses (simple_query_string): constant-score 1.0
     # contributions summed bool-should style with the scored clauses
     prefixes: list[str] = field(default_factory=list)
+    # term^boost should clauses: (analyzed term, boost) per occurrence —
+    # each contributes boost·idf where a bare occurrence contributes 1·idf
+    boosts: list[tuple[str, float]] = field(default_factory=list)
 
 
 def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
@@ -185,6 +191,13 @@ def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
             out.must_not.extend(tokenize_text(m.group("nterm"), analyzer))
         elif m.group("word"):
             w = m.group("word")
+            if m.group("boost") is not None:
+                # term^boost — a weighted should clause (boost composes
+                # with neither AND promotion nor must; documented scope)
+                for t in tokenize_text(w, analyzer):
+                    out.boosts.append((t, float(m.group("boost"))))
+                pending_and = False
+                continue
             if w == "AND":
                 # promote the previous bare word; the next one joins must too
                 if words:
@@ -348,6 +361,33 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
             if ms is None:
                 return index.spark.createDataFrame([], "doc_id long, score double")
             allowed = ms if allowed is None else allowed.join(ms, "doc_id", "left_semi")
+    if parsed.boosts:
+        # ES term^boost: a weighted disjunction — per-term weight =
+        # 1·(bare occurrences) + Σ boosts; the plan is computed once
+        # driver-side (weight · idf, the same float-op order as
+        # _plan_terms) and injected through the _plan hook, so the fast
+        # kernel path scores exactly these weights (the fuzzy_like_this
+        # mechanism). Composes with must/must_not/filters; phrases and
+        # prefixes are separate clause types — out of boost scope.
+        if parsed.phrases or parsed.prefixes:
+            raise ValueError(
+                "term^boost composes with term clauses only "
+                "(not phrase/prefix clauses)"
+            )
+        wmap: dict[str, float] = {}
+        for t in terms:
+            wmap[t] = wmap.get(t, 0.0) + 1.0
+        for t, b in parsed.boosts:
+            wmap[t] = wmap.get(t, 0.0) + b
+        idfw1, buckets = index._plan_terms(" ".join(sorted(wmap)))
+        if not idfw1:
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        idfw = {t: wmap[t] * idfw1[t] for t in sorted(idfw1)}
+        return index.search(
+            " ".join(sorted(wmap)), k, mode="bmw", where=where,
+            _allowed_docs=allowed, _blocked_docs=blocked,
+            _plan=(idfw, buckets),
+        )
     if not terms and len(parsed.phrases) == 1 and allowed is None and blocked is None \
             and not parsed.prefixes:
         phrase, slop = parsed.phrases[0]

