@@ -4030,6 +4030,19 @@ def q_qs_boost(spark, sf_dir):
     )
 
 
+def q_qs_fuzzy(spark, sf_dir):
+    """ES query_string fuzzy syntax 'hash filtr~1': BM25('hash') plus a
+    constant 1.0 for docs containing any dictionary term within Damerau
+    distance 1 of 'filtr' (first-char prefix prune + length band — the
+    search_fuzzy expansion rule; Lucene 1.x constant_score_auto
+    rewrite). The oracle mirrors the clause sum with the same distance
+    rule inline."""
+    out = _cached_idx(spark, sf_dir).query_string("hash filtr~1", K)
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_leakage_split(spark, sf_dir):
     """Contamination-aware train/eval split: md5(id:42) hash proposes a
     10% eval set, then eval docs sharing ANY 8-gram shingle with the
@@ -4283,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_spec_topk": q_msm_spec,
         "leakage_split": q_leakage_split,
         "qs_boost_topk": q_qs_boost,
+        "qs_fuzzy_topk": q_qs_fuzzy,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7345,6 +7359,25 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         "leakage_split": _LEAKAGE_SPLIT_SQL,
         "qs_boost_topk": _bm25_weighted_sql({"hash": 2.0, "join": 1.0, "stream": 1.0}),
+        "qs_fuzzy_topk": _bm25_variant_sql(
+            "hash",
+            f"""SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score_r
+FROM (
+  SELECT doc_id, sum(score) AS score FROM (
+    SELECT doc_id, score FROM scored
+    UNION ALL
+    SELECT DISTINCT doc_id, 1.0 AS score FROM toks
+    WHERE substr(term, 1, 1) = 'f'
+      AND abs(length(term) - 5) <= 1
+      AND damerau_levenshtein('filtr', term) <= 1
+  ) GROUP BY doc_id
+)
+ORDER BY score DESC, doc_id
+LIMIT {K}
+""",
+        ),
         # tunable-k1/b BM25 (ES per-field similarity settings): shared
         # decimal literals keep scores bit-identical cross-engine
         "bm25_params_topk": _bm25_params_sql(BM25_QUERY, "1.6", "0.25"),

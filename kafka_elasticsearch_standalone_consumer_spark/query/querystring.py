@@ -16,6 +16,10 @@ engine and documents its semantics precisely:
                            excluded (scores of survivors unchanged)
     "hash join"            quoted — exact phrase (match_phrase)
     "hash join"~2          quoted with ~s — phrase with slop s
+    filtr~1                fuzzy term (ES ~ syntax): docs containing a
+                           dictionary term within that Damerau edit
+                           distance add a constant 1.0 (Lucene 1.x
+                           constant_score_auto rewrite); bare ~ = 1 edit
     lang:en                field:value — ES filter clause on a document
                            metadata column (restricts the doc set, corpus
                            statistics stay global)
@@ -54,6 +58,7 @@ _TOKEN_RE = re.compile(
   | (?P<field>[A-Za-z_][A-Za-z0-9_]*):(?P<value>[A-Za-z0-9_.-]+)
   | (?P<plus>\+)(?P<mterm>[^\s+\-"]+)
   | (?P<minus>-)(?P<nterm>[^\s+\-"]+)
+  | (?P<fword>[^\s+\-"^~]+)~(?P<fuzz>[0-2])?(?=\s|$)
   | (?P<word>[^\s+\-"][^\s"^]*)(?:\^(?P<boost>\d+(?:\.\d+)?))?
     """,
     re.VERBOSE,
@@ -154,6 +159,9 @@ class ParsedQuery:
     # term^boost should clauses: (analyzed term, boost) per occurrence —
     # each contributes boost·idf where a bare occurrence contributes 1·idf
     boosts: list[tuple[str, float]] = field(default_factory=list)
+    # term~n fuzzy clauses: (analyzed term, max_edits) — Lucene's 1.x
+    # constant_score_auto rewrite: matching docs add 1.0 per clause
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)
 
 
 def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
@@ -189,6 +197,13 @@ def parse_query_string(q: str, analyzer: str = "standard") -> ParsedQuery:
             out.must.extend(tokenize_text(m.group("mterm"), analyzer))
         elif m.group("minus"):
             out.must_not.extend(tokenize_text(m.group("nterm"), analyzer))
+        elif m.group("fword"):
+            # term~n — fuzzy should clause; a bare ~ defaults to 1 edit
+            # (documented deviation: ES 1.x's bare ~ meant similarity
+            # 0.5, a length-dependent edit budget)
+            fz = int(m.group("fuzz")) if m.group("fuzz") is not None else 1
+            for t in tokenize_text(m.group("fword"), analyzer):
+                out.fuzzies.append((t, fz))
         elif m.group("word"):
             w = m.group("word")
             if m.group("boost") is not None:
@@ -355,7 +370,28 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
     for p in parsed.prefixes:
         expanded = sorted(set(index._expand_prefix(p, max_expansions=50)))
         prefix_sets.append(index._match_set(expanded, 1) if expanded else None)
-    if parsed.prefixes and parsed.must:
+    if parsed.fuzzies:
+        # term~n — the search_fuzzy expansion rule verbatim (first-char
+        # prefix prune + length band + Damerau filter, capped at 50 in
+        # term order), contributing constant-score 1.0 per clause
+        # exactly like prefix clauses (Lucene constant_score_auto)
+        from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+            _damerau_levenshtein,
+        )
+
+        for term, fz in parsed.fuzzies:
+            cand = index._expand_prefix(
+                term[:1], 1 << 20, length_band=(len(term) - fz, len(term) + fz)
+            )
+            near = [
+                t
+                for t in cand
+                if abs(len(t) - len(term)) <= fz
+                and _damerau_levenshtein(term, t, fz) <= fz
+            ]
+            near = sorted(near)[:50]
+            prefix_sets.append(index._match_set(near, 1) if near else None)
+    if (parsed.prefixes or parsed.fuzzies) and parsed.must:
         # AND semantics: a conjunctive query requires the prefix clauses too
         for ms in prefix_sets:
             if ms is None:
@@ -369,7 +405,7 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
         # kernel path scores exactly these weights (the fuzzy_like_this
         # mechanism). Composes with must/must_not/filters; phrases and
         # prefixes are separate clause types — out of boost scope.
-        if parsed.phrases or parsed.prefixes:
+        if parsed.phrases or parsed.prefixes or parsed.fuzzies:
             raise ValueError(
                 "term^boost composes with term clauses only "
                 "(not phrase/prefix clauses)"
@@ -389,10 +425,10 @@ def run_parsed(index, parsed: ParsedQuery, k: int = 10):
             _plan=(idfw, buckets),
         )
     if not terms and len(parsed.phrases) == 1 and allowed is None and blocked is None \
-            and not parsed.prefixes:
+            and not parsed.prefixes and not parsed.fuzzies:
         phrase, slop = parsed.phrases[0]
         return index.search_phrase(phrase, k, where=where, slop=slop)
-    if not parsed.phrases and not parsed.prefixes:
+    if not parsed.phrases and not parsed.prefixes and not parsed.fuzzies:
         return index.search(
             " ".join(terms), k, mode="bmw", where=where,
             _allowed_docs=allowed, _blocked_docs=blocked,

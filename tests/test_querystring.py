@@ -298,3 +298,31 @@ def test_query_string_term_boost(spark, built_index):
 
     with pytest.raises(ValueError, match="term\\^boost"):
         idx.query_string('w00000^2 "w00003 w00004"', 5)
+
+
+def test_query_string_fuzzy_clause(spark, built_index):
+    """term~n: constant 1.0 for docs with a dictionary term within the
+    edit budget, summed bool-should style with scored clauses; bare ~
+    defaults to one edit."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        _damerau_levenshtein,
+    )
+
+    idx, _ = built_index
+    got = {r["doc_id"]: r["score"] for r in idx.query_string("w00000 w0041x~1", 5000).collect()}
+    base = {r["doc_id"]: r["score"] for r in idx.search("w00000", 5000).collect()}
+    # recompute the expansion with the same rule
+    cand = idx._expand_prefix("w", 1 << 20, length_band=(5, 7))
+    near = sorted(
+        t for t in cand
+        if abs(len(t) - 6) <= 1 and _damerau_levenshtein("w0041x", t, 1) <= 1
+    )[:50]
+    fuzzy_docs = {r["doc_id"] for r in idx._match_set(near, 1).collect()}
+    assert fuzzy_docs  # the clause actually matched something
+    for d, s in got.items():
+        want = base.get(d, 0.0) + (1.0 if d in fuzzy_docs else 0.0)
+        assert abs(s - want) < 1e-9, d
+    assert set(got) == set(base) | fuzzy_docs
+    # bare ~ defaults to one edit
+    bare = {r["doc_id"]: r["score"] for r in idx.query_string("w00000 w0041x~", 5000).collect()}
+    assert bare == got
