@@ -4030,6 +4030,17 @@ def q_qs_boost(spark, sf_dir):
     )
 
 
+def q_sig_terms_field(spark, sf_dir):
+    """ES significant_terms over a METADATA field (lang): field values
+    over-represented among the query's matching docs vs the live corpus
+    — JLH scoring, NULL values skipped, positive-signal fg%>bg%
+    qualifier. The heuristic expressions are the SAME _significance_score
+    Columns the text variant uses, mirrored verbatim in SQL."""
+    return _cached_idx(spark, sf_dir).significant_terms_field(
+        BM25_QUERY, "lang", size=10
+    )
+
+
 def q_qs_fuzzy(spark, sf_dir):
     """ES query_string fuzzy syntax 'hash filtr~1': BM25('hash') plus a
     constant 1.0 for docs containing any dictionary term within Damerau
@@ -4297,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "qs_boost_topk": q_qs_boost,
         "qs_fuzzy_topk": q_qs_fuzzy,
+        "sig_terms_field": q_sig_terms_field,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6592,6 +6604,29 @@ _SIG_GND_SQL = _sigterms_heuristic_sql(
 
 _SIG_PCT_SQL = _sigterms_heuristic_sql("n11 / n_1")
 
+# significant_terms over a metadata field: same JLH expression as
+# _SIGTERMS_SQL with field values instead of tokens; NULLs skipped
+_SIG_FIELD_SQL = f"""
+WITH fg AS ({_MATCHED}),
+live AS (SELECT doc_id, lang::VARCHAR AS v FROM documents WHERE lang IS NOT NULL),
+sizes AS (
+  SELECT (SELECT count(*) FROM live
+          WHERE doc_id IN (SELECT doc_id FROM fg))::DOUBLE AS fg_size,
+         (SELECT count(*) FROM live)::DOUBLE AS bg_size
+),
+fgc AS (SELECT v, count(*)::BIGINT AS fg_n FROM live
+        WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY v),
+bgc AS (SELECT v, count(*)::BIGINT AS bg_n FROM live GROUP BY v)
+SELECT v AS term, fg_n, bg_n,
+       round((fg_n / fg_size - bg_n / bg_size)
+             * ((fg_n / fg_size) / (bg_n / bg_size)), 6) AS score_r
+FROM fgc JOIN bgc USING (v) CROSS JOIN sizes
+WHERE fg_n / fg_size > bg_n / bg_size
+ORDER BY score_r DESC, term
+LIMIT 10
+"""
+
+
 # leakage-safe split: md5(id:seed) unit-interval hash split (the
 # stratified_sample expression verbatim), 8-gram shingles (the
 # _DECONTAMINATE_SQL pattern widened to n=8), eval docs sharing any
@@ -7355,6 +7390,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_chi2": _SIG_CHI2_SQL,
         "sig_terms_gnd": _SIG_GND_SQL,
         "sig_terms_pct": _SIG_PCT_SQL,
+        "sig_terms_field": _SIG_FIELD_SQL,
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         "leakage_split": _LEAKAGE_SPLIT_SQL,

@@ -55,6 +55,49 @@ def _boost_combine(score: "F.Column", fv: "F.Column", boost_mode: str) -> "F.Col
     return modes[boost_mode](score, fv)
 
 
+def _significance_score(heuristic: str, n, n11, n1_, n_1) -> "F.Column":
+    """The shared ES significance-heuristic expressions over a 2×2
+    contingency table in background-is-superset framing (all cells exact
+    integers-as-doubles): jlh / mutual_information / chi_square / gnd /
+    percentage — see :meth:`Index.significant_terms` for the formulas
+    and citations. Kept as ONE function so the text-terms agg and the
+    field-values agg score identically."""
+    n10 = n1_ - n11
+    n01 = n_1 - n11
+    n00 = n - n1_ - n_1 + n11
+    n0_ = n - n1_
+    n_0 = n - n_1
+
+    def _mi_term(nij, ni, nj):
+        # 0·log 0 = 0 convention; nij > 0 implies ni, nj > 0.
+        return F.when(
+            nij > 0.0, (nij / n) * F.log2(n * nij / (ni * nj))
+        ).otherwise(F.lit(0.0))
+
+    if heuristic == "jlh":
+        fgp = n11 / n1_
+        bgp = n_1 / n
+        return (fgp - bgp) * (fgp / bgp)
+    if heuristic == "mutual_information":
+        return (
+            _mi_term(n11, n1_, n_1)
+            + _mi_term(n10, n1_, n_0)
+            + _mi_term(n01, n0_, n_1)
+            + _mi_term(n00, n0_, n_0)
+        )
+    if heuristic == "chi_square":
+        d = n11 * n00 - n10 * n01
+        return n * (d * d) / (n1_ * n_1 * n0_ * n_0)
+    if heuristic == "gnd":
+        gnd = (F.greatest(F.log(n1_), F.log(n_1)) - F.log(n11)) / (
+            F.log(n) - F.least(F.log(n1_), F.log(n_1))
+        )
+        return F.exp(-gnd)
+    if heuristic == "percentage":
+        return n11 / n_1
+    raise ValueError(f"unknown significance heuristic {heuristic!r}")
+
+
 def _damerau_levenshtein(a: str, b: str, cap: int) -> int:
     """Restricted Damerau-Levenshtein (adjacent transposition counts as
     one edit — ES's fuzziness metric), early-exiting past ``cap``.
@@ -6336,48 +6379,82 @@ class Index:
         j = fg_counts.join(bg_counts, "term").crossJoin(F.broadcast(sizes))
         fg_pct = F.col("fg_n") / F.col("fg_size")
         bg_pct = F.col("bg_n") / F.col("bg_size")
-        # 2x2 contingency table, background-is-superset framing (doubles).
-        n = F.col("bg_size")
-        n11 = F.col("fg_n").cast("double")
-        n1_ = F.col("fg_size")
-        n_1 = F.col("bg_n").cast("double")
-        n10 = n1_ - n11
-        n01 = n_1 - n11
-        n00 = n - n1_ - n_1 + n11
-        n0_ = n - n1_
-        n_0 = n - n_1
-
-        def _mi_term(nij, ni, nj):
-            # 0·log 0 = 0 convention; nij > 0 implies ni, nj > 0.
-            return F.when(
-                nij > 0.0, (nij / n) * F.log2(n * nij / (ni * nj))
-            ).otherwise(F.lit(0.0))
-
-        if heuristic == "jlh":
-            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
-        elif heuristic == "mutual_information":
-            score = (
-                _mi_term(n11, n1_, n_1)
-                + _mi_term(n10, n1_, n_0)
-                + _mi_term(n01, n0_, n_1)
-                + _mi_term(n00, n0_, n_0)
-            )
-        elif heuristic == "chi_square":
-            d = n11 * n00 - n10 * n01
-            score = n * (d * d) / (n1_ * n_1 * n0_ * n_0)
-        elif heuristic == "gnd":
-            gnd = (F.greatest(F.log(n1_), F.log(n_1)) - F.log(n11)) / (
-                F.log(n) - F.least(F.log(n1_), F.log(n_1))
-            )
-            score = F.exp(-gnd)
-        elif heuristic == "percentage":
-            score = n11 / n_1
-        else:
-            raise ValueError(f"unknown significance heuristic {heuristic!r}")
+        # 2x2 contingency table, background-is-superset framing (doubles);
+        # the score expressions live in _significance_score, shared with
+        # the field-values variant so both agg flavors score identically.
+        score = _significance_score(
+            heuristic,
+            F.col("bg_size"),
+            F.col("fg_n").cast("double"),
+            F.col("fg_size"),
+            F.col("bg_n").cast("double"),
+        )
         scored = j.filter(
             (fg_pct > bg_pct) & (F.col("fg_n") >= int(min_doc_count))
         ).select(
             "term",
+            "fg_n",
+            "bg_n",
+            F.round(score, 6).alias("score_r"),
+        )
+        return scored.orderBy(F.desc("score_r"), F.asc("term")).limit(size)
+
+    def significant_terms_field(
+        self,
+        query_text: str,
+        field: str,
+        size: int = 10,
+        min_doc_count: int = 1,
+        where: str | None = None,
+        min_should_match: int = 1,
+        heuristic: str = "jlh",
+    ) -> DataFrame:
+        """ES significant_terms over a METADATA field (ES 1.x runs the agg
+        on any field, not just analyzed text): field values
+        over-represented among the docs matching the query versus the
+        whole live corpus — "which languages/roles/tools are distinctive
+        for this query". NULL field values are skipped (ES terms-agg
+        missing-value behavior). Same 2×2 heuristics, same
+        positive-signal fg% > bg% qualifier, same output shape as
+        :meth:`significant_terms` with the field value in ``term``
+        (cast to string).
+
+        Plan shape: the match set joins the docs scan ONCE, two
+        field-keyed aggregations + broadcast 1-row sizes — cheaper than
+        the text variant (no token explosion)."""
+        terms = sorted(set(self._analyze(query_text)))
+        out_schema = "term string, fg_n long, bg_n long, score_r double"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        live = self._docs_df().select("doc_id", F.col(field).cast("string").alias("v"))
+        deletes = self._deletes_df()
+        if deletes is not None:
+            live = live.join(deletes, "doc_id", "left_anti")
+        live = live.filter(F.col("v").isNotNull())
+        fg = live.join(self._match_set(terms, min_should_match), "doc_id", "left_semi")
+        if where is not None:
+            fg = fg.join(
+                self._docs_df().filter(where).select("doc_id"), "doc_id", "left_semi"
+            )
+        fg_counts = fg.groupBy("v").agg(F.count("*").cast("long").alias("fg_n"))
+        bg_counts = live.groupBy("v").agg(F.count("*").cast("long").alias("bg_n"))
+        sizes = fg.agg(F.count("*").cast("double").alias("fg_size")).crossJoin(
+            live.agg(F.count("*").cast("double").alias("bg_size"))
+        )
+        j = fg_counts.join(bg_counts, "v").crossJoin(F.broadcast(sizes))
+        fg_pct = F.col("fg_n") / F.col("fg_size")
+        bg_pct = F.col("bg_n") / F.col("bg_size")
+        score = _significance_score(
+            heuristic,
+            F.col("bg_size"),
+            F.col("fg_n").cast("double"),
+            F.col("fg_size"),
+            F.col("bg_n").cast("double"),
+        )
+        scored = j.filter(
+            (fg_pct > bg_pct) & (F.col("fg_n") >= int(min_doc_count))
+        ).select(
+            F.col("v").alias("term"),
             "fg_n",
             "bg_n",
             F.round(score, 6).alias("score_r"),

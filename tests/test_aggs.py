@@ -267,6 +267,26 @@ def test_significant_terms_heuristics_match_python(spark, built_index):
         idx.significant_terms(Q, heuristic="nope").collect()
 
 
+def test_significant_terms_field_matches_python(spark, built_index):
+    """Field-variant significant_terms (metadata values, not tokens):
+    JLH recomputed by hand over the role column; NULLs skipped."""
+    idx, _ = built_index
+    fg_ids = {r["doc_id"] for r in _matched_rows(idx, Q)}
+    rows = idx._docs_df().select("doc_id", "role").collect()
+    live = [(r["doc_id"], r["role"]) for r in rows if r["role"] is not None]
+    fg = [v for d, v in live if d in fg_ids]
+    fs, bs = float(len(fg)), float(len(live))
+    fg_n, bg_n = Counter(fg), Counter(v for _, v in live)
+    scored = []
+    for v, nf in fg_n.items():
+        fp, bp = nf / fs, bg_n[v] / bs
+        if fp > bp:
+            scored.append((-round((fp - bp) * (fp / bp), 6), v, nf, bg_n[v]))
+    want = [(v, nf, b, -s) for s, v, nf, b in sorted(scored)[:5]]
+    got = idx.significant_terms_field(Q, "role", size=5).collect()
+    assert [(r["term"], r["fg_n"], r["bg_n"], r["score_r"]) for r in got] == want
+
+
 def test_corpus_summary_matches_raw_corpus(spark, built_index, transcripts):
     """ES _stats scalars vs direct recomputation over the raw transcripts:
     exact counts, vocabulary size, and avgdl as the exact-integer
