@@ -4030,6 +4030,35 @@ def q_qs_boost(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999; ops/graph.hits,
+    deterministic fold) over the same synthesized 3-out-link graph as
+    pagerank. Max-normalization per half-round keeps every float op
+    order-independent except the per-node contribution sums, which fold
+    in ascending-neighbor order on BOTH engines (sequential float64 ==
+    DuckDB list_sum ORDER BY) — raw doubles hash-match the unrolled-CTE
+    oracle with NO rounding. Top-20 by authority desc, node asc."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import hits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    dsts = [
+        ((F.col("doc_id") * 1409 + 937 * j) % n).cast("long") for j in range(3)
+    ]
+    # out-degree 1 + doc_id % 3: the regular 3-out graph is in-degree-
+    # uniform and HITS converges to all-ones under max normalization —
+    # varying the out-degree makes authorities genuinely differentiate
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(F.array(*dsts), 1, (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        ).alias("dst"),
+    )
+    out = hits(edges, n_iter=4, deterministic=True)
+    top = out.orderBy(F.desc("auth"), F.asc("node")).limit(20)
+    return _rank(top, "auth", "node").select("node", "rank", "auth", "hub")
+
+
 def q_sig_terms_field(spark, sf_dir):
     """ES significant_terms over a METADATA field (lang): field values
     over-represented among the query's matching docs vs the live corpus
@@ -4309,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_boost_topk": q_qs_boost,
         "qs_fuzzy_topk": q_qs_fuzzy,
         "sig_terms_field": q_sig_terms_field,
+        "hits_authority": q_hits,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -6973,6 +7003,59 @@ ORDER BY d.doc_id LIMIT 10
 """
 
 
+def _hits_oracle_sql(n_iter: int = 4, k: int = 20) -> str:
+    """Unrolled HITS CTE chain mirroring ops/graph.hits (deterministic
+    mode) literally: same edge synthesis as pagerank, per-node
+    contribution folds in ascending-NEIGHBOR order (authority sums fold
+    ORDER BY src, hub sums ORDER BY dst — exactly the engine's
+    sort_array keys), and max-normalization via a scalar subquery (max
+    is float-order-independent, so no rounding is needed anywhere)."""
+    sql = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * 1409 + 937 * t.j) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0), (1), (2)) t(j)
+  WHERE t.j < 1 + doc_id % 3
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS v FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(s.s, CAST(0 AS DOUBLE)) AS raw
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, list_sum(list(p.v ORDER BY e.src)) AS s
+    FROM edges e JOIN h{i - 1} p ON e.src = p.node GROUP BY e.dst
+  ) s ON nodes.node = s.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT max(raw) FROM ar{i}) > CAST(0 AS DOUBLE)
+               THEN raw / (SELECT max(raw) FROM ar{i})
+               ELSE CAST(0 AS DOUBLE) END AS v
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(s.s, CAST(0 AS DOUBLE)) AS raw
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, list_sum(list(p.v ORDER BY e.dst)) AS s
+    FROM edges e JOIN a{i} p ON e.dst = p.node GROUP BY e.src
+  ) s ON nodes.node = s.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT max(raw) FROM hr{i}) > CAST(0 AS DOUBLE)
+               THEN raw / (SELECT max(raw) FROM hr{i})
+               ELSE CAST(0 AS DOUBLE) END AS v
+  FROM hr{i}
+)"""
+    sql += f"""
+SELECT a.node, row_number() OVER (ORDER BY a.v DESC, a.node) AS rank,
+       a.v AS auth, h.v AS hub
+FROM a{n_iter} a JOIN h{n_iter} h USING (node)
+ORDER BY a.v DESC, a.node LIMIT {k}
+"""
+    return sql
+
+
 def _pagerank_oracle_sql(n_iter: int = 5, k: int = 20) -> str:
     """Unrolled power-iteration CTE chain mirroring ops/graph.pagerank
     (deterministic mode) literally: same edge synthesis, same teleport
@@ -7391,6 +7474,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_gnd": _SIG_GND_SQL,
         "sig_terms_pct": _SIG_PCT_SQL,
         "sig_terms_field": _SIG_FIELD_SQL,
+        "hits_authority": _hits_oracle_sql(),
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         "leakage_split": _LEAKAGE_SPLIT_SQL,

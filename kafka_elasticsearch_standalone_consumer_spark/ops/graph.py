@@ -107,3 +107,92 @@ def pagerank(
         if (i + 1) % 8 == 0 and i + 1 < n_iter:
             pr = pr.localCheckpoint()
     return pr
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    deterministic: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, hubs & authorities) over an
+    unweighted edge table — the other classic link-centrality signal
+    next to :func:`pagerank` (authority ≈ endorsed content, hub ≈
+    curatorial link pages; web-curation pipelines weight by either).
+
+    Per round: ``a(v) = Σ_{(u,v)∈E} h(u)`` then ``h(v) = Σ_{(v,w)∈E}
+    a(w)``, each normalized by its MAXIMUM. Max-normalization (HITS
+    converges under any positive scaling) is chosen deliberately: max
+    is float-order-INDEPENDENT where the classic L2 norm would add a
+    whole-vector ordered sum, so the only order-sensitive op left is
+    the per-node contribution sum — handled exactly like pagerank's:
+    ``deterministic=True`` folds in ascending-neighbor order
+    (``sort_array(collect_list)`` + sequential float64 aggregate ==
+    DuckDB ``list_sum(list(... ORDER BY ...))``), giving BIT-identical
+    results across runs/partitionings/engines; ``deterministic=False``
+    is the at-scale plain-sum path (map-side partials, AQE skew-split).
+    Nodes with no in-edges hold authority 0; no out-edges, hub 0.
+
+    Returns ``(node, auth, hub)``. Scale shape per round: two
+    join+keyed-agg shuffle pairs (one per vector) plus a 1-row max
+    aggregate broadcast back (the accepted 1-row crossJoin pattern) —
+    the same plan family as pagerank. Each half-round's raw vector is
+    localCheckpoint-ed: it has two consumers (the max aggregate and
+    the division), so without materialization the recomputed lineage
+    doubles per half-round; the checkpointed state is node-sized."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be ≥ 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _step(vec: DataFrame, vcol: str, join_key: str, group_key: str, out: str):
+        """One half-round: sum vec[vcol] over edges joined on join_key,
+        keyed by group_key, max-normalized."""
+        contribs = e.join(vec.withColumnRenamed("node", join_key), join_key).select(
+            F.col(group_key).alias("node"),
+            F.col(join_key).alias("nbr"),
+            F.col(vcol).alias("c"),
+        )
+        if deterministic:
+            s = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("nbr", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+        else:
+            s = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        raw = nodes.join(s, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("raw")
+        )
+        # raw has TWO consumers (the max aggregate and the division), so
+        # materialize the node-sized vector once — otherwise every
+        # half-round doubles the recomputed lineage (2^rounds blowup)
+        raw = raw.localCheckpoint()
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.when(F.col("mx") > 0.0, F.col("raw") / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+
+    a = nodes.select("node", F.lit(1.0).alias("auth"))
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    for _i in range(n_iter):
+        a = _step(h, "hub", "src", "dst", "auth")
+        h = _step(a, "auth", "dst", "src", "hub")
+    return a.join(h, "node")

@@ -83,3 +83,54 @@ def test_guards(spark):
         pagerank(df, damping=1.0)
     empty = df.filter("src < 0")
     assert pagerank(empty, n_iter=2).count() == 0
+
+
+def _ref_hits(edges, n_iter):
+    """Pure-Python HITS with max normalization, ascending-neighbor folds."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {v: 1.0 for v in nodes}
+    h = {v: 1.0 for v in nodes}
+    for _ in range(n_iter):
+        raw = {v: 0.0 for v in nodes}
+        for u, w in sorted(set(edges)):          # ascending (src, dst)
+            raw[w] += h[u]
+        mx = max(raw.values())
+        a = {v: (raw[v] / mx if mx > 0 else 0.0) for v in nodes}
+        raw = {v: 0.0 for v in nodes}
+        for u, w in sorted(set(edges), key=lambda e: (e[1], e[0])):
+            raw[u] += a[w]
+        mx = max(raw.values())
+        h = {v: (raw[v] / mx if mx > 0 else 0.0) for v in nodes}
+    return a, h
+
+
+def test_hits_matches_python_reference(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["auth"], r["hub"]) for r in hits(df, n_iter=5, deterministic=True).collect()}
+    a, h = _ref_hits(edges, 5)
+    assert set(got) == set(a)
+    for v in a:
+        assert got[v][0] == a[v], ("auth", v)   # bit-identical fold
+        assert got[v][1] == h[v], ("hub", v)
+    # node 3 is the authority (most endorsed); node 1 the best hub
+    assert max(a, key=a.get) == 3
+    assert max(h, key=h.get) == 1
+    # the at-scale plain-sum path agrees to float tolerance
+    loose = {r["node"]: (r["auth"], r["hub"]) for r in hits(df, n_iter=5).collect()}
+    for v in a:
+        assert abs(loose[v][0] - a[v]) < 1e-12
+
+
+def test_hits_guards_and_degenerates(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.graph import hits
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)
+    got = {r["node"]: (r["auth"], r["hub"]) for r in hits(df, n_iter=3, deterministic=True).collect()}
+    # 0→1: node 1 is the only authority, node 0 the only hub
+    assert got[1] == (1.0, 0.0) and got[0] == (0.0, 1.0)
+    assert hits(df.filter("src < 0"), n_iter=2).count() == 0
