@@ -4030,6 +4030,22 @@ def q_qs_boost(spark, sf_dir):
     )
 
 
+def q_embed_pool(spark, sf_dir):
+    """Per-label elementwise mean-pooling of the embeddings table
+    (class centroids / doc-from-turn rollup; ops/similarity.
+    pool_embeddings, deterministic fold): per-(label, dim) sums fold in
+    ascending-vec_id order on BOTH engines (zip_with accumulator ==
+    DuckDB ordered list_sum), then ONE division by the exact member
+    count — raw doubles hash-match with NO rounding. 64 dims × 10
+    labels = 640 rows."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        pool_embeddings,
+    )
+
+    out = pool_embeddings(_emb(spark, sf_dir), deterministic=True)
+    return out.orderBy("grp", "dim")
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999; ops/graph.hits,
     deterministic fold) over the same synthesized 3-out-link graph as
@@ -4339,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_fuzzy_topk": q_qs_fuzzy,
         "sig_terms_field": q_sig_terms_field,
         "hits_authority": q_hits,
+        "embed_pool": q_embed_pool,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7475,6 +7492,21 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {K}
         "sig_terms_pct": _SIG_PCT_SQL,
         "sig_terms_field": _SIG_FIELD_SQL,
         "hits_authority": _hits_oracle_sql(),
+        # per-label mean pooling: ordered per-dim folds (list_sum ORDER BY
+        # vec_id == the zip_with accumulator), ONE division — raw doubles
+        "embed_pool": """
+WITH ex AS (
+  SELECT label AS grp, vec_id, i.dim,
+         CAST(embedding[i.dim + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(64)) AS dim) i
+),
+agg AS (
+  SELECT grp, dim, list_sum(list(v ORDER BY vec_id)) AS s,
+         count(*)::DOUBLE AS c
+  FROM ex GROUP BY grp, dim
+)
+SELECT grp, dim, s / c AS mean, c::BIGINT AS n FROM agg ORDER BY grp, dim
+""",
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),
         "leakage_split": _LEAKAGE_SPLIT_SQL,

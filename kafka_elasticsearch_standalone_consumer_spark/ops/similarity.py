@@ -84,6 +84,73 @@ def cosine_range(
     return scored.filter(F.col("cosine") >= float(tau))
 
 
+def pool_embeddings(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+) -> DataFrame:
+    """Elementwise MEAN-pooling of embedding vectors per group — the
+    standard rollup from turn/passage vectors to a document/class
+    vector (doc-level retrieval over turn embeddings, class centroids
+    for a nearest-centroid classifier, semdedup-style cluster
+    representatives). Returns ``(group, dim, mean)`` exploded per
+    dimension, plus the group's member count.
+
+    ``deterministic=True`` folds each group's vectors in ascending-id
+    order (``sort_array(collect_list(struct(id, vec)))`` + a
+    ``zip_with`` accumulator — the pagerank/MMR sequential-float64
+    precedent), so per-dimension sums are BIT-identical to a SQL
+    engine's ordered ``list_sum``; the mean is then ONE division by the
+    exact member count. ``deterministic=False`` is the at-scale path:
+    ``posexplode`` + plain (group, dim)-keyed sum — map-side partials,
+    no per-group collect_list state — 1e-12-close, never bit-asserted.
+
+    Scale shape (default): one explode (×dim) + ONE keyed aggregation;
+    group count rides the same agg. The deterministic variant holds a
+    group's vectors in one aggregation buffer — group-sized state,
+    reserve it for verification."""
+    gid = F.col(group_col).alias("grp")
+    if deterministic:
+        agg = emb.select(
+            gid, F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ).groupBy("grp").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_id", "_v"))),
+                F.array().cast("array<double>"),
+                lambda acc, x: F.when(
+                    F.size(acc) == 0,
+                    F.transform(x["_v"], lambda v: v.cast("double")),
+                ).otherwise(
+                    F.zip_with(acc, x["_v"], lambda a, b: a + b.cast("double"))
+                ),
+            ).alias("s"),
+            F.count("*").cast("double").alias("c"),
+        )
+        pooled = agg.select(
+            "grp",
+            F.col("c").cast("long").alias("n"),
+            F.posexplode(F.transform(F.col("s"), lambda v: v / F.col("c"))).alias(
+                "dim", "mean"
+            ),
+        )
+        return pooled.select("grp", "dim", "mean", "n")
+    ex = emb.select(
+        gid,
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    )
+    agg = ex.groupBy("grp", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").cast("double").alias("c")
+    )
+    return agg.select(
+        "grp", "dim", (F.col("s") / F.col("c")).alias("mean"),
+        F.col("c").cast("long").alias("n"),
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_vec: list[float],

@@ -139,6 +139,33 @@ def test_token_entropy_hand_values(spark):
     assert got[3][1] == pytest.approx(math.log(3.0) - 2 * math.log(2.0) / 3, abs=1e-12)
 
 
+def test_pool_embeddings_matches_hand_mean(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        pool_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], "a"),
+        (1, [3.0, 2.0, 1.0], "a"),
+        (2, [10.0, 0.0, -2.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    for det in (True, False):
+        got = {
+            (r["grp"], r["dim"]): (r["mean"], r["n"])
+            for r in pool_embeddings(df, deterministic=det).collect()
+        }
+        assert got[("a", 0)] == (2.0, 2) and got[("a", 1)] == (2.0, 2)
+        assert got[("a", 2)] == (2.0, 2)
+        assert got[("b", 0)] == (10.0, 1) and got[("b", 2)] == (-2.0, 1)
+        assert len(got) == 6
+    # deterministic fold order: ascending vec_id, seeded by the first
+    # vector (no 0.0+ prefix) — equals the plain sum here exactly
+    det = pool_embeddings(df, deterministic=True).collect()
+    loose = pool_embeddings(df, deterministic=False).collect()
+    assert {tuple(r) for r in det} == {tuple(r) for r in loose}
+
+
 def test_leakage_safe_split_moves_contaminated_eval_docs(spark):
     """Planted leak: one hash-eval doc copies a train doc's 8-gram run —
     it must come back as 'train'; an eval doc with unique text stays
