@@ -4046,6 +4046,31 @@ def q_embed_pool(spark, sf_dir):
     return out.orderBy("grp", "dim")
 
 
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification composing pool_embeddings
+    → nearest_centroid, both deterministic: per-dim ordered folds make
+    every dot/norm bit-identical cross-engine, cosine is
+    dot/(√vv·√cc) on identical operands (sqrt is IEEE-correctly-
+    rounded), so the argmax (ties grp asc) can never flap. One row per
+    vector: (vec_id, pred, label, correct, cos_r)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        nearest_centroid,
+        pool_embeddings,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = pool_embeddings(emb, deterministic=True)
+    pred = nearest_centroid(emb, cents, deterministic=True)
+    out = pred.join(emb.select("vec_id", "label"), "vec_id")
+    return out.select(
+        "vec_id",
+        "pred",
+        "label",
+        (F.col("pred") == F.col("label")).alias("correct"),
+        F.round("cos", 6).alias("cos_r"),
+    ).orderBy("vec_id")
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999; ops/graph.hits,
     deterministic fold) over the same synthesized 3-out-link graph as
@@ -4356,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_field": q_sig_terms_field,
         "hits_authority": q_hits,
         "embed_pool": q_embed_pool,
+        "centroid_classify": q_centroid_classify,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7506,6 +7532,42 @@ agg AS (
   FROM ex GROUP BY grp, dim
 )
 SELECT grp, dim, s / c AS mean, c::BIGINT AS n FROM agg ORDER BY grp, dim
+""",
+        # nearest-centroid classification: same ordered folds for dots
+        # and norms, cosine on bit-identical operands, argmax ties grp asc
+        "centroid_classify": """
+WITH ex AS (
+  SELECT vec_id, i.dim, CAST(embedding[i.dim + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(64)) AS dim) i
+),
+cent AS (
+  SELECT grp, dim, s / c AS m FROM (
+    SELECT label AS grp, dim, list_sum(list(v ORDER BY vec_id)) AS s,
+           count(*)::DOUBLE AS c
+    FROM (SELECT label, vec_id, i.dim, CAST(embedding[i.dim + 1] AS DOUBLE) AS v
+          FROM embeddings, (SELECT unnest(range(64)) AS dim) i)
+    GROUP BY grp, dim)
+),
+dots AS (
+  SELECT e.vec_id, c.grp, list_sum(list(e.v * c.m ORDER BY e.dim)) AS dot
+  FROM ex e JOIN cent c USING (dim) GROUP BY e.vec_id, c.grp
+),
+vv AS (SELECT vec_id, list_sum(list(v * v ORDER BY dim)) AS vv FROM ex GROUP BY vec_id),
+cc AS (SELECT grp, list_sum(list(m * m ORDER BY dim)) AS cc FROM cent GROUP BY grp),
+scored AS (
+  SELECT vec_id, grp, dot / (sqrt(vv) * sqrt(cc)) AS cos
+  FROM dots JOIN vv USING (vec_id) JOIN cc USING (grp)
+),
+pred AS (
+  SELECT vec_id, grp AS pred, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, grp) AS rn
+  FROM scored
+)
+SELECT p.vec_id, p.pred, e.label, p.pred = e.label AS correct,
+       round(p.cos, 6) AS cos_r
+FROM pred p JOIN embeddings e USING (vec_id)
+WHERE p.rn = 1
+ORDER BY p.vec_id
 """,
         "suggest_popular": _SUGGEST_POPULAR_SQL,
         "msm_spec_topk": _bm25_sql(BM25_QUERY, msm=2),

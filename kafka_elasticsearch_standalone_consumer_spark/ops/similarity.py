@@ -151,6 +151,77 @@ def pool_embeddings(
     )
 
 
+def nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "grp",
+    deterministic: bool = False,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification by cosine: assign every
+    vector to the closest group centroid — composes with
+    :func:`pool_embeddings` (whose exploded ``(grp, dim, mean)`` output
+    is this function's ``centroids`` input) into a label-propagation /
+    domain-tagging stage for curation pipelines.
+
+    Cosine = dot/(√Σv²·√Σc²) with every Σ a per-(key, dim-ordered)
+    fold: ``deterministic=True`` folds in ascending-dim order (the
+    pagerank/MMR sequential-float64 precedent) so dots and norms are
+    BIT-identical to a SQL engine's ordered ``list_sum`` and the argmax
+    (ties: group asc) can never flap cross-engine;
+    ``deterministic=False`` is the at-scale plain-sum path. Returns
+    ``(vec_id, pred, cos)`` — one row per vector.
+
+    Scale shape: the centroid table is (n_groups × dim) rows —
+    broadcast; the per-dim explode feeds ONE (vec, group)-keyed
+    aggregation, and the argmax is a vec_id-keyed window (hash-
+    partitioned, never SinglePartition)."""
+    from pyspark.sql import Window
+
+    ex = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    )
+
+    def _fold(df, keys, expr_col, out):
+        if deterministic:
+            return df.groupBy(*keys).agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("dim", expr_col.alias("x")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ).alias(out)
+            )
+        return df.groupBy(*keys).agg(F.sum(expr_col).alias(out))
+
+    cent = centroids.select(
+        F.col(group_col).alias("grp"), "dim", F.col("mean").alias("m")
+    )
+    j = ex.join(F.broadcast(cent), "dim")
+    dots = _fold(j, ["vec_id", "grp"], F.col("v") * F.col("m"), "dot")
+    vv = _fold(ex, ["vec_id"], F.col("v") * F.col("v"), "vv")
+    cc = _fold(cent.select("grp", "dim", F.col("m").alias("v")),
+               ["grp"], F.col("v") * F.col("v"), "cc")
+    scored = (
+        dots.join(vv, "vec_id")
+        .join(F.broadcast(cc), "grp")
+        .select(
+            "vec_id",
+            "grp",
+            (F.col("dot") / (F.sqrt(F.col("vv")) * F.sqrt(F.col("cc")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("grp"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("grp").alias("pred"), "cos")
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_vec: list[float],

@@ -166,6 +166,29 @@ def test_pool_embeddings_matches_hand_mean(spark):
     assert {tuple(r) for r in det} == {tuple(r) for r in loose}
 
 
+def test_nearest_centroid_recovers_separated_clusters(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        nearest_centroid,
+        pool_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.1], "x"),
+        (1, [0.9, 0.1, 0.0], "x"),
+        (2, [0.0, 1.0, 0.1], "y"),
+        (3, [0.1, 0.9, 0.0], "y"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    cents = pool_embeddings(df, deterministic=True)
+    for det in (True, False):
+        got = {
+            r["vec_id"]: (r["pred"], r["cos"])
+            for r in nearest_centroid(df, cents, deterministic=det).collect()
+        }
+        assert {v: p for v, (p, _) in got.items()} == {0: "x", 1: "x", 2: "y", 3: "y"}
+        assert all(0.9 < c <= 1.0 + 1e-12 for _, c in got.values())
+
+
 def test_leakage_safe_split_moves_contaminated_eval_docs(spark):
     """Planted leak: one hash-eval doc copies a train doc's 8-gram run —
     it must come back as 'train'; an eval doc with unique text stays
