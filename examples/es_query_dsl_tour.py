@@ -256,6 +256,21 @@ def main(n_convs: int = 300) -> None:
          idx.search_similarity(q, 3, similarity="lm_dirichlet"))
     show("similarity module: LMJelinekMercer (lambda=0.1)",
          idx.search_similarity(q, 3, similarity="lm_jm"))
+    show("similarity module: DFR InL2 (Amati & van Rijsbergen 2002)",
+         idx.search_similarity(q, 3, similarity="dfr_inl2"))
+    show("similarity module: IB log-logistic (Clinchant & Gaussier 2010)",
+         idx.search_similarity(q, 3, similarity="ib_ll"))
+    show("per-field similarity settings: BM25 with k1=1.6, b=0.25",
+         idx.search_params(q, 3, k1=1.6, b=0.25))
+    show("minimum_should_match spec string ('1<-34%')",
+         idx.search(q, 3, min_should_match="1<-34%"))
+    show("query_string caret boost (first term's idf ×2)",
+         idx.query_string(q.split()[0] + "^2 " + " ".join(q.split()[1:]), 3))
+    show("significant_terms over a METADATA field (role)",
+         idx.significant_terms_field(q, "role", size=3))
+    show("suggest_mode=popular (strictly-more-frequent corrections)",
+         idx.suggest_terms(q.split()[0], max_edits=1, suggest_mode="popular"))
+    show("ES _stats corpus summary", idx.corpus_summary())
     print("\nDSL tour complete.")
     spark.stop()
 
