@@ -4046,6 +4046,35 @@ def q_embed_pool(spark, sf_dir):
     return out.orderBy("grp", "dim")
 
 
+def q_nb_classify(spark, sf_dir):
+    """Multinomial naive Bayes trained AND applied distributed
+    (ops/curation.nb_classify, labels = lang, Laplace α=1):
+    score(d,l) = ln(n_l/n) + Σ tf·ln((c_tl+1)/(c_l+V)), unseen (t,l)
+    priced at the α floor via left join + coalesce (the lm_importance
+    precedent). Log-posteriors rounded to 4 dp BEFORE the argmax (ln
+    ulp + sum order — the geo rule), ties label asc, so predictions
+    never flap cross-engine. Docs with NULL label or no tokens drop
+    (no features to score)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import nb_classify
+
+    d = _docs(spark, sf_dir)
+    out = nb_classify(d)
+    truth = d.filter(F.col("lang").isNotNull()).select(
+        "doc_id", F.col("lang").cast("string").alias("lang")
+    )
+    return (
+        out.join(truth, "doc_id")
+        .select(
+            "doc_id",
+            "pred",
+            "lang",
+            (F.col("pred") == F.col("lang")).alias("correct"),
+            "score_r",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_centroid_classify(spark, sf_dir):
     """Nearest-centroid (Rocchio) classification composing pool_embeddings
     → nearest_centroid, both deterministic: per-dim ordered folds make
@@ -4382,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_authority": q_hits,
         "embed_pool": q_embed_pool,
         "centroid_classify": q_centroid_classify,
+        "nb_classify": q_nb_classify,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7535,6 +7565,46 @@ SELECT grp, dim, s / c AS mean, c::BIGINT AS n FROM agg ORDER BY grp, dim
 """,
         # nearest-centroid classification: same ordered folds for dots
         # and norms, cosine on bit-identical operands, argmax ties grp asc
+        # multinomial naive Bayes: pure count aggregations + ln on exact
+        # integers; 4-dp-rounded posteriors BEFORE the argmax, ties label asc
+        "nb_classify": f"""
+WITH base AS (SELECT doc_id, lang::VARCHAR AS lbl, text FROM documents
+              WHERE lang IS NOT NULL),
+toks AS (SELECT doc_id, lbl, unnest({SQL_TOKS}) AS t FROM base),
+tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+ctl AS (SELECT t, lbl AS cl, count(*)::DOUBLE AS ctl FROM toks GROUP BY 1, 2),
+clt AS (SELECT lbl AS cl, count(*)::DOUBLE AS c_l FROM toks GROUP BY 1),
+vv AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM toks),
+classes AS (SELECT lbl AS cl, count(*)::DOUBLE AS n_l FROM base GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+pairs AS (
+  SELECT f.doc_id, c.cl, f.tf,
+         coalesce(s.ctl, CAST(0 AS DOUBLE)) AS ctl, l.c_l
+  FROM tf f
+  CROSS JOIN (SELECT cl FROM classes) c
+  LEFT JOIN ctl s ON s.t = f.t AND s.cl = c.cl
+  JOIN clt l ON l.cl = c.cl
+),
+scores AS (
+  SELECT p.doc_id, p.cl,
+         round(ln(cls.n_l / nn.n)
+               + sum(p.tf * ln((p.ctl + CAST(1 AS DOUBLE))
+                               / (p.c_l + CAST(1 AS DOUBLE) * (SELECT v FROM vv)))),
+               4) AS score_r
+  FROM pairs p JOIN classes cls ON cls.cl = p.cl CROSS JOIN nn
+  GROUP BY p.doc_id, p.cl, cls.n_l, nn.n
+),
+pred AS (
+  SELECT doc_id, cl AS pred, score_r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_r DESC, cl) AS rn
+  FROM scores
+)
+SELECT p.doc_id, p.pred, b.lbl AS lang, p.pred = b.lbl AS correct, p.score_r
+FROM pred p JOIN base b USING (doc_id)
+WHERE rn = 1
+ORDER BY p.doc_id
+""",
         "centroid_classify": """
 WITH ex AS (
   SELECT vec_id, i.dim, CAST(embedding[i.dim + 1] AS DOUBLE) AS v

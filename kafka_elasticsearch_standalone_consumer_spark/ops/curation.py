@@ -400,6 +400,98 @@ def _hash_bucket(c: Column, n_buckets: int) -> Column:
     )
 
 
+def nb_classify(
+    df: DataFrame,
+    label_col: str = "lang",
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive Bayes TRAINED AND APPLIED in one distributed
+    pass (resubstitution scoring — the shape a curation pipeline uses
+    to bootstrap a domain/language tagger from a labeled seed):
+
+        score(d, l) = ln(n_l/n) + Σ_t tf_dt · ln((c_tl + α)/(c_l + αV))
+
+    with c_tl the token-in-class counts, c_l the class token totals,
+    V the corpus vocabulary size, and Laplace smoothing pricing unseen
+    (t, l) pairs at (0+α)/(c_l+αV) via a left join + coalesce (the
+    lm_importance precedent). Rows with a NULL label are dropped.
+    Returns (id, pred, score_r): the argmax class per doc with its
+    4-dp-rounded log-posterior — scores are rounded BEFORE the argmax
+    (the geo-sort rule: ln ulp + sum order), ties break label asc, so
+    the prediction can never flap cross-engine.
+
+    Scale shape: training is two token-keyed aggregations (the df-stats
+    cost class); scoring explodes doc tokens × |classes| (a broadcast
+    of the class list — |classes| is dozens, not corpus-sized), left
+    joins the (t, l) count table on its natural key, and reduces with
+    ONE (doc, class)-keyed aggregation + one doc-keyed argmax window
+    (hash-partitioned on the doc id)."""
+    from pyspark.sql import Window
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+
+    a = float(alpha)
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("string").alias("lbl"),
+        F.col(text_col).alias("_text"),
+    )
+    toks = base.select(
+        "_id", "lbl", F.explode(tokenize_col(F.col("_text"))).alias("t")
+    )
+    tf = toks.groupBy("_id", "lbl", "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    ctl = toks.groupBy("t", F.col("lbl").alias("cl")).agg(
+        F.count("*").cast("double").alias("ctl")
+    )
+    cl = toks.groupBy(F.col("lbl").alias("cl")).agg(
+        F.count("*").cast("double").alias("c_l")
+    )
+    v = toks.select("t").distinct().agg(F.count("*").cast("double").alias("v"))
+    classes = base.groupBy(F.col("lbl").alias("cl")).agg(
+        F.count("*").cast("double").alias("n_l")
+    )
+    n = base.agg(F.count("*").cast("double").alias("n"))
+    # every (doc token, class) pair: broadcast the class list, left join
+    # the seen (t, class) counts, price unseen at the alpha floor
+    pairs = (
+        tf.crossJoin(F.broadcast(classes.select("cl")))
+        .join(ctl, ["t", "cl"], "left")
+        .join(F.broadcast(cl), "cl")
+        .crossJoin(F.broadcast(v))
+    )
+    contrib = F.col("tf") * F.log(
+        (F.coalesce(F.col("ctl"), F.lit(0.0)) + F.lit(a))
+        / (F.col("c_l") + F.lit(a) * F.col("v"))
+    )
+    scores = (
+        pairs.groupBy("_id", "cl")
+        .agg(F.sum(contrib).alias("s"))
+        .join(F.broadcast(classes), "cl")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_id",
+            "cl",
+            F.round(
+                F.log(F.col("n_l") / F.col("n")) + F.col("s"), 4
+            ).alias("score_r"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score_r"), F.asc("cl"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cl").alias("pred"),
+            "score_r",
+        )
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame,

@@ -166,6 +166,29 @@ def test_pool_embeddings_matches_hand_mean(spark):
     assert {tuple(r) for r in det} == {tuple(r) for r in loose}
 
 
+def test_nb_classify_matches_hand_computation(spark):
+    """Multinomial NB with Laplace smoothing, hand-recomputed: class-
+    specific vocabulary must classify correctly, and the log-posterior
+    matches the closed form to the 4-dp rounding."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import nb_classify
+
+    rows = [
+        (0, "spark spark shuffle", "a"),
+        (1, "spark join", "a"),
+        (2, "cat dog cat", "b"),
+        (3, "dog dog", "b"),
+        (4, None, None),  # NULL label: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["pred"], r["score_r"]) for r in nb_classify(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert [got[d][0] for d in range(4)] == ["a", "a", "b", "b"]
+    # hand-check doc 2 under class b: tokens cat,cat,dog; c_b=5 tokens,
+    # V=5 (spark shuffle join cat dog), c_cat_b=2, c_dog_b=3, prior 2/4
+    want = math.log(2 / 4) + 2 * math.log((2 + 1) / (5 + 5)) + 1 * math.log((3 + 1) / (5 + 5))
+    assert got[2][1] == pytest.approx(round(want, 4), abs=1e-9)
+
+
 def test_nearest_centroid_recovers_separated_clusters(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
         nearest_centroid,
