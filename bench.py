@@ -275,6 +275,21 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         )
         t["pagerank_5it"] = best_of(lambda: pagerank(pr_edges, n_iter=5).count())
 
+        from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+            leakage_safe_split,
+            nb_classify,
+        )
+        from kafka_elasticsearch_standalone_consumer_spark.ops.graph import hits
+
+        # HITS (plain-sum scale path) over the same synthesized graph
+        t["hits_4it"] = best_of(lambda: hits(pr_edges, n_iter=4).count())
+        # contamination-aware split: shingle both sides, broadcast-filter
+        t["leakage_split"] = best_of(
+            lambda: leakage_safe_split(docs, eval_frac=0.1, n=8).count()
+        )
+        # naive Bayes trained + applied in one distributed pass
+        t["nb_classify"] = best_of(lambda: nb_classify(docs).count())
+
         from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
             bpe_encode,
             bpe_merges,
