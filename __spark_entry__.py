@@ -307,6 +307,19 @@ def q_facets_by_lang(spark, sf_dir):
     return _cached_idx(spark, sf_dir).facets(BM25_QUERY, by="lang").select("lang", "n")
 
 
+def q_facets_include(spark, sf_dir):
+    """ES 1.x terms-agg include/exclude regex knobs: anchored full-value
+    Lucene-RegExp semantics (include 'en|zh' then exclude 'zh' leaves
+    exactly the en bucket), patterns in the Java/RE2-shared dialect so
+    the oracle runs the identical expressions; the key filter lands
+    before the aggregation (excluded rows never shuffle)."""
+    return (
+        _cached_idx(spark, sf_dir)
+        .facets(BM25_QUERY, by="lang", include="en|zh", exclude="zh")
+        .select("lang", "n")
+    )
+
+
 def q_phrase_topk(spark, sf_dir):
     """ES match_phrase over the positions index: BM25 with the phrase as
     one synthetic term (tf = phrase occurrences, df = docs containing it)."""
@@ -4412,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pool": q_embed_pool,
         "centroid_classify": q_centroid_classify,
         "nb_classify": q_nb_classify,
+        "facets_include": q_facets_include,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7934,6 +7948,14 @@ ORDER BY d.doc_id
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
             "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
+            "GROUP BY lang ORDER BY n DESC, lang"
+        ),
+        "facets_include": (
+            f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
+            "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
+            "AND regexp_full_match(lang, '(?:en|zh)') "
+            "AND (lang IS NULL OR NOT regexp_full_match(lang, '(?:zh)')) "
             "GROUP BY lang ORDER BY n DESC, lang"
         ),
         "agg_histogram": _AGG_HIST_SQL,

@@ -3562,24 +3562,37 @@ class Index:
         by: str,
         where: str | None = None,
         min_should_match: int = 1,
+        include: str | None = None,
+        exclude: str | None = None,
     ) -> DataFrame:
         """ES-style terms aggregation over ALL matching documents (not the
         top-k): (facet value, n_docs), descending. A doc matches when it
         contains ≥ ``min_should_match`` distinct query terms (ES
         query_string OR semantics at 1, AND at len(terms)).
 
+        ``include`` / ``exclude`` are the ES 1.x terms-agg bucket-key
+        regex knobs: ANCHORED full-value matches (Lucene RegExp
+        semantics — ``"en|zh"`` matches exactly those values, not
+        substrings), exclude applied after include like ES. Patterns
+        must stay in the Java/RE2-shared regex dialect (the PII-pattern
+        rule) so oracles run the identical expression. NULL bucket keys
+        never match an include and are kept by an exclude (a NULL is
+        not a value the regex can see) — documented choice.
+
         Facets touch every match, so the scalable plan is declarative end
         to end: term-pruned tokens scan → distinct matching doc → join the
-        doc store on the facet column → groupBy. Catalyst handles the
-        pushdown; no kernels."""
-        from kafka_elasticsearch_standalone_consumer_spark.analysis import (
-            doc_term_freqs,
-            tokenize_text,
-        )
-
+        doc store on the facet column → groupBy; the key filter lands
+        BEFORE the aggregation, so excluded rows never shuffle. Catalyst
+        handles the pushdown; no kernels."""
         scoped = self._agg_scope(query_text, where, min_should_match)
         if scoped is None:
             return self.spark.createDataFrame([], f"{by} string, n long")
+        if include is not None:
+            scoped = scoped.filter(F.col(by).rlike(f"^(?:{include})$"))
+        if exclude is not None:
+            scoped = scoped.filter(
+                F.col(by).isNull() | ~F.col(by).rlike(f"^(?:{exclude})$")
+            )
         return (
             scoped.groupBy(by)
             .agg(F.count("*").cast("long").alias("n"))

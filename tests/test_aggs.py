@@ -267,6 +267,22 @@ def test_significant_terms_heuristics_match_python(spark, built_index):
         idx.significant_terms(Q, heuristic="nope").collect()
 
 
+def test_facets_include_exclude_are_anchored(spark, built_index):
+    """include/exclude are FULL-value regexes (Lucene RegExp semantics):
+    'user' must not be matched by include='use', and exclude applies
+    after include."""
+    idx, _ = built_index
+    base = {r["role"]: r["n"] for r in idx.facets(Q, by="role").collect()}
+    inc = {r["role"]: r["n"] for r in idx.facets(Q, by="role", include="user|tool").collect()}
+    assert set(inc) == {"user", "tool"} & set(base)
+    assert all(inc[k] == base[k] for k in inc)  # counts unchanged
+    assert idx.facets(Q, by="role", include="use").count() == 0  # anchored
+    exc = {r["role"]: r["n"] for r in idx.facets(Q, by="role", exclude="user").collect()}
+    assert "user" not in exc and set(exc) == set(base) - {"user"}
+    both = {r["role"] for r in idx.facets(Q, by="role", include="user|tool", exclude="user").collect()}
+    assert both == {"tool"} & set(base)
+
+
 def test_significant_terms_field_matches_python(spark, built_index):
     """Field-variant significant_terms (metadata values, not tokens):
     JLH recomputed by hand over the role column; NULLs skipped."""
