@@ -307,6 +307,25 @@ def q_facets_by_lang(spark, sf_dir):
     return _cached_idx(spark, sf_dir).facets(BM25_QUERY, by="lang").select("lang", "n")
 
 
+def q_agg_histogram_bounds(spark, sf_dir):
+    """ES numeric histogram with min_doc_count=0 + extended_bounds (the
+    date_histogram fill semantics, numeric flavor): 25-wide n_chars
+    buckets over a sparsified match set (doc_id % 37) so interior gaps
+    exist; bounds (0, 700) push leading and trailing all-zero buckets.
+    The series is built over INTEGER bucket indices (sequence is
+    inclusive in both engines — generate_series, never range) and
+    multiplied back by the interval, so bucket keys are exact multiples
+    of 25.0 in both engines."""
+    return _cached_idx(spark, sf_dir).histogram(
+        BM25_QUERY,
+        "n_chars",
+        25.0,
+        where="doc_id % 37 = 0",
+        min_doc_count=0,
+        extended_bounds=(0.0, 700.0),
+    )
+
+
 def q_facets_include(spark, sf_dir):
     """ES 1.x terms-agg include/exclude regex knobs: anchored full-value
     Lucene-RegExp semantics (include 'en|zh' then exclude 'zh' leaves
@@ -4426,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "nb_classify": q_nb_classify,
         "facets_include": q_facets_include,
+        "agg_histogram_bounds": q_agg_histogram_bounds,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -7959,6 +7979,27 @@ ORDER BY d.doc_id
             "GROUP BY lang ORDER BY n DESC, lang"
         ),
         "agg_histogram": _AGG_HIST_SQL,
+        # numeric histogram min_doc_count=0 fill: integer bucket indices
+        # via inclusive generate_series, keys = exact multiples of 25.0
+        "agg_histogram_bounds": f"""
+WITH m AS (
+  SELECT n_chars FROM documents
+  WHERE doc_id IN ({_MATCHED}) AND doc_id % 37 = 0
+),
+b AS (
+  SELECT least(floor(min(n_chars) / 25.0), floor(CAST(0 AS DOUBLE) / 25.0)) AS lo,
+         greatest(floor(max(n_chars) / 25.0), floor(CAST(700 AS DOUBLE) / 25.0)) AS hi
+  FROM m
+),
+series AS (SELECT unnest(generate_series(lo::BIGINT, hi::BIGINT)) AS i FROM b),
+counts AS (
+  SELECT (floor(n_chars / 25.0) * 25.0)::DOUBLE AS bucket, count(*)::BIGINT AS n
+  FROM m GROUP BY 1
+)
+SELECT (i * 25.0)::DOUBLE AS bucket, coalesce(n, 0)::BIGINT AS n
+FROM series LEFT JOIN counts ON (i * 25.0)::DOUBLE = counts.bucket
+ORDER BY 1
+""",
         "agg_range": _AGG_RANGE_SQL,
         "agg_stats": _AGG_STATS_SQL,
         "agg_date_histogram": _AGG_DATE_SQL,

@@ -21,14 +21,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def histogram(df: DataFrame, field: str, interval: float) -> DataFrame:
+def histogram(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    min_doc_count: int = 1,
+    extended_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
     """ES histogram agg: fixed-width buckets, (bucket, n) ascending.
 
-    Bucket key = floor(value / interval) * interval, ES's exact rule."""
-    bucket = (F.floor(F.col(field) / F.lit(float(interval))) * F.lit(float(interval)))
-    return (
+    Bucket key = floor(value / interval) * interval, ES's exact rule.
+    ``min_doc_count`` / ``extended_bounds`` carry the ES 1.x empty-
+    bucket semantics (the numeric twin of date_histogram's fill):
+    buckets under the count are omitted; at 0 every interval step
+    between the (bounds-widened) first and last bucket appears, empties
+    as n=0. The series is built over INTEGER bucket indices
+    (sequence(lo_idx, hi_idx)) and multiplied back by the interval, so
+    the fill never accumulates float step error; the 1-row min/max
+    aggregate + ≤series-length explode is the only added cost at
+    100 TB. Empty input with no explicit bounds yields zero rows."""
+    iv = float(interval)
+    bucket = F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)
+    counts = (
         df.groupBy(bucket.cast("double").alias("bucket"))
         .agg(F.count("*").cast("long").alias("n"))
+    )
+    if min_doc_count >= 1:
+        if min_doc_count > 1:
+            counts = counts.filter(F.col("n") >= int(min_doc_count))
+        return counts.orderBy("bucket")
+    lo = F.floor(F.min(field) / F.lit(iv))
+    hi = F.floor(F.max(field) / F.lit(iv))
+    if extended_bounds is not None:
+        eb_lo, eb_hi = extended_bounds
+        # least/greatest skip NULLs in both engines, so explicit bounds
+        # still apply when the frame is empty
+        lo = F.least(lo, F.floor(F.lit(float(eb_lo)) / F.lit(iv)))
+        hi = F.greatest(hi, F.floor(F.lit(float(eb_hi)) / F.lit(iv)))
+    series = (
+        df.agg(lo.alias("lo"), hi.alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("i"))
+        .select((F.col("i") * F.lit(iv)).cast("double").alias("bucket"))
+    )
+    return (
+        series.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("bucket")
     )
 

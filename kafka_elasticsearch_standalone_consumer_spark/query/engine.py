@@ -3682,15 +3682,19 @@ class Index:
         interval: float,
         where: str | None = None,
         min_should_match: int = 1,
+        min_doc_count: int = 1,
+        extended_bounds: tuple[float, float] | None = None,
     ) -> DataFrame:
         """ES histogram aggregation over all matching docs: fixed-width
-        buckets of the numeric ``by`` column, (bucket, n) ascending."""
+        buckets of the numeric ``by`` column, (bucket, n) ascending;
+        ``min_doc_count=0`` + ``extended_bounds`` fill empty buckets
+        (see aggs.histogram)."""
         from kafka_elasticsearch_standalone_consumer_spark.query import aggs
 
         scoped = self._agg_scope(query_text, where, min_should_match)
         if scoped is None:
             return self.spark.createDataFrame([], "bucket double, n long")
-        return aggs.histogram(scoped, by, interval)
+        return aggs.histogram(scoped, by, interval, min_doc_count, extended_bounds)
 
     def range_agg(
         self,

@@ -86,3 +86,26 @@ def test_month_unit_fill(spark):
     )
     got = [(r["bucket"], r["n"]) for r in date_histogram(df, "ts", "month", min_doc_count=0).collect()]
     assert got == [("2024-01", 1), ("2024-02", 0), ("2024-03", 0), ("2024-04", 1)]
+
+
+def test_numeric_histogram_fill(spark):
+    """The numeric twin: interior gaps fill with n=0, extended_bounds
+    widen, buckets are exact multiples of the interval, min_doc_count>1
+    filters sparse buckets, empty input w/o bounds yields zero rows."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.aggs import histogram
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 55.0)], "id long, v double"
+    )
+    got = {r["bucket"]: r["n"] for r in histogram(df, "v", 10.0, min_doc_count=0).collect()}
+    assert got == {0.0: 2, 10.0: 0, 20.0: 0, 30.0: 0, 40.0: 0, 50.0: 1}
+    wide = {r["bucket"]: r["n"] for r in histogram(
+        df, "v", 10.0, min_doc_count=0, extended_bounds=(-10.0, 70.0)).collect()}
+    assert wide[-10.0] == 0 and wide[60.0] == 0 and wide[70.0] == 0
+    assert len(wide) == 9 and wide[0.0] == 2
+    sparse = {r["bucket"]: r["n"] for r in histogram(df, "v", 10.0, min_doc_count=2).collect()}
+    assert sparse == {0.0: 2}
+    empty = df.filter("id < 0")
+    assert histogram(empty, "v", 10.0, min_doc_count=0).count() == 0
+    assert histogram(empty, "v", 10.0, min_doc_count=0,
+                     extended_bounds=(0.0, 20.0)).count() == 3
