@@ -2216,6 +2216,16 @@ def q_agg_terms_metric(spark, sf_dir):
     )
 
 
+def q_agg_terms_order(spark, sf_dir):
+    """ES 1.x terms-agg order on a SUB-AGGREGATION: lang buckets ranked
+    by avg(n_chars) ascending instead of doc count. The sort key is the
+    6-dp-ROUNDED avg the row reports (rounded before ordering — avg
+    accumulation order differs across engines), ties lang asc."""
+    return _cached_idx(spark, sf_dir).terms_agg(
+        BM25_QUERY, "lang", "n_chars", ("avg",), order_by="avg", ascending=True
+    )
+
+
 def q_explain_score(spark, sf_dir):
     """ES _explain parity: per-term BM25 breakdown of doc 1's score for
     BM25_QUERY; contributions sum to the doc's search() score exactly."""
@@ -4446,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "facets_include": q_facets_include,
         "agg_histogram_bounds": q_agg_histogram_bounds,
+        "agg_terms_order": q_agg_terms_order,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -8011,6 +8022,13 @@ ORDER BY 1
         "agg_cardinality": _AGG_CARD_SQL,
         "agg_top_hits": _AGG_TOPHITS_SQL,
         "agg_terms_metric": _AGG_TERMS_METRIC_SQL,
+        # terms-agg order by sub-agg: 6-dp-ROUNDED avg is the sort key
+        "agg_terms_order": f"""
+SELECT lang, count(*)::BIGINT AS n,
+       round(avg(n_chars), 6)::DOUBLE AS avg_v
+FROM documents WHERE doc_id IN ({_MATCHED})
+GROUP BY lang ORDER BY avg_v ASC, lang LIMIT 10
+""",
         "agg_nested_terms": _AGG_NESTED_TERMS_SQL,
         "agg_filters": _AGG_FILTERS_SQL,
         "agg_global": _AGG_GLOBAL_SQL,

@@ -352,23 +352,39 @@ def terms_metric(
     metric_field: str,
     metrics: tuple[str, ...] = ("avg",),
     size: int = 10,
+    order_by: str | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """ES terms aggregation with metric sub-aggregations: per bucket the
     doc count plus avg/min/max/sum of ``metric_field``, buckets ordered by
     doc count desc (ES default) with value-asc ties, top ``size``.
 
+    ``order_by`` is ES 1.x's terms-agg ``order`` on a SUB-AGGREGATION
+    (``{"order": {"avg_value": "desc"}}``): name one of the requested
+    metrics and buckets rank by that metric instead of doc count
+    (``ascending`` flips direction, ES's "asc"). The sort key is the
+    6-dp-ROUNDED metric the row reports (rounded BEFORE ordering — the
+    geo rule, since avg sums are accumulation-order-sensitive), ties
+    bucket asc.
+
     One groupBy — all requested metrics ride the same shuffle with
     map-side partials, so nesting metrics under the terms bucket is free
-    at 100 TB relative to the terms agg alone."""
+    at 100 TB relative to the terms agg alone; any ordering is still a
+    TakeOrderedAndProject over bucket-cardinality rows."""
     fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
+    if order_by is not None and order_by not in metrics:
+        raise ValueError(
+            f"order_by {order_by!r} must name one of the requested metrics {metrics}"
+        )
     c = F.col(metric_field).cast("double")
     agg_cols = [F.count("*").cast("long").alias("n")] + [
         F.round(fns[m](c), 6).alias(f"{m}_v") for m in metrics
     ]
+    key = F.col("n") if order_by is None else F.col(f"{order_by}_v")
     return (
         df.groupBy(bucket_field)
         .agg(*agg_cols)
-        .orderBy(F.desc("n"), F.asc(bucket_field))
+        .orderBy(key.asc() if ascending else key.desc(), F.asc(bucket_field))
         .limit(size)
     )
 

@@ -3875,10 +3875,14 @@ class Index:
         size: int = 10,
         where: str | None = None,
         min_should_match: int = 1,
+        order_by: str | None = None,
+        ascending: bool = False,
     ) -> DataFrame:
         """ES terms aggregation with nested metric sub-aggregations
         (avg/min/max/sum of ``metric_field`` per bucket) over the matching
-        docs — the `terms + avg` idiom of every ES dashboard."""
+        docs — the `terms + avg` idiom of every ES dashboard.
+        ``order_by``/``ascending`` = ES 1.x ``order`` on a sub-agg
+        (see aggs.terms_metric)."""
         from kafka_elasticsearch_standalone_consumer_spark.query import aggs
 
         scoped = self._agg_scope(query_text, where, min_should_match)
@@ -3887,7 +3891,9 @@ class Index:
                 f"{m}_v double" for m in metrics
             )
             return self.spark.createDataFrame([], schema)
-        return aggs.terms_metric(scoped, bucket_by, metric_field, metrics, size)
+        return aggs.terms_metric(
+            scoped, bucket_by, metric_field, metrics, size, order_by, ascending
+        )
 
     def terms_agg_sharded(
         self,

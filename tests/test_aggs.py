@@ -963,3 +963,20 @@ def test_significant_terms_background_filter(spark, built_index):
         ).collect()
     ]
     assert got == want and got != plain
+
+
+def test_terms_agg_order_by_subagg(spark, built_index):
+    """order_by ranks buckets by the reported (rounded) metric instead of
+    doc count; ascending flips; unknown metric names are refused."""
+    import pytest
+
+    idx, _ = built_index
+    base = idx.terms_agg(Q, "role", "turn_idx", ("avg", "max")).collect()
+    by_avg = idx.terms_agg(Q, "role", "turn_idx", ("avg", "max"), order_by="avg").collect()
+    assert {tuple(r) for r in by_avg} == {tuple(r) for r in base}  # same buckets
+    keys = [r["avg_v"] for r in by_avg]
+    assert keys == sorted(keys, reverse=True)
+    asc = idx.terms_agg(Q, "role", "turn_idx", ("avg",), order_by="avg", ascending=True).collect()
+    assert [r["avg_v"] for r in asc] == sorted(r["avg_v"] for r in asc)
+    with pytest.raises(ValueError, match="order_by"):
+        idx.terms_agg(Q, "role", "turn_idx", ("avg",), order_by="sum").collect()
