@@ -2216,6 +2216,19 @@ def q_agg_terms_metric(spark, sf_dir):
     )
 
 
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus distinct-N diversity (Li et al. 2016) for n=1,2,3: distinct
+    n-grams over total n-gram occurrences — low distinct-2/3 flags a
+    templated corpus. Ratio = ONE IEEE division of exact counts, raw
+    doubles hash-safe; sub-n docs contribute nothing (the inclusive
+    generate_series(1,0)-is-empty guard on both engines)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        ngram_diversity,
+    )
+
+    return ngram_diversity(_docs(spark, sf_dir))
+
+
 def q_agg_terms_order(spark, sf_dir):
     """ES 1.x terms-agg order on a SUB-AGGREGATION: lang buckets ranked
     by avg(n_chars) ascending instead of doc count. The sort key is the
@@ -4457,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets_include": q_facets_include,
         "agg_histogram_bounds": q_agg_histogram_bounds,
         "agg_terms_order": q_agg_terms_order,
+        "ngram_diversity": q_ngram_diversity,
         "tok_term_counts": q_tok_term_counts,
         "doc_lengths": q_doc_lengths,
         "term_df_stats": q_term_df_stats,
@@ -8021,6 +8035,32 @@ ORDER BY 1
         "agg_missing": _AGG_MISSING_SQL,
         "agg_cardinality": _AGG_CARD_SQL,
         "agg_top_hits": _AGG_TOPHITS_SQL,
+        # distinct-N diversity: exact counts, ONE division, raw doubles
+        "ngram_diversity": f"""
+WITH g1 AS (SELECT unnest({SQL_TOKS}) AS g FROM documents),
+g2 AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len({SQL_TOKS}) - 1, 0)),
+    i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1]))) AS g
+  FROM documents
+),
+g3 AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+    i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2]))) AS g
+  FROM documents
+)
+SELECT 1 AS n, count(*)::BIGINT AS total_ngrams,
+       count(DISTINCT g)::BIGINT AS distinct_ngrams,
+       count(DISTINCT g)::DOUBLE / count(*)::DOUBLE AS ratio FROM g1
+UNION ALL
+SELECT 2, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+       count(DISTINCT g)::DOUBLE / count(*)::DOUBLE FROM g2
+UNION ALL
+SELECT 3, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+       count(DISTINCT g)::DOUBLE / count(*)::DOUBLE FROM g3
+ORDER BY n
+""",
         "agg_terms_metric": _AGG_TERMS_METRIC_SQL,
         # terms-agg order by sub-agg: 6-dp-ROUNDED avg is the sort key
         "agg_terms_order": f"""

@@ -98,6 +98,57 @@ def token_entropy(
     )
 
 
+def ngram_diversity(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram diversity — the distinct-N metric (Li et al. 2016,
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models") at corpus scale: for each n, the number of DISTINCT token
+    n-grams over the TOTAL n-gram occurrences. Low distinct-2/3 =
+    templated/repetitive corpus — the aggregate cousin of the per-doc
+    token_entropy signal. Returns (n, total_ngrams, distinct_ngrams,
+    ratio) with ratio = ONE IEEE division of two exact
+    integers-as-doubles — bit-identical cross-engine, no rounding.
+    Docs shorter than n tokens contribute nothing at that n.
+
+    Scale shape per n: one tokenize pass + an n-gram explode (the
+    shingle_df construction WITHOUT the per-doc distinct — totals need
+    every occurrence) + ONE aggregate (count + count DISTINCT). The ns
+    are unioned — |ns| passes, each aggregation-only."""
+    out = None
+    for n in ns:
+        toks = tokenize_col(F.col(text_col))
+        m = F.size(toks) - (int(n) - 1)
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(int(n))]
+            ),
+        )
+        grams = df.select(F.explode(gram).alias("g"))
+        row = grams.agg(
+            F.lit(int(n)).alias("n"),
+            F.count("*").cast("long").alias("total_ngrams"),
+            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        ).select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n")
+
+
 def zipf_fit(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 100
 ) -> DataFrame:

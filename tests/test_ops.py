@@ -1751,3 +1751,20 @@ def test_classifier_score_exact_logits_and_bias_path(spark):
 
     for r in a:
         assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 1e-12
+
+
+def test_ngram_diversity_hand_values(spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        ngram_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["n"]: (r["total_ngrams"], r["distinct_ngrams"], r["ratio"]) for r in ngram_diversity(df).collect()}
+    # unigrams: a b a b a -> 5 total, 2 distinct
+    assert got[1] == (5, 2, 2.0 / 5.0)
+    # bigrams (doc1 only): ab ba ab -> 3 total, 2 distinct; doc2 too short
+    assert got[2] == (3, 2, 2.0 / 3.0)
+    # trigrams: aba bab -> 2 total, 2 distinct
+    assert got[3] == (2, 2, 1.0)
