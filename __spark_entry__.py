@@ -4285,70 +4285,19 @@ def q_zipf_fit(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the external correctness gate samples the FIRST 50 keys,
-    # so entries the gate has never seen (new this round, or skipped by earlier
-    # rounds' windows) are listed first; previously gated entries follow.  Keep
-    # rotating each round so every entry eventually lands inside the window.
-    # Round-5 rotation note: after the round-4 gate (first 50 keys of THIS
-    # dict), the never-gated backlog is the contiguous block starting at
-    # has_child_topk (position 50) through the end of the round-4 late adds
-    # (recomputed against CORRECTNESS_r01-03 + this window; 77+ entries —
-    # more than one final window holds). Next round, move the FIRST 50 of
-    # that block (has_child_topk .. knn_join_ivf_topk) to the head; the
-    # remainder can never fit a driver window — each was verified by the
-    # full tools/check_entry.py rehearsal at sf0.001/0.01/0.1 when added,
-    # and a COMPLETE rehearsal ran green at sf0.01 late in round 4 (see
-    # CLAUDE.md round-4g note). Append new entries at the END only.
+    # so entries the gate has never seen are listed first; previously gated
+    # entries follow.  Keep rotating each round so every entry eventually lands
+    # inside the window.
+    # Round-5 rotation (this round): the head is now the round-2/3 DSL core
+    # block (has_child_topk .. delete_by_query, the first 50 of the 118-entry
+    # never-gated backlog identified in VERDICT r4 item 1).  The round-4-gated
+    # window (ann_pq_topk .. zipf-era keys) follows at positions 50-99.  The
+    # remaining never-gated backlog (knn_join_topk onward, 68 entries) sits at
+    # positions 100-167 — next round, move its first 50 to the head.  Every
+    # entry was verified by the full tools/check_entry.py rehearsal at
+    # sf0.001/0.01/0.1 when added, and COMPLETE rehearsals ran green at sf0.01
+    # at the end of rounds 4 and (pending) 5.  Append new entries at the END.
     return {
-        "ann_pq_topk": q_ann_pq_topk,
-        "nested_sort_topk": q_nested_sort_topk,
-        "warmers": q_warmers,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "hybrid_rrf": q_hybrid_rrf,
-        "span_within_topk": q_span_within_topk,
-        "span_containing_topk": q_span_containing_topk,
-        "has_child_bounded_topk": q_has_child_bounded_topk,
-        "agg_reverse_nested": q_agg_reverse_nested,
-        "domain_mix": q_domain_mix,
-        "normalize_unicode": q_normalize_unicode,
-        "span_near_local": q_span_near_local,
-        "sessionize": q_sessionize,
-        "terms_lookup_local": q_terms_lookup_local,
-        "dsir_select": q_dsir_select,
-        "terms_lookup_topk": q_terms_lookup_topk,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "gopher_filter": q_gopher_filter,
-        "c4_filter": q_c4_filter,
-        "dedup_passages": q_dedup_passages,
-        "chunk_windows": q_chunk_windows,
-        "mtermvectors": q_mtermvectors,
-        "scroll_page": q_scroll_page,
-        "nested_topk": q_nested_topk,
-        "agg_nested": q_agg_nested,
-        "filtered_alias": q_filtered_alias,
-        "template_alias": q_template_alias,
-        "geo_distance_topk": q_geo_distance_topk,
-        "geo_bbox_topk": q_geo_bbox_topk,
-        "agg_geo_distance": q_agg_geo_distance,
-        "geo_distance_local": q_geo_distance_local,
-        "agg_geohash_grid": q_agg_geohash_grid,
-        "geo_polygon_topk": q_geo_polygon_topk,
-        "geohash_cell_topk": q_geohash_cell_topk,
-        "agg_geo_bounds": q_agg_geo_bounds,
-        "geo_distance_sort": q_geo_distance_sort,
-        "geo_distance_range_topk": q_geo_distance_range_topk,
-        "semdedup": q_semdedup,
-        "highlight_topk": q_highlight_topk,
-        "msearch_batch": q_msearch_batch,
-        "dedup_keep": q_dedup_keep,
-        "bm25_porter_topk": q_bm25_porter_topk,
-        "bm25_english_topk": q_bm25_english_topk,
-        "bm25_simple_topk": q_bm25_simple_topk,
-        "bm25_ws_topk": q_bm25_ws_topk,
-        "keyword_lookup": q_keyword_lookup,
-        "snapshot_restore": q_snapshot_restore,
-        "template_create": q_template_create,
-        "suggest_phrase_lm": q_suggest_phrase_lm,
-        "agg_children": q_agg_children,
         "has_child_topk": q_has_child_topk,
         "has_child_sum_topk": q_has_child_sum_topk,
         "has_parent_topk": q_has_parent_topk,
@@ -4399,11 +4348,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lm_doc_quality": q_lm_doc_quality,
         "delete_by_query": q_delete_by_query,
+        "ann_pq_topk": q_ann_pq_topk,
+        "nested_sort_topk": q_nested_sort_topk,
+        "warmers": q_warmers,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "span_within_topk": q_span_within_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "has_child_bounded_topk": q_has_child_bounded_topk,
+        "agg_reverse_nested": q_agg_reverse_nested,
+        "domain_mix": q_domain_mix,
+        "normalize_unicode": q_normalize_unicode,
+        "span_near_local": q_span_near_local,
+        "sessionize": q_sessionize,
+        "terms_lookup_local": q_terms_lookup_local,
+        "dsir_select": q_dsir_select,
+        "terms_lookup_topk": q_terms_lookup_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "dedup_passages": q_dedup_passages,
+        "chunk_windows": q_chunk_windows,
+        "mtermvectors": q_mtermvectors,
+        "scroll_page": q_scroll_page,
+        "nested_topk": q_nested_topk,
+        "agg_nested": q_agg_nested,
+        "filtered_alias": q_filtered_alias,
+        "template_alias": q_template_alias,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_bbox_topk": q_geo_bbox_topk,
+        "agg_geo_distance": q_agg_geo_distance,
+        "geo_distance_local": q_geo_distance_local,
+        "agg_geohash_grid": q_agg_geohash_grid,
+        "geo_polygon_topk": q_geo_polygon_topk,
+        "geohash_cell_topk": q_geohash_cell_topk,
+        "agg_geo_bounds": q_agg_geo_bounds,
+        "geo_distance_sort": q_geo_distance_sort,
+        "geo_distance_range_topk": q_geo_distance_range_topk,
+        "semdedup": q_semdedup,
+        "highlight_topk": q_highlight_topk,
+        "msearch_batch": q_msearch_batch,
+        "dedup_keep": q_dedup_keep,
+        "bm25_porter_topk": q_bm25_porter_topk,
+        "bm25_english_topk": q_bm25_english_topk,
+        "bm25_simple_topk": q_bm25_simple_topk,
+        "bm25_ws_topk": q_bm25_ws_topk,
+        "keyword_lookup": q_keyword_lookup,
+        "snapshot_restore": q_snapshot_restore,
+        "template_create": q_template_create,
+        "suggest_phrase_lm": q_suggest_phrase_lm,
+        "agg_children": q_agg_children,
         "update_upsert": q_update_upsert,
-        # ---- appended AFTER the round-5 rotation window (see note above):
-        # these round-4f late adds can no longer fit any driver window, so
-        # they rely on the full tools/check_entry.py rehearsal (green at
-        # sf0.001/0.01/0.1 for each when added) ----
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_topk": q_knn_join_ivf_topk,
         "turn_context": q_turn_context,
