@@ -3632,7 +3632,7 @@ def q_terms_lookup_local(spark, sf_dir):
 
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011; FAISS IndexPQ): 16
-    subspaces × 64 centroids trained on a bounded 256-vector sample, each
+    subspaces × 256 centroids trained on a bounded 1024-vector sample, each
     vector packed to a 16-byte code (16× smaller than float32); the ADC
     scan reads only (id, codes) and keeps the top-100 by reconstructed
     cosine (TakeOrderedAndProject — no shuffle of the table); those 100
@@ -3645,7 +3645,7 @@ def q_ann_pq_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    out = pq_topk(emb, qv, K, rescore=100, m=16, k_cent=64)
+    out = pq_topk(emb, qv, K, rescore=100, m=16, k_cent=256, sample_n=1024)
     return _rank(out, "cosine", "vec_id").select(
         "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
     )
@@ -3653,7 +3653,7 @@ def q_ann_pq_topk(spark, sf_dir):
 
 def q_ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ with residual encoding (FAISS IndexIVFPQ): distributed
-    spherical-k-means coarse lists + 16×64 residual PQ codebooks trained
+    spherical-k-means coarse lists + 16×256 residual PQ codebooks trained
     on a bounded sample; ADC = per-list constant + lookup-table sum; the
     top-100 approximate candidates broadcast-join back for exact
     rescoring. Probing ALL lists removes coarse loss and rescore=100
@@ -8529,7 +8529,7 @@ WHERE c.cluster_id = c.doc_id
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
-        "ann_pq_topk": _COSINE_SQL,  # m=16 kc=64 rescore=100 recall 1.0 => exact top-k
+        "ann_pq_topk": _COSINE_SQL,  # m=16 kc=256 rescore=100 recall 1.0 => exact top-k
         "ann_ivfpq_topk": _COSINE_SQL,  # all-lists probe + rescore=100 => exact top-k
         "hybrid_rrf": _bm25_variant_sql(
             BM25_QUERY,

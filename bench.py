@@ -379,9 +379,9 @@ def ann_recall(spark, emb) -> dict:
                 "ivf_np1": ivf_search(spark, ivf_wh, qv, ANN_RECALL_K, nprobe=1),
                 "sq8_r20": sq8_topk(emb, qv, ANN_RECALL_K, rescore=20),
                 "sq8_rk": sq8_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
-                "pq_r20": pq_topk(emb, qv, ANN_RECALL_K, rescore=20, m=16, k_cent=64),
-                "pq_rk": pq_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K, m=16, k_cent=64),
-                "ivfpq_np4": ivfpq_topk(emb, qv, ANN_RECALL_K, nprobe=4, rescore=20),
+                "pq_r20": pq_topk(emb, qv, ANN_RECALL_K, rescore=20),
+                "pq_rk": pq_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
+                "ivfpq_np4": ivfpq_topk(emb, qv, ANN_RECALL_K, nprobe=4, rescore=50),
             }
             for name, df in got.items():
                 hits[name] += len(truth & {r["vec_id"] for r in df.collect()})
@@ -432,9 +432,9 @@ partition pruning):
 | IVF (16 trained lists) | nprobe=1 | 1/16 | {recall['ivf_np1']} |
 | SQ8 (int8 + exact rescore) | rescore=20 | 1/4 of bytes + 20 rows | {recall['sq8_r20']} |
 | SQ8 (int8 + exact rescore) | rescore=k (pure quantized rank) | 1/4 of bytes + {ANN_RECALL_K} rows | {recall['sq8_rk']} |
-| PQ (16×64 ADC + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
-| PQ (16×64 ADC + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
-| IVF-PQ (16 lists, residual 16×64, rescore=20) | nprobe=4 | 1/4 of rows × 1/16 of bytes + 20 rows | {recall['ivfpq_np4']} |
+| PQ (16×256 ADC, 1024-sample codebooks + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
+| PQ (16×256 ADC, 1024-sample codebooks + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
+| IVF-PQ (16 lists, residual 16×256, rescore=50) | nprobe=4 | 1/4 of rows × 1/16 of bytes + 50 rows | {recall['ivfpq_np4']} |
 | batched kNN join (IVF-routed, all {ANN_RECALL_QUERIES} queries in ONE job) | nprobe=4 | union of routed lists, once | {recall['knn_ivf_np4']} |
 {RECALL_MD_END}"""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
