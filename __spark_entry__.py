@@ -1956,6 +1956,85 @@ def q_geo_shape_topk(spark, sf_dir):
     )
 
 
+# ---- geo_shape over INDEXED (per-document) shapes ----------------------
+# Each doc stores its own pentagon: a dyadic lattice center (derived from
+# doc_id by integer arithmetic, then scaled by exactly-representable 2.5 /
+# 2.25 steps) plus dyadic vertex offsets.  Every coordinate, its parquet
+# round-trip, and every product in the crossing-parity predicate is
+# float-EXACT, so Spark (reading the STORED array column) and DuckDB
+# (re-deriving the vertices from doc_id) agree bit-for-bit with no
+# rounding anywhere.  The center lattice repeats with period
+# lcm(24, 16) = 48 in doc_id, so ~1/48th of the corpus shares the pentagon
+# that contains the query point — the filter provably bites at every SF.
+SHAPE_CLON = "((doc_id * 113) % 24) * CAST(2.5 AS DOUBLE) - CAST(30 AS DOUBLE)"
+SHAPE_CLAT = "((doc_id * 41) % 16) * CAST(2.25 AS DOUBLE) - CAST(18 AS DOUBLE)"
+SHAPE_OFFSETS = [(0.0, 2.0), (2.0, 0.5), (1.25, -1.75), (-1.25, -1.75), (-2.0, 0.5)]
+SHAPE_QPOINT = (-27.25, 3.0)  # lon, lat — strictly inside the doc-17 pentagon
+
+
+def _geo_shape_idx(spark, sf_dir):
+    """Ephemeral index whose docs carry a STORED per-document polygon
+    column (array<struct<lon,lat>>, GeoJSON lon-first) — the indexed
+    shape-field fixture ES 1.x's geo_shape mapping type needs."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::geo_shape_idx"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        verts = [
+            F.struct(
+                F.expr(f"({SHAPE_CLON}) + CAST({dlon} AS DOUBLE)").alias("lon"),
+                F.expr(f"({SHAPE_CLAT}) + CAST({dlat} AS DOUBLE)").alias("lat"),
+            )
+            for dlon, dlat in SHAPE_OFFSETS
+        ]
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text", F.array(*verts).alias("shape")
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_geo_shape_indexed_topk(spark, sf_dir):
+    """ES geo_shape against an INDEXED shape field (the mapping-type side
+    of geo_shape; the query-payload-vs-point-field side is
+    geo_shape_topk): every doc stores its own pentagon and the query is a
+    GeoJSON point — BM25 matches whose STORED shape contains it, filter
+    context, corpus stats global. The per-row crossing-parity predicate
+    resolves edge direction at runtime (divisionless, ``*``/``-``/
+    compare-only) and fuses into the doc scan; ES 1.x resolves the same
+    relation approximately via prefix-tree terms, this is the exact
+    planar test. The DuckDB oracle re-derives the vertices from doc_id
+    with the same dyadic arithmetic and runs the SAME generated
+    predicate, so the filter matches bit-for-bit."""
+    idx = _geo_shape_idx(spark, sf_dir)
+    ring = [(f"shape[{i}].lon", f"shape[{i}].lat") for i in range(len(SHAPE_OFFSETS))]
+    out = idx.search_geo_shape_indexed(
+        BM25_QUERY, K, ring_sql=ring, point=SHAPE_QPOINT, relation="intersects"
+    )
+    rows = _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+    return rows
+
+
+def _geo_shape_indexed_oracle_where() -> str:
+    """The engine's OWN per-row predicate generator over DuckDB-side
+    vertex expressions (center re-derived from doc_id + dyadic offsets —
+    exactly what the Spark fixture stored)."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    ring = [
+        (
+            f"({SHAPE_CLON}) + CAST({dlon} AS DOUBLE)",
+            f"({SHAPE_CLAT}) + CAST({dlat} AS DOUBLE)",
+        )
+        for dlon, dlat in SHAPE_OFFSETS
+    ]
+    return Index.shape_ring_contains_point_sql(ring, *SHAPE_QPOINT)
+
+
 def q_agg_geo_bounds(spark, sf_dir):
     """ES geo_bounds aggregation (1.3+): the enclosing lat/lon box of
     the match set as ES reports it — top_left=(max lat, min lon),
@@ -4552,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_segments": q_incremental_segments,
         "delete_tombstones": q_delete_tombstones,
         "media_features": q_media_features,
+        "geo_shape_indexed_topk": q_geo_shape_indexed_topk,
     }
 
 
@@ -8304,6 +8384,11 @@ FROM b ORDER BY bucket
         # compiles into the Spark scan — byte-identical float arithmetic
         "geo_polygon_topk": _bm25_sql(
             BM25_QUERY, where=_geo_polygon_oracle_where()
+        ),
+        # indexed-shape flavor: engine's per-row parity generator over
+        # DuckDB-rederived dyadic vertices (fixture comment at SHAPE_CLON)
+        "geo_shape_indexed_topk": _bm25_sql(
+            BM25_QUERY, where=_geo_shape_indexed_oracle_where()
         ),
         "geohash_cell_topk": _geohash_cell_oracle_sql(),
         "agg_geo_bounds": f"""

@@ -5900,6 +5900,94 @@ class Index:
         combined = geo if where is None else f"({geo}) AND ({where})"
         return self.search(query_text, k, where=combined)
 
+    # ---- geo_shape over INDEXED shape fields (per-document polygons) ----
+
+    @staticmethod
+    def shape_ring_contains_point_sql(
+        ring_sql: list[tuple[str, str]], lon: float, lat: float
+    ) -> str:
+        """Crossing-parity point-in-polygon where the POLYGON is per-row:
+        ``ring_sql`` is one (lon_sql, lat_sql) SQL-expression pair per
+        vertex (GeoJSON lon-first; ring closed implicitly), e.g. accessors
+        into a stored ``array<struct<lon,lat>>`` column, and the POINT is
+        the constant query coordinate — the role-reversal of
+        :meth:`_point_in_polygon_sql`, whose compile-time edge-direction
+        folding is impossible here because each row's edge slopes differ.
+        The quotient test is cleared of the division with the sign resolved
+        at RUNTIME instead: edge crossing iff the straddle test passes AND
+        (dy > 0 AND cross < 0) OR (dy < 0 AND cross > 0), with
+        ``cross = (px-x1)·dy − (py-y1)·dx``. Only ``*``/``-``/``<``/``>``
+        and boolean ops appear, so the string runs verbatim in Spark and
+        DuckDB with byte-identical float arithmetic. A horizontal edge
+        fails straddle for every point, contributing 0 — same geometry as
+        the compile-time skip in the constant-polygon form."""
+        if len(ring_sql) < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        px, py = float(lon), float(lat)
+        verts = list(ring_sql) + [ring_sql[0]]
+        terms = []
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:]):
+            dy = f"(({y2}) - ({y1}))"
+            cross = (
+                f"((({px!r}) - ({x1})) * {dy} - "
+                f"(({py!r}) - ({y1})) * (({x2}) - ({x1})))"
+            )
+            straddle = f"((({y1}) > ({py!r})) <> (({y2}) > ({py!r})))"
+            crossing = (
+                f"({straddle} AND (({dy} > 0 AND {cross} < 0) "
+                f"OR ({dy} < 0 AND {cross} > 0)))"
+            )
+            terms.append(f"CASE WHEN {crossing} THEN 1 ELSE 0 END")
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+
+    def geo_shape_indexed_where(
+        self,
+        ring_sql: list[tuple[str, str]],
+        point: tuple[float, float],
+        relation: str = "intersects",
+    ) -> str:
+        """ES 1.x ``geo_shape`` against an INDEXED shape field: each doc
+        stores its own polygon ring (``ring_sql`` — per-vertex (lon_sql,
+        lat_sql) accessors into the stored representation) and the query
+        supplies a GeoJSON point (lon, lat). Relations for a point query
+        against polygon docs: ``intersects`` ≡ ``contains`` (the doc
+        shape intersects a point iff it contains it), ``disjoint`` is the
+        complement, and ``within`` (doc shape inside a point) is
+        degenerate and raises. ES 1.x resolves this with prefix-tree terms
+        (approximate); this predicate is the exact planar test fused into
+        the doc scan — no UDF, no shuffle. Reference parity: the reference
+        delegates all query semantics to ES 1.5
+        (MessageHandler.java:135-139 posts raw bulk JSON)."""
+        lon, lat = float(point[0]), float(point[1])
+        pred = self.shape_ring_contains_point_sql(ring_sql, lon, lat)
+        rel = relation.lower()
+        if rel in ("intersects", "contains"):
+            return pred
+        if rel == "disjoint":
+            return f"NOT ({pred})"
+        raise ValueError(
+            f"unsupported geo_shape relation for a point query against "
+            f"polygon docs: {relation!r}"
+        )
+
+    def search_geo_shape_indexed(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        ring_sql: list[tuple[str, str]],
+        point: tuple[float, float],
+        relation: str = "intersects",
+        where: str | None = None,
+    ) -> DataFrame:
+        """ES ``geo_shape`` query over per-document shapes in filter
+        context (BM25 stats stay global): the point-in-doc-shape parity
+        predicate fuses into the column-pruned doc scan like every other
+        geo filter."""
+        geo = self.geo_shape_indexed_where(ring_sql, point, relation)
+        combined = geo if where is None else f"({geo}) AND ({where})"
+        return self.search(query_text, k, where=combined)
+
     # ---- geohash driver-side reference codec (bisection form) ----
 
     @classmethod

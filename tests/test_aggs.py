@@ -721,6 +721,61 @@ def test_geo_polygon_matches_python_raycast(spark):
         Index._point_in_polygon_sql("lat", "lon", [(5.0, 0.0), (5.0, 10.0), (5.0, 20.0)])
 
 
+def test_geo_shape_indexed_matches_python_raycast(spark):
+    """geo_shape over INDEXED (per-document) polygons vs an independent
+    pure-Python ray-cast (classic quotient form, NOT the engine's
+    runtime-sign divisionless rearrangement): each doc stores its own
+    translated pentagon; the query is a point; same inside set."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    offs = [(0.0, 2.0), (2.0, 0.5), (1.25, -1.75), (-1.25, -1.75), (-2.0, 0.5)]
+    rows = []
+    for i in range(40):
+        clon, clat = -20.0 + (i % 8) * 2.5, -9.0 + (i // 8) * 2.25
+        rows.append((i, "alpha", [(clon + dx, clat + dy) for dx, dy in offs]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, shape array<struct<lon:double,lat:double>>"
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    ring = [(f"shape[{j}].lon", f"shape[{j}].lat") for j in range(5)]
+    qlon, qlat = -12.3, -3.4
+
+    def inside(poly):
+        n, c = len(poly), False
+        for k in range(n):
+            x1, y1 = poly[k]
+            x2, y2 = poly[(k + 1) % n]
+            if (y1 > qlat) != (y2 > qlat) and qlon < x1 + (qlat - y1) * (x2 - x1) / (y2 - y1):
+                c = not c
+        return c
+
+    got = {
+        r["doc_id"]
+        for r in idx.search_geo_shape_indexed(
+            "alpha", 50, ring_sql=ring, point=(qlon, qlat)
+        ).collect()
+    }
+    want = {i for i, _t, poly in rows if inside(poly)}
+    assert got == want and got and len(want) < len(rows)
+
+    dis = {
+        r["doc_id"]
+        for r in idx.search_geo_shape_indexed(
+            "alpha", 50, ring_sql=ring, point=(qlon, qlat), relation="disjoint"
+        ).collect()
+    }
+    assert dis == {i for i, _t, _p in rows} - want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="relation"):
+        idx.geo_shape_indexed_where(ring, (qlon, qlat), relation="within")
+    with _pytest.raises(ValueError, match=">= 3"):
+        Index.shape_ring_contains_point_sql(ring[:2], qlon, qlat)
+
+
 def test_geohash_codec_roundtrip_and_neighbors():
     """Driver-side geohash codec: known value, decode-box roundtrip,
     neighbor structure (8 interior / edge-adjacent boxes / pole clamp),
