@@ -1073,6 +1073,36 @@ def q_bm25_english_topk(spark, sf_dir):
     )
 
 
+def q_bm25_pattern_topk(spark, sf_dir):
+    """ES 1.x pattern analyzer (lowercase + configurable regex SPLIT,
+    default \\W+) end-to-end: the corpus gains a derived underscore-fused
+    token 'tag_<doc_id%7>' that the pattern chain keeps WHOLE (underscore
+    is \\w) while standard would split into (tag, N) — and the QUERY
+    'join tag_3' analyzes to (join, tag_3), so only the doc_id%7==3
+    seventh of the corpus matches the rare term. The DuckDB oracle runs
+    string_split_regex with the same RE2/Java-shared '\\W+' over the same
+    derived text."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::pattern"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" tag_"),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        idx = Index.ephemeral(docs, docs_per_shard=128, n_buckets=16, analyzer="pattern")
+        _IDX_CACHE[key] = idx
+    out = idx.search("join tag_3", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def q_bm25_simple_topk(spark, sf_dir):
     """ES simple analyzer (LetterTokenizer + lowercase) end-to-end: the
     corpus gains a derived digit-fused token 'sec<doc_id%5>ref' that the
@@ -4632,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_tombstones": q_delete_tombstones,
         "media_features": q_media_features,
         "geo_shape_indexed_topk": q_geo_shape_indexed_topk,
+        "bm25_pattern_topk": q_bm25_pattern_topk,
     }
 
 
@@ -6360,6 +6391,28 @@ def _bm25_simple_sql(query: str, k: int = K) -> str:
     toks = (
         "list_filter(string_split_regex("
         "lower(text || ' sec' || (doc_id % 5) || 'ref'), '[^a-z]+'), "
+        "t -> t != '')"
+    )
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
+def _bm25_pattern_sql(query: str, k: int = K) -> str:
+    """Pattern-analyzer oracle: the BM25 template over the derived
+    underscore-fused corpus (text || ' tag_' || doc_id%7) tokenized by
+    the ES-default \\W+ SPLIT (RE2 dialect — shared with Spark's Java
+    split; re.ASCII mirrors it for the query terms here)."""
+    import re
+    from collections import Counter
+
+    terms = Counter(
+        t for t in re.split(r"\W+", query.lower(), flags=re.ASCII) if t
+    )
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    toks = (
+        "list_filter(string_split_regex("
+        "lower(text || ' tag_' || (doc_id % 7)), '\\W+'), "
         "t -> t != '')"
     )
     return _BM25_SQL_TEMPLATE.format(
@@ -8422,6 +8475,7 @@ SELECT range_label, n FROM (
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),
+        "bm25_pattern_topk": _bm25_pattern_sql("join tag_3"),
         "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),
         "keyword_lookup": _KEYWORD_LOOKUP_SQL,
         "snapshot_restore": _bm25_sql(BM25_QUERY),

@@ -52,7 +52,18 @@ STOP_WORDS = frozenset(
 #                (Lucene WhitespaceTokenizer: terms keep their case)
 #   keyword    — the entire field value as ONE term, verbatim (Lucene
 #                KeywordTokenizer; empty/null fields emit no token)
-ANALYZERS = ("standard", "simple", "stop", "porter", "english", "whitespace", "keyword")
+#   pattern    — ES 1.x pattern analyzer: lowercase, then SPLIT on a
+#                configurable regex (default \W+, the ES default). The
+#                configurable form is the string "pattern:<regex>" so the
+#                knob stays a plain string through segment meta /
+#                append / compact unchanged. The regex runs in the
+#                Java/RE2-shared dialect: driver-side Python compiles
+#                with re.ASCII so \w/\W/\d/\b agree byte-for-byte with
+#                Spark's Java split and DuckDB's RE2 on any input.
+ANALYZERS = (
+    "standard", "simple", "stop", "porter", "english", "whitespace", "keyword",
+    "pattern",
+)
 
 _WS_RE = re.compile(r"\S+")
 # ES/Lucene `simple` analyzer: LetterTokenizer + lowercase — token = a
@@ -62,9 +73,28 @@ _WS_RE = re.compile(r"\S+")
 _SIMPLE_RE = re.compile(r"[a-z]+")
 
 
+DEFAULT_PATTERN = r"\W+"
+
+
 def _check_analyzer(analyzer: str) -> None:
-    if analyzer not in ANALYZERS:
+    if analyzer not in ANALYZERS and not analyzer.startswith("pattern:"):
         raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS})")
+
+
+def pattern_of(analyzer: str) -> str:
+    """The split regex of a ``pattern``/``pattern:<regex>`` analyzer
+    string (Java/RE2-shared dialect; callers pass it verbatim to Spark's
+    ``split`` and DuckDB's ``string_split_regex``)."""
+    pat = analyzer.partition(":")[2] or DEFAULT_PATTERN
+    if not pat:
+        raise ValueError("pattern analyzer needs a non-empty split regex")
+    return pat
+
+
+def _pattern_re(analyzer: str) -> re.Pattern:
+    # re.ASCII pins \w/\W/\d/\b to the ASCII interpretation Java and RE2
+    # use, so driver-side query analysis == JVM-side index analysis
+    return re.compile(pattern_of(analyzer), re.ASCII)
 
 
 # -- Porter stemmer ---------------------------------------------------------
@@ -228,6 +258,8 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         return [s] if s else []
     if analyzer == "simple":
         return _SIMPLE_RE.findall(s.lower())
+    if analyzer.startswith("pattern"):
+        return [t for t in _pattern_re(analyzer).split(s.lower()) if t]
     toks = _TOKEN_RE.findall(s.lower())
     if analyzer in ("stop", "english"):
         toks = [t for t in toks if t not in STOP_WORDS]
@@ -274,6 +306,22 @@ def _simple_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(_SIMPLE_RE)
 
 
+def _pattern_udf(analyzer: str):
+    """Arrow-batched tokenizer for a ``pattern``/``pattern:<regex>``
+    analyzer (closure over the compiled ASCII-dialect split regex —
+    the pattern is per-index configuration, so the UDF is built per
+    call, not at import)."""
+    pat = _pattern_re(analyzer)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def f(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.lower().map(
+            lambda x: [t for t in pat.split(x) if t]
+        )
+
+    return f
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _porter_arr_udf(s: pd.Series) -> pd.Series:
     """Arrow-batched Porter pass over array<string> token columns. The
@@ -313,6 +361,11 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
         return F.filter(
             F.split(F.lower(base), "[^a-z]+"), lambda x: x != F.lit("")
         )
+    if analyzer.startswith("pattern"):
+        return F.filter(
+            F.split(F.lower(base), pattern_of(analyzer)),
+            lambda x: x != F.lit(""),
+        )
     parts = F.split(F.lower(base), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
     if analyzer in ("stop", "english"):
@@ -351,6 +404,8 @@ def tokens_from(
             tok = _kw_udf(F.col(text_col))
         elif analyzer == "simple":
             tok = _simple_udf(F.col(text_col))
+        elif analyzer.startswith("pattern"):
+            tok = _pattern_udf(analyzer)(F.col(text_col))
         else:
             tok = tokenize_udf(F.col(text_col))
             if analyzer in ("stop", "english"):
@@ -431,6 +486,11 @@ def doc_term_freqs(
                 toks = pdf[text_col].fillna("").map(lambda x: [x] if x else [])
             elif analyzer == "simple":
                 toks = pdf[text_col].fillna("").str.lower().str.findall(_SIMPLE_RE)
+            elif analyzer.startswith("pattern"):
+                pat = _pattern_re(analyzer)
+                toks = pdf[text_col].fillna("").str.lower().map(
+                    lambda x: [t for t in pat.split(x) if t]
+                )
             else:
                 toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
             lens = toks.str.len().to_numpy(dtype=np.int64)

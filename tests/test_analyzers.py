@@ -511,3 +511,73 @@ def test_simple_index_end_to_end(spark, sdocs_df):
     bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("hello world", 10).collect()]
     orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("hello world", 10).collect()]
     assert bmw == orc and bmw
+
+
+# ---- pattern analyzer (ES 1.x: lowercase + configurable regex SPLIT) ----
+
+PDOCS_PAT = [
+    (0, "Tool_Call ran 3.14 times"),     # underscore-fused + dotted number
+    (1, "tool_call failed once"),
+    (2, "tool call succeeded"),          # the split probe vs doc 0/1
+    (3, ""),
+    (4, "csv,line;a_b|c"),               # punctuation-only separators
+]
+
+
+@pytest.fixture(scope="module")
+def patdocs_df(spark):
+    return spark.createDataFrame(PDOCS_PAT, "doc_id long, text string")
+
+
+def test_tokenizers_identical_with_pattern(spark, patdocs_df):
+    """fused ≡ sql ≡ pandas ≡ python token streams for the pattern
+    analyzer (default \\W+ split), and for a custom split regex."""
+    for an in ("pattern", "pattern:[^a-z0-9]+"):
+        base = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(patdocs_df, method="sql", analyzer=an).collect()
+        }
+        for method in ("pandas", "fused"):
+            got = {
+                (r["doc_id"], r["term"]): r["tf"]
+                for r in tokens_from(patdocs_df, method=method, analyzer=an).collect()
+            }
+            assert got == base, (an, method)
+        py = {}
+        for d, text in PDOCS_PAT:
+            for t in tokenize_text(text, an):
+                py[(d, t)] = py.get((d, t), 0) + 1
+        assert py == base and base
+
+
+def test_pattern_semantics(spark, patdocs_df):
+    rows = doc_term_freqs(patdocs_df, analyzer="pattern").collect()
+    by = {(r["doc_id"], r["term"]): r for r in rows}
+    # \W keeps underscores: tool_call survives whole; standard splits it
+    assert (0, "tool_call") in by and (1, "tool_call") in by
+    assert (2, "tool") in by and (2, "tool_call") not in by
+    # the dotted number splits on '.', each run kept
+    assert (0, "3") in by and (0, "14") in by
+    assert by[(0, "tool_call")]["dl"] == 5
+    std = {(r["doc_id"], r["term"]) for r in doc_term_freqs(patdocs_df).collect()}
+    assert (0, "tool_call") not in std and (0, "tool") in std
+    # custom split regex: underscores become separators again
+    cus = {
+        (r["doc_id"], r["term"])
+        for r in doc_term_freqs(patdocs_df, analyzer="pattern:[^a-z0-9]+").collect()
+    }
+    assert (0, "tool") in cus and (0, "tool_call") not in cus
+
+
+def test_pattern_index_end_to_end(spark, patdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(patdocs_df, docs_per_shard=4, n_buckets=4, analyzer="pattern")
+    assert idx.meta["analyzer"] == "pattern"
+    # the underscore-fused QUERY term stays whole and matches only docs 0/1
+    hits = {r["doc_id"] for r in idx.search("Tool_Call", 10).collect()}
+    assert hits == {0, 1}
+    # oracle path agrees (rank identity through the shared analyzer)
+    bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("tool_call ran", 10).collect()]
+    orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("tool_call ran", 10).collect()]
+    assert bmw == orc and bmw
