@@ -3137,6 +3137,78 @@ def q_lang_guess(spark, sf_dir):
     )
 
 
+# Trigram lang-ID fixture: the corpus is English-only, so the entry
+# PLANTS one sentence per non-English language deterministically by
+# doc_id residue (both engines derive the identical text column).  The
+# sentences contain no apostrophes, so they embed in SQL literals as-is.
+_LANG_TRI_SENTS = {
+    3: "vous avez des questions et vous les donnez dans la ville pour que les amis",
+    7: "der hund und die katze sind nicht in der stadt und das ist ein schnelles schiff",
+    5: "el perro y el gato que estaban en la casa con una paloma para los amigos",
+}
+
+
+def _lang_tri_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % 11 = {r} THEN '{s}'" for r, s in sorted(_LANG_TRI_SENTS.items())
+    )
+    return f"CASE {whens} ELSE coalesce(text, '') END"
+
+
+def q_lang_guess_tri(spark, sf_dir):
+    """Trigram-profile language ID (Cavnar & Trenkle 1994) over the
+    documents corpus with planted fr/de/es sentences (doc_id%11 ∈
+    {3,7,5}): score(doc, lang) = integer count of profile-trigram
+    occurrences, argmax ties lang asc, 'und' on zero hits — all-integer,
+    so the DuckDB oracle (same profiles as VALUES literals, same
+    substring extraction) matches exactly. The profile table broadcasts;
+    one explode → join → (doc, lang) aggregation, the percolate plan
+    shape."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        lang_guess_trigram,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_lang_tri_case_sql()).alias("text")
+    )
+    return lang_guess_trigram(docs)
+
+
+def _lang_tri_oracle_sql() -> str:
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    vals = ", ".join(
+        f"('{lang}', '{tri}')"
+        for lang, tris in sorted(LANG_TRIGRAM_PROFILES.items())
+        for tri in tris
+    )
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, lower({_lang_tri_case_sql()}) AS s FROM documents
+),
+tri AS (
+  SELECT doc_id, substr(s, i, 3) AS tri
+  FROM docs2, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+),
+prof(lang, tri) AS (VALUES {vals}),
+sc AS (
+  SELECT doc_id, lang, count(*) AS score
+  FROM tri JOIN prof USING (tri) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM sc
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS lang,
+       coalesce(b.score, 0)::BIGINT AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     """Rolling-hash fingerprint dedup groups: grouping docs by fingerprint
     must induce EXACTLY the partition induced by the token stream itself
@@ -4663,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "geo_shape_indexed_topk": q_geo_shape_indexed_topk,
         "bm25_pattern_topk": q_bm25_pattern_topk,
+        "lang_guess_tri": q_lang_guess_tri,
     }
 
 
@@ -8902,6 +8975,7 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,
         "lang_guess": _LANG_SQL,
+        "lang_guess_tri": _lang_tri_oracle_sql(),
         "fingerprints": _FINGERPRINT_SQL,
         "events_rollup": (
             "SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value, "

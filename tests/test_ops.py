@@ -284,6 +284,32 @@ def test_lang_guess(spark):
     assert got == {1: "en", 2: "other"}
 
 
+def test_lang_guess_trigram(spark):
+    """Trigram-profile language ID: planted fr/de/es/en sentences land on
+    their language (argmax of integer occurrence counts, ties lang asc);
+    a no-profile-hit doc reports 'und' with score 0; sub-3-char and
+    NULL docs don't trip Spark's descending sequence(1, 0)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        lang_guess_trigram,
+    )
+
+    rows = [
+        (1, "vous avez des questions et vous les donnez dans la ville pour que les amis"),
+        (2, "der hund und die katze sind nicht in der stadt und das ist ein schnelles schiff"),
+        (3, "el perro y el gato que estaban en la casa con una paloma para los amigos"),
+        (4, "the cat is on the mat and it is happy"),
+        (5, "xxxx qqqq zzzz"),
+        (6, "ab"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["lang"], r["score"]) for r in lang_guess_trigram(df).collect()}
+    assert got[1][0] == "fr" and got[2][0] == "de" and got[3][0] == "es"
+    assert got[4][0] == "en" and got[4][1] > 0
+    assert got[5] == ("und", 0) and got[6] == ("und", 0) and got[7] == ("und", 0)
+    assert len(got) == len(rows)
+
+
 def test_fingerprint_properties(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import fingerprint
 
