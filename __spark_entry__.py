@@ -1476,6 +1476,63 @@ def q_percolate(spark, sf_dir):
     )
 
 
+def q_percolate_filtered(spark, sf_dir):
+    """ES 1.x filtered percolation + size: registered queries carry
+    metadata (the .percolator type stores queries as documents, so the
+    request ``filter`` runs over those fields); only 'ops'-tagged queries
+    participate, and ``size=2`` caps matches per doc (query_id asc, the
+    pinned deterministic order). The oracle mirrors the POST-filter query
+    set as VALUES and the cap as a keyed row_number window — counts stay
+    all-integer."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.percolate import percolate
+
+    qs = [
+        (1, "table"),
+        (2, "row value"),
+        (3, "stream vector"),   # ml — filtered out
+        (4, "key line sort"),
+        (5, "dup"),             # ml — filtered out
+    ]
+    meta = {
+        1: {"tag": "ops", "prio": 1},
+        2: {"tag": "ops", "prio": 2},
+        3: {"tag": "ml", "prio": 1},
+        4: {"tag": "ops", "prio": 9},
+        5: {"tag": "ml"},
+    }
+    return percolate(
+        _docs(spark, sf_dir),
+        qs,
+        queries_meta=meta,
+        query_where=("tag", "=", "ops"),
+        size=2,
+    )
+
+
+_PERCOLATE_FILTERED_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+q(query_id, term, required) AS (VALUES
+  (1, 'table', 1),
+  (2, 'row', 1), (2, 'value', 1),
+  (4, 'key', 1), (4, 'line', 1), (4, 'sort', 1)
+),
+m AS (
+  SELECT doc_id, query_id, count(*)::BIGINT AS n_matched
+  FROM dt JOIN q USING (term)
+  GROUP BY doc_id, query_id, required
+  HAVING count(*) >= required
+),
+c AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY query_id) AS rn
+  FROM m
+)
+SELECT doc_id, query_id, n_matched FROM c WHERE rn <= 2
+ORDER BY doc_id, query_id
+"""
+
+
 def q_agg_pipeline(spark, sf_dir):
     """ES pipeline aggs (cumulative_sum / derivative / moving_avg window
     3) over the events date_histogram day series."""
@@ -4736,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_indexed_topk": q_geo_shape_indexed_topk,
         "bm25_pattern_topk": q_bm25_pattern_topk,
         "lang_guess_tri": q_lang_guess_tri,
+        "percolate_filtered": q_percolate_filtered,
     }
 
 
@@ -8426,6 +8484,7 @@ SELECT bucket, n,
 FROM b ORDER BY bucket
 """,
         "percolate": _PERCOLATE_SQL,
+        "percolate_filtered": _PERCOLATE_FILTERED_SQL.format(toks=SQL_TOKS),
         "terms_query_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
             f"WHERE len(list_filter({SQL_TOKS}, x -> x IN ('dup', 'vector'))) > 0 "

@@ -22,6 +22,15 @@ Semantics (per registered query):
 * ``operator='and'``: all the query's distinct terms must appear.
 
 Queries with no tokens never match (ES rejects empty percolator queries).
+
+ES 1.x percolate additionally accepts a ``filter`` (narrowing WHICH
+registered queries are candidates — percolator queries are documents of
+the ``.percolator`` type, so the filter runs over their metadata fields)
+and a ``size`` (cap on matches returned per percolated doc). Both ride
+here as ``queries_meta`` + ``query_where`` (the repo's (col, op, value)
+tuple surface, evaluated DRIVER-side — the registered set is tiny by the
+broadcast assumption above) and ``size`` (per-doc cap, query_id asc — ES
+1.x returns shard order; we pin the deterministic choice).
 """
 
 from __future__ import annotations
@@ -32,6 +41,50 @@ from pyspark.sql import functions as F
 from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
 
 QUERIES_SCHEMA = "query_id long, terms array<string>, required long"
+
+
+def _meta_match(meta: dict, cond: tuple) -> bool:
+    """One (col, op, value) condition against a query's metadata dict —
+    the same tuple grammar the zero-job serving paths take."""
+    col, op, value = cond
+    v = meta.get(col)
+    if op == "isnull":
+        return v is None
+    if op == "notnull":
+        return v is not None
+    if op == "in":
+        return v in value
+    if v is None:
+        return False
+    if op == "=":
+        return v == value
+    if op == "!=":
+        return v != value
+    if op == "<":
+        return v < value
+    if op == "<=":
+        return v <= value
+    if op == ">":
+        return v > value
+    if op == ">=":
+        return v >= value
+    raise ValueError(f"unknown percolator filter op: {op!r}")
+
+
+def _filter_queries(
+    queries: list[tuple[int, str]],
+    queries_meta: dict[int, dict] | None,
+    query_where,
+) -> list[tuple[int, str]]:
+    if query_where is None:
+        return queries
+    conds = [query_where] if isinstance(query_where, tuple) else list(query_where)
+    meta = queries_meta or {}
+    return [
+        (qid, text)
+        for qid, text in queries
+        if all(_meta_match(meta.get(int(qid), {}), c) for c in conds)
+    ]
 
 
 def compile_queries(
@@ -63,6 +116,9 @@ def percolate(
     operator: str = "or",
     minimum_should_match: int = 1,
     analyzer: str = "standard",
+    queries_meta: dict[int, dict] | None = None,
+    query_where=None,
+    size: int | None = None,
 ) -> DataFrame:
     """Match every registered query against every document: returns
     (doc_id, query_id, n_matched) for matching pairs, ordered doc_id asc,
@@ -72,10 +128,17 @@ def percolate(
     broadcast-join the exploded query-term table → one (doc, query)
     aggregation → required-count filter. Never materializes the
     |docs| × |queries| cross product.
+
+    ``query_where`` (+ ``queries_meta``) narrows the REGISTERED set by
+    metadata before the broadcast (ES 1.x percolate ``filter``); ``size``
+    caps matches per doc, lowest query_id first (ES ``size``, made
+    deterministic) — one keyed window over the already-aggregated
+    (≤ |docs| × |queries|) match set, never over raw postings.
     """
     from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
 
     spark = docs.sparkSession
+    queries = _filter_queries(queries, queries_meta, query_where)
     compiled = compile_queries(queries, operator, minimum_should_match, analyzer)
     if not compiled:
         return spark.createDataFrame([], f"{id_col} long, query_id long, n_matched long")
@@ -89,14 +152,23 @@ def percolate(
             F.array_distinct(tokenize_col(F.col(text_col), analyzer=analyzer))
         ).alias("term"),
     )
-    return (
+    out = (
         doc_terms.join(qterms, "term")
         .groupBy(id_col, "query_id", "required")
         .agg(F.count("*").cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= F.col("required"))
         .select(id_col, "query_id", "n_matched")
-        .orderBy(F.asc(id_col), F.asc("query_id"))
     )
+    if size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.asc("query_id"))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(size))
+            .drop("_rn")
+        )
+    return out.orderBy(F.asc(id_col), F.asc("query_id"))
 
 
 def mpercolate(
@@ -106,6 +178,9 @@ def mpercolate(
     operator: str = "or",
     minimum_should_match: int = 1,
     analyzer: str = "standard",
+    queries_meta: dict[int, dict] | None = None,
+    query_where=None,
+    size: int | None = None,
 ) -> DataFrame:
     """ES 1.x ``_mpercolate``: a batch of independent percolate requests
     (req_id, document text) answered in ONE pass — the multi-document
@@ -129,6 +204,9 @@ def mpercolate(
         operator=operator,
         minimum_should_match=minimum_should_match,
         analyzer=analyzer,
+        queries_meta=queries_meta,
+        query_where=query_where,
+        size=size,
     )
 
 
@@ -140,6 +218,8 @@ def count_percolate(
     operator: str = "or",
     minimum_should_match: int = 1,
     analyzer: str = "standard",
+    queries_meta: dict[int, dict] | None = None,
+    query_where=None,
 ) -> DataFrame:
     """ES 1.x percolate count mode (``/_percolate/count``): how many
     registered queries match each document — the total without the
@@ -157,6 +237,8 @@ def count_percolate(
         operator=operator,
         minimum_should_match=minimum_should_match,
         analyzer=analyzer,
+        queries_meta=queries_meta,
+        query_where=query_where,
     )
     counts = matches.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_queries")

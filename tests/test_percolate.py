@@ -160,3 +160,52 @@ def test_count_percolate_totals_include_zero(spark):
         for r in count_percolate(docs, QUERIES, minimum_should_match=2).collect()
     }
     assert got == {0: 2, 1: 0, 2: 0, 3: 0}
+
+
+def test_percolate_filter_and_size(spark):
+    """ES 1.x percolate filter + size: the metadata filter narrows the
+    REGISTERED set before the broadcast; size caps matches per doc,
+    lowest query_id first (the pinned deterministic order)."""
+    docs = spark.createDataFrame(
+        [(0, "w00000 w00001 w00003"), (1, "w00000"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    qs = [(1, "w00000"), (2, "w00001"), (3, "w00000 w00003"), (4, "w00003")]
+    meta = {1: {"tag": "ops", "prio": 1}, 2: {"tag": "ml"},
+            3: {"tag": "ops", "prio": 3}, 4: {"tag": "ops", "prio": 9}}
+
+    # unfiltered baseline: doc 0 matches all four
+    base = {(r["doc_id"], r["query_id"]) for r in percolate(docs, qs).collect()}
+    assert base == {(0, 1), (0, 2), (0, 3), (0, 4), (1, 1), (1, 3)}
+
+    # tag filter drops q2 everywhere
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(
+            docs, qs, queries_meta=meta, query_where=("tag", "=", "ops")
+        ).collect()
+    }
+    assert got == {(0, 1), (0, 3), (0, 4), (1, 1), (1, 3)}
+
+    # compound tuple list + numeric op
+    got2 = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(
+            docs, qs, queries_meta=meta,
+            query_where=[("tag", "=", "ops"), ("prio", "<=", 3)],
+        ).collect()
+    }
+    assert got2 == {(0, 1), (0, 3), (1, 1), (1, 3)}
+
+    # size caps per-doc matches, query_id asc
+    capped = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, qs, size=2).collect()
+    }
+    assert capped == {(0, 1), (0, 2), (1, 1), (1, 3)}
+
+    # queries with no metadata fail any non-null condition
+    none_left = percolate(
+        docs, qs, query_where=("missing_field", "=", "x")
+    ).count()
+    assert none_left == 0
