@@ -70,15 +70,36 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     Candidate pairs come from a self-join on shared shingles (docs with no
-    common shingle are never paired — linear in total postings, not |D|²);
-    intersection size is a count per pair; set sizes join in to finish
-    |A∩B| / (|A|+|B|-|A∩B|).
+    common shingle are never paired). Cost is Σ_shingle df² over shingle
+    document frequencies — LINEAR in total postings only while no shingle
+    is hot; one boilerplate shingle shared by a million crawl pages makes
+    the join quadratic. ``max_df`` is the guard: shingles with df >
+    ``max_df`` are dropped from the shingle universe BEFORE the join
+    (stoplist semantics — sizes and intersections are computed over the
+    surviving shingles, so the reported Jaccard is over the capped sets;
+    a hot shingle carries ~zero dedup signal, exactly like a stopword,
+    but pairs whose overlap was ONLY hot shingles are no longer found —
+    that is the documented recall trade). The hot set is tiny by Zipf, so
+    it rides a broadcast anti-join. At 100 TB set ``max_df`` like the
+    posting build sets its salting threshold; default None preserves the
+    exact semantics for the oracle entry. Intersection size is a count per
+    pair; set sizes join in to finish |A∩B| / (|A|+|B|-|A∩B|).
     """
-    sh = shingle_df(df, text_col, id_col, n).persist()
+    sh = shingle_df(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > int(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -44,6 +44,39 @@ def test_jaccard_pairs_matches_python(docs):
     assert all(k in {(0, 1), (0, 4), (1, 4)} for k in got)
 
 
+def test_jaccard_pairs_max_df_guards_hot_shingles(spark):
+    """The df-cap guard: a universal boilerplate shingle shared by EVERY
+    doc (the quadratic-join case at crawl scale) is dropped from the
+    shingle universe before the candidate join; real near-dups that share
+    ordinary shingles are still found, and pairs whose only overlap was
+    the hot shingle disappear."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import jaccard_pairs
+
+    boiler = "copyright footer notice"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(30)]
+    # a genuine near-dup pair sharing most non-boilerplate shingles
+    rows.append((100, f"{boiler} the quick brown fox jumps over the lazy dog"))
+    rows.append((101, f"{boiler} the quick brown fox jumps over the lazy cat"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.5, max_df=5).collect()
+    }
+    assert (100, 101) in capped and len(capped) == 1
+    # over the capped universe the universal 'copyright footer notice'
+    # shingle (df=32 > 5) is gone: 9 surviving shingles per doc, 8 shared
+    # (only 'the lazy dog'/'the lazy cat' differ) -> 8/10
+    assert abs(capped[(100, 101)] - 8 / 10) < 1e-9
+
+    # the cap only removes hot-shingle-driven pairs; with a threshold the
+    # boilerplate alone could never clear, uncapped finds the same pair
+    uncapped = {
+        (r["id1"], r["id2"]) for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (100, 101) in uncapped
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import minhash_lsh_pairs
 
