@@ -4214,6 +4214,106 @@ def q_terms_agg_sharded(spark, sf_dir):
     return spark.createDataFrame(rows, df.schema)
 
 
+# CMS probe set: the corpus's complete 31-word vocabulary (fixed across
+# SFs — the Porter-map precedent) plus one absent probe; shared verbatim
+# with the DuckDB oracle's VALUES literal.
+_CMS_PROBES = (
+    "a agg batch big column customer data dup fast filter group hash join key "
+    "line merge order part query row scan slow small sort spark stream table "
+    "the value vector window zzzabsent"
+).split()
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
+    estimates over the corpus TOKEN stream (4 md5-salted hash rows × 256
+    buckets): est = min over rows of the probed bucket counts. The CMS
+    guarantee est ≥ true is one-sided and DETERMINISTIC (every occurrence
+    lands in all 4 of its buckets) — asserted in-entry for all 32 probes;
+    n_true rides along as the verification twin. All-integer registers,
+    so the DuckDB oracle (same salt||':'||value md5 bucketing) matches
+    bit for bit. Registers merge by ADDITION across shards/segments
+    (pytest-asserted) — the same merge story as HLL (max) and
+    Misra–Gries (counter fold)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import cms_estimate
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_col(F.col("text"))).alias("value")
+    )
+    out = cms_estimate(toks, "value", list(_CMS_PROBES), d=4, w=256, with_exact=True)
+    rows = out.collect()
+    assert len(rows) == len(_CMS_PROBES)
+    assert all(r["est"] >= r["n_true"] for r in rows), "CMS one-sided bound violated"
+    return out
+
+
+def _cms_oracle_sql() -> str:
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKS}) AS value FROM documents
+),
+pairs AS (
+  SELECT r.j, ('0x' || substr(md5(r.j || ':' || value), 1, 8))::BIGINT % 256 AS b
+  FROM toks, (VALUES (0), (1), (2), (3)) AS r(j)
+),
+reg AS (SELECT j, b, count(*)::BIGINT AS c FROM pairs GROUP BY j, b),
+probes(value) AS (VALUES {probes}),
+pb AS (
+  SELECT value, r.j,
+         ('0x' || substr(md5(r.j || ':' || value), 1, 8))::BIGINT % 256 AS b
+  FROM probes, (VALUES (0), (1), (2), (3)) AS r(j)
+),
+est AS (
+  SELECT value, min(coalesce(c, 0))::BIGINT AS est
+  FROM pb LEFT JOIN reg USING (j, b) GROUP BY value
+),
+tru AS (
+  SELECT value, count(*)::BIGINT AS n_true FROM toks
+  WHERE value IN (SELECT value FROM probes) GROUP BY value
+)
+SELECT e.value, e.est, coalesce(t.n_true, 0)::BIGINT AS n_true
+FROM est e LEFT JOIN tru t USING (value)
+ORDER BY e.value
+"""
+
+
+def q_keep_rate_threshold(spark, sf_dir):
+    """Quality-gate calibration: the exact cutoff keeping the longest 25%
+    of documents by n_chars — threshold = the k-th largest score
+    (k = floor(0.25·n), an exact order statistic, NO interpolation),
+    found by two-pass distributed selection (1-row stats agg → bounded
+    bucket histogram → TakeOrderedAndProject inside the boundary bucket
+    only; never a global sort). n_kept ≥ k reports value-ties honestly.
+    The DuckDB oracle recomputes the same order statistic naively via
+    row_number — exact match because the threshold is an element of the
+    integer n_chars multiset."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        keep_rate_threshold,
+    )
+
+    return keep_rate_threshold(_docs(spark, sf_dir), "n_chars", 0.25)
+
+
+_KEEP_RATE_SQL = """
+WITH s AS (
+  SELECT n_chars::DOUBLE AS score FROM documents WHERE n_chars IS NOT NULL
+),
+kk AS (
+  SELECT count(*)::BIGINT AS n,
+         greatest(1, CAST(floor(0.25 * count(*)) AS BIGINT)) AS k
+  FROM s
+),
+r AS (SELECT score, row_number() OVER (ORDER BY score DESC) AS rn FROM s),
+thr AS (SELECT r.score AS threshold FROM r, kk WHERE r.rn = kk.k)
+SELECT kk.n AS n_docs, kk.k AS k_target, thr.threshold AS threshold,
+       (SELECT count(*)::BIGINT FROM s, thr WHERE s.score >= thr.threshold)
+         AS n_kept
+FROM kk, thr
+"""
+
+
 def q_hll_cardinality(spark, sf_dir):
     """Portable HyperLogLog distinct count (Flajolet et al. 2007) of the
     (doc_id, term) pair stream — the mergeable cardinality sketch ES's
@@ -4794,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pattern_topk": q_bm25_pattern_topk,
         "lang_guess_tri": q_lang_guess_tri,
         "percolate_filtered": q_percolate_filtered,
+        "cms_counts": q_cms_counts,
+        "keep_rate_threshold": q_keep_rate_threshold,
     }
 
 
@@ -8076,6 +8178,8 @@ ORDER BY df_est DESC, term ASC
         # portable HLL: md5-prefix hash, integer register sum 2^(53-M),
         # ONE float literal x ONE IEEE division = bit-identical estimate;
         # the ln branch (linear counting) is 4-dp-rounded like every ln
+        "keep_rate_threshold": _KEEP_RATE_SQL,
+        "cms_counts": _cms_oracle_sql(),
         "hll_cardinality": f"""
 WITH vals AS (
   SELECT doc_id::VARCHAR || ':' || term AS pair FROM (

@@ -826,3 +826,88 @@ def chunk_windows(
         )
     )
     return out
+
+
+def keep_rate_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_rate: float,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Calibrate a quality-gate cutoff for a target keep rate: the
+    threshold t such that keeping ``score >= t`` retains (at least) a
+    ``keep_rate`` fraction of the corpus — the knob-tuning step every
+    score-based curation gate (classifier_score, dsir_weights, gopher
+    features) needs before it can run at a stated budget.
+
+    The threshold is the k-th LARGEST element of the score multiset
+    (k = max(1, floor(keep_rate·n)) — an exact order statistic, no
+    interpolation), found by two-pass distributed selection instead of a
+    global sort (the scale-killer a naive row_number would plan):
+
+    1. one 1-row aggregate (n, min, max);
+    2. fixed-width bucket histogram — ONE groupBy whose key cardinality
+       is ``buckets``, map-side partials, driver walks the ≤``buckets``
+       counts to find the bucket holding the k-th element;
+    3. the exact rank within ONLY that bucket via
+       TakeOrderedAndProject(limit = k − count_above) — bounded by the
+       boundary bucket's size, so the corpus is never globally sorted.
+       (Degenerate case to know about: a score taking ONE atomic value
+       puts everything in one bucket and the limit degrades toward k —
+       raise ``buckets`` or pre-quantize if your score is that coarse.)
+
+    Since the threshold is an element of the multiset, a SQL oracle's
+    naive ``row_number() = k`` recomputation matches it exactly whenever
+    the upstream score column itself is cross-engine exact. Ties at the
+    threshold keep MORE than k docs (score >= t is a pure value
+    predicate — deterministic, partition-independent); ``n_kept``
+    reports the realized count honestly.
+
+    Returns ONE row: (n_docs, k_target, threshold DOUBLE, n_kept).
+    """
+    if not 0.0 < keep_rate <= 1.0:
+        raise ValueError("keep_rate must be in (0, 1]")
+    s = df.select(F.col(score_col).cast("double").alias("score")).filter(
+        F.col("score").isNotNull()
+    )
+    stats = s.agg(
+        F.count("*").alias("n"), F.min("score").alias("mn"), F.max("score").alias("mx")
+    ).collect()[0]
+    n, mn, mx = int(stats["n"]), stats["mn"], stats["mx"]
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, 0)],
+            "n_docs long, k_target long, threshold double, n_kept long",
+        )
+    k = max(1, int(keep_rate * n))
+    if mn == mx:
+        thr = float(mn)
+    else:
+        width = (mx - mn) / buckets
+        b = F.least(
+            F.floor((F.col("score") - F.lit(mn)) / F.lit(width)).cast("long"),
+            F.lit(buckets - 1),
+        )
+        hist = {
+            r["b"]: r["c"]
+            for r in s.groupBy(b.alias("b")).agg(F.count("*").alias("c")).collect()
+        }
+        c_above, bb = 0, None
+        for bi in sorted(hist, reverse=True):
+            if c_above + hist[bi] >= k:
+                bb = bi
+                break
+            c_above += hist[bi]
+        rows = (
+            s.filter(b == bb)
+            .orderBy(F.desc("score"))
+            .limit(k - c_above)
+            .collect()
+        )
+        thr = float(rows[-1]["score"])
+    n_kept = s.filter(F.col("score") >= thr).count()
+    return spark.createDataFrame(
+        [(n, k, thr, int(n_kept))],
+        "n_docs long, k_target long, threshold double, n_kept long",
+    )

@@ -267,3 +267,97 @@ def heavy_hitters(
         "value string, freq long, rank long",
     )
     return out
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) --------------------
+
+
+def _cms_bucket(value_col: str, j: int, w: int):
+    """Row-``j`` bucket of a value under the PORTABLE hash idiom (md5
+    prefix, the hll_registers/simhash convention): salt the row id into
+    the hashed string, take the first 8 hex digits as an integer, mod
+    ``w``. Pure integer/string ops that evaluate identically in Spark,
+    DuckDB and Python's hashlib."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+
+
+def cms_registers(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min register table ``(j, b, c)``: ``d`` hash rows × ``w``
+    buckets, ``c`` = how many input rows hash into the bucket. ONE narrow
+    pass: each input row explodes into its ``d`` (row, bucket) pairs and
+    a single groupBy aggregates them — map-side partials bound the
+    exchange at d·w rows per input partition regardless of corpus size.
+    Registers MERGE BY ADDITION (counts are additive), so shards /
+    segments / days sketch independently and sum — the same merge story
+    as hll_registers (max) and Misra–Gries (counter merge), pytest-
+    asserted. All-integer, so estimates are oracle-able bit for bit."""
+    if d < 1 or w < 1:
+        raise ValueError("need d >= 1 hash rows and w >= 1 buckets")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(value_col, j, w).alias("b"))
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    probes: list[str],
+    d: int = 4,
+    w: int = 256,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` from the Count-Min sketch
+    of ``df[value_col]``: est(v) = min over rows j of register[j][b_j(v)]
+    (absent register = 0). The CMS guarantee is one-sided and holds
+    DETERMINISTICALLY for any data and hash choice: est ≥ true, since
+    every occurrence of v lands in each of v's d buckets. The classic
+    ε = e/w overestimate bound is probabilistic over hash draws; with
+    the fixed md5 rows it is reported by comparing to the exact count
+    (``with_exact`` — the verification twin a 100 TB run drops, leaving
+    a d·w-integer summary standing in for the full value distribution).
+
+    Plan: the register table (≤ d·w rows) broadcasts to the probe side;
+    nothing here re-shuffles the corpus. Returns (value, est[, n_true]),
+    value asc."""
+    spark = df.sparkSession
+    reg = cms_registers(df, value_col, d, w)
+    pdf = spark.createDataFrame([(p,) for p in probes], "value string")
+    pb = pdf.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_bucket("value", j, w).alias("b"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("value", F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    est = (
+        pb.join(F.broadcast(reg), ["j", "b"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+    if with_exact:
+        exact = (
+            df.select(F.col(value_col).cast("string").alias("value"))
+            .filter(F.col("value").isin(list(probes)))
+            .groupBy("value")
+            .agg(F.count("*").cast("long").alias("n_true"))
+        )
+        est = est.join(exact, "value", "left").select(
+            "value", "est", F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true")
+        )
+    return est.orderBy(F.asc("value"))

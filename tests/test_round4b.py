@@ -333,3 +333,41 @@ def test_normalize_unicode_nfc(spark):
             assert got[d] == (want, want != t), d
     assert got[1][0] == "café" and got[1][1] is True
     assert got[3][1] is False
+
+
+def test_keep_rate_threshold_exact_order_statistic(spark):
+    """Two-pass selection == the naive k-th largest: threshold is an
+    exact multiset element, n_kept honors value-ties, edge rates and
+    constant scores behave."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        keep_rate_threshold,
+    )
+
+    scores = [float(v) for v in [5, 3, 9, 1, 7, 7, 2, 8, 7, 4, 6, 0]]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(scores)], "id long, s double")
+
+    for rate in (0.25, 0.5, 0.75, 1.0):
+        r = keep_rate_threshold(df, "s", rate, buckets=4).collect()[0]
+        k = max(1, int(rate * len(scores)))
+        want = sorted(scores, reverse=True)[k - 1]
+        assert r["k_target"] == k and r["threshold"] == want, rate
+        assert r["n_kept"] == sum(1 for s in scores if s >= want)
+
+    # ties at the cutoff keep MORE than k (rate 0.25 -> k=3, 3rd largest
+    # is 7 which appears three times -> 5 kept)
+    r = keep_rate_threshold(df, "s", 0.25, buckets=4).collect()[0]
+    assert r["threshold"] == 7.0 and r["n_kept"] == 5 and r["k_target"] == 3
+
+    # constant score: threshold is that value, everything kept
+    const = spark.createDataFrame([(i, 2.5) for i in range(6)], "id long, s double")
+    r = keep_rate_threshold(const, "s", 0.5).collect()[0]
+    assert r["threshold"] == 2.5 and r["n_kept"] == 6
+
+    # empty input
+    r = keep_rate_threshold(df.filter("s > 100"), "s", 0.5).collect()[0]
+    assert r["n_docs"] == 0 and r["threshold"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        keep_rate_threshold(df, "s", 0.0)

@@ -163,3 +163,56 @@ def test_hll_registers_merge_by_max(spark):
     for r in hll_registers(b, "v").collect():
         ra[r["j"]] = max(ra.get(r["j"], 0), r["rho"])
     assert set(ra.items()) == whole
+
+
+def test_cms_one_sided_guarantee_and_merge(spark):
+    """Count-Min: est >= true for EVERY probe (deterministic one-sided
+    guarantee); registers merge by addition across splits (the shard
+    story); and with w >> distinct values no collisions occur, so the
+    estimates are exact."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    rows = [(f"v{i % 7}",) for i in range(70)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "value string")
+    probes = [f"v{i}" for i in range(7)] + ["rare", "absent"]
+
+    got = {
+        r["value"]: (r["est"], r["n_true"])
+        for r in cms_estimate(df, "value", probes, d=4, w=64, with_exact=True).collect()
+    }
+    assert len(got) == len(probes)
+    for v, (est, true) in got.items():
+        assert est >= true, v
+    assert got["rare"][1] == 3 and got["absent"][1] == 0
+
+    # tiny w forces collisions -> still one-sided
+    tight = {
+        r["value"]: (r["est"], r["n_true"])
+        for r in cms_estimate(df, "value", probes, d=2, w=4, with_exact=True).collect()
+    }
+    assert all(est >= true for est, true in tight.values())
+
+    # wide sketch, 8 distinct values: exact
+    wide = {
+        r["value"]: (r["est"], r["n_true"])
+        for r in cms_estimate(df, "value", probes, d=4, w=4096, with_exact=True).collect()
+    }
+    assert all(est == true for est, true in wide.values())
+
+    # merge-by-addition: sketch(split1) + sketch(split2) == sketch(all)
+    idf = spark.createDataFrame(
+        [(i, v) for i, (v,) in enumerate(rows)], "i long, value string"
+    )
+    df1 = idf.filter("i % 2 = 0").select("value")
+    df2 = idf.filter("i % 2 = 1").select("value")
+    r_all = {(r["j"], r["b"]): r["c"] for r in cms_registers(df, "value", d=3, w=32).collect()}
+    r1 = {(r["j"], r["b"]): r["c"] for r in cms_registers(df1, "value", d=3, w=32).collect()}
+    r2 = {(r["j"], r["b"]): r["c"] for r in cms_registers(df2, "value", d=3, w=32).collect()}
+    merged = {}
+    for part in (r1, r2):
+        for k, c in part.items():
+            merged[k] = merged.get(k, 0) + c
+    assert merged == r_all
