@@ -2106,6 +2106,61 @@ def q_geo_shape_indexed_topk(spark, sf_dir):
     return rows
 
 
+def _geo_shape_wh_idx(spark, sf_dir):
+    """The persisted indexed-shape warehouse (shape column stored through
+    build_index) — the serving-twin entry needs warehouse files; the
+    conv_id=c%010d trick keeps built doc_ids equal to the originals."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::geo_shape_wh"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        verts = [
+            F.struct(
+                F.expr(f"({SHAPE_CLON}) + CAST({dlon} AS DOUBLE)").alias("lon"),
+                F.expr(f"({SHAPE_CLAT}) + CAST({dlat} AS DOUBLE)").alias("lat"),
+            )
+            for dlon, dlat in SHAPE_OFFSETS
+        ]
+        docs = _docs(spark, sf_dir).select(
+            "text",
+            F.array(*verts).alias("shape"),
+            F.format_string("c%010d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+        )
+        wh = tempfile.mkdtemp() + "/geoshapeidx"
+        build_index(spark, docs, wh, docs_per_shard=128, n_buckets=16)
+        idx = Index(spark, wh)
+        _IDX_CACHE[key] = idx
+    return idx
+
+
+def q_geo_shape_indexed_local(spark, sf_dir):
+    """Indexed-shape geo_shape on the zero-Spark-job serving path: the
+    per-doc polygon mask runs the SAME runtime-sign crossing-parity
+    arithmetic as the compiled SQL predicate over a pruned pyarrow read
+    of the stored ring column — asserted in-entry bit-identical to the
+    distributed search_geo_shape_indexed, then checked against the same
+    doc_id-rederived DuckDB oracle as geo_shape_indexed_topk."""
+    idx = _geo_shape_wh_idx(spark, sf_dir)
+    ring = [(f"shape[{i}].lon", f"shape[{i}].lat") for i in range(len(SHAPE_OFFSETS))]
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_geo_shape_indexed(
+            BM25_QUERY, K, ring_sql=ring, point=SHAPE_QPOINT
+        ).collect()
+    ]
+    loc = idx.search_geo_shape_indexed_local(BM25_QUERY, K, point=SHAPE_QPOINT)
+    assert loc == dist, "indexed-shape serving twin diverged from the distributed path"
+    out = spark.createDataFrame(loc, "doc_id long, score double")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
 def _geo_shape_indexed_oracle_where() -> str:
     """The engine's OWN per-row predicate generator over DuckDB-side
     vertex expressions (center re-derived from doc_id + dyadic offsets —
@@ -4896,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_filtered": q_percolate_filtered,
         "cms_counts": q_cms_counts,
         "keep_rate_threshold": q_keep_rate_threshold,
+        "geo_shape_indexed_local": q_geo_shape_indexed_local,
     }
 
 
@@ -8676,6 +8732,9 @@ FROM b ORDER BY bucket
         ),
         # indexed-shape flavor: engine's per-row parity generator over
         # DuckDB-rederived dyadic vertices (fixture comment at SHAPE_CLON)
+        "geo_shape_indexed_local": _bm25_sql(
+            BM25_QUERY, where=_geo_shape_indexed_oracle_where()
+        ),
         "geo_shape_indexed_topk": _bm25_sql(
             BM25_QUERY, where=_geo_shape_indexed_oracle_where()
         ),

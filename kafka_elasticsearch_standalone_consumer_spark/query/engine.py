@@ -1591,6 +1591,97 @@ class Index:
         allowed = np.unique(ids[mask])
         return self._local_geo_finish(query_text, k, allowed, where, mode)
 
+    def _local_shape_coords(self, shape_col: str):
+        """(doc_ids, lons (n,V), lats (n,V)) from a pruned pyarrow read of
+        every segment's stored per-document ring column
+        (array<struct<lon,lat>>) — the indexed-shape serving twin's
+        input. Requires a UNIFORM vertex count across docs, matching the
+        fixed-V ``ring_sql`` surface of the distributed path."""
+        import pyarrow.dataset as pads
+
+        if self.wh is None:
+            raise ValueError(
+                "search_geo_shape_indexed_local serves from warehouse files — "
+                "use the distributed surface on ephemeral indexes"
+            )
+        ids_parts, lon_parts, lat_parts, v_seen = [], [], [], None
+        for w in self._seg_whs:
+            tbl = pads.dataset(w.path("docs"), format="parquet").to_table(
+                columns=["doc_id", shape_col]
+            )
+            if not tbl.num_rows:
+                continue
+            col = tbl.column(shape_col).combine_chunks()
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            lens = np.diff(offs)
+            if lens.size and (lens != lens[0]).any():
+                raise ValueError(
+                    "indexed shapes must share one vertex count on the "
+                    "serving path (matching the fixed-V ring_sql surface)"
+                )
+            v = int(lens[0]) if lens.size else 0
+            if v_seen is None:
+                v_seen = v
+            elif v != v_seen:
+                raise ValueError("vertex count differs across segments")
+            flat = col.flatten()
+            lon = np.asarray(flat.field("lon"), dtype=np.float64).reshape(-1, v)
+            lat = np.asarray(flat.field("lat"), dtype=np.float64).reshape(-1, v)
+            ids_parts.append(np.asarray(tbl.column("doc_id"), dtype=np.int64))
+            lon_parts.append(lon)
+            lat_parts.append(lat)
+        if not ids_parts:
+            return None, None, None
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(lon_parts, axis=0),
+            np.concatenate(lat_parts, axis=0),
+        )
+
+    def search_geo_shape_indexed_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        point: tuple[float, float],
+        shape_col: str = "shape",
+        relation: str = "intersects",
+        mode: str = "bmw",
+        where: list[tuple] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Zero-Spark-job twin of :meth:`search_geo_shape_indexed`: the
+        per-document polygon membership mask runs the SAME runtime-sign
+        crossing-parity arithmetic as
+        :meth:`shape_ring_contains_point_sql` in identical operation
+        order (``cross = (px-x1)·dy − (py-y1)·dx``, sign resolved per
+        row), so float results agree bit-for-bit; then the shared local
+        kernel scores exactly like :meth:`search_local`."""
+        ids, lons, lats = self._local_shape_coords(shape_col)
+        if ids is None:
+            return []
+        px, py = float(point[0]), float(point[1])
+        n, v = lons.shape
+        crossings = np.zeros(n, dtype=np.int64)
+        for j in range(v):
+            x1, y1 = lons[:, j], lats[:, j]
+            x2, y2 = lons[:, (j + 1) % v], lats[:, (j + 1) % v]
+            dy = y2 - y1
+            cross = (px - x1) * dy - (py - y1) * (x2 - x1)
+            cmask = ((dy > 0) & (cross < 0)) | ((dy < 0) & (cross > 0))
+            straddle = (y1 > py) != (y2 > py)
+            crossings += (straddle & cmask).astype(np.int64)
+        mask = crossings % 2 == 1
+        rel = relation.lower()
+        if rel == "disjoint":
+            mask = ~mask
+        elif rel not in ("intersects", "contains"):
+            raise ValueError(
+                f"unsupported geo_shape relation for a point query against "
+                f"polygon docs: {relation!r}"
+            )
+        allowed = np.unique(ids[mask])
+        return self._local_geo_finish(query_text, k, allowed, where, mode)
+
     _NESTED_LOCAL_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
     def _local_nested_scores(

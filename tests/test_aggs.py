@@ -1035,3 +1035,48 @@ def test_terms_agg_order_by_subagg(spark, built_index):
     assert [r["avg_v"] for r in asc] == sorted(r["avg_v"] for r in asc)
     with pytest.raises(ValueError, match="order_by"):
         idx.terms_agg(Q, "role", "turn_idx", ("avg",), order_by="sum").collect()
+
+
+def test_geo_shape_indexed_local_twin_identity(spark, tmp_path):
+    """The zero-job indexed-shape twin returns bit-identical (doc_id,
+    score) pairs to the distributed path over a persisted warehouse."""
+    from pyspark.sql import functions as F
+
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    offs = [(0.0, 2.0), (2.0, 0.5), (1.25, -1.75), (-1.25, -1.75), (-2.0, 0.5)]
+    rows = []
+    for i in range(40):
+        clon, clat = -20.0 + (i % 8) * 2.5, -9.0 + (i // 8) * 2.25
+        rows.append(
+            (f"c{i:010d}", 0, f"alpha beta{i % 3}",
+             [(clon + dx, clat + dy) for dx, dy in offs])
+        )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, "
+        "shape array<struct<lon:double,lat:double>>",
+    )
+    wh = str(tmp_path / "shapewh")
+    build_index(spark, df, wh, docs_per_shard=8, n_buckets=4)
+    idx = Index(spark, wh)
+    ring = [(f"shape[{j}].lon", f"shape[{j}].lat") for j in range(5)]
+    pt = (-12.3, -3.4)
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_geo_shape_indexed(
+            "alpha", 50, ring_sql=ring, point=pt
+        ).collect()
+    ]
+    loc = idx.search_geo_shape_indexed_local("alpha", 50, point=pt)
+    assert loc == dist and loc
+
+    dis = idx.search_geo_shape_indexed_local("alpha", 50, point=pt, relation="disjoint")
+    dd = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_geo_shape_indexed(
+            "alpha", 50, ring_sql=ring, point=pt, relation="disjoint"
+        ).collect()
+    ]
+    assert dis == dd and dis
