@@ -28,6 +28,8 @@ Phases (at ``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1, on
   dup_spans       cross-doc exact-substring duplication stats (Lee et al.)
   bpe_train16     BPE trainer, 16 merges (one corpus groupBy + driver loop)
   bpe_encode      pure-Column BPE encoder applying those merges corpus-wide
+  cms_probe8      Count-Min sketch build + 8 probe estimates (one pass)
+  lang_tri        trigram-profile language ID over documents.parquet
   cosine_topk     brute-force cosine top-10 over embeddings.parquet
 
 ``--scaling`` additionally reruns the index build at pinned local[N]
@@ -289,6 +291,19 @@ def aux_benchmarks(sf_dir: str, t: dict) -> None:
         )
         # naive Bayes trained + applied in one distributed pass
         t["nb_classify"] = best_of(lambda: nb_classify(docs).count())
+
+        from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import cms_estimate
+        from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+            lang_guess_trigram,
+        )
+
+        # Count-Min sketch build + 8 probe estimates (one explode+agg pass)
+        cms_probes = ["table", "join", "hash", "stream", "vector", "key", "row", "the"]
+        t["cms_probe8"] = best_of(
+            lambda: cms_estimate(toks, "term", cms_probes, d=4, w=256).count()
+        )
+        # trigram-profile language ID (broadcast profiles, one explode+agg)
+        t["lang_tri"] = best_of(lambda: lang_guess_trigram(docs).count())
 
         from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
             bpe_encode,
