@@ -246,6 +246,29 @@ def test_geo_paths_fuse_into_scan_and_topk(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_geo_shape_indexed_fuses_into_scan(spark):
+    """Indexed-shape plan shape: the per-row crossing-parity predicate
+    over the stored ring column is a pure scan predicate — no explode of
+    the vertex array, no UDF, no cartesian join."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    rows = [
+        (i, "alpha beta", [(float(i % 5), 0.0), (float(i % 5) + 2.0, 1.0),
+                           (float(i % 5) + 1.0, 3.0)])
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, shape array<struct<lon:double,lat:double>>"
+    )
+    idx = Index.ephemeral(df, docs_per_shard=8, n_buckets=4)
+    ring = [(f"shape[{j}].lon", f"shape[{j}].lat") for j in range(3)]
+    plan = _plan(
+        idx.search_geo_shape_indexed("alpha", 5, ring_sql=ring, point=(1.5, 1.0))
+    )
+    assert "BatchEvalPython" not in plan and "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_nested_sort_fuses_into_scan_and_topk(spark):
     """Nested sort plan shape: the per-object filter/transform/rollup is
     higher-order Column algebra fused into the doc scan — no explode

@@ -406,6 +406,49 @@ def main() -> None:
         )
     )
 
+    sdocs = idx._docs_df().selectExpr(
+        "doc_id", "text",
+        "array(named_struct('lon', CAST(doc_id % 7 AS DOUBLE), 'lat', CAST(0 AS DOUBLE)),"
+        " named_struct('lon', CAST(doc_id % 7 + 2 AS DOUBLE), 'lat', CAST(1 AS DOUBLE)),"
+        " named_struct('lon', CAST(doc_id % 7 + 1 AS DOUBLE), 'lat', CAST(3 AS DOUBLE))) AS shape",
+    )
+    sidx = _Ix.ephemeral(sdocs, docs_per_shard=1024, n_buckets=8)
+    sections.append(
+        (
+            "Indexed geo_shape (per-document polygons, search_geo_shape_indexed)",
+            "The per-row crossing-parity predicate (runtime edge-direction "
+            "resolution — per-row slopes defeat the constant-polygon "
+            "compile-time sign fold) is still a pure scan predicate over "
+            "the stored array<struct> ring column: no Generate (explode), "
+            "no UDF, no extra join; the only exchanges serve the match-set "
+            "equi-join and the final TakeOrderedAndProject.",
+            plan_of(
+                sidx.search_geo_shape_indexed(
+                    "w00000", 5,
+                    ring_sql=[(f"shape[{j}].lon", f"shape[{j}].lat") for j in range(3)],
+                    point=(1.0, 1.0),
+                )
+            ),
+        )
+    )
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import (
+        lang_guess_trigram,
+    )
+
+    sections.append(
+        (
+            "Trigram language ID (lang_guess_trigram)",
+            "The doc side explodes character trigrams (narrow), joins the "
+            "BROADCAST profile table, and aggregates per (doc, lang) with "
+            "map-side partials; the argmax is a doc-keyed window over "
+            "|langs| rows per doc, then a left join restores zero-hit docs "
+            "as 'und'. One real shuffle keyed on doc_id — the percolate "
+            "plan shape.",
+            plan_of(lang_guess_trigram(docs_tbl)),
+        )
+    )
+
     import numpy as np
 
     from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
