@@ -270,33 +270,50 @@ def lang_guess_trigram(
     (ties by lang asc), or 'und' when NO profile trigram occurs.
 
     100 TB shape: the profile table (|langs| × ~24 rows) is broadcast;
-    the doc side is one explode → join → (doc, lang) aggregation — the
-    same one-shuffle plan as percolate. Scores are integer counts, so
-    the DuckDB oracle matches exactly. The guard ``i + 2 <= length(s)``
-    over ``sequence(1, length(s))`` avoids Spark's descending
-    sequence(1, 0) on sub-3-char docs (the _grams lesson).
+    the doc side is one explode → join → (doc, lang) aggregation and the
+    per-doc argmax is a struct-min aggregation (map-side combinable, no
+    window sort) — the percolate plan shape. Scores are integer counts,
+    so the DuckDB oracle matches exactly. Sub-3-char docs take an
+    explicit empty-array branch: ``sequence(1, length(s) - 2)`` would
+    DESCEND for them (the _grams lesson).
 
     Returns (doc_id, lang, score) one row per input doc."""
-    from pyspark.sql import Window
-
     prof = profiles or LANG_TRIGRAM_PROFILES
     spark = df.sparkSession
     rows = [(lang, tri) for lang, tris in sorted(prof.items()) for tri in tris]
     pdf = F.broadcast(spark.createDataFrame(rows, "lang string, tri string"))
-    s = f"lower(coalesce({text_col}, ''))"
-    tris = F.expr(
-        f"transform(filter(sequence(1, length({s})), i -> i + 2 <= length({s})), "
-        f"i -> substring({s}, i, 3))"
+    # project the lowered string ONCE (the lambda bodies otherwise
+    # re-evaluate lower() per element); guard the <3-char case with an
+    # explicit empty branch instead of filter(sequence(...)) so only one
+    # index array is built per row (sequence(1,0) descends — never emit it)
+    lowered = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("s"),
     )
-    t = df.select(F.col(id_col).alias("doc_id"), F.explode(tris).alias("tri"))
+    tris = F.expr(
+        "CASE WHEN length(s) >= 3 THEN "
+        "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) "
+        "ELSE array() END"
+    )
+    t = lowered.select("doc_id", F.explode(tris).alias("tri"))
     scores = t.join(pdf, "tri").groupBy("doc_id", "lang").agg(
         F.count("*").cast("long").alias("score")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    # argmax(score) ties lang asc as ONE struct-min aggregation (struct
+    # comparison is lexicographic: smallest -score = largest score, then
+    # smallest lang) — map-side combinable, no window sort
     best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "score")
+        scores.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("lang"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.lang").alias("lang"),
+            (-F.col("m.ns")).cast("long").alias("score"),
+        )
     )
     return (
         df.select(F.col(id_col).alias("doc_id"))
