@@ -1103,6 +1103,63 @@ def q_bm25_pattern_topk(spark, sf_dir):
     )
 
 
+def q_bm25_html_topk(spark, sf_dir):
+    """ES 1.x html_strip char filter end-to-end (composed analyzer string
+    'html_strip|standard'): the corpus gets wrapped in markup and a fifth
+    of the docs gain an entity-encoded payload '&lt;critical&gt;' whose
+    DECODED text (one-pass: strip tags first, then entities) yields the
+    token 'critical' — markup tokens (p/div/class/block) never enter the
+    index. The DuckDB oracle runs the same regexp_replace + replace chain
+    (RE2 'g' flag) before the standard tokenizer."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    key = f"{sf_dir}::html"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        extra = F.when(
+            F.col("doc_id") % 5 == 2,
+            F.lit(' <div class="block">&lt;critical&gt;</div>'),
+        ).otherwise(F.lit(""))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"), extra).alias("text"),
+        )
+        idx = Index.ephemeral(
+            docs, docs_per_shard=128, n_buckets=16, analyzer="html_strip|standard"
+        )
+        _IDX_CACHE[key] = idx
+    out = idx.search("join critical", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def _bm25_html_sql(query: str, k: int = K) -> str:
+    """html_strip oracle: the BM25 template over the derived markup-
+    wrapped corpus run through the SAME strip chain (tags → ' ' with
+    RE2's 'g' flag, then the shared entity list in the shared order, amp
+    last) before standard tokenization."""
+    import re
+    from collections import Counter
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import _HTML_ENTITIES
+
+    terms = Counter(re.findall(r"[a-z0-9]+", query.lower()))
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    derived = (
+        "('<p>' || text || '</p>' || CASE WHEN doc_id % 5 = 2 THEN "
+        "' <div class=\"block\">&lt;critical&gt;</div>' ELSE '' END)"
+    )
+    s = f"regexp_replace({derived}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    toks = f"regexp_extract_all(lower({s}), '[a-z0-9]+')"
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def q_bm25_simple_topk(spark, sf_dir):
     """ES simple analyzer (LetterTokenizer + lowercase) end-to-end: the
     corpus gains a derived digit-fused token 'sec<doc_id%5>ref' that the
@@ -4952,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "keep_rate_threshold": q_keep_rate_threshold,
         "geo_shape_indexed_local": q_geo_shape_indexed_local,
+        "bm25_html_topk": q_bm25_html_topk,
     }
 
 
@@ -8770,6 +8828,7 @@ SELECT range_label, n FROM (
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),
+        "bm25_html_topk": _bm25_html_sql("join critical"),
         "bm25_pattern_topk": _bm25_pattern_sql("join tag_3"),
         "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),
         "keyword_lookup": _KEYWORD_LOOKUP_SQL,

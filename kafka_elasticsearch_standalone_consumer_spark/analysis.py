@@ -75,10 +75,60 @@ _SIMPLE_RE = re.compile(r"[a-z]+")
 
 DEFAULT_PATTERN = r"\W+"
 
+# ES 1.x ``html_strip`` char filter, composed into the analyzer string as
+# the prefix "html_strip|<analyzer>" — one plain string still rides
+# through segment meta / append / compact unchanged (the pattern-analyzer
+# precedent). Semantics (documented deviation from Lucene's
+# HTMLStripCharFilter, which preserves offsets): tags are replaced by ONE
+# SPACE (guaranteeing token separation — "<p>a</p>b" can never fuse into
+# "ab"), then the common named entities decode. Decoding runs AFTER the
+# tag strip, so "&lt;b&gt;" becomes the literal text "<b>" and is NOT
+# re-parsed as a tag — same one-pass behavior as Lucene. Numeric
+# character references are not decoded (documented; the [a-z0-9]+
+# tokenizers would drop the decoded symbols anyway).
+_HTML_TAG_RE_STR = "<[^>]*>"
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: "&amp;lt;" must become "&lt;" literally, not "<"
+)
+_HTML_TAG_RE = re.compile(_HTML_TAG_RE_STR)
+
+
+def strip_html(text: str) -> str:
+    """Driver-side html_strip twin (query analysis + tests)."""
+    s = _HTML_TAG_RE.sub(" ", text)
+    for ent, rep in _HTML_ENTITIES:
+        s = s.replace(ent, rep)
+    return s
+
+
+def strip_html_col(c: Column) -> Column:
+    """JVM-side html_strip: a regexp_replace + replace chain (pure
+    Column, whole-stage codegen) applying the same steps in the same
+    order as :func:`strip_html` — the DuckDB oracle mirrors it with
+    regexp_replace(..., 'g') + replace."""
+    out = F.regexp_replace(c, _HTML_TAG_RE_STR, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def split_char_filter(analyzer: str) -> tuple[str | None, str]:
+    """(char_filter, base_analyzer) from the composed analyzer string."""
+    if analyzer.startswith("html_strip|"):
+        return "html_strip", analyzer[len("html_strip|"):]
+    return None, analyzer
+
 
 def _check_analyzer(analyzer: str) -> None:
-    if analyzer not in ANALYZERS and not analyzer.startswith("pattern:"):
-        raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS})")
+    _, base = split_char_filter(analyzer)
+    if base not in ANALYZERS and not base.startswith("pattern:"):
+        raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS}, "
+                         "optionally prefixed with 'html_strip|')")
 
 
 def pattern_of(analyzer: str) -> str:
@@ -251,7 +301,10 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     index build runs, so query and index analysis stay symmetric (ES's
     invariant)."""
     _check_analyzer(analyzer)
+    cf, analyzer = split_char_filter(analyzer)
     s = text or ""
+    if cf == "html_strip":
+        s = strip_html(s)
     if analyzer == "whitespace":
         return _WS_RE.findall(s)
     if analyzer == "keyword":
@@ -275,13 +328,17 @@ def analyze_positions(text: str | None, analyzer: str = "standard") -> tuple[lis
     ES ``_analyze`` API both need); every other analyzer maps its own
     token stream 1:1 so positions are the identity over it."""
     _check_analyzer(analyzer)
-    if analyzer not in ("stop", "english"):
+    cf, base = split_char_filter(analyzer)
+    if base not in ("stop", "english"):
         toks = tokenize_text(text, analyzer)
         return toks, list(range(len(toks)))
+    # positions are offsets into the POST-char-filter token stream (the
+    # same stream the fused index kernel counts), so strip first
+    s = strip_html(text or "") if cf == "html_strip" else text
     slots, offsets = [], []
-    for i, t in enumerate(tokenize_text(text)):
+    for i, t in enumerate(tokenize_text(s)):
         if t not in STOP_WORDS:
-            slots.append(porter_stem(t) if analyzer == "english" else t)
+            slots.append(porter_stem(t) if base == "english" else t)
             offsets.append(i)
     return slots, offsets
 
@@ -352,7 +409,10 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
     the fused kernel remains the build hot path. ``'whitespace'`` and
     ``'keyword'`` stay pure Column expressions (no lowercasing)."""
     _check_analyzer(analyzer)
+    cf, analyzer = split_char_filter(analyzer)
     base = F.coalesce(c, F.lit(""))
+    if cf == "html_strip":
+        base = strip_html_col(base)
     if analyzer == "whitespace":
         return F.filter(F.split(base, r"\s+"), lambda x: x != F.lit(""))
     if analyzer == "keyword":
@@ -398,19 +458,25 @@ def tokens_from(
             raise ValueError("fused tokenizer requires id_cols=('doc_id',)")
         return doc_term_freqs(df, text_col=text_col, analyzer=analyzer).drop("dl")
     if method == "pandas":
-        if analyzer == "whitespace":
-            tok = _ws_udf(F.col(text_col))
-        elif analyzer == "keyword":
-            tok = _kw_udf(F.col(text_col))
-        elif analyzer == "simple":
-            tok = _simple_udf(F.col(text_col))
-        elif analyzer.startswith("pattern"):
-            tok = _pattern_udf(analyzer)(F.col(text_col))
+        cf, base_an = split_char_filter(analyzer)
+        txt = (
+            strip_html_col(F.coalesce(F.col(text_col), F.lit("")))
+            if cf == "html_strip"
+            else F.col(text_col)
+        )
+        if base_an == "whitespace":
+            tok = _ws_udf(txt)
+        elif base_an == "keyword":
+            tok = _kw_udf(txt)
+        elif base_an == "simple":
+            tok = _simple_udf(txt)
+        elif base_an.startswith("pattern"):
+            tok = _pattern_udf(base_an)(txt)
         else:
-            tok = tokenize_udf(F.col(text_col))
-            if analyzer in ("stop", "english"):
+            tok = tokenize_udf(txt)
+            if base_an in ("stop", "english"):
                 tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
-            if analyzer in ("porter", "english"):
+            if base_an in ("porter", "english"):
                 tok = _porter_arr_udf(tok)
     else:
         tok = tokenize_col(F.col(text_col), analyzer=analyzer)
@@ -466,6 +532,7 @@ def doc_term_freqs(
     import numpy as np
 
     _check_analyzer(analyzer)
+    char_filter, analyzer = split_char_filter(analyzer)
     stop_arr = (
         np.array(sorted(STOP_WORDS), dtype=object)
         if analyzer in ("stop", "english")
@@ -480,19 +547,24 @@ def doc_term_freqs(
         for pdf in batches:
             if not len(pdf):
                 continue
+            txt = pdf[text_col].fillna("")
+            if char_filter == "html_strip":
+                txt = txt.str.replace(_HTML_TAG_RE, " ", regex=True)
+                for ent, rep in _HTML_ENTITIES:
+                    txt = txt.str.replace(ent, rep, regex=False)
             if analyzer == "whitespace":
-                toks = pdf[text_col].fillna("").str.findall(_WS_RE)
+                toks = txt.str.findall(_WS_RE)
             elif analyzer == "keyword":
-                toks = pdf[text_col].fillna("").map(lambda x: [x] if x else [])
+                toks = txt.map(lambda x: [x] if x else [])
             elif analyzer == "simple":
-                toks = pdf[text_col].fillna("").str.lower().str.findall(_SIMPLE_RE)
+                toks = txt.str.lower().str.findall(_SIMPLE_RE)
             elif analyzer.startswith("pattern"):
                 pat = _pattern_re(analyzer)
-                toks = pdf[text_col].fillna("").str.lower().map(
+                toks = txt.str.lower().map(
                     lambda x: [t for t in pat.split(x) if t]
                 )
             else:
-                toks = pdf[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+                toks = txt.str.lower().str.findall(_TOKEN_RE)
             lens = toks.str.len().to_numpy(dtype=np.int64)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             total = int(lens.sum())

@@ -581,3 +581,78 @@ def test_pattern_index_end_to_end(spark, patdocs_df):
     bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("tool_call ran", 10).collect()]
     orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("tool_call ran", 10).collect()]
     assert bmw == orc and bmw
+
+
+# ---- html_strip char filter (composed prefix "html_strip|<analyzer>") ----
+
+HDOCS = [
+    (0, '<p>alpha beta</p><div class="block">&lt;critical&gt;</div>'),
+    (1, "alpha <br> gamma"),
+    (2, "&amp;lt; literal"),          # &amp;lt; -> "&lt;" text, NOT re-stripped
+    (3, "<only><tags></tags></only>"),
+    (4, None),
+]
+
+
+@pytest.fixture(scope="module")
+def hdocs_df(spark):
+    return spark.createDataFrame(HDOCS, "doc_id long, text string")
+
+
+def test_tokenizers_identical_with_html_strip(spark, hdocs_df):
+    """fused ≡ sql ≡ pandas ≡ python token streams for the html_strip
+    char filter composed over standard AND over stop."""
+    for an in ("html_strip|standard", "html_strip|stop"):
+        base = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(hdocs_df, method="sql", analyzer=an).collect()
+        }
+        for method in ("pandas", "fused"):
+            got = {
+                (r["doc_id"], r["term"]): r["tf"]
+                for r in tokens_from(hdocs_df, method=method, analyzer=an).collect()
+            }
+            assert got == base, (an, method)
+        py = {}
+        for d, text in HDOCS:
+            for t in tokenize_text(text, an):
+                py[(d, t)] = py.get((d, t), 0) + 1
+        assert py == base and base
+
+
+def test_html_strip_semantics(spark, hdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import strip_html
+
+    rows = doc_term_freqs(hdocs_df, analyzer="html_strip|standard").collect()
+    by = {(r["doc_id"], r["term"]) for r in rows}
+    # tags stripped: div/class/block/p never become tokens
+    assert not any(t in ("div", "class", "block", "p", "br") for _d, t in by)
+    # entities decode AFTER the strip: &lt;critical&gt; -> <critical> -> token
+    assert (0, "critical") in by and (0, "lt") not in by
+    # one-pass rule: &amp;lt; -> the literal text "&lt;" (tokens lt + literal),
+    # NOT double-decoded into a tag
+    assert (2, "lt") in by and (2, "literal") in by
+    # tag-only and NULL docs vanish
+    assert not any(d in (3, 4) for d, _t in by)
+    # tags separate tokens (replaced by a space, never fused)
+    assert (1, "alpha") in by and (1, "gamma") in by
+    # unfiltered standard keeps the markup tokens — the distinguishing probe
+    std = {(r["doc_id"], r["term"]) for r in doc_term_freqs(hdocs_df).collect()}
+    assert (0, "div") in std and (0, "lt") in std
+    # driver twin agrees on the raw string
+    assert strip_html("<p>a</p>&amp;") == " a &"
+
+
+def test_html_strip_index_end_to_end(spark, hdocs_df):
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    idx = Index.ephemeral(
+        hdocs_df, docs_per_shard=4, n_buckets=4, analyzer="html_strip|standard"
+    )
+    assert idx.meta["analyzer"] == "html_strip|standard"
+    hits = {r["doc_id"] for r in idx.search("critical", 10).collect()}
+    assert hits == {0}
+    assert idx.search("div class", 10).count() == 0
+    bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("alpha critical", 10).collect()]
+    orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("alpha critical", 10).collect()]
+    assert bmw == orc and bmw
