@@ -60,9 +60,16 @@ STOP_WORDS = frozenset(
 #                Java/RE2-shared dialect: driver-side Python compiles
 #                with re.ASCII so \w/\W/\d/\b agree byte-for-byte with
 #                Spark's Java split and DuckDB's RE2 on any input.
+#   snowball   — ES 1.x snowball analyzer (standard tokenizer, lowercase,
+#                stop filter, Snowball English stemmer) — the same chain
+#                as `english` here (our stemmer is Porter 1980, the
+#                Snowball English stemmer's published ancestor; the
+#                porter/snowball delta on real vocab is tiny and our
+#                corpus Porter map is hand-verified). Alias, normalized
+#                to `english` at split_char_filter.
 ANALYZERS = (
     "standard", "simple", "stop", "porter", "english", "whitespace", "keyword",
-    "pattern",
+    "pattern", "snowball",
 )
 
 _WS_RE = re.compile(r"\S+")
@@ -118,10 +125,15 @@ def strip_html_col(c: Column) -> Column:
 
 
 def split_char_filter(analyzer: str) -> tuple[str | None, str]:
-    """(char_filter, base_analyzer) from the composed analyzer string."""
+    """(char_filter, base_analyzer) from the composed analyzer string;
+    also resolves aliases (``snowball`` → ``english``), so every consumer
+    of the BASE name sees the canonical chain."""
+    cf = None
     if analyzer.startswith("html_strip|"):
-        return "html_strip", analyzer[len("html_strip|"):]
-    return None, analyzer
+        cf, analyzer = "html_strip", analyzer[len("html_strip|"):]
+    if analyzer == "snowball":
+        analyzer = "english"
+    return cf, analyzer
 
 
 def _check_analyzer(analyzer: str) -> None:

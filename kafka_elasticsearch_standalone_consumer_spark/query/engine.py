@@ -31,6 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+    split_char_filter as _split_cf,
+)
 from kafka_elasticsearch_standalone_consumer_spark.index.build import term_bucket_col
 from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import read_meta
 from kafka_elasticsearch_standalone_consumer_spark.query import bm25, kernels
@@ -298,7 +301,7 @@ class Index:
         fetched = self.fetch(hits)
         if not terms:
             return fetched.withColumn("snippet", F.lit(None).cast("string"))
-        if self.meta.get("analyzer", "standard") in ("porter", "english"):
+        if _split_cf(self.meta.get("analyzer", "standard"))[1] in ("porter", "english"):
             # analyzed terms are stems that may not appear literally in the
             # raw text ("tabl" vs "tables"): match any surface form sharing
             # the stem as a prefix — an approximation (Lucene re-analyzes
@@ -830,7 +833,7 @@ class Index:
         rows = self.get_docs_local([d for d, _ in hits])
         if not terms:
             return [{**r, "snippet": None} for r in rows]
-        if self.meta.get("analyzer", "standard") in ("porter", "english"):
+        if _split_cf(self.meta.get("analyzer", "standard"))[1] in ("porter", "english"):
             pat = (
                 "(?i)\\b((?:" + "|".join(_re.escape(t) for t in terms) + ")[a-z0-9]*)"
             )

@@ -656,3 +656,27 @@ def test_html_strip_index_end_to_end(spark, hdocs_df):
     bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("alpha critical", 10).collect()]
     orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("alpha critical", 10).collect()]
     assert bmw == orc and bmw
+
+
+def test_snowball_alias_equals_english(spark, pdocs_df):
+    """ES snowball analyzer == the english chain here (stop filter THEN
+    stemming): identical token streams and identical end-to-end ranking;
+    highlight still takes the stem-prefix branch through the alias."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    sn = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in doc_term_freqs(pdocs_df, analyzer="snowball").collect()
+    }
+    en = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in doc_term_freqs(pdocs_df, analyzer="english").collect()
+    }
+    assert sn == en and sn
+    assert tokenize_text("the merging of tables", "snowball") == ["merg", "tabl"]
+
+    idx = Index.ephemeral(pdocs_df, docs_per_shard=4, n_buckets=4, analyzer="snowball")
+    assert idx.meta["analyzer"] == "snowball"
+    bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("merging tables", 10).collect()]
+    orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("merging tables", 10).collect()]
+    assert bmw == orc and bmw
