@@ -3378,6 +3378,69 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Line-level corpus dedup (the RefinedWeb/Dolma boilerplate pass):
+    the corpus has no newlines, so the entry PLANTS line structure
+    deterministically in both engines — a footer line on EVERY doc, a
+    promo line on ~30%, a unique line on 25% — and max_count=5 removes
+    exactly the two repeating plants while the unique line and the
+    original body line survive in order. One line-keyed count groupBy +
+    anti-join + doc-keyed reassembly; everything byte-exact, so the
+    DuckDB oracle matches the rebuilt text verbatim."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nshared footer line"),
+            F.when(
+                F.col("doc_id") % 10 < 3, F.lit("\npromo banner line")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("\nunique line "), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines(docs, max_count=5)
+
+
+_DEDUP_LINES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || 'shared footer line'
+           || CASE WHEN doc_id % 10 < 3 THEN chr(10) || 'promo banner line'
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'unique line ' || doc_id
+                   ELSE '' END AS t
+  FROM documents
+),
+ls AS (
+  SELECT doc_id, i::BIGINT AS pos, sp[i] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS sp FROM d),
+       unnest(generate_series(1, len(sp))) AS u(i)
+),
+flagged AS (
+  SELECT line FROM ls WHERE line != '' GROUP BY line HAVING count(*) > 5
+),
+kept AS (
+  SELECT * FROM ls WHERE line NOT IN (SELECT line FROM flagged)
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_dedup,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+       len(string_split(d.t, chr(10)))::BIGINT AS n_lines,
+       (len(string_split(d.t, chr(10))) - coalesce(agg.n_kept, 0))::BIGINT
+         AS n_removed
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     """Rolling-hash fingerprint dedup groups: grouping docs by fingerprint
     must induce EXACTLY the partition induced by the token stream itself
@@ -5010,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_rate_threshold": q_keep_rate_threshold,
         "geo_shape_indexed_local": q_geo_shape_indexed_local,
         "bm25_html_topk": q_bm25_html_topk,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -9256,6 +9320,7 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,
         "lang_guess": _LANG_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
         "lang_guess_tri": _lang_tri_oracle_sql(),
         "fingerprints": _FINGERPRINT_SQL,
         "events_rollup": (

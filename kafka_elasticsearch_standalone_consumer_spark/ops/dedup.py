@@ -679,3 +679,74 @@ def dedup_passages(
             F.col("doc_id").alias(id_col), "n_passages", "n_kept", "text_dedup"
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-frequency LINE dedup — the boilerplate-removal pass of the
+    RefinedWeb / Dolma pipelines: a line (exact '\\n'-split segment,
+    byte-exact match, no normalization) occurring MORE than ``max_count``
+    times across the whole corpus is removed from every document; the
+    survivors rejoin with '\\n' in their original order. Headers, cookie
+    banners and navigation chrome repeat across a crawl by the thousand
+    while body prose is near-unique — that asymmetry is the whole method.
+
+    Empty lines are kept verbatim and never counted (they are structure,
+    not content; counting them would delete every blank separator in the
+    corpus).
+
+    100 TB shape: posexplode lines (narrow) → ONE line-keyed count
+    groupBy with map-side partials (the mega-hot boilerplate lines are
+    exactly the skew AQE skew-join splitting handles — the dup_spans
+    story) → anti-join the flagged set back on the line key → one
+    doc-keyed reassembly aggregation. No window, no global sort, nothing
+    driver-side.
+
+    Returns (id_col, text_dedup, n_lines, n_removed) — one row per input
+    doc; a doc whose every line was boilerplate comes back with ''.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    flagged = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > int(max_count))
+        .select("line")
+    )
+    kept = lines.join(flagged, "line", "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        totals.join(out, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

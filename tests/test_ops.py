@@ -1827,3 +1827,41 @@ def test_ngram_diversity_hand_values(spark):
     assert got[2] == (3, 2, 2.0 / 3.0)
     # trigrams: aba bab -> 2 total, 2 distinct
     assert got[3] == (2, 2, 1.0)
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    """Line-level corpus dedup: lines repeating above max_count vanish
+    from every doc, unique lines and blank separators survive in order,
+    and an all-boilerplate doc comes back empty."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dedup_lines
+
+    footer = "(c) example corp all rights reserved"
+    rows = [
+        (0, f"alpha body zero\n{footer}\nunique zero"),
+        (1, f"beta body one\n\nmiddle blank kept\n{footer}"),
+        (2, f"{footer}"),
+        (3, "gamma body three"),
+        (4, None),
+        (5, f"{footer}\n{footer}\ndelta body five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df, max_count=2).collect()}
+
+    # footer occurs 5x (> 2) -> removed everywhere
+    assert got[0]["text_dedup"] == "alpha body zero\nunique zero"
+    assert got[0]["n_lines"] == 3 and got[0]["n_removed"] == 1
+    # blank separator lines are structure: kept, never counted
+    assert got[1]["text_dedup"] == "beta body one\n\nmiddle blank kept"
+    # all-boilerplate doc -> empty
+    assert got[2]["text_dedup"] == "" and got[2]["n_removed"] == 1
+    # untouched docs round-trip byte-identically
+    assert got[3]["text_dedup"] == "gamma body three" and got[3]["n_removed"] == 0
+    # NULL text behaves as one empty (kept) line
+    assert got[4]["text_dedup"] == "" and got[4]["n_removed"] == 0
+    # within-doc repeats count toward the corpus total and both go
+    assert got[5]["text_dedup"] == "delta body five" and got[5]["n_removed"] == 2
+    assert len(got) == len(rows)
+
+    # max_count high enough: nothing removed
+    loose = {r["doc_id"]: r["n_removed"] for r in dedup_lines(df, max_count=10).collect()}
+    assert all(v == 0 for v in loose.values())
