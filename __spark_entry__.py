@@ -1160,6 +1160,49 @@ def _bm25_html_sql(query: str, k: int = K) -> str:
     )
 
 
+_CUSTOM_STOPS = ("table", "value", "the")  # corpus-frequent; shared with oracle
+
+
+def q_bm25_stop_custom_topk(spark, sf_dir):
+    """ES 1.x configurable stopwords ('stop:<csv>' — the stop analyzer's
+    ``stopwords`` setting as the one-plain-string knob): an index built
+    with a CUSTOM list of corpus-frequent words answers 'join table
+    filter' with 'table' analyzed away on BOTH sides — the fixed Lucene
+    set would have kept it, the distinguishing probe. The DuckDB oracle
+    filters through the same custom list literal."""
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    an = "stop:" + ",".join(_CUSTOM_STOPS)
+    key = f"{sf_dir}::stop_custom"
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        idx = Index.ephemeral(
+            _docs(spark, sf_dir), docs_per_shard=128, n_buckets=16, analyzer=an
+        )
+        _IDX_CACHE[key] = idx
+    out = idx.search("join table filter", K, mode="bmw")
+    return _rank(out, "score", "doc_id").select(
+        "doc_id", "rank", F.round("score", 4).alias("score_r")
+    )
+
+
+def _bm25_stop_custom_sql(query: str, k: int = K) -> str:
+    """Custom-stoplist oracle: the BM25 template with the token stream
+    AND the analyzed query filtered through the _CUSTOM_STOPS literal."""
+    import re
+    from collections import Counter
+
+    terms = Counter(
+        t for t in re.findall(r"[a-z0-9]+", query.lower()) if t not in _CUSTOM_STOPS
+    )
+    qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(terms.items()))
+    lit = "[" + ", ".join(f"'{w}'" for w in _CUSTOM_STOPS) + "]"
+    toks = f"list_filter({SQL_TOKS}, t -> NOT list_contains({lit}, t))"
+    return _BM25_SQL_TEMPLATE.format(
+        toks=toks, qvals=qvals, having="", k=k, scored_where=""
+    )
+
+
 def q_bm25_simple_topk(spark, sf_dir):
     """ES simple analyzer (LetterTokenizer + lowercase) end-to-end: the
     corpus gains a derived digit-fused token 'sec<doc_id%5>ref' that the
@@ -5074,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_indexed_local": q_geo_shape_indexed_local,
         "bm25_html_topk": q_bm25_html_topk,
         "dedup_lines": q_dedup_lines,
+        "bm25_stop_custom_topk": q_bm25_stop_custom_topk,
     }
 
 
@@ -8892,6 +8936,7 @@ SELECT range_label, n FROM (
         "bm25_porter_topk": _bm25_porter_sql(["merg", "tabl", "valu"]),
         "bm25_english_topk": _bm25_english_sql(["merg", "tabl", "valu"]),
         "bm25_simple_topk": _bm25_simple_sql("join sec9ref"),
+        "bm25_stop_custom_topk": _bm25_stop_custom_sql("join table filter"),
         "bm25_html_topk": _bm25_html_sql("join critical"),
         "bm25_pattern_topk": _bm25_pattern_sql("join tag_3"),
         "bm25_ws_topk": _bm25_ws_sql(["JOIN", "HASH", "FILTER"]),

@@ -138,9 +138,36 @@ def split_char_filter(analyzer: str) -> tuple[str | None, str]:
 
 def _check_analyzer(analyzer: str) -> None:
     _, base = split_char_filter(analyzer)
-    if base not in ANALYZERS and not base.startswith("pattern:"):
+    if (
+        base not in ANALYZERS
+        and not base.startswith("pattern:")
+        and not base.startswith("stop:")
+    ):
         raise ValueError(f"unknown analyzer: {analyzer} (supported: {ANALYZERS}, "
                          "optionally prefixed with 'html_strip|')")
+
+
+def stop_set(analyzer_base: str) -> frozenset:
+    """The stop list of a stop-filtering analyzer base: the fixed Lucene
+    English set for ``stop``/``english``, or a CUSTOM list for
+    ``stop:<comma-separated-words>`` — ES 1.x's configurable ``stopwords``
+    setting, riding the same one-plain-string knob as ``pattern:<regex>``
+    so segment meta / append / compact stay untouched."""
+    if analyzer_base.startswith("stop:"):
+        words = frozenset(w for w in analyzer_base[5:].split(",") if w)
+        if not words:
+            raise ValueError("custom stop analyzer needs a non-empty word list")
+        return words
+    return STOP_WORDS
+
+
+def _stops_of(analyzer_base: str) -> frozenset | None:
+    """The stop set a base analyzer applies, or None when it has no stop
+    filter (``english`` filters with the fixed list; custom lists never
+    stem — they are the plain ``stop`` chain with different words)."""
+    if analyzer_base in ("stop", "english") or analyzer_base.startswith("stop:"):
+        return stop_set(analyzer_base)
+    return None
 
 
 def pattern_of(analyzer: str) -> str:
@@ -326,8 +353,9 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     if analyzer.startswith("pattern"):
         return [t for t in _pattern_re(analyzer).split(s.lower()) if t]
     toks = _TOKEN_RE.findall(s.lower())
-    if analyzer in ("stop", "english"):
-        toks = [t for t in toks if t not in STOP_WORDS]
+    st = _stops_of(analyzer)
+    if st is not None:
+        toks = [t for t in toks if t not in st]
     if analyzer in ("porter", "english"):
         toks = [porter_stem(t) for t in toks]
     return toks
@@ -341,7 +369,8 @@ def analyze_positions(text: str | None, analyzer: str = "standard") -> tuple[lis
     token stream 1:1 so positions are the identity over it."""
     _check_analyzer(analyzer)
     cf, base = split_char_filter(analyzer)
-    if base not in ("stop", "english"):
+    st = _stops_of(base)
+    if st is None:
         toks = tokenize_text(text, analyzer)
         return toks, list(range(len(toks)))
     # positions are offsets into the POST-char-filter token stream (the
@@ -349,7 +378,7 @@ def analyze_positions(text: str | None, analyzer: str = "standard") -> tuple[lis
     s = strip_html(text or "") if cf == "html_strip" else text
     slots, offsets = [], []
     for i, t in enumerate(tokenize_text(s)):
-        if t not in STOP_WORDS:
+        if t not in st:
             slots.append(porter_stem(t) if base == "english" else t)
             offsets.append(i)
     return slots, offsets
@@ -440,8 +469,9 @@ def tokenize_col(c: Column, analyzer: str = "standard") -> Column:
         )
     parts = F.split(F.lower(base), "[^a-z0-9]+")
     toks = F.filter(parts, lambda x: x != F.lit(""))
-    if analyzer in ("stop", "english"):
-        toks = F.filter(toks, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+    st = _stops_of(analyzer)
+    if st is not None:
+        toks = F.filter(toks, lambda x: ~x.isin(*sorted(st)))
     if analyzer in ("porter", "english"):
         toks = _porter_arr_udf(toks)
     return toks
@@ -486,8 +516,9 @@ def tokens_from(
             tok = _pattern_udf(base_an)(txt)
         else:
             tok = tokenize_udf(txt)
-            if base_an in ("stop", "english"):
-                tok = F.filter(tok, lambda x: ~x.isin(*sorted(STOP_WORDS)))
+            st = _stops_of(base_an)
+            if st is not None:
+                tok = F.filter(tok, lambda x: ~x.isin(*sorted(st)))
             if base_an in ("porter", "english"):
                 tok = _porter_arr_udf(tok)
     else:
@@ -545,11 +576,8 @@ def doc_term_freqs(
 
     _check_analyzer(analyzer)
     char_filter, analyzer = split_char_filter(analyzer)
-    stop_arr = (
-        np.array(sorted(STOP_WORDS), dtype=object)
-        if analyzer in ("stop", "english")
-        else None
-    )
+    _st = _stops_of(analyzer)
+    stop_arr = np.array(sorted(_st), dtype=object) if _st is not None else None
 
     schema = f"{id_col} long, term string, tf int, dl int"
     if positions:

@@ -680,3 +680,55 @@ def test_snowball_alias_equals_english(spark, pdocs_df):
     bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("merging tables", 10).collect()]
     orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("merging tables", 10).collect()]
     assert bmw == orc and bmw
+
+
+def test_custom_stopwords_analyzer(spark):
+    """ES 1.x configurable stopwords via the 'stop:<csv>' string knob:
+    the custom list filters instead of the fixed Lucene set, dl counts
+    survivors, positions keep their gaps, and the four tokenizer paths
+    agree; empty custom lists are rejected."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import (
+        analyze_positions,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import Index
+
+    an = "stop:foo,bar"
+    rows = [(0, "foo alpha bar beta the foo"), (1, "the bar gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokens_from(df, method="sql", analyzer=an).collect()
+    }
+    for method in ("pandas", "fused"):
+        got = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in tokens_from(df, method=method, analyzer=an).collect()
+        }
+        assert got == base, method
+    py = {}
+    for d, text in rows:
+        for t in tokenize_text(text, an):
+            py[(d, t)] = py.get((d, t), 0) + 1
+    assert py == base
+    # custom words filtered, fixed-set words ('the') KEPT
+    assert (0, "foo") not in base and (0, "the") in base and (1, "the") in base
+    # position gaps follow the custom list
+    assert analyze_positions("foo alpha bar beta", an) == (["alpha", "beta"], [1, 3])
+    # dl counts survivors only
+    dls = {r["doc_id"]: r["dl"] for r in doc_term_freqs(df, analyzer=an).collect()}
+    assert dls[0] == 3 and dls[1] == 2
+
+    idx = Index.ephemeral(df, docs_per_shard=4, n_buckets=4, analyzer=an)
+    assert idx.meta["analyzer"] == an
+    # a stopped query term analyzes away; the surviving term still matches
+    hits = {r["doc_id"] for r in idx.search("foo alpha", 10).collect()}
+    assert hits == {0}
+    bmw = [(r["doc_id"], round(r["score"], 10)) for r in idx.search("the gamma", 10).collect()]
+    orc = [(r["doc_id"], round(r["score"], 10)) for r in idx.search_oracle("the gamma", 10).collect()]
+    assert bmw == orc and bmw
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        tokenize_text("x", "stop:")
