@@ -173,10 +173,30 @@ def _stops_of(analyzer_base: str) -> frozenset | None:
 def pattern_of(analyzer: str) -> str:
     """The split regex of a ``pattern``/``pattern:<regex>`` analyzer
     string (Java/RE2-shared dialect; callers pass it verbatim to Spark's
-    ``split`` and DuckDB's ``string_split_regex``)."""
-    pat = analyzer.partition(":")[2] or DEFAULT_PATTERN
-    if not pat:
+    ``split`` and DuckDB's ``string_split_regex``). CAPTURING groups are
+    rejected: Python's ``re.split`` would include the captured delimiter
+    text in the token stream while Java/RE2 split drops it — the one
+    construct that breaks the fused ≡ sql tokenizer invariant. Use
+    ``(?:...)``."""
+    _head, sep, pat = analyzer.partition(":")
+    if sep and not pat:
         raise ValueError("pattern analyzer needs a non-empty split regex")
+    pat = pat or DEFAULT_PATTERN
+    i = 0
+    while True:
+        i = pat.find("(", i)
+        if i < 0:
+            break
+        if i > 0 and pat[i - 1] == "\\":
+            i += 1
+            continue
+        if pat[i + 1 : i + 2] != "?":
+            raise ValueError(
+                "pattern analyzer split regex must not contain capturing "
+                "groups (Python re.split keeps captures, Java/RE2 split "
+                f"drops them — engines would disagree): use (?:...) in {pat!r}"
+            )
+        i += 1
     return pat
 
 

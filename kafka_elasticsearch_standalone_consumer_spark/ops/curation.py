@@ -867,8 +867,11 @@ def keep_rate_threshold(
     """
     if not 0.0 < keep_rate <= 1.0:
         raise ValueError("keep_rate must be in (0, 1]")
+    # NaN is not NULL: Spark's max() ranks it above everything, which
+    # would poison mn/mx/width and make the calibration silently return
+    # (NaN, 0) — drop it like NULL
     s = df.select(F.col(score_col).cast("double").alias("score")).filter(
-        F.col("score").isNotNull()
+        F.col("score").isNotNull() & ~F.isnan("score")
     )
     stats = s.agg(
         F.count("*").alias("n"), F.min("score").alias("mn"), F.max("score").alias("mx")

@@ -303,7 +303,11 @@ def cms_registers(
         ]
     )
     return (
-        df.select(F.explode(pairs).alias("p"))
+        # NULLs carry no countable value and would hash to NULL buckets
+        # (md5 propagates NULL) — drop them, like the exact-count twin's
+        # probe filter does implicitly
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
         .groupBy("j", "b")
         .agg(F.count("*").cast("long").alias("c"))

@@ -1615,6 +1615,11 @@ class Index:
             if not tbl.num_rows:
                 continue
             col = tbl.column(shape_col).combine_chunks()
+            if col.null_count:
+                raise ValueError(
+                    "NULL shapes are not supported on the serving path — "
+                    "filter them out or store empty rings"
+                )
             offs = np.asarray(col.offsets, dtype=np.int64)
             lens = np.diff(offs)
             if lens.size and (lens != lens[0]).any():
@@ -1623,6 +1628,11 @@ class Index:
                     "serving path (matching the fixed-V ring_sql surface)"
                 )
             v = int(lens[0]) if lens.size else 0
+            if v == 0:
+                # empty rings contain nothing — matches the distributed
+                # predicate, whose NULL vertex accessors never pass the
+                # filter; these docs simply can't match
+                continue
             if v_seen is None:
                 v_seen = v
             elif v != v_seen:

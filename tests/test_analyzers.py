@@ -732,3 +732,18 @@ def test_custom_stopwords_analyzer(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         tokenize_text("x", "stop:")
+
+
+def test_pattern_rejects_capturing_groups_and_empty(spark):
+    """Capturing groups would make Python re.split keep delimiters while
+    Java/RE2 split drops them — rejected loudly; bare 'pattern:' is a
+    typo, not a silent default; non-capturing groups stay legal."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capturing"):
+        tokenize_text("a b", "pattern:([^a-z]+)")
+    with _pytest.raises(ValueError, match="non-empty"):
+        tokenize_text("a b", "pattern:")
+    # non-capturing and escaped parens are fine, and all paths agree
+    assert tokenize_text("a(b)c d", r"pattern:(?:[^a-z]+)") == ["a", "b", "c", "d"]
+    assert tokenize_text("a(b", r"pattern:\(") == ["a", "b"]

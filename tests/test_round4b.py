@@ -371,3 +371,19 @@ def test_keep_rate_threshold_exact_order_statistic(spark):
 
     with _pytest.raises(ValueError):
         keep_rate_threshold(df, "s", 0.0)
+
+
+def test_keep_rate_threshold_ignores_nan(spark):
+    """NaN scores (not NULL!) would poison min/max/width and silently
+    return (NaN, 0) — they are dropped like NULL."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import (
+        keep_rate_threshold,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 3, 9, 1, 7])]
+    rows += [(90, float("nan")), (91, float("nan"))]
+    df = spark.createDataFrame(rows, "id long, s double")
+    r = keep_rate_threshold(df, "s", 0.4, buckets=4).collect()[0]
+    # 5 real scores -> k = 2, 2nd largest = 7
+    assert r["n_docs"] == 5 and r["k_target"] == 2
+    assert r["threshold"] == 7.0 and r["n_kept"] == 2

@@ -216,3 +216,25 @@ def test_cms_one_sided_guarantee_and_merge(spark):
         for k, c in part.items():
             merged[k] = merged.get(k, 0) + c
     assert merged == r_all
+
+
+def test_cms_null_values_dropped(spark):
+    """NULL stream values carry no countable value: they are dropped
+    before hashing (md5 would propagate NULL into the register key), so
+    registers stay well-formed and n_seen counts real items only."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "value string"
+    )
+    regs = cms_registers(df, "value", d=2, w=16).collect()
+    assert all(r["b"] is not None for r in regs)
+    assert sum(r["c"] for r in regs if r["j"] == 0) == 3  # row 0 total = non-null count
+    got = {
+        r["value"]: (r["est"], r["n_true"])
+        for r in cms_estimate(df, "value", ["a", "b"], d=2, w=16, with_exact=True).collect()
+    }
+    assert got["a"] == (2, 2) and got["b"] == (1, 1)

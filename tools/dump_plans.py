@@ -441,10 +441,11 @@ def main() -> None:
             "Trigram language ID (lang_guess_trigram)",
             "The doc side explodes character trigrams (narrow), joins the "
             "BROADCAST profile table, and aggregates per (doc, lang) with "
-            "map-side partials; the argmax is a doc-keyed window over "
-            "|langs| rows per doc, then a left join restores zero-hit docs "
-            "as 'und'. One real shuffle keyed on doc_id — the percolate "
-            "plan shape.",
+            "map-side partials; the argmax is a struct-MIN aggregation "
+            "(lexicographic (-score, lang)) — map-side combinable, no "
+            "window sort (the window form was 10x slower) — then a left "
+            "join restores zero-hit docs as 'und'. One real shuffle keyed "
+            "on doc_id — the percolate plan shape.",
             plan_of(lang_guess_trigram(docs_tbl)),
         )
     )
