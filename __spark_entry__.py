@@ -4823,6 +4823,63 @@ def q_index_stats(spark, sf_dir):
     return _cached_idx(spark, sf_dir).corpus_summary()
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent over bigrams: OLS of ln V on
+    ln N at 8 evenly spaced doc_id prefixes (prefix stats = conditional
+    sums in ONE 1-row aggregate per table — no per-checkpoint passes).
+    beta/intercept rounded 4 dp (≤8-point sums + ln ulp, the zipf rule);
+    V/N are exact integers so the DuckDB mirror recomputes the identical
+    points."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import heaps_fit
+
+    out = heaps_fit(_docs(spark, sf_dir), n=2, n_checkpoints=8)
+    return out.select(
+        F.round("beta", 4).alias("beta_r"),
+        F.round("intercept", 4).alias("intercept_r"),
+        "n_points", "vocab_total", "grams_total",
+    )
+
+
+_HEAPS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM tk, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+ck AS (
+  SELECT DISTINCT ((s.i * mx.m) // 8) AS t
+  FROM generate_series(1, 8) s(i), mx
+  WHERE ((s.i * mx.m) // 8) > 0
+),
+fst AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY gram),
+dc AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
+pts AS (
+  SELECT t,
+         (SELECT count(*) FROM fst WHERE fid <= ck.t)::DOUBLE AS v,
+         (SELECT coalesce(sum(m), 0) FROM dc WHERE doc_id <= ck.t)::DOUBLE AS nn
+  FROM ck
+),
+xy AS (SELECT ln(nn) AS x, ln(v) AS y FROM pts WHERE v > 0 AND nn > 0),
+agg AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+),
+tot AS (
+  SELECT (SELECT count(*) FROM fst)::BIGINT AS vocab_total,
+         (SELECT coalesce(sum(m), 0) FROM dc)::BIGINT AS grams_total
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)::DOUBLE AS beta_r,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)::DOUBLE
+         AS intercept_r,
+       n::BIGINT AS n_points, vocab_total, grams_total
+FROM agg, tot
+"""
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf-exponent corpus analytic: closed-form OLS of ln(freq) on
     ln(rank) over the top-100 terms (rank = freq desc, term asc — total
@@ -5118,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_html_topk": q_bm25_html_topk,
         "dedup_lines": q_dedup_lines,
         "bm25_stop_custom_topk": q_bm25_stop_custom_topk,
+        "heaps_fit": q_heaps_fit,
     }
 
 
@@ -9365,6 +9423,7 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
         "quality_features": _QUALITY_SQL,
         "lm_doc_quality": _LM_QUALITY_SQL,
         "lang_guess": _LANG_SQL,
+        "heaps_fit": _HEAPS_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "lang_guess_tri": _lang_tri_oracle_sql(),
         "fingerprints": _FINGERPRINT_SQL,

@@ -1012,3 +1012,89 @@ def drift_between_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
         F.sum(((F.col("c_a") > 0) & (F.col("c_b") > 0)).cast("long")).alias("vocab_shared"),
         F.round(F.sum(term_kl) * 0.5, 6).alias("jsd_r"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): V(N) ≈ k·N^β, the
+    closed-form OLS of ln V on ln N over ``n_checkpoints`` corpus
+    prefixes (prefix = docs with id ≤ an evenly spaced threshold).
+    Natural text sits near β ≈ 0.4–0.6; templated/duplicated corpora
+    flatten toward 0 — the growth-side sibling of :func:`zipf_fit`'s
+    frequency-side exponent. The vocabulary is counted over word
+    ``n``-grams (default bigrams) so growth stays measurable even on a
+    small closed unigram vocabulary.
+
+    Scale shape: ONE gram pass feeds two aggregations — per-gram
+    min(doc_id) (the "first seen" table, vocabulary-sized) and per-doc
+    gram counts — then each prefix's (V, N) is a conditional sum in ONE
+    1-row aggregate per table; no per-checkpoint corpus passes, no
+    window, no sort. The ≤``n_checkpoints``-point OLS runs driver-side
+    in checkpoint order; 4-dp rounding downstream absorbs ln/sum-order
+    ulp (the zipf_fit rule).
+
+    Returns ONE row (beta, intercept, n_points, vocab_total,
+    grams_total).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("w")
+    )
+    grams = _grams(toks, n)
+    mx_row = df.agg(F.max(F.col(id_col)).alias("mx")).collect()[0]
+    spark = df.sparkSession
+    out_schema = (
+        "beta double, intercept double, n_points long, "
+        "vocab_total long, grams_total long"
+    )
+    if mx_row["mx"] is None:
+        return spark.createDataFrame([(None, None, 0, 0, 0)], out_schema)
+    mx = int(mx_row["mx"])
+    k = int(n_checkpoints)
+    ts = sorted({(i * mx) // k for i in range(1, k + 1)} - {0})
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("fid"))
+    dc = grams.groupBy("doc_id").agg(F.count("*").alias("m"))
+    vrow = first.agg(
+        *[F.sum((F.col("fid") <= t).cast("long")).alias(f"v{i}") for i, t in enumerate(ts)]
+    ).collect()[0]
+    nrow = dc.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= t, F.col("m")).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, t in enumerate(ts)
+        ]
+    ).collect()[0]
+    import math
+
+    pts = []
+    for i in range(len(ts)):
+        v, nn = vrow[f"v{i}"] or 0, nrow[f"n{i}"] or 0
+        if v > 0 and nn > 0:
+            pts.append((math.log(float(nn)), math.log(float(v))))
+    if len(pts) < 2:
+        return spark.createDataFrame(
+            [(None, None, len(pts), int(vrow[f"v{len(ts)-1}"] or 0),
+              int(nrow[f"n{len(ts)-1}"] or 0))],
+            out_schema,
+        )
+    np_ = float(len(pts))
+    sx = sy = sxy = sxx = 0.0
+    for x, y in pts:  # checkpoint order — the deterministic sequential fold
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    beta = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+    intercept = (sy - beta * sx) / np_
+    return spark.createDataFrame(
+        [(
+            float(beta), float(intercept), len(pts),
+            int(vrow[f"v{len(ts)-1}"] or 0), int(nrow[f"n{len(ts)-1}"] or 0),
+        )],
+        out_schema,
+    )

@@ -1865,3 +1865,53 @@ def test_dedup_lines_removes_corpus_boilerplate(spark):
     # max_count high enough: nothing removed
     loose = {r["doc_id"]: r["n_removed"] for r in dedup_lines(df, max_count=10).collect()}
     assert all(v == 0 for v in loose.values())
+
+
+def test_heaps_fit_matches_python(spark):
+    """Heaps'-law fit vs an independent pure-Python recompute of the same
+    definition (bigram vocab at 8 evenly spaced doc_id prefixes, OLS of
+    ln V on ln N); growing-vocabulary corpus lands at beta in (0, 1]."""
+    import math
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.textstats import heaps_fit
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % (10 + 3 * i)}" for j in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df, n=2, n_checkpoints=8).collect()[0]
+
+    # python recompute
+    def grams(text):
+        t = text.split()
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    mx = max(d for d, _ in rows)
+    ts = sorted({(i * mx) // 8 for i in range(1, 9)} - {0})
+    first, per_doc = {}, {}
+    for d, text in rows:
+        gs = grams(text)
+        per_doc[d] = len(gs)
+        for g in gs:
+            first[g] = min(first.get(g, d), d)
+    pts = []
+    for t in ts:
+        v = sum(1 for fid in first.values() if fid <= t)
+        nn = sum(m for d, m in per_doc.items() if d <= t)
+        if v > 0 and nn > 0:
+            pts.append((math.log(nn), math.log(v)))
+    np_ = float(len(pts))
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+
+    assert r["n_points"] == len(pts)
+    assert abs(r["beta"] - beta) < 1e-9
+    assert 0.0 < r["beta"] <= 1.0
+    assert r["vocab_total"] == len(first)
+    assert r["grams_total"] == sum(per_doc.values())
+
+    # degenerate inputs
+    empty = heaps_fit(df.filter("doc_id < 0")).collect()[0]
+    assert empty["n_points"] == 0 and empty["beta"] is None
