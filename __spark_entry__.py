@@ -4497,6 +4497,65 @@ ORDER BY e.value
 """
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership (Bloom 1970) over the corpus TOKEN stream
+    (4 md5-salted hash rows, m=4096 bits — the Count-Min bucket function
+    reused as the bit function): present = all 4 probe bits set. The
+    no-false-negative guarantee is one-sided and DETERMINISTIC (every
+    occurrence of v sets all of v's bits) — asserted in-entry for every
+    in-vocabulary probe; n_true rides along as the verification twin.
+    All-integer bit positions, so the DuckDB oracle (same
+    salt||':'||value md5 bits) matches bit for bit — including whatever
+    answer the fixed hash gives the absent probe. Bit sets merge by
+    UNION across shards/segments (pytest-asserted) — the sketch-family
+    merge story next to HLL (max), CMS (add) and Misra–Gries (fold)."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_col
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import bloom_contains
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_col(F.col("text"))).alias("value")
+    )
+    out = bloom_contains(toks, "value", list(_CMS_PROBES), k=4, m=4096, with_exact=True)
+    rows = out.collect()
+    assert len(rows) == len(_CMS_PROBES)
+    assert all(
+        r["present"] for r in rows if r["n_true"] > 0
+    ), "Bloom no-false-negative guarantee violated"
+    return out
+
+
+def _bloom_oracle_sql() -> str:
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKS}) AS value FROM documents
+),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(r.j || ':' || value), 1, 8))::BIGINT % 4096 AS bit
+  FROM toks, (VALUES (0), (1), (2), (3)) AS r(j)
+),
+probes(value) AS (VALUES {probes}),
+pb AS (
+  SELECT value, r.j,
+         ('0x' || substr(md5(r.j || ':' || value), 1, 8))::BIGINT % 4096 AS bit
+  FROM probes, (VALUES (0), (1), (2), (3)) AS r(j)
+),
+pres AS (
+  SELECT value,
+         min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1 AS present
+  FROM pb LEFT JOIN bits b USING (bit) GROUP BY value
+),
+tru AS (
+  SELECT value, count(*)::BIGINT AS n_true FROM toks
+  WHERE value IN (SELECT value FROM probes) GROUP BY value
+)
+SELECT p.value, p.present, coalesce(t.n_true, 0)::BIGINT AS n_true
+FROM pres p LEFT JOIN tru t USING (value)
+ORDER BY p.value
+"""
+
+
 def q_keep_rate_threshold(spark, sf_dir):
     """Quality-gate calibration: the exact cutoff keeping the longest 25%
     of documents by n_chars — threshold = the k-th largest score
@@ -5176,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "bm25_stop_custom_topk": q_bm25_stop_custom_topk,
         "heaps_fit": q_heaps_fit,
+        "bloom_probe": q_bloom_probe,
     }
 
 
@@ -9424,6 +9484,7 @@ ORDER BY pair_cnt DESC, l ASC, r ASC LIMIT 30
         "lm_doc_quality": _LM_QUALITY_SQL,
         "lang_guess": _LANG_SQL,
         "heaps_fit": _HEAPS_SQL,
+        "bloom_probe": _bloom_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_SQL,
         "lang_guess_tri": _lang_tri_oracle_sql(),
         "fingerprints": _FINGERPRINT_SQL,

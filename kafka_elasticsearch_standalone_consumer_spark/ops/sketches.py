@@ -365,3 +365,81 @@ def cms_estimate(
             "value", "est", F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true")
         )
     return est.orderBy(F.asc("value"))
+
+
+def bloom_bits(df: DataFrame, value_col: str, k: int = 4, m: int = 4096) -> DataFrame:
+    """Bloom-filter bit set (Bloom 1970) for ``value_col``: one row per
+    SET bit position in ``[0, m)`` under ``k`` portable hash rows — the
+    same md5 ``'{j}:' || value`` salt idiom as the Count-Min buckets
+    (:func:`_cms_bucket` is reused verbatim as the bit function), so the
+    whole filter is pure integer/string arithmetic that evaluates
+    identically in Spark, DuckDB and hashlib.
+
+    Scale shape: ONE narrow pass — each row explodes into its ``k`` bit
+    positions and a ``distinct`` bounds the exchange at ``m`` rows per
+    input partition regardless of corpus size (the key space IS the
+    filter). Bit sets MERGE BY UNION (bitwise OR) — shards / segments /
+    days build independently and `distinct`-union, the same merge story
+    as HLL (max) and CMS (add); pytest-asserted. NULLs carry no value
+    and would hash to NULL bits (md5 propagates NULL) — dropped, the
+    CMS convention."""
+    if k < 1 or m < 1:
+        raise ValueError("need k >= 1 hash rows and m >= 1 bits")
+    bits = F.array(*[_cms_bucket(value_col, j, m) for j in range(k)])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    df: DataFrame,
+    value_col: str,
+    probes: list[str],
+    k: int = 4,
+    m: int = 4096,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Approximate membership for ``probes`` against the Bloom filter of
+    ``df[value_col]``: present(v) = all ``k`` of v's bit positions are
+    set. The Bloom guarantee is one-sided and DETERMINISTIC for any data
+    and hash choice: **no false negatives** — every occurrence of v sets
+    all k of v's bits, so a present value always answers true. False
+    positives happen when an absent value's bits are all covered by
+    other values; the classic (1 - e^{-kn/m})^k rate is probabilistic
+    over hash draws, but for the FIXED md5 rows the answer is a pure
+    function of the data — which is what makes the probe table
+    oracle-able bit for bit (``with_exact`` attaches the exact count,
+    the verification twin a 100 TB run drops).
+
+    Plan: the bit set (≤ m rows) broadcasts to the probe side; nothing
+    here re-shuffles the corpus. Returns (value, present[, n_true]),
+    value asc."""
+    spark = df.sparkSession
+    bits = bloom_bits(df, value_col, k, m).withColumn("hit", F.lit(1))
+    pdf = spark.createDataFrame([(p,) for p in probes], "value string")
+    pb = pdf.select(
+        "value",
+        F.explode(
+            F.array(*[_cms_bucket("value", j, m) for j in range(k)])
+        ).alias("bit"),
+    )
+    out = (
+        pb.join(F.broadcast(bits), "bit", "left")
+        .groupBy("value")
+        .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("present"))
+    )
+    if with_exact:
+        exact = (
+            df.select(F.col(value_col).cast("string").alias("value"))
+            .filter(F.col("value").isin(list(probes)))
+            .groupBy("value")
+            .agg(F.count("*").cast("long").alias("n_true"))
+        )
+        out = out.join(exact, "value", "left").select(
+            "value",
+            "present",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        )
+    return out.orderBy(F.asc("value"))

@@ -238,3 +238,58 @@ def test_cms_null_values_dropped(spark):
         for r in cms_estimate(df, "value", ["a", "b"], d=2, w=16, with_exact=True).collect()
     }
     assert got["a"] == (2, 2) and got["b"] == (1, 1)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom filter: every PRESENT value answers true (deterministic
+    one-sided guarantee — all k of its bits were set by its own
+    occurrences); bit sets merge by union across splits (the shard
+    story); NULLs are dropped before hashing."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    rows = [(f"v{i % 7}",) for i in range(70)] + [("rare",), (None,)]
+    df = spark.createDataFrame(rows, "value string")
+    probes = [f"v{i}" for i in range(7)] + ["rare", "absent0", "absent1"]
+
+    got = {
+        r["value"]: (r["present"], r["n_true"])
+        for r in bloom_contains(
+            df, "value", probes, k=4, m=4096, with_exact=True
+        ).collect()
+    }
+    assert len(got) == len(probes)
+    for v, (present, true) in got.items():
+        if true > 0:
+            assert present, v  # no false negatives, ever
+    # 8 distinct values x 4 bits in 4096: far under saturation -> the
+    # absent probes come back false here (a data-dependent fact this
+    # fixture pins; the guarantee itself is only one-sided)
+    assert not got["absent0"][0] and not got["absent1"][0]
+
+    # a saturated filter (m=2) answers true for everything: the false
+    # positive side is real and honestly one-sided
+    sat = {
+        r["value"]: r["present"]
+        for r in bloom_contains(df, "value", ["absent0"], k=2, m=2).collect()
+    }
+    assert sat["absent0"]
+
+    # merge-by-union: bits(split1) UNION bits(split2) == bits(all)
+    idf = spark.createDataFrame(
+        [(i, v) for i, (v,) in enumerate(rows)], "i long, value string"
+    )
+    df1 = idf.filter("i % 2 = 0").select("value")
+    df2 = idf.filter("i % 2 = 1").select("value")
+    b_all = {r["bit"] for r in bloom_bits(df, "value", k=3, m=64).collect()}
+    b1 = {r["bit"] for r in bloom_bits(df1, "value", k=3, m=64).collect()}
+    b2 = {r["bit"] for r in bloom_bits(df2, "value", k=3, m=64).collect()}
+    assert (b1 | b2) == b_all
+    assert None not in b_all  # NULL rows never hashed
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_bits(df, "value", k=0, m=64)
