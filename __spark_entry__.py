@@ -4192,6 +4192,27 @@ def q_ann_sq8_topk(spark, sf_dir):
     )
 
 
+def q_ann_bq_topk(spark, sf_dir):
+    """1-bit binary-quantized ANN (sign-bit codes, the crudest rung of
+    the SQ8→PQ ladder): pass 1 scans ONE int64 word per vector (64 dims
+    packed by a pure-Column bitwise-OR chain — no Python, stays in
+    whole-stage codegen) and ranks by Hamming distance to the query's
+    sign pattern; pass 2 broadcast-joins the top-300 candidates back to
+    the float vectors and exact-rescores. At rescore=300 over this
+    corpus recall is exactly 1.0 at every tested SF (production
+    operating points live in the bench recall table), so the
+    brute-force cosine SQL oracles the whole pack→scan→rescore
+    pipeline."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import bq_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = bq_topk(emb, qv, K, rescore=300)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021, A1.1) over the documents
     table: word count / mean word length / symbol ratio / bullet- and
@@ -5236,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stop_custom_topk": q_bm25_stop_custom_topk,
         "heaps_fit": q_heaps_fit,
         "bloom_probe": q_bloom_probe,
+        "ann_bq_topk": q_ann_bq_topk,
     }
 
 
@@ -9249,6 +9271,7 @@ WHERE c.cluster_id = c.doc_id
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
+        "ann_bq_topk": _COSINE_SQL,  # rescore=300 recall 1.0 => exact top-k
         "ann_pq_topk": _COSINE_SQL,  # m=16 kc=256 rescore=100 recall 1.0 => exact top-k
         "ann_ivfpq_topk": _COSINE_SQL,  # all-lists probe + rescore=100 => exact top-k
         "hybrid_rrf": _bm25_variant_sql(

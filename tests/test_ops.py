@@ -1034,6 +1034,45 @@ def test_sq8_topk_exact_at_operating_point(emb):
     assert got_all == want
 
 
+def test_bq_codes_match_numpy_packing(emb, spark):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        _bq_pack,
+        bq_codes,
+    )
+
+    df, vecs = emb
+    rows = {r["vec_id"]: list(r["code"]) for r in bq_codes(df, 16).collect()}
+    assert len(rows) == 40
+    for i in (0, 7, 39):
+        assert rows[i] == _bq_pack(vecs[i].astype(np.float64))
+        # dim 16 -> one word, only bits 0..15 populated
+        assert len(rows[i]) == 1 and 0 <= rows[i][0] < (1 << 16)
+    # bit 63 set -> the word is the NEGATIVE two's-complement long, and
+    # the Column packing agrees with the driver-side twin exactly
+    v64 = np.zeros(64)
+    v64[63] = 1.0
+    v64[0] = 1.0
+    df64 = spark.createDataFrame(
+        [(0, [float(x) for x in v64])], "vec_id long, embedding array<float>"
+    )
+    got = list(bq_codes(df64, 64).collect()[0]["code"])
+    assert got == _bq_pack(v64) and got[0] < 0  # sign bit makes it negative
+
+
+def test_bq_topk_exact_at_operating_point(emb):
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        bq_topk,
+        cosine_topk,
+    )
+
+    df, vecs = emb
+    q = [float(x) for x in vecs[5]]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    # rescore = corpus size degenerates to brute force regardless of codes
+    got_all = [(r["vec_id"], r["cosine"]) for r in bq_topk(df, q, 10, rescore=40).collect()]
+    assert got_all == want  # ids AND scores bit-identical (exact rescore)
+
+
 def test_pq_encode_properties(emb):
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
         pq_encode,

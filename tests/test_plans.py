@@ -351,6 +351,31 @@ def test_sq8_scan_is_top_c_and_rescore_broadcasts(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_bq_scan_is_pure_column_top_c_and_rescore_broadcasts(spark):
+    """Binary-quantization pass 1 must be pure Column algebra — NO Python
+    evaluation node (the packing is a bitwise-OR chain, unlike SQ8's
+    Arrow kernel) — reducing via TakeOrderedAndProject; pass 2 must
+    broadcast the candidate set, never shuffle the embedding table."""
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import bq_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    df = bq_topk(emb, [float(x) for x in vecs[0]], k=5, rescore=20)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
 def test_sessionize_window_is_keyed_not_single_partition(spark):
     """The sessionization window must hash-partition by the session key —
     never the WindowExec 'moving all data to a single partition' shape —
