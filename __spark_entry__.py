@@ -307,6 +307,20 @@ def q_facets_by_lang(spark, sf_dir):
     return _cached_idx(spark, sf_dir).facets(BM25_QUERY, by="lang").select("lang", "n")
 
 
+def q_facet_terms_stats(spark, sf_dir):
+    """ES 1.x terms_stats facet (the stats-per-bucket facet flavor —
+    the one facet-API surface the plain terms facet doesn't cover):
+    lang buckets over the BM25_QUERY match set, each with count / total /
+    min / max / mean of n_chars; count desc, ties lang asc, size=3 so
+    the cap provably bites (the corpus has 5 langs). n_chars is
+    integral, so total is an exact integer in any partitioning and
+    mean = total/count is ONE IEEE division — bit-identical
+    cross-engine with no rounding."""
+    return _cached_idx(spark, sf_dir).facets_stats(
+        BM25_QUERY, key_field="lang", value_field="n_chars", size=3
+    )
+
+
 def q_agg_histogram_bounds(spark, sf_dir):
     """ES numeric histogram with min_doc_count=0 + extended_bounds (the
     date_histogram fill semantics, numeric flavor): 25-wide n_chars
@@ -5258,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "bloom_probe": q_bloom_probe,
         "ann_bq_topk": q_ann_bq_topk,
+        "facet_terms_stats": q_facet_terms_stats,
     }
 
 
@@ -8719,6 +8734,18 @@ ORDER BY d.doc_id
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
             "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
             "GROUP BY lang ORDER BY n DESC, lang"
+        ),
+        "facet_terms_stats": (
+            f"SELECT lang, count(*)::BIGINT AS n, "
+            "CAST(sum(n_chars) AS DOUBLE) AS total, "
+            "CAST(min(n_chars) AS DOUBLE) AS min_v, "
+            "CAST(max(n_chars) AS DOUBLE) AS max_v, "
+            "CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v "
+            f"FROM documents WHERE doc_id IN ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term "
+            "FROM documents) WHERE term IN ('join', 'hash', 'filter')) "
+            "AND lang IS NOT NULL AND n_chars IS NOT NULL "
+            "GROUP BY lang ORDER BY n DESC, lang LIMIT 3"
         ),
         "facets_include": (
             f"SELECT lang, count(*)::BIGINT AS n FROM documents WHERE doc_id IN ("

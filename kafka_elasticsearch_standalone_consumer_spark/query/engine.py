@@ -3703,6 +3703,68 @@ class Index:
             .orderBy(F.desc("n"), F.asc(by))
         )
 
+    def facets_stats(
+        self,
+        query_text: str,
+        key_field: str,
+        value_field: str,
+        where: str | None = None,
+        min_should_match: int = 1,
+        size: int = 10,
+        order: str = "count",
+    ) -> DataFrame:
+        """ES 1.x ``terms_stats`` facet (the stats-per-term-bucket flavor
+        of the facet API, the one facet the plain terms facet
+        :meth:`facets` doesn't cover): buckets of ``key_field`` over ALL
+        matching documents, each carrying count / total / min / max /
+        mean of ``value_field``. Pinned semantics, documented: rows with
+        a NULL key or NULL value don't contribute (ES reports those as a
+        separate ``missing`` count the caller can get from
+        :meth:`missing_agg`); ``order`` ∈ {count, total, min, max, mean,
+        term} — metrics descend, term ascends, ties always break on the
+        key ascending; ``size`` caps the bucket list after ordering.
+
+        Determinism: count/min/max are exact; total is the native-type
+        sum cast to double AFTER aggregating, so for integral value
+        columns it is an exact integer in any partitioning/engine and
+        mean = total/count is ONE IEEE division — bit-identical
+        cross-engine, safe to order by raw (the BM25 raw-double rule).
+
+        Scale shape: same as :meth:`facets` — term-pruned tokens scan →
+        distinct matching docs → one keyed aggregation; the NULL filters
+        land before the shuffle, the bucket list is bounded by the key
+        cardinality and the size cap."""
+        orders = {
+            "count": (F.desc("n"),),
+            "total": (F.desc("total"),),
+            "min": (F.desc("min_v"),),
+            "max": (F.desc("max_v"),),
+            "mean": (F.desc("mean_v"),),
+            "term": (),
+        }
+        if order not in orders:
+            raise ValueError(f"order must be one of {sorted(orders)}, got {order!r}")
+        scoped = self._agg_scope(query_text, where, min_should_match)
+        if scoped is None:
+            return self.spark.createDataFrame(
+                [],
+                f"{key_field} string, n long, total double, "
+                "min_v double, max_v double, mean_v double",
+            )
+        agg = (
+            scoped.filter(F.col(key_field).isNotNull())
+            .filter(F.col(value_field).isNotNull())
+            .groupBy(key_field)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(value_field).cast("double").alias("total"),
+                F.min(value_field).cast("double").alias("min_v"),
+                F.max(value_field).cast("double").alias("max_v"),
+            )
+            .withColumn("mean_v", F.col("total") / F.col("n").cast("double"))
+        )
+        return agg.orderBy(*orders[order], F.asc(key_field)).limit(int(size))
+
     def _tokens_df(self) -> DataFrame:
         """(doc_id, term) token stream across all segments — column-pruned
         so a downstream term predicate reaches the parquet scan."""

@@ -283,6 +283,49 @@ def test_facets_include_exclude_are_anchored(spark, built_index):
     assert both == {"tool"} & set(base)
 
 
+def test_facets_stats_matches_python(spark, built_index):
+    """ES 1.x terms_stats facet: per-key count/total/min/max/mean of the
+    value field over the match set, recomputed by hand; NULL keys and
+    NULL values contribute nothing; order knobs and the size cap hold;
+    an unknown order raises."""
+    import pytest
+
+    idx, _ = built_index
+    rows = [
+        r
+        for r in _matched_rows(idx, Q)
+        if r["role"] is not None and r["turn_idx"] is not None
+    ]
+    want: dict[str, list[int]] = {}
+    for r in rows:
+        want.setdefault(r["role"], []).append(r["turn_idx"])
+    exp = {
+        k: (len(v), float(sum(v)), float(min(v)), float(max(v)), sum(v) / len(v))
+        for k, v in want.items()
+    }
+    got = idx.facets_stats(Q, "role", "turn_idx", size=100).collect()
+    assert {
+        r["role"]: (r["n"], r["total"], r["min_v"], r["max_v"], r["mean_v"])
+        for r in got
+    } == exp
+    # count desc, ties role asc
+    assert [r["role"] for r in got] == sorted(exp, key=lambda k: (-exp[k][0], k))
+    # order knobs
+    by_term = [r["role"] for r in idx.facets_stats(Q, "role", "turn_idx", order="term").collect()]
+    assert by_term == sorted(exp)
+    by_total = [r["role"] for r in idx.facets_stats(Q, "role", "turn_idx", order="total").collect()]
+    assert by_total == sorted(exp, key=lambda k: (-exp[k][1], k))
+    # size cap bites
+    assert idx.facets_stats(Q, "role", "turn_idx", size=1).count() == 1
+    with pytest.raises(ValueError):
+        idx.facets_stats(Q, "role", "turn_idx", order="sideways")
+    # empty query -> empty frame with the declared schema
+    empty = idx.facets_stats("", "role", "turn_idx")
+    assert empty.count() == 0 and empty.columns == [
+        "role", "n", "total", "min_v", "max_v", "mean_v",
+    ]
+
+
 def test_significant_terms_field_matches_python(spark, built_index):
     """Field-variant significant_terms (metadata values, not tokens):
     JLH recomputed by hand over the role column; NULLs skipped."""
