@@ -4168,6 +4168,101 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _hybrid_lists(spark, sf_dir):
+    """The shared hybrid fixture: BM25 top-100 over documents and cosine
+    top-100 over embeddings (vec_id ≡ doc_id), both as (doc_id, score)
+    candidate lists — the rrf entry's inputs, score-shaped."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import cosine_topk
+
+    idx = _cached_idx(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bm = idx.search(BM25_QUERY, 100).select("doc_id", "score")
+    cos = cosine_topk(emb, qv, 100).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return bm, cos
+
+
+def q_hybrid_combsum(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via CombSUM (Fox & Shaw 1994):
+    each top-100 list min-max normalized over ITS candidates, fused by
+    summation (missing-from-a-list contributes 0). Both input score
+    sets are bit-identical cross-engine (BM25 sorted-term folds, cosine
+    zip_with ≡ list_sum), normalization is one subtraction + one IEEE
+    division of exact list aggregates, and the two terms add
+    commutatively — so fused scores match DuckDB bit-for-bit before the
+    6-dp display rounding."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import comb_fuse
+
+    bm, cos = _hybrid_lists(spark, sf_dir)
+    out = comb_fuse([bm, cos], K, method="sum")
+    return _rank(out, "comb", "doc_id").select(
+        "doc_id", "rank", F.round("comb", 6).alias("comb_r")
+    )
+
+
+def q_hybrid_combmnz(spark, sf_dir):
+    """CombMNZ flavor of the hybrid fusion: the CombSUM total times the
+    integer number of lists containing the doc — consensus hits outrank
+    single-list hits at equal mass. Same bit-identity argument as
+    hybrid_combsum (the multiplier is exact)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import comb_fuse
+
+    bm, cos = _hybrid_lists(spark, sf_dir)
+    out = comb_fuse([bm, cos], K, method="mnz")
+    return _rank(out, "comb", "doc_id").select(
+        "doc_id", "rank", F.round("comb", 6).alias("comb_r")
+    )
+
+
+def _comb_oracle_block(mnz: bool) -> str:
+    """hybrid fusion final block for _bm25_variant_sql: min-max
+    normalized top-100 lists (windows computed OVER the LIMIT-100
+    subquery, never the corpus), full-outer joined; MNZ multiplies by
+    the match count. Arithmetic mirrors ops.similarity.comb_fuse
+    verbatim."""
+    mult = (
+        " * (CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END"
+        " + CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)"
+        if mnz
+        else ""
+    )
+    return f"""SELECT doc_id,
+       row_number() OVER (ORDER BY comb DESC, doc_id) AS rank,
+       round(comb, 6) AS comb_r
+FROM (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         (COALESCE(b.ns, CAST(0 AS DOUBLE)) + COALESCE(c.ns, CAST(0 AS DOUBLE))){mult} AS comb
+  FROM (
+    SELECT doc_id,
+           CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+                ELSE (score - mn) / (mx - mn) END AS ns
+    FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx
+          FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 100))
+  ) b
+  FULL OUTER JOIN (
+    SELECT doc_id,
+           CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+                ELSE (score - mn) / (mx - mn) END AS ns
+    FROM (SELECT doc_id, score, min(score) OVER () AS mn, max(score) OVER () AS mx
+          FROM (
+            SELECT vec_id AS doc_id,
+                   list_sum(list_transform(generate_series(1, len(e.embedding)),
+                            i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))) AS score
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            ORDER BY score DESC, vec_id LIMIT 100
+          ))
+  ) c ON b.doc_id = c.doc_id
+)
+ORDER BY comb DESC, doc_id
+LIMIT {K}
+"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023): target
     model = the corpus's lang='en' slice, raw model = the whole documents
@@ -5273,6 +5368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "ann_bq_topk": q_ann_bq_topk,
         "facet_terms_stats": q_facet_terms_stats,
+        "hybrid_combsum": q_hybrid_combsum,
+        "hybrid_combmnz": q_hybrid_combmnz,
     }
 
 
@@ -9331,6 +9428,8 @@ ORDER BY rrf DESC, doc_id
 LIMIT {K}
 """,
         ),
+        "hybrid_combsum": _bm25_variant_sql(BM25_QUERY, _comb_oracle_block(False)),
+        "hybrid_combmnz": _bm25_variant_sql(BM25_QUERY, _comb_oracle_block(True)),
         "ivf_train_topk": _COSINE_SQL,  # nprobe=ALL lists => exact brute force
         "ann_filtered_topk": _COSINE_FILTERED_SQL,  # nprobe=ALL => exact over subset
         # the MMR greedy as a recursive CTE over the planted candidate set:

@@ -1240,6 +1240,63 @@ def rrf_fuse(
     )
 
 
+def comb_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    method: str = "sum",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw 1994) — the other
+    classic hybrid-retrieval combiner next to :func:`rrf_fuse`: each
+    candidate list's scores are min-max normalized over THE LIST
+    (``(s − min)/(max − min)``; a constant list normalizes to 1.0 —
+    every candidate is equally top), CombSUM sums the normalized scores
+    over the lists containing the doc (missing contributes 0), and
+    CombMNZ multiplies that sum by the number of lists that matched —
+    rewarding consensus between the lexical and dense views.
+
+    Input: one DataFrame per list with columns ``(id_col, score_col)``,
+    each already truncated to its candidate depth (like RRF, this fuses
+    CANDIDATE LISTS, never corpora — every input is ≤ depth rows, the
+    min/max are 1-row broadcast aggregates and the joins are trivia).
+    Output: ``(id_col, comb)`` top-``k``, ties by id ascending.
+
+    Determinism: normalization is one subtraction and one IEEE division
+    of exact list aggregates, the cross-list sum adds commutatively,
+    and the MNZ multiplier is an integer — so given bit-identical input
+    scores (this repo's BM25 and cosine both are) the fused score is
+    bit-identical across engines."""
+    if method not in ("sum", "mnz"):
+        raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
+    fused = None
+    for i, df in enumerate(ranked):
+        stats = df.agg(
+            F.min(score_col).alias(f"__mn{i}"), F.max(score_col).alias(f"__mx{i}")
+        )
+        d = df.crossJoin(F.broadcast(stats)).select(
+            F.col(id_col),
+            F.when(F.col(f"__mx{i}") == F.col(f"__mn{i}"), F.lit(1.0))
+            .otherwise(
+                (F.col(score_col) - F.col(f"__mn{i}"))
+                / (F.col(f"__mx{i}") - F.col(f"__mn{i}"))
+            )
+            .alias(f"__s{i}"),
+        )
+        fused = d if fused is None else fused.join(d, id_col, "full_outer")
+    total = F.lit(0.0)
+    nz = F.lit(0)
+    for i in range(len(ranked)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        nz = nz + F.when(F.col(f"__s{i}").isNotNull(), 1).otherwise(0)
+    comb = total * nz.cast("double") if method == "mnz" else total
+    return (
+        fused.select(id_col, comb.alias("comb"))
+        .orderBy(F.desc("comb"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _collect_queries(
     queries: DataFrame, q_id_col: str, q_vec_col: str, max_queries: int
 ) -> tuple[np.ndarray, np.ndarray]:

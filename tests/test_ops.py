@@ -1177,6 +1177,42 @@ def test_rrf_fuse_hand_computed(spark):
     assert tied == [20, 21]
 
 
+def test_comb_fuse_hand_computed(spark):
+    """CombSUM/CombMNZ (Fox & Shaw 1994): per-list min-max normalization,
+    missing-from-a-list contributes 0, MNZ multiplies by the match
+    count, a constant list normalizes to all-1.0, and an unknown method
+    raises."""
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import comb_fuse
+
+    a = spark.createDataFrame(
+        [(10, 4.0), (11, 2.0), (12, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([(11, 0.9), (13, 0.5)], "doc_id long, score double")
+    # normalized: a -> 10:1.0, 11:(2-1)/3, 12:0.0 ; b -> 11:1.0, 13:0.0
+    want_sum = {10: 1.0, 11: (2.0 - 1.0) / 3.0 + 1.0, 12: 0.0, 13: 0.0}
+    got_sum = {
+        r["doc_id"]: r["comb"] for r in comb_fuse([a, b], k=10, method="sum").collect()
+    }
+    assert got_sum == want_sum
+    got_mnz = {
+        r["doc_id"]: r["comb"] for r in comb_fuse([a, b], k=10, method="mnz").collect()
+    }
+    assert got_mnz == {10: 1.0, 11: want_sum[11] * 2.0, 12: 0.0, 13: 0.0}
+    # consensus doc wins under both
+    assert comb_fuse([a, b], k=1).collect()[0]["doc_id"] == 11
+    # ties (both zero) break by id ascending
+    order = [r["doc_id"] for r in comb_fuse([a, b], k=10).collect()]
+    assert order[-2:] == [12, 13]
+    # constant list -> every candidate normalizes to 1.0
+    c = spark.createDataFrame([(20, 7.0), (21, 7.0)], "doc_id long, score double")
+    const = {r["doc_id"]: r["comb"] for r in comb_fuse([c], k=10).collect()}
+    assert const == {20: 1.0, 21: 1.0}
+    with pytest.raises(ValueError):
+        comb_fuse([a, b], method="median")
+
+
 def test_dsir_weights_sign_and_determinism(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.curation import dsir_weights
 
