@@ -2743,6 +2743,111 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _dedup_store(spark, sf_dir) -> str:
+    """Persisted LSH signature store over the HISTORY half of the corpus
+    (even doc_ids) — built once per sf_dir, the incremental-dedup
+    fixture."""
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import build_dedup_store
+
+    key = f"{sf_dir}::dedup_store"
+    store = _IDX_CACHE.get(key)
+    if store is None:
+        store = tempfile.mkdtemp() + "/dstore"
+        build_dedup_store(
+            _docs(spark, sf_dir).filter("doc_id % 2 = 0").select("doc_id", "text"),
+            store,
+        )
+        _IDX_CACHE[key] = store
+    return store
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-run incremental near-dedup (the rolling-ingestion shape:
+    history is NEVER rescanned — new docs join its persisted banded
+    MinHash signatures, and exact-verification shingles are read only
+    for candidate ids). History = even doc_ids; the new batch = odd
+    doc_ids PLUS exact copies of every doc_id % 10 == 0 history doc at
+    +100000 (the semdedup planted-copy precedent), so drops provably
+    occur: each planted copy must come back keep=False with dup_of ≤
+    its original (asserted in-entry — jaccard 1.0 to the original,
+    possibly an even-smaller near-dup wins the min). Keep rule: exact
+    3-gram Jaccard ≥ 0.8 to any history doc or lower-id batch doc; at
+    this pinned LSH operating point (k=32, bands=8) the candidate set
+    provably contains every qualifying pair (dedup_minhash_lsh
+    precedent), so the exact-Jaccard DuckDB oracle covers the whole
+    store→probe→verify pipeline."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    new = (
+        docs.filter("doc_id % 2 = 1")
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = dedup_incremental(
+        spark, _dedup_store(spark, sf_dir), new, threshold=0.8
+    ).select("doc_id", "keep", "dup_of", F.round("dup_j", 6).alias("dup_j_r"))
+    rows = out.collect()
+    planted = {r["doc_id"]: r for r in rows if r["doc_id"] >= 100000}
+    assert planted and all(
+        (not r["keep"]) and r["dup_of"] is not None and r["dup_of"] <= d - 100000
+        for d, r in planted.items()
+    ), "planted exact copies must be dropped against history"
+    return spark.createDataFrame(rows, out.schema)
+
+
+_DEDUP_INCR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, (doc_id % 2 = 0) AS is_old FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, FALSE FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT doc_id, is_old,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+           i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2])))) AS shingle
+  FROM base
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS nid, b.doc_id AS oid, count(*) AS i
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle
+   AND NOT a.is_old
+   AND (b.is_old OR b.doc_id < a.doc_id)
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT nid, oid, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = nid
+  JOIN sz s2 ON s2.doc_id = oid
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+),
+best AS (
+  SELECT nid, oid, jaccard
+  FROM (SELECT nid, oid, jaccard,
+               row_number() OVER (PARTITION BY nid ORDER BY oid) AS rn
+        FROM edges)
+  WHERE rn = 1
+)
+SELECT n.doc_id,
+       best.oid IS NULL AS keep,
+       best.oid AS dup_of,
+       round(best.jaccard, 6) AS dup_j_r
+FROM (SELECT doc_id FROM base WHERE NOT is_old) n
+LEFT JOIN best ON best.nid = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def q_dedup_keep(spark, sf_dir):
     """The materialized dedup decision: keep exactly one doc per
     3-gram-Jaccard≥0.8 near-dup cluster (the min id) plus all singletons
@@ -5370,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms_stats": q_facet_terms_stats,
         "hybrid_combsum": q_hybrid_combsum,
         "hybrid_combmnz": q_hybrid_combmnz,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -9392,6 +9498,7 @@ WHERE c.cluster_id = c.doc_id
         # operating point (asserted in tests/test_ops.py), so it shares
         # the exact-algorithm SQL
         "dedup_minhash_lsh": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
+        "dedup_incremental": _DEDUP_INCR_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k

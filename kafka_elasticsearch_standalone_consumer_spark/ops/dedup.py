@@ -141,6 +141,35 @@ def minhash_signatures(
     return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, bh) — the banded LSH form of the MinHash signature:
+    band i's hash is one xxhash64 over its ``k/bands`` signature slots.
+    Two docs are LSH candidates iff they share a (band, bh) pair — the
+    standard S-curve bucketing, shared by the ad-hoc pair finder and the
+    persisted incremental store."""
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.col("sig")[bi * rows + j] for j in range(rows)]).alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -157,20 +186,7 @@ def minhash_lsh_pairs(
     the output has no false positives; false negatives follow the S-curve
     (with k=32, b=8: P(candidate) ≈ 1-(1-j⁴)⁸ — >99% at j≥0.7).
     """
-    rows = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, k)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(*[F.col("sig")[bi * rows + j] for j in range(rows)]).alias("bh"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    banded = banded_signatures(df, text_col, id_col, n, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -750,3 +766,139 @@ def dedup_lines(
             .alias("n_removed"),
         )
     )
+
+
+def build_dedup_store(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> None:
+    """Persist the incremental-dedup LSH store for a corpus: the banded
+    MinHash signatures (``bands/`` — (doc_id, band, bh), hive-partitioned
+    by band so a probe batch's bucket join prunes to matching band
+    directories) plus the distinct shingle table (``shingles/`` — the
+    exact-verification sidecar; a 100 TB deployment that trusts the
+    S-curve can drop it and skip verification, the with_exact
+    convention) and a one-row ``meta.parquet`` pinning (n, k, bands) so
+    every future batch hashes identically. Written once over history,
+    then only APPENDED to — that is the point: new data never rescans
+    old text, it joins old signatures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    banded = banded_signatures(df, text_col, id_col, n, k, bands)
+    banded.write.mode("errorifexists").partitionBy("band").parquet(store_path + "/bands")
+    shingle_df(df, text_col, id_col, n).write.mode("errorifexists").parquet(
+        store_path + "/shingles"
+    )
+    pq.write_table(
+        pa.table({"n": [n], "k": [k], "bands": [bands]}), store_path + "/meta.parquet"
+    )
+
+
+def dedup_incremental(
+    spark,
+    store_path: str,
+    new_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
+    """Cross-run incremental near-dedup: the keep/drop decision for a NEW
+    batch against the PERSISTED history store of :func:`build_dedup_store`
+    plus the batch itself — the shape a running ingestion pipeline
+    actually needs (RefinedWeb/SlimPajama-style rolling dedup), where the
+    historical corpus is never rescanned: only its k-long signatures (and,
+    for verification, the shingles of candidate docs alone) are read.
+
+    A new doc is a duplicate iff its exact 3-gram Jaccard to some
+    HISTORICAL doc or some LOWER-ID doc of the same batch reaches
+    ``threshold`` (the lower-id rule makes the within-batch decision
+    deterministic and order-free). Candidates come from the banded-LSH
+    bucket join (new bands × stored bands ∪ new × new), so recall
+    follows the S-curve of the store's (k, bands) — at this repo's
+    pinned operating point the LSH candidate set provably contains every
+    qualifying pair (the dedup_minhash_lsh precedent), which is what
+    lets an exact-SQL oracle cover the whole incremental pipeline.
+    Verification reads old shingles ONLY for candidate doc_ids (a
+    semi-join prune, never a history scan).
+
+    Returns one row per new doc: (doc_id, keep, dup_of, dup_j) — dup_of
+    = the SMALLEST matching doc id (struct-min, deterministic), dup_j
+    its exact Jaccard, NULLs for keepers. ``append=True`` then writes
+    the batch's signatures and shingles into the store so the next
+    batch sees this one as history (the incremental loop;
+    effectively-once is the caller's idempotency-key problem, same as
+    segment ingest)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(store_path + "/meta.parquet").to_pylist()[0]
+    n, k, bands = int(meta["n"]), int(meta["k"]), int(meta["bands"])
+    nb = banded_signatures(new_df, text_col, id_col, n, k, bands)
+    store = (
+        spark.read.parquet(store_path + "/bands")
+        .withColumnRenamed("doc_id", "oid")
+    )
+    cand_old = (
+        nb.join(store, ["band", "bh"])
+        .select(F.col("doc_id").alias("nid"), "oid")
+        .distinct()
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("nid"), F.col("b.doc_id").alias("oid"))
+        .distinct()
+    )
+    cand = cand_old.unionByName(cand_new).distinct()
+
+    new_sh = shingle_df(new_df, text_col, id_col, n)
+    old_sh = spark.read.parquet(store_path + "/shingles").join(
+        cand.select(F.col("oid").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    sh = new_sh.unionByName(old_sh.select("doc_id", "shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "nid"), "nid")
+        .withColumnRenamed("shingle", "s1")
+        .join(
+            sh.withColumnRenamed("doc_id", "oid").withColumnRenamed("shingle", "s2"),
+            "oid",
+        )
+        .filter(F.col("s1") == F.col("s2"))
+        .groupBy("nid", "oid")
+        .agg(F.count("*").alias("inter"))
+    )
+    edges = (
+        inter.join(sizes.select(F.col("doc_id").alias("nid"), F.col("sz").alias("sz1")), "nid")
+        .join(sizes.select(F.col("doc_id").alias("oid"), F.col("sz").alias("sz2")), "oid")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = edges.groupBy("nid").agg(
+        F.min(F.struct(F.col("oid"), F.col("jaccard"))).alias("m")
+    )
+    out = (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(best.select(F.col("nid").alias("doc_id"), "m"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNull().alias("keep"),
+            F.col("m.oid").alias("dup_of"),
+            F.col("m.jaccard").alias("dup_j"),
+        )
+    )
+    if append:
+        nb.write.mode("append").partitionBy("band").parquet(store_path + "/bands")
+        new_sh.write.mode("append").parquet(store_path + "/shingles")
+    return out

@@ -1177,6 +1177,47 @@ def test_rrf_fuse_hand_computed(spark):
     assert tied == [20, 21]
 
 
+def test_dedup_incremental_store_and_append(spark, tmp_path):
+    """Incremental dedup: a new batch is judged against the PERSISTED
+    store (exact copies drop with jaccard 1.0, uniques keep), the
+    lower-id rule settles within-batch dups, and append=True makes the
+    batch visible as history to the NEXT batch."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        build_dedup_store,
+        dedup_incremental,
+    )
+
+    t0 = "the quick brown fox jumps over the lazy dog tonight"
+    t1 = "pack my box with five dozen liquor jugs right now"
+    t2 = "sphinx of black quartz judge my vow completely again today"
+    hist = spark.createDataFrame([(0, t0), (1, t1)], "doc_id long, text string")
+    store = str(tmp_path / "store")
+    build_dedup_store(hist, store)
+
+    batch1 = spark.createDataFrame(
+        [(10, t0), (11, t2), (12, t2), (13, "totally unrelated words appear here instead")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["dup_of"], r["dup_j"])
+        for r in dedup_incremental(spark, store, batch1, threshold=0.8, append=True).collect()
+    }
+    assert got[10] == (False, 0, 1.0)  # exact copy of history doc 0
+    assert got[11][0] is True  # first occurrence in the batch keeps
+    assert got[12] == (False, 11, 1.0)  # within-batch dup -> lower id wins
+    assert got[13][0] is True
+
+    # append made batch1 history: a copy of doc 11's text now drops
+    batch2 = spark.createDataFrame([(20, t2)], "doc_id long, text string")
+    got2 = dedup_incremental(spark, store, batch2, threshold=0.8).collect()[0]
+    assert (got2["keep"], got2["dup_of"], got2["dup_j"]) == (False, 11, 1.0)
+    # building over an existing store refuses (history is append-only)
+    import pytest
+
+    with pytest.raises(Exception):
+        build_dedup_store(hist, store)
+
+
 def test_comb_fuse_hand_computed(spark):
     """CombSUM/CombMNZ (Fox & Shaw 1994): per-list min-max normalization,
     missing-from-a-list contributes 0, MNZ multiplies by the match
