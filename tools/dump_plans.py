@@ -677,6 +677,56 @@ def main() -> None:
         )
     )
 
+    import numpy as np
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        build_dedup_store,
+        dedup_incremental,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import bq_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 64)).astype(np.float32)
+    embp = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    bq = bq_topk(embp, [float(x) for x in vecs[0]], k=5, rescore=20)
+    bq.collect()
+    sections.append(
+        (
+            "Binary-quantization ANN (1-bit codes, Hamming scan + exact rescore)",
+            "Pass 1 is PURE Column algebra — the sign-bit packing is a "
+            "bitwise-OR chain and the Hamming ranking a bit_count fold, so "
+            "the whole candidate scan stays inside WholeStageCodegen with "
+            "no Python evaluator anywhere (plan-asserted: no ArrowEvalPython/"
+            "MapInPandas) and reduces via TakeOrderedAndProject; pass 2 "
+            "broadcasts the candidate ids back to the fat vectors. At scale "
+            "pass 1 reads ONE int64 per 64 dims — a 32× narrower scan than "
+            "float32.",
+            plan_of(bq),
+        )
+    )
+
+    dstore = tempfile.mkdtemp() + "/dstore"
+    hist = tr.selectExpr(
+        "cast(turn_idx as long) + 1000 * (abs(hash(conv_id)) % 1000) as doc_id", "text"
+    ).limit(200)
+    build_dedup_store(hist.filter("doc_id % 2 = 0"), dstore)
+    incr = dedup_incremental(spark, dstore, hist.filter("doc_id % 2 = 1"), threshold=0.8)
+    incr.collect()
+    sections.append(
+        (
+            "Incremental dedup probe (new batch vs persisted LSH store)",
+            "History is never rescanned: the probe joins the store's banded "
+            "signature table (hive-partitioned by band) against the new "
+            "batch's bands, and the exact-verification shingle read is "
+            "LEFT-SEMI pruned to candidate doc_ids only. The decision fold "
+            "is a struct-min aggregate — no window over the corpus.",
+            plan_of(incr),
+        )
+    )
+
     out = ["# PLANS — captured physical plans for the hot paths",
            "",
            "Regenerate with `python tools/dump_plans.py`. Assertions over these",
