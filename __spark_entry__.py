@@ -1590,6 +1590,22 @@ def q_percolate(spark, sf_dir):
     )
 
 
+_PERC_EXIST_IDS = (0, 1, 2, 3, 4, 42)
+
+
+def q_percolate_existing(spark, sf_dir):
+    """ES 1.x percolate-EXISTING-document (GET /idx/type/{id}/_percolate):
+    the registered set matched against STORED _source fetched by the
+    zero-job pyarrow point read — the caller ships only ids. Same query
+    set and msm as the `percolate` entry, so the oracle is that entry's
+    SQL narrowed to the requested ids (string surgery, assert-pinned).
+    Runs over the persisted documents warehouse whose rebuilt doc_ids
+    equal the originals (the _docs_wh_idx contract)."""
+    return _docs_wh_idx(spark, sf_dir).percolate_existing(
+        list(_PERC_EXIST_IDS), PERCOLATE_QUERIES, minimum_should_match=2
+    )
+
+
 def q_percolate_filtered(spark, sf_dir):
     """ES 1.x filtered percolation + size: registered queries carry
     metadata (the .percolator type stores queries as documents, so the
@@ -5476,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combsum": q_hybrid_combsum,
         "hybrid_combmnz": q_hybrid_combmnz,
         "dedup_incremental": q_dedup_incremental,
+        "percolate_existing": q_percolate_existing,
     }
 
 
@@ -7121,6 +7138,16 @@ GROUP BY doc_id, query_id, required
 HAVING count(*) >= required
 ORDER BY doc_id, query_id
 """
+
+
+# percolate-existing-doc: the same registered-set SQL narrowed to the
+# fetched ids (string surgery on the dt CTE — keep its FROM line intact
+# in _PERCOLATE_SQL or the assert fires)
+_PERC_EXISTING_SQL = _PERCOLATE_SQL.replace(
+    "FROM documents\n",
+    f"FROM documents WHERE doc_id IN {_PERC_EXIST_IDS}\n",
+)
+assert _PERC_EXISTING_SQL != _PERCOLATE_SQL
 
 
 def _bm25_stop_sql(query: str, k: int = K, where: str = "") -> str:
@@ -9180,6 +9207,7 @@ SELECT bucket, n,
 FROM b ORDER BY bucket
 """,
         "percolate": _PERCOLATE_SQL,
+        "percolate_existing": _PERC_EXISTING_SQL,
         "percolate_filtered": _PERCOLATE_FILTERED_SQL.format(toks=SQL_TOKS),
         "terms_query_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "

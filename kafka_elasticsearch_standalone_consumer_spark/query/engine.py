@@ -5093,6 +5093,54 @@ class Index:
             docs = docs.join(deletes, "doc_id", "left_anti")
         return docs.orderBy("doc_id")
 
+    def percolate_existing(
+        self,
+        doc_ids: list[int],
+        queries: list[tuple[int, str]],
+        operator: str = "or",
+        minimum_should_match: int = 1,
+        queries_meta: dict[int, dict] | None = None,
+        query_where=None,
+        size: int | None = None,
+    ) -> DataFrame:
+        """ES 1.x percolate-EXISTING-document
+        (``GET /index/type/{id}/_percolate`` — the second percolate
+        flavor the reference's ES 1.5.1 ships, ref pom.xml:22): the
+        document is NOT shipped by the caller, it is the STORED
+        ``_source``, fetched here by the zero-job pyarrow point read on
+        warehouse-backed indexes (ephemeral indexes fall back to the
+        bounded :meth:`get_docs` broadcast semi-join) and then matched
+        against the registered set by the ordinary broadcast percolate
+        pass. Tombstoned / missing ids percolate nothing — the
+        ``_mget`` contract, same as ES after a delete. Analysis uses
+        THIS index's analyzer, so stored-doc analysis matches
+        index-time analysis (the ES query/index symmetry invariant).
+        Returns (doc_id, query_id, n_matched), doc_id asc, query_id
+        asc — the single-doc percolate shape per requested id."""
+        from kafka_elasticsearch_standalone_consumer_spark.query.percolate import (
+            percolate,
+        )
+
+        analyzer = self.meta.get("analyzer", "standard")
+        if self.wh is not None:
+            rows = self.get_docs_local(list(doc_ids))
+            docs = self.spark.createDataFrame(
+                [(int(r["doc_id"]), r.get("text")) for r in rows],
+                "doc_id long, text string",
+            )
+        else:
+            docs = self.get_docs(list(doc_ids)).select("doc_id", "text")
+        return percolate(
+            docs,
+            queries,
+            operator=operator,
+            minimum_should_match=minimum_should_match,
+            analyzer=analyzer,
+            queries_meta=queries_meta,
+            query_where=query_where,
+            size=size,
+        )
+
     def search_collapse(
         self,
         query_text: str,
@@ -7169,6 +7217,11 @@ class FilteredIndex:
         # category — ES 1.x applies no alias filter to _suggest, same as
         # the rest of the suggest family above
         "suggest_complete_context",
+        # percolate-existing-doc is a get (_source fetch) + a match over
+        # REGISTERED QUERIES — neither side is the aliased doc set, and
+        # ES 1.x applies no alias filter to the get API (its query_where
+        # filters percolator queries, not documents)
+        "percolate_existing",
     })
 
     def __init__(self, index: Index, filters: list[tuple]):

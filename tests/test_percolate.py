@@ -81,6 +81,52 @@ def test_index_percolate_honors_deletes(spark, transcripts, tmp_path):
     assert all(r["doc_id"] not in victims for r in after)
 
 
+def test_percolate_existing_doc(spark, built_index, transcripts, tmp_path):
+    """ES 1.x percolate-existing-document: results equal percolating the
+    fetched _source; missing ids are silently absent; tombstoned docs
+    percolate nothing; a FilteredIndex passes the surface through (a
+    get + registered-query match has no alias-filter surface)."""
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
+    from kafka_elasticsearch_standalone_consumer_spark.pipeline.incremental import (
+        delete_docs,
+    )
+    from kafka_elasticsearch_standalone_consumer_spark.query.engine import (
+        FilteredIndex,
+        Index,
+    )
+
+    idx, _ = built_index
+    all_matches = idx.percolate(QUERIES).collect()
+    some = sorted({r["doc_id"] for r in all_matches})[:4]
+    ids = some + [99999999]  # one missing id
+    got = [
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in idx.percolate_existing(ids, QUERIES).collect()
+    ]
+    want = sorted(
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in all_matches
+        if r["doc_id"] in set(some)
+    )
+    assert got == want and got
+    # FilteredIndex: passes through (in _UNFILTERED_OK)
+    fidx = FilteredIndex(idx, [("role", "=", "user")])
+    got_f = [
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in fidx.percolate_existing(ids, QUERIES).collect()
+    ]
+    assert got_f == got
+
+    # tombstoned doc percolates nothing
+    wh = str(tmp_path / "idx2")
+    build_index(spark, transcripts, wh, docs_per_shard=512, n_buckets=8)
+    victim = some[0]
+    delete_docs(spark, wh, f"doc_id = {victim}")
+    got2 = Index(spark, wh).percolate_existing(ids, QUERIES).collect()
+    assert all(r["doc_id"] != victim for r in got2)
+    assert {r["doc_id"] for r in got2} == set(some) - {victim}
+
+
 def test_percolate_in_streaming_foreachbatch(spark, transcripts, tmp_path):
     """The percolator composes with Structured Streaming: each micro-batch
     of documents is matched against the registered queries and appended to
