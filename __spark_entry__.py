@@ -4443,6 +4443,57 @@ def q_ann_bq_topk(spark, sf_dir):
     )
 
 
+_FUNNEL_STAGES = [
+    ("min_chars", "n_chars >= 120"),
+    ("lang_en", "lang = 'en'"),
+    ("mod7", "n_chars % 7 <> 0"),
+]
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Per-stage attrition report for an ordered filter chain ("which
+    rule ate my corpus?"): each doc charged to its FIRST failing stage
+    via one codegen'd CASE cascade — ONE corpus pass, never S passes —
+    then the funnel algebra (prefix sums) over the bounded per-stage
+    counts. All-integer counts; drop_rate = one IEEE division per
+    stage, identical in both engines. Stage predicates are shared SQL
+    literals (_FUNNEL_STAGES), mirrored verbatim in the oracle."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import filter_funnel
+
+    return filter_funnel(_docs(spark, sf_dir), _FUNNEL_STAGES)
+
+
+def _funnel_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN NOT coalesce({pred}, FALSE) THEN {i}"
+        for i, (_, pred) in enumerate(_FUNNEL_STAGES)
+    )
+    vals = ", ".join(f"({i}, '{name}')" for i, (name, _) in enumerate(_FUNNEL_STAGES))
+    return f"""
+WITH ff AS (
+  SELECT CASE {cases} ELSE {len(_FUNNEL_STAGES)} END AS ff FROM documents
+),
+c AS (SELECT ff, count(*)::BIGINT AS n FROM ff GROUP BY ff),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+stages(idx, name) AS (VALUES {vals}),
+d AS (
+  SELECT idx, name, coalesce(c.n, 0)::BIGINT AS n_dropped
+  FROM stages LEFT JOIN c ON c.ff = idx
+),
+w AS (
+  SELECT idx, name, n_dropped,
+         (tot.n - coalesce(sum(n_dropped) OVER (ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_in
+  FROM d, tot
+)
+SELECT idx::INTEGER AS stage_idx, name AS stage, n_in, n_dropped,
+       (n_in - n_dropped)::BIGINT AS n_out,
+       CASE WHEN n_in > 0
+            THEN CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE) END AS drop_rate
+FROM w ORDER BY idx
+"""
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021, A1.1) over the documents
     table: word count / mean word length / symbol ratio / bullet- and
@@ -5493,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_combmnz": q_hybrid_combmnz,
         "dedup_incremental": q_dedup_incremental,
         "percolate_existing": q_percolate_existing,
+        "filter_funnel": q_filter_funnel,
     }
 
 
@@ -9208,6 +9260,7 @@ FROM b ORDER BY bucket
 """,
         "percolate": _PERCOLATE_SQL,
         "percolate_existing": _PERC_EXISTING_SQL,
+        "filter_funnel": _funnel_oracle_sql(),
         "percolate_filtered": _PERCOLATE_FILTERED_SQL.format(toks=SQL_TOKS),
         "terms_query_topk": (
             f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents "

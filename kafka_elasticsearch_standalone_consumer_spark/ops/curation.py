@@ -914,3 +914,58 @@ def keep_rate_threshold(
         [(n, k, thr, int(n_kept))],
         "n_docs long, k_target long, threshold double, n_kept long",
     )
+
+
+def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
+    """Per-stage attrition report for an ORDERED filter chain — the
+    observability table every large cleaning run needs ("which rule ate
+    my corpus?"), reporting for each stage how many docs reached it, how
+    many it dropped, how many survived, and its local drop rate.
+
+    Semantics: stages apply in order; a doc is charged to the FIRST
+    stage whose predicate it fails, exactly as if the filters ran
+    sequentially. A NULL predicate drops the row (Spark/SQL filter
+    semantics: WHERE keeps only TRUE) — ``coalesce(pred, FALSE)`` pins
+    that in both engines.
+
+    Scale shape: ONE corpus pass, not S passes — each row computes its
+    first-failing stage index as a single codegen'd CASE cascade, one
+    tiny groupBy counts the ≤ S+1 buckets, and the funnel algebra
+    (prefix sums) runs driver-side on that bounded result. All counts
+    are exact integers; drop_rate is ONE IEEE division per stage
+    (NULL when the stage saw nothing).
+
+    ``stages``: ordered (name, sql_predicate) pairs — predicates are SQL
+    expression strings so callers (and oracles) share literals. Returns
+    (stage_idx, stage, n_in, n_dropped, n_out, drop_rate), stage order.
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("stage names must be unique")
+    ff = None
+    for i, (_, pred) in enumerate(stages):
+        cond = ~F.coalesce(F.expr(pred), F.lit(False))
+        ff = F.when(cond, F.lit(i)) if ff is None else ff.when(cond, F.lit(i))
+    ff = ff.otherwise(F.lit(len(stages)))
+    counts = {
+        int(r["ff"]): int(r["n"])
+        for r in df.select(ff.alias("ff"))
+        .groupBy("ff")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    rows = []
+    n_in = total
+    for i, (name, _) in enumerate(stages):
+        dropped = counts.get(i, 0)
+        rate = float(dropped) / float(n_in) if n_in > 0 else None
+        rows.append((i, name, n_in, dropped, n_in - dropped, rate))
+        n_in -= dropped
+    return df.sparkSession.createDataFrame(
+        rows,
+        "stage_idx int, stage string, n_in long, n_dropped long, "
+        "n_out long, drop_rate double",
+    )

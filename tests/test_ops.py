@@ -1177,6 +1177,46 @@ def test_rrf_fuse_hand_computed(spark):
     assert tied == [20, 21]
 
 
+def test_filter_funnel_first_fail_accounting(spark):
+    """filter_funnel: docs charge to their FIRST failing stage (order
+    matters), NULL predicates drop like a WHERE would, counts telescope
+    (n_out of stage i == n_in of stage i+1), a starved stage reports
+    NULL drop_rate, and invalid stage lists raise."""
+    import pytest
+
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import filter_funnel
+
+    rows = [
+        (0, 50, "en"),   # fails min_len
+        (1, 200, None),  # passes min_len, NULL lang -> drops at lang stage
+        (2, 200, "de"),  # drops at lang stage
+        (3, 200, "en"),  # survives all
+        (4, 60, "de"),   # fails min_len FIRST (never charged to lang)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long, lang string")
+    out = filter_funnel(
+        df, [("min_len", "n >= 100"), ("lang_en", "lang = 'en'")]
+    ).collect()
+    got = [
+        (r["stage"], r["n_in"], r["n_dropped"], r["n_out"], r["drop_rate"])
+        for r in out
+    ]
+    assert got == [
+        ("min_len", 5, 2, 3, 2 / 5),
+        ("lang_en", 3, 2, 1, 2 / 3),
+    ]
+    # a stage that sees nothing reports NULL rate
+    starved = filter_funnel(
+        df, [("all_gone", "n < 0"), ("later", "lang = 'en'")]
+    ).collect()
+    assert starved[0]["n_dropped"] == 5
+    assert starved[1]["n_in"] == 0 and starved[1]["drop_rate"] is None
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])
+    with pytest.raises(ValueError):
+        filter_funnel(df, [("a", "n > 0"), ("a", "n > 1")])
+
+
 def test_dedup_incremental_store_and_append(spark, tmp_path):
     """Incremental dedup: a new batch is judged against the PERSISTED
     store (exact copies drop with jaccard 1.0, uniques keep), the
