@@ -1360,6 +1360,16 @@ def q_sort_topk(spark, sf_dir):
     return _cached_idx(spark, sf_dir).search_sort(BM25_QUERY, "n_chars", K)
 
 
+def q_sort_script_topk(spark, sf_dir):
+    """ES 1.x `_script` sort: the sort key is a computed expression over
+    doc values, not a stored field — here n_chars % 97 (heavy key
+    collisions, so the doc_id-asc tiebreak provably bites). The
+    expression compiles into codegen (search_sort takes any SQL
+    expression), never an interpreted per-row script; the match set →
+    TakeOrderedAndProject shape is the field sort's."""
+    return _cached_idx(spark, sf_dir).search_sort(BM25_QUERY, "n_chars % 97", K)
+
+
 def q_boosting_topk(spark, sf_dir):
     """ES boosting query: BM25 on the positive query with docs matching
     the negative query demoted ×0.2 (never excluded)."""
@@ -5545,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "percolate_existing": q_percolate_existing,
         "filter_funnel": q_filter_funnel,
+        "sort_script_topk": q_sort_script_topk,
     }
 
 
@@ -7124,6 +7135,15 @@ _SORT_TOPK_SQL = f"""
 SELECT doc_id, n_chars::DOUBLE AS sort_value
 FROM documents WHERE doc_id IN ({_MATCHED})
 ORDER BY n_chars DESC, doc_id
+LIMIT {K}
+"""
+
+# ES 1.x _script sort: the key is a computed expression (same literal as
+# the entry's search_sort argument), ordered on the cast-double key
+_SORT_SCRIPT_SQL = f"""
+SELECT doc_id, CAST(n_chars % 97 AS DOUBLE) AS sort_value
+FROM documents WHERE doc_id IN ({_MATCHED})
+ORDER BY sort_value DESC, doc_id
 LIMIT {K}
 """
 
@@ -9107,6 +9127,7 @@ GROUP BY lang ORDER BY avg_v ASC, lang LIMIT 10
         "agg_filters": _AGG_FILTERS_SQL,
         "agg_global": _AGG_GLOBAL_SQL,
         "sort_topk": _SORT_TOPK_SQL,
+        "sort_script_topk": _SORT_SCRIPT_SQL,
         "boosting_topk": _bm25_boosting_sql(BM25_QUERY, BM25_AND_QUERY, 0.2),
         "common_terms_topk": _bm25_common_terms_sql("dup join hash", 0.5),
         "suggest_phrase": _phrase_suggest_sql("the strem tabel"),

@@ -6491,21 +6491,23 @@ class Index:
         ordered by a document field instead of relevance (ES skips
         scoring entirely when a field sort replaces ``_score``; so do we
         — no BM25 work at all). Ties break by doc_id asc, ES's
-        deterministic tiebreak.
+        deterministic tiebreak. ``sort_by`` accepts any SQL expression,
+        not just a field name — that IS the ES 1.x ``_script`` sort
+        (script fields over doc values), compiled into codegen instead
+        of interpreted per row.
 
         Declarative: term-pruned match set → semi-join the (doc_id,
-        field) projection → TakeOrderedAndProject. No global sort — at
-        100 TB this is a per-partition top-k + a k-row merge on the
-        driver side of the exchange."""
+        expression) projection → TakeOrderedAndProject on the computed
+        key. No global sort — at 100 TB this is a per-partition top-k +
+        a k-row merge on the driver side of the exchange."""
         scoped = self._agg_scope(query_text, where, min_should_match)
         if scoped is None:
             return self.spark.createDataFrame([], "doc_id long, sort_value double")
-        order = F.asc(sort_by) if ascending else F.desc(sort_by)
-        return (
-            scoped.select("doc_id", F.col(sort_by).cast("double").alias("sort_value"))
-            .orderBy(order, F.asc("doc_id"))
-            .limit(k)
+        proj = scoped.select(
+            "doc_id", F.expr(sort_by).cast("double").alias("sort_value")
         )
+        order = F.asc("sort_value") if ascending else F.desc("sort_value")
+        return proj.orderBy(order, F.asc("doc_id")).limit(k)
 
     def search_common_terms(
         self,

@@ -543,6 +543,30 @@ def test_search_sort_by_field(spark, built_index):
     assert got_asc == sorted(rows, key=lambda x: (x[1], x[0]))[:7]
 
 
+def test_search_sort_by_script_expression(spark, built_index):
+    """ES 1.x _script sort: sort_by accepts a computed SQL expression —
+    heavy key collisions exercise the doc_id-asc tiebreak — verified
+    against a Python recomputation of the same expression."""
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import tokenize_text
+
+    idx, _ = built_index
+    q = "w00000 w00003"
+    got = [
+        (r["doc_id"], r["sort_value"])
+        for r in idx.search_sort(q, "turn_idx % 3", 7).collect()
+    ]
+    terms = set(tokenize_text(q))
+    rows = [
+        (r["doc_id"], float(r["turn_idx"] % 3))
+        for r in idx._docs_df().collect()
+        if terms & set(tokenize_text(r["text"]))
+    ]
+    want = sorted(rows, key=lambda x: (-x[1], x[0]))[:7]
+    assert got == want and got
+    # collisions are real: at most 3 distinct keys in the top-7
+    assert len({v for _, v in got}) <= 3
+
+
 def test_boosting_query_demotes_not_excludes(spark, built_index):
     """ES boosting query: positive scores ×negative_boost for docs
     matching the negative query; rank-checked against the score-all
