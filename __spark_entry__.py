@@ -2874,6 +2874,65 @@ ORDER BY n.doc_id
 """
 
 
+_JACCARD_CAP = 5
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """The hot-shingle df-cap guard (jaccard_pairs max_df — the knob
+    that keeps the shared-shingle candidate join from going quadratic
+    on a boilerplate shingle at crawl scale) as an ORACLED surface:
+    shingles with df > 5 are dropped from the shingle universe BEFORE
+    the join (stoplist semantics — sizes and intersections are over the
+    capped sets, the documented recall trade), and the DuckDB oracle
+    recomputes the same capped Jaccard exactly. The cap provably bites
+    at every SF (≥29 shingles over it) — asserted in-entry."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        jaccard_pairs,
+        shingle_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n_hot = (
+        shingle_df(docs)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _JACCARD_CAP)
+        .count()
+    )
+    assert n_hot > 0, "the df-cap fixture must have at least one hot shingle"
+    return jaccard_pairs(docs, threshold=0.8, max_df=_JACCARD_CAP).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len({SQL_TOKS}) - 2, 0)),
+           i -> concat_ws(' ', {SQL_TOKS}[i], {SQL_TOKS}[i+1], {SQL_TOKS}[i+2])))) AS shingle
+  FROM documents
+),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_JACCARD_CAP}
+),
+sh AS (
+  SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard_r
+FROM inter
+JOIN sz s1 ON s1.doc_id = id1
+JOIN sz s2 ON s2.doc_id = id2
+WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+"""
+
+
 def q_dedup_keep(spark, sf_dir):
     """The materialized dedup decision: keep exactly one doc per
     3-gram-Jaccard≥0.8 near-dup cluster (the min id) plus all singletons
@@ -5556,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_existing": q_percolate_existing,
         "filter_funnel": q_filter_funnel,
         "sort_script_topk": q_sort_script_topk,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
     }
 
 
@@ -9601,6 +9661,7 @@ WHERE c.cluster_id = c.doc_id
         # the exact-algorithm SQL
         "dedup_minhash_lsh": _JACCARD_SQL_TEMPLATE.format(toks=SQL_TOKS),
         "dedup_incremental": _DEDUP_INCR_SQL,
+        "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
