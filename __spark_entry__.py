@@ -4290,6 +4290,26 @@ def q_terms_lookup_local(spark, sf_dir):
     return spark.createDataFrame(loc, "doc_id long, score double")
 
 
+def q_ann_opq_topk(spark, sf_dir):
+    """OPQ ANN (Ge et al. 2013, non-parametric): an orthogonal rotation
+    learned by alternating PQ training with the Procrustes SVD solve on
+    the bounded sample, then the SAME 16-byte ADC scan + broadcast exact
+    rescore as ann_pq_topk in the rotated space (rotation preserves
+    cosines). At rescore=100 recall is exactly 1.0 at every tested SF
+    (OPQ already reads 1.0 at 50, PQ needs 100 — the rotation is worth
+    a 2× rescore cut at equal bandwidth; production rows in the bench
+    recall table), so the brute-force cosine SQL oracles the whole
+    rotate→train→encode→ADC→rescore pipeline."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import opq_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = opq_topk(emb, qv, K, rescore=100, m=16, k_cent=256, sample_n=1024)
+    return _rank(out, "cosine", "vec_id").select(
+        "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011; FAISS IndexPQ): 16
     subspaces × 256 centroids trained on a bounded 1024-vector sample, each
@@ -5616,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "sort_script_topk": q_sort_script_topk,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "ann_opq_topk": q_ann_opq_topk,
     }
 
 
@@ -9666,6 +9687,7 @@ WHERE c.cluster_id = c.doc_id
         "cosine_topk": _COSINE_SQL,
         "ann_sq8_topk": _COSINE_SQL,  # rescore=50 recall 1.0 => exact top-k
         "ann_bq_topk": _COSINE_SQL,  # rescore=300 recall 1.0 => exact top-k
+        "ann_opq_topk": _COSINE_SQL,  # rescore=100 recall 1.0 => exact top-k
         "ann_pq_topk": _COSINE_SQL,  # m=16 kc=256 rescore=100 recall 1.0 => exact top-k
         "ann_ivfpq_topk": _COSINE_SQL,  # all-lists probe + rescore=100 => exact top-k
         "hybrid_rrf": _bm25_variant_sql(

@@ -364,6 +364,7 @@ def ann_recall(spark, emb) -> dict:
         ivfpq_topk,
         lsh_topk,
         pq_topk,
+        opq_topk,
         bq_topk,
         sq8_topk,
         train_centroids,
@@ -378,7 +379,7 @@ def ann_recall(spark, emb) -> dict:
     try:
         cent = train_centroids(emb, n_lists=16, iters=3)
         build_ivf_index(emb, cent, ivf_wh)
-        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk", "ivfpq_np4", "bq_r50", "bq_r100", "knn_ivf_np4")}
+        hits = {k: 0 for k in ("lsh_h1", "lsh_h0", "ivf_np4", "ivf_np1", "sq8_r20", "sq8_rk", "pq_r20", "pq_rk", "opq_r20", "ivfpq_np4", "bq_r50", "bq_r100", "knn_ivf_np4")}
         denom = 0
         truths = {}
         for qid, qv in queries.items():
@@ -396,6 +397,7 @@ def ann_recall(spark, emb) -> dict:
                 "sq8_r20": sq8_topk(emb, qv, ANN_RECALL_K, rescore=20),
                 "sq8_rk": sq8_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
                 "pq_r20": pq_topk(emb, qv, ANN_RECALL_K, rescore=20),
+                "opq_r20": opq_topk(emb, qv, ANN_RECALL_K, rescore=20),
                 "pq_rk": pq_topk(emb, qv, ANN_RECALL_K, rescore=ANN_RECALL_K),
                 "ivfpq_np4": ivfpq_topk(emb, qv, ANN_RECALL_K, nprobe=4, rescore=50),
                 "bq_r50": bq_topk(emb, qv, ANN_RECALL_K, rescore=50),
@@ -452,6 +454,7 @@ partition pruning):
 | SQ8 (int8 + exact rescore) | rescore=k (pure quantized rank) | 1/4 of bytes + {ANN_RECALL_K} rows | {recall['sq8_rk']} |
 | PQ (16×256 ADC, 1024-sample codebooks + exact rescore) | rescore=20 | 1/16 of bytes + 20 rows | {recall['pq_r20']} |
 | PQ (16×256 ADC, 1024-sample codebooks + exact rescore) | rescore=k (pure ADC rank) | 1/16 of bytes + {ANN_RECALL_K} rows | {recall['pq_rk']} |
+| OPQ (learned rotation + the same 16×256 ADC) | rescore=20 | 1/16 of bytes + 20 rows | {recall['opq_r20']} |
 | IVF-PQ (16 lists, residual 16×256, rescore=50) | nprobe=4 | 1/4 of rows × 1/16 of bytes + 50 rows | {recall['ivfpq_np4']} |
 | BQ (1-bit sign codes + exact rescore) | rescore=50 | 1/32 of bytes + 50 rows | {recall['bq_r50']} |
 | BQ (1-bit sign codes + exact rescore) | rescore=100 | 1/32 of bytes + 100 rows | {recall['bq_r100']} |

@@ -1152,6 +1152,30 @@ def test_ivfpq_topk_exact_at_operating_point(emb):
             assert abs(r["cosine"] - exact_of[r["vec_id"]]) < 1e-12
 
 
+def test_opq_rotation_orthogonal_and_exact_at_degenerate_rescore(emb):
+    """OPQ: the learned rotation is orthogonal (cosines preserved), the
+    trainer is deterministic, and rescore = corpus size degenerates to
+    brute force bit-identically (the rescore reads ORIGINAL floats)."""
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import (
+        cosine_topk,
+        opq_topk,
+        opq_train,
+    )
+
+    df, vecs = emb
+    r1, b1 = opq_train(df, m=4, k_cent=8, sample_n=40, opq_iters=4)
+    r2, b2 = opq_train(df, m=4, k_cent=8, sample_n=40, opq_iters=4)
+    assert np.array_equal(r1, r2) and np.array_equal(b1, b2)  # deterministic
+    assert np.abs(r1 @ r1.T - np.eye(16)).max() < 1e-9  # orthogonal
+    q = [float(x) for x in vecs[5]]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, 10).collect()]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in opq_topk(df, q, 10, rescore=40, m=4, k_cent=8, sample_n=40).collect()
+    ]
+    assert got == want  # ids AND scores bit-identical (exact rescore)
+
+
 def test_rrf_fuse_hand_computed(spark):
     from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import rrf_fuse
 
