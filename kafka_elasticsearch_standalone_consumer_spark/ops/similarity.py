@@ -1076,6 +1076,16 @@ def opq_train(
     rows = emb.orderBy(id_col).limit(int(sample_n)).collect()
     x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    return _opq_fit(x, m, k_cent, iters, opq_iters)
+
+
+def _opq_fit(
+    x: np.ndarray, m: int, k_cent: int, iters: int, opq_iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The pure OPQ-NP alternation on a normalized sample matrix — split
+    out of :func:`opq_train` so the convergence properties (orthogonal
+    R; non-increasing rotated-space quantization error) are directly
+    property-testable without a Spark session."""
     dim = x.shape[1]
     r_mat = np.eye(dim)
     for _ in range(int(opq_iters)):
