@@ -230,6 +230,32 @@ def main(n_convs: int = 400) -> None:
         ((F.col("doc_id") * 1409 + 937) % n_cl).cast("long").alias("dst"),
     )
     pagerank(edges, n_iter=5).orderBy(F.desc("pr"), "node").show(5)
+
+    # round-5 continuation: the filter-funnel attrition report (which rule
+    # ate the corpus, one pass) and cross-run incremental dedup against a
+    # persisted signature store (history never rescanned)
+    from kafka_elasticsearch_standalone_consumer_spark.ops.curation import filter_funnel
+    from kafka_elasticsearch_standalone_consumer_spark.ops.dedup import (
+        build_dedup_store,
+        dedup_incremental,
+    )
+
+    print("filter funnel (per-stage attrition):")
+    filter_funnel(
+        clean,
+        [("min_len", "length(text) >= 50"), ("user_or_assistant", "role <> 'tool'")],
+    ).show(truncate=False)
+    print("incremental dedup of a new batch against persisted history")
+    print("(the batch smuggles in one exact copy of a history doc — caught):")
+    store = tempfile.mkdtemp() + "/dstore"
+    hist = clean.filter("doc_id % 2 = 0").select("doc_id", "text")
+    build_dedup_store(hist, store)
+    batch = (
+        clean.filter("doc_id % 2 = 1")
+        .select("doc_id", "text")
+        .unionByName(hist.limit(1).select((F.col("doc_id") + 10**6).alias("doc_id"), "text"))
+    )
+    dedup_incremental(spark, store, batch, threshold=0.8).filter("NOT keep").show(5)
     spark.stop()
 
 

@@ -271,6 +271,16 @@ def main(n_convs: int = 300) -> None:
     show("suggest_mode=popular (strictly-more-frequent corrections)",
          idx.suggest_terms(q.split()[0], max_edits=1, suggest_mode="popular"))
     show("ES _stats corpus summary", idx.corpus_summary())
+
+    # --- round-5 continuation: terms_stats facet, _script sort,
+    # --- percolate-existing-doc ------------------------------------------
+    show("terms_stats facet: per-role count/total/min/max/mean of turn_idx",
+         idx.facets_stats(q, "role", "turn_idx", size=3))
+    show("_script sort: computed expression as the sort key",
+         idx.search_sort(q, "turn_idx % 3", 3))
+    some_ids = [r["doc_id"] for r in idx.search(q, 3).collect()]
+    show("percolate EXISTING docs (by stored id, never re-shipping text)",
+         idx.percolate_existing(some_ids, [(1, q.split()[0]), (2, q)]))
     print("\nDSL tour complete.")
     spark.stop()
 
