@@ -11,9 +11,12 @@ Two paths, mirroring the index engine's oracle/fast split:
   the scan prunes to ~|buckets|/2^bits of the table when the signature
   column is a partition/bucket key.
 
-No Python in either scoring path — NumPy shows up only in the optional
-IVF coarse quantizer (centroid assignment), which is an Arrow-batched
-``mapInPandas`` kernel.
+Exact scoring (the cosine itself) stays Column algebra in both paths;
+Arrow-batched ``mapInPandas`` kernels carry the bulk per-row work that
+row-at-a-time JVM expressions evaluate interpreted (the ad-hoc LSH
+signature+probe filter, IVF coarse assignment, SQ8/PQ code scans) —
+each kernel preserves the exact fold order of its Column/SQL twin where
+an oracle compares values.
 """
 
 from __future__ import annotations
@@ -24,10 +27,50 @@ from pyspark.sql import functions as F
 
 _PLANE_SEED = 0xC0FFEE
 
+_BLAS_CAPPED = False
+
+
+def _cap_blas_threads(n: int = 8) -> None:
+    """One-time cap on OpenBLAS's thread pool for the driver-side
+    trainers. Their GEMMs are small ((~1k×64)@(64×4k)): at OpenBLAS's
+    default thread count (= every vCPU) fork-join overhead dominates —
+    measured 42 ms vs 10 ms at 8 threads on this box, and far worse
+    under co-tenancy. Uses the public ``openblas_set_num_threads`` API
+    via ctypes (numpy bundles OpenBLAS but exposes no knob); silently a
+    no-op for other BLAS builds."""
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        import ctypes
+        import glob
+        import os
+
+        libs = glob.glob(
+            os.path.join(os.path.dirname(np.__file__), ".libs", "*openblas*")
+        ) or glob.glob(
+            os.path.join(os.path.dirname(os.path.dirname(np.__file__)),
+                         "numpy.libs", "*openblas*")
+        )
+        for lib in libs:
+            ob = ctypes.CDLL(lib)
+            for sym in ("openblas_set_num_threads", "openblas_set_num_threads64_"):
+                fn = getattr(ob, sym, None)
+                if fn is not None:
+                    fn(int(n))
+                    return
+    except Exception:
+        pass  # cap is an optimization, never a requirement
+
 
 def _cosine(vec_col: Column, q: list[float]) -> Column:
     """Cosine similarity of an array<float> column against a literal query
-    vector — float64 accumulation JVM-side (zip_with + aggregate)."""
+    vector — float64 accumulation JVM-side (zip_with + aggregate; the
+    interpreted HOF fold measures FASTER end-to-end at query scale than
+    an unrolled per-element ``+`` chain, whose ~128-node expression tree
+    inflates Catalyst planning per query and can overflow codegen —
+    round-6 measured 0.15 s vs 0.67 s per top-k on the bench corpus)."""
     qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64))) or 1e-30
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
@@ -373,12 +416,40 @@ def lsh_topk(
     :func:`build_ann_index` + :func:`ann_topk_indexed`, where ``sig`` is a
     PARTITION column and the same probe predicate becomes directory-level
     partition pruning (~(1+bits)/2^bits of data read at probe_hamming=1
-    instead of a full scan)."""
+    instead of a full scan).
+
+    The scan-time signature+probe filter is an Arrow ``mapInPandas``
+    kernel (guide §4.2: the ``bits × dim`` interpreted-HOF projection
+    chain cost ~1 ms/row — the kernel vectorizes across the batch's ROWS
+    while accumulating each projection SEQUENTIALLY across dims, the
+    exact fold order of :func:`lsh_signature` and of the oracle's
+    ``list_sum``, so signatures are bit-identical to the Column form);
+    only probed-bucket candidates cross back, and the exact cosine stays
+    Column algebra."""
+    import pandas as pd
+
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits)
     qv = np.asarray(query_vec, dtype=np.float64)
-    cand = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes)).filter(
-        F.col("sig").isin(_probe_sigs(planes, qv, probe_hamming))
+    probe_arr = np.array(_probe_sigs(planes, qv, probe_hamming), dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            u = np.zeros(len(pdf), dtype=np.uint64)
+            for i, plane in enumerate(planes):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(m.shape[1]):
+                    acc += m[:, j] * plane[j]  # sequential fold, dim order
+                u |= (acc > 0).astype(np.uint64) << np.uint64(i)
+            keep = np.isin(u.view(np.int64), probe_arr)
+            if keep.any():
+                yield pdf.loc[keep]
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} array<float>"
     )
     scored = cand.select(
         F.col(id_col).alias("vec_id"), _cosine(F.col(vec_col), query_vec).alias("cosine")
@@ -564,26 +635,56 @@ def train_centroids(
 ) -> np.ndarray:
     """Spherical k-means codebook for an IVF index — distributed Lloyd's.
 
-    Per iteration: assignment is :func:`ivf_assign`'s Arrow matmul kernel
-    (one narrow pass over the vectors); the centroid update is a
-    ``posexplode`` + ``groupBy(list_id, pos)`` mean — ONE aggregation
-    shuffle whose key cardinality is n_lists × dim (tiny), with map-side
-    partial aggregation doing the heavy summing. The codebook itself
+    Per iteration: ONE Arrow ``mapInPandas`` pass both assigns each
+    vector (the :func:`ivf_assign` matmul rule: normalize, dot-product
+    argmax, ties to the lowest centroid id) and folds the batch's RAW
+    vectors into per-list partial sums, emitting only n_lists × dim tiny
+    ``(list_id, pos, s)`` rows per batch; a keyed aggregation whose
+    cardinality is n_lists × dim reduces them. (This replaces the
+    assign-then-join-then-explode shape, which shuffled the corpus by id
+    and exploded every component, with map-side partial aggregation in
+    the kernel itself — the vectors never shuffle.) The codebook
     (n_lists × dim floats) lives driver-side, renormalized to the unit
     sphere each round (cosine objective). Deterministic init: the
     ``n_lists`` vectors with the smallest ids. Empty clusters keep their
     previous centroid.
     """
+    import pandas as pd
+
     rows = emb.orderBy(id_col).limit(n_lists).collect()
     cent = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    vecs = emb.select(vec_col)
     for _ in range(iters):
-        assigned = ivf_assign(emb, cent, id_col, vec_col)
+        cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+        k, dim = cent_n.shape
+
+        def kernel(batches, _cn=cent_n, _k=k, _dim=dim):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m_raw = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m = m_raw / np.maximum(
+                    np.linalg.norm(m_raw, axis=1, keepdims=True), 1e-30
+                )
+                assign = (m @ _cn.T).argmax(axis=1)
+                psum = np.zeros((_k, _dim), dtype=np.float64)
+                np.add.at(psum, assign, m_raw)
+                present = np.unique(assign)
+                yield pd.DataFrame(
+                    {
+                        "list_id": np.repeat(present, _dim).astype(np.int32),
+                        "pos": np.tile(
+                            np.arange(_dim, dtype=np.int32), len(present)
+                        ),
+                        "s": psum[present].ravel(),
+                    }
+                )
+
         sums = (
-            emb.join(assigned, id_col)
-            .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            vecs.mapInPandas(kernel, schema="list_id int, pos int, s double")
             .groupBy("list_id", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"))
+            .agg(F.sum("s").alias("s"))
             .collect()
         )
         new = cent.copy()
@@ -608,15 +709,17 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize an IVF index: assign each vector to its nearest centroid
-    (:func:`ivf_assign`) and write the table partitioned by ``list_id`` —
-    the IVF inverted lists ARE partition directories, so a search probing
-    ``nprobe`` lists reads ~nprobe/n_lists of the data. Centroids persist
-    in the warehouse meta (they are small by construction)."""
+    (the :func:`ivf_assign` rule, fused with the payload via
+    :func:`ivf_assign_with_payload` so the build is ONE pass with no
+    assign→payload join shuffle) and write the table partitioned by
+    ``list_id`` — the IVF inverted lists ARE partition directories, so a
+    search probing ``nprobe`` lists reads ~nprobe/n_lists of the data.
+    Centroids persist in the warehouse meta (they are small by
+    construction)."""
     from kafka_elasticsearch_standalone_consumer_spark.tables import Warehouse
 
     wh = Warehouse(warehouse_path)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    df = emb.join(assigned, id_col)
+    df = ivf_assign_with_payload(emb, centroids, vec_col)
     wh.write(df, IVF_TABLE, partition_by=("list_id",))
     wh.write_meta(
         IVF_META,
@@ -697,6 +800,40 @@ def ivf_assign(
     return emb.mapInPandas(kernel, schema=f"{id_col} long, list_id int")
 
 
+def ivf_assign_with_payload(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_assign` (same normalize → dot-argmax → lowest-id-tie
+    rule), but carrying EVERY input column through the kernel and
+    appending ``list_id`` — so callers that need the assigned rows
+    (index build, IVF-PQ scan) get them in ONE pass instead of
+    assigning on a narrow projection and join-shuffling the payload
+    back by id. At 100 TB that join was the guide's "second shuffle of
+    the heavy bytes"; this shape reads the fat row once and never
+    shuffles it."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = centroids.astype(np.float64)
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("list_id", IntegerType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            pdf = pdf.copy()
+            pdf["list_id"] = (m @ cent_n.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    return emb.mapInPandas(kernel, schema=out_schema)
+
+
 def sq8_quantize(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -765,26 +902,29 @@ def sq8_topk(
     qcodes = np.rint(qv / qscale).astype(np.int8).astype(np.float64)
     qnorm = max(float(np.linalg.norm(qv)), 1e-30)
 
-    quant = sq8_quantize(emb, id_col, vec_col)
     import pandas as pd
 
     def score(batches):
+        # quantize + score fused in ONE kernel pass: per-row arithmetic is
+        # identical to sq8_quantize → decode → score (the int8 blob
+        # round-trip is lossless and row-independent), so approx scores
+        # are bit-identical to the two-kernel chain while crossing the
+        # Python boundary once instead of twice. On the materialized
+        # layout pass 1 reads the stored codes instead.
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(
-                [np.frombuffer(b, dtype=np.int8) for b in pdf["codes"].to_numpy()]
-            ).astype(np.float64)
-            approx = (
-                (m @ qcodes)
-                * pdf["scale"].to_numpy()
-                * qscale
-                / (pdf["norm"].to_numpy() * qnorm)
-            )
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            amax = np.abs(x).max(axis=1)
+            scale = np.maximum(amax / 127.0, 1e-30)
+            codes = np.rint(x / scale[:, None]).astype(np.int8).astype(np.float64)
+            norm = np.linalg.norm(x, axis=1)
+            approx = (codes @ qcodes) * scale * qscale / (norm * qnorm)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "approx": approx})
 
     cand = (
-        quant.mapInPandas(score, schema=f"{id_col} long, approx double")
+        emb.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} long, approx double")
         .orderBy(F.desc("approx"), F.asc(id_col))
         .limit(int(rescore))
     )
@@ -921,8 +1061,8 @@ def semdedup(
 
     if centroids is None:
         centroids = train_centroids(emb, n_lists, iters, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    df = emb.select(id_col, vec_col).join(assigned, id_col)
+    # assignment fused with the payload: one pass, no assign→payload join
+    df = ivf_assign_with_payload(emb.select(id_col, vec_col), centroids, vec_col)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -968,7 +1108,19 @@ def pq_train(
 def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
     """Per-subspace Lloyd's on a driver-side sample matrix — the shared
     trainer behind :func:`pq_train` (raw unit vectors) and
-    :func:`ivfpq_topk` (coarse residuals)."""
+    :func:`ivfpq_topk` (coarse residuals).
+
+    All ``m`` subspaces iterate in lockstep through ONE block-diagonal
+    2D GEMM distance computation and ONE bincount/add.at centroid update
+    per Lloyd round — the per-subspace Python loop this replaces cost
+    ~2 s per fit at the 16×256/1024 defaults (~8× this form), which
+    dominated the bench's ANN recall phase because pq/opq/ivfpq_topk
+    each retrain per call. Same contract: init = the first ``k_cent``
+    sample subvectors, empty clusters keep their previous centroid,
+    assignment ties go to the lowest centroid id (argmin;
+    ``-2x·c + ||c||²`` expands ``||x−c||²`` minus a per-row constant,
+    the same form :func:`pq_encode` uses)."""
+    _cap_blas_threads()
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -976,18 +1128,35 @@ def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
     # (small-SF fixtures hit this with the 256-centroid default)
     k_cent = min(int(k_cent), len(x))
     dsub = dim // m
-    books = np.empty((m, k_cent, dsub), dtype=np.float64)
-    for s in range(m):
-        sub = x[:, s * dsub : (s + 1) * dsub]
-        cent = sub[:k_cent].copy()
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k_cent):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
-        books[s] = cent
+    n = len(x)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    # books[s] starts as the first k_cent subvectors of subspace s
+    books = np.ascontiguousarray(
+        x[:k_cent].reshape(k_cent, m, dsub).transpose(1, 0, 2)
+    )  # (m, k_cent, dsub)
+    flat_x = x.reshape(n * m, dsub)  # row (i, s) = sample i's subvector s
+    offs = np.arange(m) * k_cent
+    bd = np.zeros((dim, m * k_cent), dtype=np.float64)
+    for _ in range(iters):
+        # one well-shaped 2D GEMM for every subspace's dot products: the
+        # (dim × m·k) operand is block-diagonal (books[s].T in block s),
+        # so column block s of x @ bd is exactly sub_s @ books[s].T.
+        # (A per-subspace (n,dsub)@(dsub,k) loop, or a 3D batched matmul,
+        # degenerates into tiny threaded BLAS calls that thrash.)
+        for s in range(m):
+            bd[s * dsub : (s + 1) * dsub, s * k_cent : (s + 1) * k_cent] = books[s].T
+        # argmin_c ||sub − c||² == argmax_c (sub·c − ||c||²/2), row-major
+        t = (x @ bd).reshape(n, m, k_cent)
+        t -= 0.5 * (books**2).sum(axis=2)[None, :, :]
+        assign = t.argmax(axis=2)  # (n, m); ties → lowest centroid id
+        flat = (assign + offs[None, :]).ravel()
+        counts = np.bincount(flat, minlength=m * k_cent)
+        sums = np.zeros((m * k_cent, dsub), dtype=np.float64)
+        np.add.at(sums, flat, flat_x)
+        nz = counts > 0
+        # sums rows are (s·k_cent + c); books rows are (s, c) — same order
+        upd = books.reshape(m * k_cent, dsub)  # contiguous → view
+        upd[nz] = sums[nz] / counts[nz, None]
     return books
 
 
@@ -1266,8 +1435,8 @@ def ivfpq_topk(
 
     cent = train_centroids(emb, n_lists, coarse_iters, id_col, vec_col)
     cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
-    assigned = ivf_assign(emb, cent, id_col, vec_col)
-    df = emb.join(assigned, id_col)
+    # assignment fused with the payload: one pass, no assign→payload join
+    df = ivf_assign_with_payload(emb.select(id_col, vec_col), cent, vec_col)
 
     # residual PQ codebooks from the bounded deterministic sample
     rows = df.orderBy(id_col).limit(int(sample_n)).collect()
