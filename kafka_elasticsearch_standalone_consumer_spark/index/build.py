@@ -30,7 +30,6 @@ memory per task.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,58 +58,87 @@ def term_bucket_col(term_col="term", n_buckets: int = DEFAULT_TERM_BUCKETS):
     return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n_buckets)).cast("int")
 
 
-def _pack_batch(
-    pdf: pd.DataFrame, avgdl: float, block_size: int, positions: bool = False
-) -> pd.DataFrame:
-    """Pack every complete (term, shard) run in a sorted batch into rows."""
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    pos_col = pdf["positions"].to_numpy() if positions else None
-    n = len(pdf)
+def _run_changes(terms, shards: np.ndarray) -> np.ndarray:
+    """Boolean run-start flags over a sorted batch: True where the
+    (term, shard) key differs from the previous row. ``terms`` is an
+    Arrow string array (compared natively — no Python strings)."""
+    import pyarrow.compute as pc
+
+    n = len(terms)
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    if n > 1:
+        tne = pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        change[1:] = tne | (shards[1:] != shards[:-1])
+    return change
+
+
+def _pack_arrow(tbl, avgdl: float, block_size: int, positions: bool):
+    """Pack one boundary-complete Arrow table of sorted token rows into a
+    postings RecordBatch — zero-copy in (list flatten) and out (binary/
+    list arrays built directly over the codec core's buffers)."""
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    terms = tbl.column("term").combine_chunks()
+    shards = tbl.column("shard").combine_chunks().to_numpy(zero_copy_only=False)
+    docs = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    tfs = tbl.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+    dls = tbl.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+    change = _run_changes(terms, shards)
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
-    rows = []
-    for s, e in zip(starts, ends):
-        run = codec.pack_run(
-            docs[s:e], tfs[s:e], dls[s:e], avgdl=avgdl, k1=K1, b=B, block_size=block_size
+    flat_pos = row_tf = None
+    if positions:
+        p_col = tbl.column("positions").combine_chunks()
+        flat_pos = p_col.flatten().to_numpy(zero_copy_only=False)
+        # segment lengths follow the old pack loop: tf per posting (the
+        # stored lists have exactly tf entries by construction)
+        row_tf = tfs
+    core = codec.pack_runs_core(
+        docs, tfs, dls, starts, ends, avgdl=avgdl, k1=K1, b=B,
+        block_size=block_size, flat_pos=flat_pos, pos_row_tf=row_tf,
+    )
+    r = starts.size
+    list_offs = pa.array(core["list_offs"].astype(np.int32), type=pa.int32())
+
+    def bin_arr(enc: np.ndarray, bounds: np.ndarray) -> pa.Array:
+        off = np.empty(r + 1, dtype=np.int32)
+        off[0] = 0
+        off[1:] = bounds
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), r, [None, pa.py_buffer(off), pa.py_buffer(enc)]
         )
-        row = (
-            terms[s],
-            int(shards[s]),
-            run["n_docs"],
-            run["docs"],
-            run["tfs"],
-            run["dls"],
-            run["block_offs_docs"],
-            run["block_offs_tfs"],
-            run["block_offs_dls"],
-            run["block_max_doc"],
-            run["block_max_tf"],
-            run["block_max_impact"],
-        )
-        if positions:
-            flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col[s:e]])
-                if e > s
-                else np.empty(0, np.int64)
-            )
-            pos_buf, pos_offs = codec.pack_positions(flat, tfs[s:e], block_size)
-            row = row + (pos_buf, pos_offs)
-        rows.append(row)
-    cols = [
+
+    def list_arr(vals: np.ndarray) -> pa.Array:
+        return pa.ListArray.from_arrays(list_offs, pa.array(vals))
+
+    arrays = [
+        terms.take(pa.array(starts, type=pa.int64())),
+        pa.array(shards[starts], type=pa.int64()),
+        pa.array(core["n_docs"].astype(np.int32), type=pa.int32()),
+        bin_arr(core["enc_docs"], core["bounds_docs"]),
+        bin_arr(core["enc_tfs"], core["bounds_tfs"]),
+        bin_arr(core["enc_dls"], core["bounds_dls"]),
+        list_arr(core["offs_docs"]),
+        list_arr(core["offs_tfs"]),
+        list_arr(core["offs_dls"]),
+        list_arr(core["block_max_doc"]),
+        list_arr(core["block_max_tf"]),
+        list_arr(core["block_max_impact"]),
+    ]
+    names = [
         "term", "shard", "n_docs", "docs", "tfs", "dls",
         "block_offs_docs", "block_offs_tfs", "block_offs_dls",
         "block_max_doc", "block_max_tf", "block_max_impact",
     ]
     if positions:
-        cols += ["pos", "block_offs_pos"]
-    return pd.DataFrame(rows, columns=cols)
+        arrays.append(bin_arr(core["enc_pos"], core["bounds_pos"]))
+        arrays.append(list_arr(core["offs_pos"]))
+        names += ["pos", "block_offs_pos"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def build_postings(
@@ -151,25 +179,37 @@ def build_postings(
     )
 
     def pack(batches):
+        # Arrow-native streaming pack (guide §4.2): rows never surface as
+        # pandas objects — the term column stays an Arrow string array
+        # (65M-row builds were spending more wall materializing Python
+        # strings than packing), the positions lists flatten zero-copy,
+        # and the output batch is assembled straight from the codec
+        # core's encode buffers (a BinaryArray IS offsets + one data
+        # buffer; runs tile the batch, so the per-run byte bounds ARE
+        # the offsets). Byte-identical rows to the per-run pack_run loop
+        # (tests/test_pack_runs_equivalence.py).
+        import pyarrow as pa
+
         carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl])
+            if not tbl.num_rows:
                 continue
             # hold back the trailing run — it may continue in the next batch
-            terms = pdf["term"].to_numpy()
-            shards = pdf["shard"].to_numpy()
-            last_start = int(
-                np.flatnonzero((terms != terms[-1]) | (shards != shards[-1]))[-1] + 1
-            ) if ((terms != terms[-1]) | (shards != shards[-1])).any() else 0
-            carry = pdf.iloc[last_start:]
-            head = pdf.iloc[:last_start]
-            if len(head):
-                yield _pack_batch(head, avgdl, block_size, positions)
-        if carry is not None and len(carry):
-            yield _pack_batch(carry, avgdl, block_size, positions)
+            n = tbl.num_rows
+            terms = tbl.column("term").combine_chunks()
+            shards = tbl.column("shard").combine_chunks().to_numpy(zero_copy_only=False)
+            change = _run_changes(terms, shards)
+            last_start = int(np.flatnonzero(change)[-1])  # trailing run's start
+            carry = tbl.slice(last_start)
+            head = tbl.slice(0, last_start)
+            if head.num_rows:
+                yield _pack_arrow(head, avgdl, block_size, positions)
+        if carry is not None and carry.num_rows:
+            yield _pack_arrow(carry, avgdl, block_size, positions)
 
     schema = POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA
-    packed = arranged.mapInPandas(pack, schema=schema)
+    packed = arranged.mapInArrow(pack, schema=schema)
     return packed.withColumn("term_bucket", term_bucket_col("term", n_buckets))

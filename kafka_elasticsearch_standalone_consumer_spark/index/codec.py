@@ -25,11 +25,15 @@ from kafka_elasticsearch_standalone_consumer_spark import BLOCK_SIZE
 _VARINT_THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint pack of a non-negative int array (vectorized)."""
+def _varint_parts(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(encoded uint8 array, per-element byte lengths) — the vectorized
+    LEB128 core. Encoding is element-independent, so any concatenation
+    of element ranges encodes to the concatenation of their encodings —
+    what lets :func:`pack_runs` encode a whole Arrow batch in one call
+    and slice per-run/per-block buffers out of it byte-identically."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _VARINT_THRESHOLDS:
         nbytes += v >= t
@@ -44,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> (seven * np.uint64(j))) & np.uint64(0x7F)
         cont = np.where(nbytes[mask] - 1 > j, 0x80, 0).astype(np.uint8)
         out[starts[mask] + j] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint pack of a non-negative int array (vectorized)."""
+    return _varint_parts(values)[0].tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -299,3 +308,159 @@ def unpack_blocks(
     docs_out = decode_doc_blocks(docs_buf, offs_d, block_idx)
     tfs_out = decode_value_blocks(tfs_buf, offs_t, block_idx)
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def pack_runs(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+    flat_pos: np.ndarray | None = None,
+    pos_row_tf: np.ndarray | None = None,
+) -> dict:
+    """Vectorized :func:`pack_run` over MANY runs at once.
+
+    ``doc_ids``/``tfs``/``dls`` are a batch's rows sorted by run
+    (``starts[i]:ends[i]`` is run i); the per-run outputs are
+    BYTE-IDENTICAL to calling :func:`pack_run` per run (varint encoding
+    is element-independent — one global encode, per-run slices; block
+    maxima are ``reduceat`` at global block starts, which never span
+    runs; impacts use the same elementwise float64 formula then a
+    float32 cast). Motivation: :func:`pack_run`'s per-call overhead is
+    ~130 µs regardless of run length, and a Zipf-tail batch holds tens
+    of thousands of 1–5-posting runs — the postings pack stage of the
+    8× bench build spent most of its wall in that overhead.
+
+    With ``flat_pos``/``pos_row_tf`` (all rows' concatenated in-doc
+    positions + per-row counts) the positions stream is packed the same
+    way, byte-identical to :func:`pack_positions` per run. Returns a
+    dict of per-run column lists/arrays, keyed like ``pack_run`` plus
+    ``term``-less metadata the caller attaches."""
+    core = pack_runs_core(
+        doc_ids, tfs, dls, starts, ends, avgdl, k1, b, block_size,
+        flat_pos=flat_pos, pos_row_tf=pos_row_tf,
+    )
+    r = core["n_docs"].size
+    splits = core["list_offs"][1:-1]
+
+    def _slices(enc: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+        buf = enc.tobytes()
+        out, prev = [], 0
+        for e in bounds:
+            out.append(buf[prev:e])
+            prev = e
+        return out
+
+    out = {
+        "n_docs": core["n_docs"],
+        "docs": _slices(core["enc_docs"], core["bounds_docs"]),
+        "tfs": _slices(core["enc_tfs"], core["bounds_tfs"]),
+        "dls": _slices(core["enc_dls"], core["bounds_dls"]),
+        "block_offs_docs": np.split(core["offs_docs"], splits),
+        "block_offs_tfs": np.split(core["offs_tfs"], splits),
+        "block_offs_dls": np.split(core["offs_dls"], splits),
+        "block_max_doc": np.split(core["block_max_doc"], splits),
+        "block_max_tf": np.split(core["block_max_tf"], splits),
+        "block_max_impact": np.split(core["block_max_impact"], splits),
+    }
+    if flat_pos is not None:
+        out["pos"] = _slices(core["enc_pos"], core["bounds_pos"])
+        out["block_offs_pos"] = np.split(core["offs_pos"], splits)
+    return out
+
+
+def pack_runs_core(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+    flat_pos: np.ndarray | None = None,
+    pos_row_tf: np.ndarray | None = None,
+) -> dict:
+    """The buffer-level core of :func:`pack_runs`: raw encode buffers +
+    per-run byte bounds + flat per-block arrays + list offsets — exactly
+    the buffers an Arrow BinaryArray/ListArray is built from, so the pack
+    kernel can assemble its output batch ZERO-COPY (run i's bytes are
+    ``enc[bounds[i-1]:bounds[i]]``; runs tile the batch, so the bounds
+    ARE the binary array's offsets)."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = doc_ids.size
+    r = starts.size
+    lens = ends - starts
+
+    pos_in_run = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    is_restart = (pos_in_run % block_size) == 0
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+        deltas[is_restart] = doc_ids[is_restart].astype(np.uint64)
+
+    enc_d, nb_d = _varint_parts(deltas)
+    enc_t, nb_t = _varint_parts(tfs.astype(np.uint64))
+    enc_l, nb_l = _varint_parts(dls.astype(np.uint64))
+    cs_d = np.zeros(n + 1, dtype=np.int64); np.cumsum(nb_d, out=cs_d[1:])
+    cs_t = np.zeros(n + 1, dtype=np.int64); np.cumsum(nb_t, out=cs_t[1:])
+    cs_l = np.zeros(n + 1, dtype=np.int64); np.cumsum(nb_l, out=cs_l[1:])
+
+    bpos = np.flatnonzero(is_restart)                    # global block starts
+    nblocks = (lens + block_size - 1) // block_size      # per run
+    block_run = np.repeat(np.arange(r, dtype=np.int64), nblocks)
+    run_start_of_block = starts[block_run]
+    list_offs = np.zeros(r + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=list_offs[1:])
+
+    block_end_pos = np.append(bpos[1:], n) - 1
+    tf_f = tfs.astype(np.float64)
+    impact = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-9)))
+    core = {
+        "n_docs": lens,
+        "enc_docs": enc_d, "bounds_docs": cs_d[ends],
+        "enc_tfs": enc_t, "bounds_tfs": cs_t[ends],
+        "enc_dls": enc_l, "bounds_dls": cs_l[ends],
+        "offs_docs": (cs_d[bpos] - cs_d[run_start_of_block]).astype(np.int32),
+        "offs_tfs": (cs_t[bpos] - cs_t[run_start_of_block]).astype(np.int32),
+        "offs_dls": (cs_l[bpos] - cs_l[run_start_of_block]).astype(np.int32),
+        "block_max_doc": doc_ids[block_end_pos].astype(np.int64),
+        "block_max_tf": (np.maximum.reduceat(tfs, bpos) if n else np.empty(0, np.int64)).astype(np.int32),
+        "block_max_impact": (np.maximum.reduceat(impact, bpos) if n else np.empty(0)).astype(np.float32),
+        "list_offs": list_offs,
+    }
+
+    if flat_pos is not None:
+        flat_pos = np.ascontiguousarray(flat_pos, dtype=np.int64)
+        if flat_pos.size and int(flat_pos.max()) >= MAX_POSITION:
+            raise ValueError(
+                f"token position {int(flat_pos.max())} exceeds the positions-index "
+                f"limit of {MAX_POSITION - 1} tokens per document (POS_BITS key packing)"
+            )
+        row_tf = np.ascontiguousarray(pos_row_tf, dtype=np.int64)
+        doc_starts = np.cumsum(row_tf) - row_tf          # per row, in flat space
+        pdeltas = np.empty(flat_pos.size, dtype=np.uint64)
+        if flat_pos.size:
+            pdeltas[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+            nz = row_tf > 0
+            pdeltas[doc_starts[nz]] = flat_pos[doc_starts[nz]].astype(np.uint64)
+        enc_p, nb_p = _varint_parts(pdeltas)
+        cs_p = np.zeros(flat_pos.size + 1, dtype=np.int64)
+        np.cumsum(nb_p, out=cs_p[1:])
+        pos_bounds = np.append(doc_starts, flat_pos.size)  # row index -> flat start
+        core["enc_pos"] = enc_p
+        core["bounds_pos"] = cs_p[pos_bounds[ends]]
+        core["offs_pos"] = (
+            cs_p[pos_bounds[bpos]] - cs_p[pos_bounds[starts]][block_run]
+        ).astype(np.int32)
+    return core

@@ -89,8 +89,18 @@ def build_index(
         return runner
 
     def step_docs():
-        docs = assign_dense_ids(transcripts, num_partitions=num_partitions)
-        wh.write(docs, "docs")
+        # The id assignment's range partitioner SAMPLES its input before
+        # the shuffle consumes it, so an unmaterialized source (here: the
+        # generator; on a cluster: a view over decoded Kafka batches) is
+        # computed twice. Persist for the step's duration — on a real
+        # deployment the input is a table scan and this is a cheap no-op
+        # class of cache; it never outlives the step.
+        tr = transcripts.persist()
+        try:
+            docs = assign_dense_ids(tr, num_partitions=num_partitions)
+            wh.write(docs, "docs")
+        finally:
+            tr.unpersist()
         spark.catalog.clearCache()  # release the range-sort cache from id assignment
         return wh.count_rows("docs")
 
