@@ -126,12 +126,14 @@ def ann_breakdown() -> None:
 
 def build_breakdown() -> None:
     """index_build, step by step (the checkpoint log already walls each
-    step — this surfaces those numbers without reading parquet logs)."""
+    step — this surfaces those numbers without reading parquet logs).
+    ``KESC_BX_MULT`` scales the corpus (8 = the bench's 8x sentinel)."""
     from kafka_elasticsearch_standalone_consumer_spark.corpus import generate_transcripts
     from kafka_elasticsearch_standalone_consumer_spark.pipeline.builder import build_index
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     n_convs = max(int(190_000 * (sf / 0.1) / 10.5), 50)
+    n_convs *= int(os.environ.get("KESC_BX_MULT", "1"))
     spark = _spark("bench-extra-build")
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix="bx_idx_", dir=scratch)

@@ -9,11 +9,21 @@ Scalable technique (classic zipWithIndex-without-RDD):
   1. range-repartition + sort within partitions on the order key —
      partitions are globally ordered, rows ordered within each;
   2. one cheap pass counts rows per partition;
-  3. cumulative partition offsets are broadcast; a mapInPandas pass
-     assigns ``offset[pid] + local_row_number``.
+  3. cumulative partition offsets become a broadcast array literal and
+     ``id = offset[pid] + local_row_number`` is PURE Column arithmetic
+     over ``monotonically_increasing_id()`` (pid in the upper bits,
+     a 0-based consecutive row number in the lower 33 — exactly the
+     two inputs the assignment needs, with no Python in the loop).
 
 Two scans of the input, zero driver-side row loops; at 10^12 rows the
-count pass reads only the order-key columns (column-pruned).
+count pass reads only the order-key columns (column-pruned). Step 3
+used to be a ``mapInPandas`` pass, which shipped EVERY column of every
+row (the document text included) JVM→Python→JVM just to append an
+integer (guide §4.1: the Python boundary cost is per byte crossing, and
+the function needed none of those bytes); the Column form assigns the
+same ids with zero boundary crossings. Per-partition row counts are
+bounded by 2^33 (the monotonic id's row field), which at sane partition
+sizing is orders of magnitude above any real task.
 """
 
 from __future__ import annotations
@@ -39,26 +49,25 @@ def assign_dense_ids(
     # range-sample boundaries (and to avoid recomputing the sort)
     arranged = arranged.persist()
     counts = {r["_pid"]: r["cnt"] for r in arranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
+    max_pid = max(counts, default=-1)
+    offs = []
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for pid in range(max_pid + 1):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
 
-    out_schema = arranged.drop("_pid").schema.add(id_col, "long", False)
-
-    def assign(batches):
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[id_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    return arranged.mapInPandas(assign, schema=out_schema)
+    # monotonically_increasing_id() on the SAME persisted partitions:
+    # upper bits = partition id (identical to _pid — same physical
+    # partitions), lower 33 bits = consecutive 0-based row number in
+    # partition order, so offset[pid] + row_number reproduces the
+    # mapInPandas assignment bit-for-bit
+    mono = F.monotonically_increasing_id()
+    local = mono.bitwiseAND(F.lit((1 << 33) - 1))
+    base = F.element_at(
+        F.array(*[F.lit(int(o)).cast("long") for o in offs]),
+        F.shiftrightunsigned(mono, 33).cast("int") + 1,
+    ) if offs else F.lit(0).cast("long")
+    return arranged.drop("_pid").withColumn(id_col, (base + local).cast("long"))
 
 
 def build_doc_map(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:

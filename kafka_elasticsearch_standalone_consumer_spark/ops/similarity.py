@@ -64,6 +64,44 @@ def _cap_blas_threads(n: int = 8) -> None:
         pass  # cap is an optimization, never a requirement
 
 
+def _vec_matrix(arr) -> np.ndarray:
+    """pyarrow ``List<float>`` array → ``(n, dim)`` float64 matrix.
+
+    Equal-length rows (every embedding fixture) take the zero-copy
+    flatten+reshape path; ragged/null rows fall back to ``to_pylist``.
+    float32→float64 widening is exact, so values are identical to the
+    ``float(v)``-per-element Row loop this replaces — the Arrow transfer
+    just skips ~65k Python float boxings per 1024×64 sample (guide §6:
+    Arrow for driver transfers)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and arr.null_count == 0 and (widths == widths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(len(widths), int(widths[0]))
+    except AttributeError:
+        pass
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _sample_matrix(
+    emb: DataFrame, id_col: str, vec_col: str, n: int, extra: tuple[str, ...] = ()
+):
+    """The bounded lowest-id training sample as (arrow_table, float64
+    matrix): ONE Arrow-path transfer of only the needed columns instead
+    of a full-row ``collect()`` + per-element ``float()`` loop. Row set,
+    order and float values are identical to the Row path (global sort on
+    the unique id, exact float32→float64 widening)."""
+    tbl = (
+        emb.select(id_col, vec_col, *extra).orderBy(id_col).limit(int(n)).toArrow()
+    )
+    return tbl, _vec_matrix(tbl.column(vec_col))
+
+
 def _cosine(vec_col: Column, q: list[float]) -> Column:
     """Cosine similarity of an array<float> column against a literal query
     vector — float64 accumulation JVM-side (zip_with + aggregate; the
@@ -651,8 +689,7 @@ def train_centroids(
     """
     import pandas as pd
 
-    rows = emb.orderBy(id_col).limit(n_lists).collect()
-    cent = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    _tbl, cent = _sample_matrix(emb, id_col, vec_col, n_lists)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
     vecs = emb.select(vec_col)
     for _ in range(iters):
@@ -948,22 +985,32 @@ def bq_codes(
     Arrow kernel this packing is PURE Column algebra (a bitwise-OR chain
     over per-component conditionals), so the pass stays inside
     whole-stage codegen with no Python in the loop; identical vectors
-    pack to identical codes. Returns (id, code: array<long>)."""
+    pack to identical codes. Returns (id, code: array<long>).
+
+    Each 64-term word is built as ONE parsed SQL expression string: the
+    per-term ``when().bitwiseOR()`` Column chain this replaces issued
+    ~400 py4j round-trips per word and dominated the per-query wall of
+    the ad-hoc path (~1 s of driver-side plan construction per call —
+    the guide §7.3 planning-cost failure mode). ``IF(x > 0.0D, bit, 0)``
+    OR-folded left-to-right is the same expression tree, so codegen and
+    per-row results are unchanged."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
     n_words = (dim + 63) // 64
     words = []
     for w in range(n_words):
-        expr = F.lit(0).cast("long")
+        terms = []
         for i in range(64 * w, min(64 * w + 64, dim)):
             bit = 1 << (i - 64 * w)
             if bit >= 1 << 63:
                 bit -= 1 << 64  # two's-complement sign bit as a long literal
-            expr = expr.bitwiseOR(
-                F.when(F.col(vec_col)[i].cast("double") > 0.0, F.lit(bit).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
+            # min-long has no direct literal form (−2^63 parses as unary
+            # minus of an out-of-range literal) — spell it arithmetically
+            blit = f"{bit}L" if bit != -(1 << 63) else "(-9223372036854775807L - 1L)"
+            terms.append(
+                f"IF(CAST(`{vec_col}`[{i}] AS DOUBLE) > 0.0D, {blit}, 0L)"
             )
-        words.append(expr)
+        words.append(F.expr("CAST(0 AS BIGINT) | " + " | ".join(terms)))
     return emb.select(F.col(id_col), F.array(*words).alias("code"))
 
 
@@ -1099,13 +1146,14 @@ def pq_train(
     their previous centroid; ties in assignment go to the lowest
     centroid id (NumPy argmin).
     """
-    rows = emb.orderBy(id_col).limit(int(sample_n)).collect()
-    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    _tbl, x = _sample_matrix(emb, id_col, vec_col, sample_n)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     return _pq_lloyd(x, m, k_cent, iters)
 
 
-def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
+def _pq_lloyd(
+    x: np.ndarray, m: int, k_cent: int, iters: int, init: np.ndarray | None = None
+) -> np.ndarray:
     """Per-subspace Lloyd's on a driver-side sample matrix — the shared
     trainer behind :func:`pq_train` (raw unit vectors) and
     :func:`ivfpq_topk` (coarse residuals).
@@ -1119,24 +1167,38 @@ def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
     sample subvectors, empty clusters keep their previous centroid,
     assignment ties go to the lowest centroid id (argmin;
     ``-2x·c + ||c||²`` expands ``||x−c||²`` minus a per-row constant,
-    the same form :func:`pq_encode` uses)."""
+    the same form :func:`pq_encode` uses). ``init`` warm-starts the
+    codebooks instead of the first-``k_cent`` init — the OPQ alternation
+    carries its books across rotations with it (Ge et al.'s actual
+    non-parametric procedure) instead of refitting from scratch."""
     _cap_blas_threads()
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     # a codebook can't have more centroids than training points — clamp
     # (small-SF fixtures hit this with the 256-centroid default)
-    k_cent = min(int(k_cent), len(x))
+    k_cent = min(int(k_cent), len(x)) if init is None else int(init.shape[1])
     dsub = dim // m
     n = len(x)
     x = np.ascontiguousarray(x, dtype=np.float64)
-    # books[s] starts as the first k_cent subvectors of subspace s
-    books = np.ascontiguousarray(
-        x[:k_cent].reshape(k_cent, m, dsub).transpose(1, 0, 2)
-    )  # (m, k_cent, dsub)
+    if init is not None:
+        books = np.array(init, dtype=np.float64)  # copy — updated in place
+    else:
+        # books[s] starts as the first k_cent subvectors of subspace s
+        books = np.ascontiguousarray(
+            x[:k_cent].reshape(k_cent, m, dsub).transpose(1, 0, 2)
+        )  # (m, k_cent, dsub)
     flat_x = x.reshape(n * m, dsub)  # row (i, s) = sample i's subvector s
     offs = np.arange(m) * k_cent
     bd = np.zeros((dim, m * k_cent), dtype=np.float64)
+    # buffers reused across rounds: the (n, m·k) distance matrix is ~33 MB
+    # at the 16×256/1024 defaults and a FRESH allocation per round costs
+    # more than the GEMM itself (page-fault cost measured 29 ms alloc vs
+    # 10.5 ms into a warm buffer) — same dgemm/subtract/argmax, so results
+    # are bit-identical to the allocating form
+    t = np.empty((n, m * k_cent), dtype=np.float64)
+    t3 = t.reshape(n, m, k_cent)
+    sums = np.empty((m * k_cent, dsub), dtype=np.float64)
     for _ in range(iters):
         # one well-shaped 2D GEMM for every subspace's dot products: the
         # (dim × m·k) operand is block-diagonal (books[s].T in block s),
@@ -1146,12 +1208,12 @@ def _pq_lloyd(x: np.ndarray, m: int, k_cent: int, iters: int) -> np.ndarray:
         for s in range(m):
             bd[s * dsub : (s + 1) * dsub, s * k_cent : (s + 1) * k_cent] = books[s].T
         # argmin_c ||sub − c||² == argmax_c (sub·c − ||c||²/2), row-major
-        t = (x @ bd).reshape(n, m, k_cent)
-        t -= 0.5 * (books**2).sum(axis=2)[None, :, :]
-        assign = t.argmax(axis=2)  # (n, m); ties → lowest centroid id
+        np.dot(x, bd, out=t)
+        np.subtract(t3, 0.5 * (books**2).sum(axis=2)[None, :, :], out=t3)
+        assign = t3.argmax(axis=2)  # (n, m); ties → lowest centroid id
         flat = (assign + offs[None, :]).ravel()
         counts = np.bincount(flat, minlength=m * k_cent)
-        sums = np.zeros((m * k_cent, dsub), dtype=np.float64)
+        sums[:] = 0.0
         np.add.at(sums, flat, flat_x)
         nz = counts > 0
         # sums rows are (s·k_cent + c); books rows are (s, c) — same order
@@ -1242,8 +1304,7 @@ def opq_train(
     :func:`pq_train` — nothing scales with corpus size. Deterministic:
     identity init, NumPy SVD on the same matrix, the shared Lloyd's
     trainer. Returns (R: (dim, dim), codebooks: (m, k_cent, dim//m))."""
-    rows = emb.orderBy(id_col).limit(int(sample_n)).collect()
-    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    _tbl, x = _sample_matrix(emb, id_col, vec_col, sample_n)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     return _opq_fit(x, m, k_cent, iters, opq_iters)
 
@@ -1254,15 +1315,29 @@ def _opq_fit(
     """The pure OPQ-NP alternation on a normalized sample matrix — split
     out of :func:`opq_train` so the convergence properties (orthogonal
     R; non-increasing rotated-space quantization error) are directly
-    property-testable without a Spark session."""
+    property-testable without a Spark session.
+
+    The codebooks WARM-START across alternations (Ge et al. 2013 §4:
+    each non-parametric iteration runs ONE k-means update from the
+    previous books, not a from-scratch refit): alternation 1 is a full
+    ``iters``-round fit in the identity rotation (so the objective
+    starts exactly at plain PQ's), later alternations are one Lloyd
+    round each from the carried books, and a final full fit polishes in
+    the converged rotation. Every step — re-assignment, centroid update,
+    optimal Procrustes rotation — is objective-non-increasing, which is
+    the property the contract test pins; the refit-per-alternation form
+    this replaces did ~3× the Lloyd rounds for the same contract and
+    dominated the bench's OPQ per-call wall."""
     dim = x.shape[1]
     r_mat = np.eye(dim)
+    books = None
     for _ in range(int(opq_iters)):
-        books = _pq_lloyd(x @ r_mat, m, k_cent, iters)
-        xh = _pq_reconstruct(x @ r_mat, books)
+        xr = x @ r_mat
+        books = _pq_lloyd(xr, m, k_cent, iters if books is None else 1, init=books)
+        xh = _pq_reconstruct(xr, books)
         u, _, vt = np.linalg.svd(x.T @ xh)
         r_mat = u @ vt
-    books = _pq_lloyd(x @ r_mat, m, k_cent, iters)
+    books = _pq_lloyd(x @ r_mat, m, k_cent, iters, init=books)
     return r_mat, books
 
 
@@ -1409,7 +1484,12 @@ def ivfpq_topk(
     pieces:
 
     * coarse quantizer: :func:`train_centroids` (distributed spherical
-      k-means) + :func:`ivf_assign` gives every vector a ``list_id``;
+      k-means); the :func:`ivf_assign` rule then gives every vector a
+      ``list_id`` inside the scan kernel (a sample-trained driver-side
+      coarse quantizer was tried for the per-call cost and REVERTED:
+      recall@10 at nprobe=4 fell 0.96 → 0.88 at the bench corpus, where
+      the 1024-row sample is half the table — the distributed trainer's
+      quality is the point of the knob);
     * fine quantizer: PQ codebooks (:func:`_pq_lloyd`) trained on the
       RESIDUALS ``x̂ − c_list`` of a bounded driver-side sample — encoding
       the residual instead of the vector is what makes m bytes go much
@@ -1435,14 +1515,14 @@ def ivfpq_topk(
 
     cent = train_centroids(emb, n_lists, coarse_iters, id_col, vec_col)
     cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
-    # assignment fused with the payload: one pass, no assign→payload join
-    df = ivf_assign_with_payload(emb.select(id_col, vec_col), cent, vec_col)
-
-    # residual PQ codebooks from the bounded deterministic sample
-    rows = df.orderBy(id_col).limit(int(sample_n)).collect()
-    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-    lids = np.array([int(r["list_id"]) for r in rows])
+    # residual PQ codebooks from the bounded deterministic sample; the
+    # sample's coarse assignment is one tiny driver-side matmul (the
+    # ivf_assign rule verbatim) — collecting the sample RAW saves the
+    # corpus-wide assignment pass the old sample-after-assignment shape
+    # paid before sampling 1024 rows of it
+    _tbl, xr = _sample_matrix(emb, id_col, vec_col, sample_n)
+    x = xr / np.maximum(np.linalg.norm(xr, axis=1, keepdims=True), 1e-30)
+    lids = (x @ cent_n.T).argmax(axis=1)
     books = _pq_lloyd(x - cent_n[lids], m, k_cent, iters=8)
     dsub = books.shape[2]
 
@@ -1458,25 +1538,36 @@ def ivfpq_topk(
         order = np.lexsort((np.arange(sims.size), -sims))[: int(nprobe)]
         lists = sorted(int(i) for i in order)
 
+    lists_arr = np.array(lists, dtype=np.int64)
+
     def score(batches):
+        # assignment + probe filter + residual ADC fused into ONE kernel
+        # pass (guide §4.1: one Python boundary crossing, not an assign
+        # kernel → JVM filter → score kernel ping-pong); the per-row
+        # normalize/argmax/encode arithmetic is the ivf_assign +
+        # residual-encode math verbatim, so candidates are unchanged
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-            li = pdf["list_id"].to_numpy()
+            li = (v @ cent_n.T).argmax(axis=1)
+            keep = np.isin(li, lists_arr)
+            if not keep.any():
+                continue
+            v, li, ids = v[keep], li[keep], pdf[id_col].to_numpy()[keep]
             res = v - cent_n[li]
-            codes = np.empty((len(pdf), m), dtype=np.int64)
+            codes = np.empty((len(ids), m), dtype=np.int64)
             for s in range(m):
                 sub = res[:, s * dsub : (s + 1) * dsub]
                 d2 = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
                 codes[:, s] = d2.argmin(axis=1)
             subi = np.arange(m)[None, :]
             approx = qdotc[li] + lut[subi, codes].sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "approx": approx})
+            yield pd.DataFrame({id_col: ids, "approx": approx})
 
     cand = (
-        df.filter(F.col("list_id").isin(lists))
+        emb.select(id_col, vec_col)
         .mapInPandas(score, schema=f"{id_col} long, approx double")
         .orderBy(F.desc("approx"), F.asc(id_col))
         .limit(int(rescore))
