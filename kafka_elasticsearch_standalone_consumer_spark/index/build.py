@@ -141,6 +141,41 @@ def _pack_arrow(tbl, avgdl: float, block_size: int, positions: bool):
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def _pack_stream(batches, avgdl: float, block_size: int, positions: bool):
+    """Carry-loop pack over an iterator of Arrow record batches of SORTED
+    token rows: yields postings RecordBatches, holding back the trailing
+    (possibly batch-split) run so output rows are independent of the
+    input batching. Arrow-native (guide §4.2): rows never surface as
+    pandas objects — the term column stays an Arrow string array
+    (65M-row builds were spending more wall materializing Python
+    strings than packing), the positions lists flatten zero-copy, and
+    the output batch is assembled straight from the codec core's encode
+    buffers (a BinaryArray IS offsets + one data buffer; runs tile the
+    batch, so the per-run byte bounds ARE the offsets). Byte-identical
+    rows to the per-run pack_run loop
+    (tests/test_pack_runs_equivalence.py)."""
+    import pyarrow as pa
+
+    carry = None
+    for rb in batches:
+        tbl = pa.Table.from_batches([rb])
+        if carry is not None and carry.num_rows:
+            tbl = pa.concat_tables([carry, tbl])
+        if not tbl.num_rows:
+            continue
+        # hold back the trailing run — it may continue in the next batch
+        terms = tbl.column("term").combine_chunks()
+        shards = tbl.column("shard").combine_chunks().to_numpy(zero_copy_only=False)
+        change = _run_changes(terms, shards)
+        last_start = int(np.flatnonzero(change)[-1])  # trailing run's start
+        carry = tbl.slice(last_start)
+        head = tbl.slice(0, last_start)
+        if head.num_rows:
+            yield _pack_arrow(head, avgdl, block_size, positions)
+    if carry is not None and carry.num_rows:
+        yield _pack_arrow(carry, avgdl, block_size, positions)
+
+
 def build_postings(
     tokens_with_dl: DataFrame,
     avgdl: float,
@@ -149,6 +184,7 @@ def build_postings(
     num_partitions: int | None = None,
     block_size: int = BLOCK_SIZE,
     positions: bool = False,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """tokens(doc_id, term, tf, dl) → postings rows (one per term×shard run).
 
@@ -156,6 +192,23 @@ def build_postings(
     join doc_stats; ``avgdl`` is baked into the exact block-max impacts.
     ``positions=True`` expects a ``positions`` array column on the input
     and packs the per-posting position stream (phrase-query support).
+
+    ``scratch_dir`` (the warehouse build passes one) switches the pack
+    input to MATERIALIZE-THEN-READ: the shuffled+sorted token rows are
+    EAGERLY written as parquet (one file per range partition, columnar,
+    whole-stage codegen) and each pack task then reads ITS OWN file with
+    pyarrow — so the JVM→Python boundary carries 1 file path per task
+    instead of every token row. Spark's per-row Arrow conversion moves
+    ~2–3M rows/s/task while pyarrow's C parquet reader moves ~58M rows/s
+    (measured on this corpus: a TRIVIAL mapInArrow consumer over the 65M
+    sorted 8x-corpus rows cost 24–29 s — the pack compute itself is
+    ~0.6 s); this is guide §8's "read your own partition's slice from
+    storage" co-location. Output rows are byte-identical to the
+    streaming form: one task still packs exactly one sorted range
+    partition, and the carry loop makes rows independent of batching.
+    The caller owns ``scratch_dir`` cleanup (the builder deletes it
+    after the postings table commits). Without ``scratch_dir`` (the
+    ephemeral/small path) the pack streams through mapInArrow directly.
     """
     num_partitions = (
         num_partitions or tokens_with_dl.sparkSession.sparkContext.defaultParallelism
@@ -177,39 +230,42 @@ def build_postings(
             *(["positions"] if positions else []),
         )
     )
+    schema = POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA
+
+    if scratch_dir is not None:
+        import os
+
+        spark = tokens_with_dl.sparkSession
+        arranged.write.mode("overwrite").parquet(scratch_dir)
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(scratch_dir)
+            for f in fs
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        cols = ["term", "shard", "doc_id", "tf", "dl"] + (
+            ["positions"] if positions else []
+        )
+
+        def pack_files(path_batches):
+            import pyarrow.parquet as pq
+
+            for rb in path_batches:
+                for path in rb.column(0).to_pylist():
+                    pf = pq.ParquetFile(path)
+                    yield from _pack_stream(
+                        pf.iter_batches(batch_size=1 << 17, columns=cols),
+                        avgdl, block_size, positions,
+                    )
+
+        paths = spark.createDataFrame([(p,) for p in files], "path string")
+        packed = paths.repartition(max(len(files), 1)).mapInArrow(
+            pack_files, schema=schema
+        )
+        return packed.withColumn("term_bucket", term_bucket_col("term", n_buckets))
 
     def pack(batches):
-        # Arrow-native streaming pack (guide §4.2): rows never surface as
-        # pandas objects — the term column stays an Arrow string array
-        # (65M-row builds were spending more wall materializing Python
-        # strings than packing), the positions lists flatten zero-copy,
-        # and the output batch is assembled straight from the codec
-        # core's encode buffers (a BinaryArray IS offsets + one data
-        # buffer; runs tile the batch, so the per-run byte bounds ARE
-        # the offsets). Byte-identical rows to the per-run pack_run loop
-        # (tests/test_pack_runs_equivalence.py).
-        import pyarrow as pa
+        yield from _pack_stream(batches, avgdl, block_size, positions)
 
-        carry = None
-        for rb in batches:
-            tbl = pa.Table.from_batches([rb])
-            if carry is not None and carry.num_rows:
-                tbl = pa.concat_tables([carry, tbl])
-            if not tbl.num_rows:
-                continue
-            # hold back the trailing run — it may continue in the next batch
-            n = tbl.num_rows
-            terms = tbl.column("term").combine_chunks()
-            shards = tbl.column("shard").combine_chunks().to_numpy(zero_copy_only=False)
-            change = _run_changes(terms, shards)
-            last_start = int(np.flatnonzero(change)[-1])  # trailing run's start
-            carry = tbl.slice(last_start)
-            head = tbl.slice(0, last_start)
-            if head.num_rows:
-                yield _pack_arrow(head, avgdl, block_size, positions)
-        if carry is not None and carry.num_rows:
-            yield _pack_arrow(carry, avgdl, block_size, positions)
-
-    schema = POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA
     packed = arranged.mapInArrow(pack, schema=schema)
     return packed.withColumn("term_bucket", term_bucket_col("term", n_buckets))

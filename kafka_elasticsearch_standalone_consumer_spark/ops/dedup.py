@@ -198,17 +198,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (shingle intersection join)
+    # verify candidates with exact Jaccard: the intersection is a
+    # SHINGLE-KEYED equi-join — each shared shingle matches exactly once
+    # (shingle_df is distinct per doc), so the count is |A∩B| with cost
+    # Σ shared shingles. (The old form joined both docs' full shingle
+    # sets on id alone and filtered s1==s2, materializing |A|×|B| rows
+    # per candidate pair — quadratic in document length, guide §3.3's
+    # exploding-join trap.)
     sh = shingle_df(df, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     j = (
         cand.join(sh.withColumnRenamed("doc_id", "id1"), "id1")
-        .withColumnRenamed("shingle", "s1")
-        .join(
-            sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("shingle", "s2"),
-            "id2",
-        )
-        .filter(F.col("s1") == F.col("s2"))
+        .join(sh.select(F.col("doc_id").alias("id2"), "shingle"), ["id2", "shingle"])
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
@@ -868,14 +869,12 @@ def dedup_incremental(
     )
     sh = new_sh.unionByName(old_sh.select("doc_id", "shingle")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # shingle-keyed intersection join (each shared shingle matches once —
+    # shingle sets are distinct per doc), cost Σ shared shingles; the old
+    # id-only join + s1==s2 filter materialized |A|×|B| rows per pair
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "nid"), "nid")
-        .withColumnRenamed("shingle", "s1")
-        .join(
-            sh.withColumnRenamed("doc_id", "oid").withColumnRenamed("shingle", "s2"),
-            "oid",
-        )
-        .filter(F.col("s1") == F.col("s2"))
+        .join(sh.select(F.col("doc_id").alias("oid"), "shingle"), ["oid", "shingle"])
         .groupBy("nid", "oid")
         .agg(F.count("*").alias("inter"))
     )

@@ -154,6 +154,8 @@ def build_index(
         return wh.count_rows("doc_map")
 
     def step_postings():
+        import shutil
+
         meta = read_meta(spark, wh)
         toks = _tokens_df()
         if "dl" in toks.columns:
@@ -161,15 +163,23 @@ def build_index(
         else:
             ds = wh.read(spark, "doc_stats").select("doc_id", "dl")
             tokens_with_dl = toks.join(ds, "doc_id")
-        postings = build_postings(
-            tokens_with_dl,
-            avgdl=meta["avgdl"],
-            docs_per_shard=docs_per_shard,
-            n_buckets=n_buckets,
-            num_partitions=num_partitions,
-            positions=positions,
-        )
-        wh.write(postings, "postings", partition_by=("term_bucket",))
+        # materialize-then-pack scratch (leading "_" = hadoop-hidden, so a
+        # crashed build's leftover never reads as a table); deleted after
+        # the postings table commits
+        scratch = wh.path("_postings_sort_scratch")
+        try:
+            postings = build_postings(
+                tokens_with_dl,
+                avgdl=meta["avgdl"],
+                docs_per_shard=docs_per_shard,
+                n_buckets=n_buckets,
+                num_partitions=num_partitions,
+                positions=positions,
+                scratch_dir=scratch,
+            )
+            wh.write(postings, "postings", partition_by=("term_bucket",))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
         return wh.count_rows("postings")
 
     runner.step("docs", step_docs)

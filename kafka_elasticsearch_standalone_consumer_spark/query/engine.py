@@ -178,7 +178,36 @@ class Index:
             )
             self._seg_whs = whs
             self._seg_baked = [float(a) for a in baked]
+        self.postings = self._size_coalesced(self.postings, "postings")
         self._pads_cache: dict = {}
+
+    def _size_coalesced(self, df: DataFrame, table: str) -> DataFrame:
+        """Scale-ADAPTIVE scan partitioning (guide §2/§6: derive from input
+        size, never a constant): a small postings table collapses to
+        ``ceil(bytes / target)`` scan partitions via a shuffle-free
+        ``coalesce``, so a per-query cached scan schedules a few real
+        tasks instead of dozens of near-empty ones (~95 files / 30
+        partitions for 21 MB at the bench corpus). The byte walk
+        early-exits once the table is provably big (≥ 64 × target):
+        there ``coalesce`` would be a no-op and listing every file at
+        init time is the guide-§6 small-files trap in reverse. Target
+        overridable via ``KESC_SCAN_PARTITION_BYTES`` (0 disables);
+        512 MB default = the guide's large-scan split size."""
+        import os as _os
+
+        target = int(_os.environ.get("KESC_SCAN_PARTITION_BYTES", str(512 << 20)))
+        if target <= 0:
+            return df
+        total = 0
+        cap = 64 * target
+        for w in self._seg_whs:
+            for dp, _dirs, files in _os.walk(w.path(table)):
+                for f in files:
+                    if f.startswith("part-") and not f.endswith(".crc"):
+                        total += _os.path.getsize(_os.path.join(dp, f))
+                        if total >= cap:
+                            return df  # big table — keep the scan's split
+        return df.coalesce(max(1, -(-total // target)))
 
     @classmethod
     def ephemeral(
