@@ -57,11 +57,20 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`varint_encode`; returns uint64 array (vectorized)."""
+    """Inverse of :func:`varint_encode`; returns uint64 array (vectorized).
+
+    Fast path: a buffer with no continuation bit set is one byte per
+    value — just widen it (2 numpy ops instead of ~10). That is the
+    overwhelmingly common case for the per-BLOCK decodes the WAND
+    kernel's skipping loop issues (tf/dl/delta values < 128), whose
+    ~25 µs fixed overhead per 128-value block dominated the serving
+    path's profile."""
     data = np.frombuffer(buf, dtype=np.uint8)
     if data.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (data & 0x80) == 0
+    if is_last.all():
+        return data.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     starts[0] = 0

@@ -1399,6 +1399,7 @@ def _pq_adc_topk(
     ORIGINAL float vectors."""
     import pandas as pd
 
+    books = np.ascontiguousarray(books, dtype=np.float64)
     m = books.shape[0]
     dsub = books.shape[2]
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -1410,16 +1411,27 @@ def _pq_adc_topk(
     )  # (m, k_cent)
     # ||reconstruction|| per code, for the cosine denominator
     cnorm2 = (books**2).sum(axis=2)  # (m, k_cent)
-
-    codes_df = pq_encode(emb, books, id_col, vec_col, rotation=rotation)
+    rot = None if rotation is None else np.ascontiguousarray(rotation, dtype=np.float64)
 
     def score(batches):
+        # encode + ADC fused in ONE kernel pass for the AD-HOC path (the
+        # per-row normalize/rotate/argmin arithmetic is pq_encode's
+        # verbatim, then the LUT lookup on the codes it just produced —
+        # one Python boundary crossing instead of encode-kernel →
+        # score-kernel). On the materialized layout pass 1 reads STORED
+        # codes instead and only the LUT half runs.
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.stack(
-                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"].to_numpy()]
-            ).astype(np.int64)  # (n, m)
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-30)
+            if rot is not None:
+                x = x @ rot
+            c = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                sub_x = x[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (sub_x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                c[:, s] = d2.argmin(axis=1)
             sub = np.arange(m)[None, :]
             num = lut[sub, c].sum(axis=1)
             rec = np.sqrt(np.maximum(cnorm2[sub, c].sum(axis=1), 1e-30))
@@ -1428,7 +1440,8 @@ def _pq_adc_topk(
             )
 
     cand = (
-        codes_df.mapInPandas(score, schema=f"{id_col} long, approx double")
+        emb.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} long, approx double")
         .orderBy(F.desc("approx"), F.asc(id_col))
         .limit(int(rescore))
     )
