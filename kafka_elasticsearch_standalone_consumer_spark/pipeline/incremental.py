@@ -222,17 +222,26 @@ def append_segment(
         return 1
 
     def step_postings():
+        import shutil
+
         seg = swh.read_meta("seg_meta")
         baked_avgdl = (seg["sum_dl"] / seg["n_docs"]) if seg["n_docs"] else 0.0
-        postings = build_postings(
-            swh.read(spark, "tokens"),
-            avgdl=baked_avgdl or 1e-9,
-            docs_per_shard=int(meta["docs_per_shard"]),
-            n_buckets=int(meta["n_buckets"]),
-            num_partitions=num_partitions,
-            positions=positions,
-        )
-        swh.write(postings, "postings", partition_by=("term_bucket",))
+        # materialize-then-pack scratch, the full-build path's trick
+        # (byte-identical output; deleted after the table commits)
+        scratch = swh.path("_postings_sort_scratch")
+        try:
+            postings = build_postings(
+                swh.read(spark, "tokens"),
+                avgdl=baked_avgdl or 1e-9,
+                docs_per_shard=int(meta["docs_per_shard"]),
+                n_buckets=int(meta["n_buckets"]),
+                num_partitions=num_partitions,
+                positions=positions,
+                scratch_dir=scratch,
+            )
+            swh.write(postings, "postings", partition_by=("term_bucket",))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
         return swh.count_rows("postings")
 
     runner.step("docs", step_docs)
@@ -496,15 +505,20 @@ def optimize(
     dl_m = sum(int(s["sum_dl"]) for s in merge)
     baked = (dl_m / n_m) if n_m else 0.0
     swh.write_meta("seg_meta", {"n_docs": n_m, "sum_dl": dl_m})
-    postings = build_postings(
-        swh.read(spark, "tokens"),
-        avgdl=baked or 1e-9,
-        docs_per_shard=int(meta["docs_per_shard"]),
-        n_buckets=int(meta["n_buckets"]),
-        num_partitions=num_partitions,
-        positions=positions,
-    )
-    swh.write(postings, "postings", partition_by=("term_bucket",))
+    scratch = swh.path("_postings_sort_scratch")
+    try:
+        postings = build_postings(
+            swh.read(spark, "tokens"),
+            avgdl=baked or 1e-9,
+            docs_per_shard=int(meta["docs_per_shard"]),
+            n_buckets=int(meta["n_buckets"]),
+            num_partitions=num_partitions,
+            positions=positions,
+            scratch_dir=scratch,
+        )
+        swh.write(postings, "postings", partition_by=("term_bucket",))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     # retire the merged batches' idempotency keys FIRST: a replay of one of
     # them must stay a no-op whether or not the swap below has happened yet
     wh.append_rows(

@@ -36,6 +36,7 @@ def main() -> None:
     names = [
         "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "ann_opq_topk",
         "ann_ivfpq_topk", "semdedup", "ivf_topk", "knn_join_ivf_topk",
+        "ann_bq_topk", "bm25_topk_wand", "dedup_minhash_lsh",
     ]
     for name in names:
         try:
@@ -59,6 +60,33 @@ def main() -> None:
     with open(os.path.join(OUT, f"ivf_build_assign_{TAG}.txt"), "w") as f:
         f.write(explain_str(assigned))
     print(f"wrote ivf_build_assign_{TAG}.txt", file=sys.stderr)
+
+    # postings-pack plan (build-side intermediate): the before tree streams
+    # the shuffled+sorted token rows through mapInArrow; the after tree
+    # materializes them as parquet and packs from per-task file reads
+    import inspect
+    import shutil
+    import tempfile
+
+    from kafka_elasticsearch_standalone_consumer_spark.analysis import doc_term_freqs
+    from kafka_elasticsearch_standalone_consumer_spark.index import build as ib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    toks = doc_term_freqs(docs)
+    scratch = None
+    try:
+        kwargs = {}
+        if "scratch_dir" in inspect.signature(ib.build_postings).parameters:
+            scratch = tempfile.mkdtemp(prefix="r06plan_")
+            kwargs["scratch_dir"] = os.path.join(scratch, "s")
+        packed = ib.build_postings(toks, avgdl=10.0, docs_per_shard=1 << 14,
+                                   n_buckets=64, **kwargs)
+        with open(os.path.join(OUT, f"postings_pack_{TAG}.txt"), "w") as f:
+            f.write(explain_str(packed))
+        print(f"wrote postings_pack_{TAG}.txt", file=sys.stderr)
+    finally:
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
 
