@@ -835,7 +835,15 @@ def dedup_incremental(
     the batch's signatures and shingles into the store so the next
     batch sees this one as history (the incremental loop;
     effectively-once is the caller's idempotency-key problem, same as
-    segment ingest)."""
+    segment ingest).
+
+    STORE CONTRACT — id uniqueness: ``id_col`` values must be unique
+    across the store AND every appended batch (the segment pipeline's
+    dense monotone doc_ids satisfy this by construction). Signatures
+    and shingles are keyed by doc_id alone, so re-using an id silently
+    merges two docs' shingle sets and corrupts sizes/Jaccard; callers
+    with replayable sources must de-duplicate ids (idempotency keys)
+    before appending, exactly as segment ingest does."""
     import pyarrow.parquet as pq
 
     meta = pq.read_table(store_path + "/meta.parquet").to_pylist()[0]

@@ -1609,6 +1609,8 @@ def rrf_fuse(
     Output: ``(id_col, rrf)`` top-``k``, ties by id ascending. The two
     reciprocal terms add commutatively in IEEE double, so the score is
     bit-identical across engines given identical input ranks."""
+    if not ranked:
+        raise ValueError("need at least one ranked list")
     fused = None
     terms = []
     for i, df in enumerate(ranked):
@@ -1656,6 +1658,8 @@ def comb_fuse(
     bit-identical across engines."""
     if method not in ("sum", "mnz"):
         raise ValueError(f"method must be 'sum' or 'mnz', got {method!r}")
+    if not ranked:
+        raise ValueError("need at least one ranked list")
     fused = None
     for i, df in enumerate(ranked):
         stats = df.agg(

@@ -178,36 +178,15 @@ class Index:
             )
             self._seg_whs = whs
             self._seg_baked = [float(a) for a in baked]
-        self.postings = self._size_coalesced(self.postings, "postings")
+        # NOTE (round 6): a size-derived coalesce of this scan (21 MB /
+        # 95 files / 30 partitions → 1) was tried and REVERTED on
+        # measurement: the warm single-query wall was a wash (best-of-3
+        # 6.97 s vs 6.77 s over 20 queries) while search_many — whose one
+        # job scans the union of every query's buckets — lost its map-side
+        # parallelism and regressed ~30% (0.86–0.98 s → 1.13–1.36 s,
+        # interleaved A/B). The near-empty-task overhead the coalesce
+        # targeted is already absorbed by local-mode scheduling.
         self._pads_cache: dict = {}
-
-    def _size_coalesced(self, df: DataFrame, table: str) -> DataFrame:
-        """Scale-ADAPTIVE scan partitioning (guide §2/§6: derive from input
-        size, never a constant): a small postings table collapses to
-        ``ceil(bytes / target)`` scan partitions via a shuffle-free
-        ``coalesce``, so a per-query cached scan schedules a few real
-        tasks instead of dozens of near-empty ones (~95 files / 30
-        partitions for 21 MB at the bench corpus). The byte walk
-        early-exits once the table is provably big (≥ 64 × target):
-        there ``coalesce`` would be a no-op and listing every file at
-        init time is the guide-§6 small-files trap in reverse. Target
-        overridable via ``KESC_SCAN_PARTITION_BYTES`` (0 disables);
-        512 MB default = the guide's large-scan split size."""
-        import os as _os
-
-        target = int(_os.environ.get("KESC_SCAN_PARTITION_BYTES", str(512 << 20)))
-        if target <= 0:
-            return df
-        total = 0
-        cap = 64 * target
-        for w in self._seg_whs:
-            for dp, _dirs, files in _os.walk(w.path(table)):
-                for f in files:
-                    if f.startswith("part-") and not f.endswith(".crc"):
-                        total += _os.path.getsize(_os.path.join(dp, f))
-                        if total >= cap:
-                            return df  # big table — keep the scan's split
-        return df.coalesce(max(1, -(-total // target)))
 
     @classmethod
     def ephemeral(
@@ -3775,9 +3754,15 @@ class Index:
             raise ValueError(f"order must be one of {sorted(orders)}, got {order!r}")
         scoped = self._agg_scope(query_text, where, min_should_match)
         if scoped is None:
+            # derive the key column's type from the doc schema so the
+            # empty-match frame matches the non-empty branch (a numeric
+            # key_field must not come back string-typed)
+            key_t = dict(
+                (f.name, f.dataType.simpleString()) for f in self._docs_df().schema
+            ).get(key_field, "string")
             return self.spark.createDataFrame(
                 [],
-                f"{key_field} string, n long, total double, "
+                f"{key_field} {key_t}, n long, total double, "
                 "min_v double, max_v double, mean_v double",
             )
         agg = (

@@ -212,7 +212,14 @@ def trending_stream_writer(
                     F.col(value_col).cast("string").alias("value"),
                 )
                 .filter(F.col("value").isNotNull() & F.col("us").isNotNull())
-                .select((F.expr(f"us div {win_us}") * win_us).alias("ws"), "value")
+                # floor-aligned window start on longs: us − (us mod⁺ win).
+                # `div` truncates toward zero, which would misalign pre-1970
+                # event times (negative micros) with the watermark-close
+                # arithmetic; pmod is nonnegative, so this is a true floor.
+                .select(
+                    (F.col("us") - F.pmod(F.col("us"), F.lit(win_us))).alias("ws"),
+                    "value",
+                )
             )
             # late rule (Spark watermark semantics): a row is late iff its
             # window already CLOSED — i.e. its end <= the watermark from

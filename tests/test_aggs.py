@@ -308,6 +308,11 @@ def test_facets_stats_matches_python(spark, built_index):
         r["role"]: (r["n"], r["total"], r["min_v"], r["max_v"], r["mean_v"])
         for r in got
     } == exp
+    # empty-match frame must carry the key column's REAL type (a numeric
+    # key_field used to come back string-typed from the empty branch)
+    empty = idx.facets_stats("zzzznosuchterm", "turn_idx", "turn_idx")
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["turn_idx"] == dict(idx._docs_df().dtypes)["turn_idx"]
     # count desc, ties role asc
     assert [r["role"] for r in got] == sorted(exp, key=lambda k: (-exp[k][0], k))
     # order knobs

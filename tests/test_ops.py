@@ -1316,6 +1316,13 @@ def test_comb_fuse_hand_computed(spark):
     assert const == {20: 1.0, 21: 1.0}
     with pytest.raises(ValueError):
         comb_fuse([a, b], method="median")
+    # empty ranked-list input is a caller bug, not an AttributeError crash
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        comb_fuse([], k=10)
+    from kafka_elasticsearch_standalone_consumer_spark.ops.similarity import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        rrf_fuse([], k=10)
 
 
 def test_dsir_weights_sign_and_determinism(spark):

@@ -109,6 +109,30 @@ def test_trending_windows_close_exact_and_replay(spark, tmp_path):
     assert wins2 == wins and late2 == late
 
 
+def test_trending_pre_epoch_windows_floor_align(spark, tmp_path):
+    """Pre-1970 event times land in FLOOR-aligned windows: integer ``div``
+    truncates toward zero, which would shift 1969-12-31T23:55 into the
+    epoch window [00:00, 00:10) and misalign window boundaries with the
+    watermark-close arithmetic; the pmod floor keeps the promised
+    'integer floor of event-time micros' for negative micros too."""
+    t_neg = dt.datetime(1969, 12, 31, 23, 55, 0)
+    b0 = [(t_neg, "x")] * 2
+    b1 = [(dt.datetime(1970, 1, 1, 1, 0, 0), "y")]  # closes the 1969 window
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, "ts timestamp, value string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(b1, "ts timestamp, value string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    state, metrics, ck = (str(tmp_path / x) for x in ("state", "metrics", "ck"))
+    _run(spark, src, state, metrics, ck)
+    m = spark.read.parquet(metrics).collect()
+    MIN = 60 * 1_000_000
+    closed = {(r["window_start"], r["value"], r["est"]) for r in m}
+    # 23:55 floors to the [-10min, 0) window, NOT to [0, +10min)
+    assert (-10 * MIN, "x", 2) in closed
+    assert not any(ws == 0 for ws, _v, _e in closed)
+
+
 def test_trending_tight_capacity_keeps_mg_contract(spark, tmp_path):
     def at(minute, second=0):
         return T0 + dt.timedelta(minutes=minute, seconds=second)
