@@ -617,7 +617,22 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("weight"),
+            F.sum(F.col("c") * F.col("lr")).alias("_s"),
+        )
+        # round like SQL engines round doubles: a tiny NEGATIVE sum rounds
+        # to NEGATIVE zero (DuckDB/IEEE keep the sign; Spark's round goes
+        # through BigDecimal and loses it, which made a -1e-5 weight hash
+        # as +0.0 here and -0.0 in the oracle — found at sf0.1, a
+        # pre-round-6 seam). Selection is unaffected (-0.0 > 0 is False).
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                (F.round(F.col("_s"), 4) == 0.0) & (F.col("_s") < 0.0),
+                F.lit(-0.0),
+            )
+            .otherwise(F.round(F.col("_s"), 4))
+            .alias("weight"),
         )
     )
     base = df.select(F.col(id_col).alias("doc_id"))
