@@ -32,7 +32,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("KESC_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KESC_DRIVER_MEM", "12g"))
+        # JDK 14+ throws a SPURIOUS OutOfMemoryError ("Retried waiting for
+        # GCLocker too often") when allocation retries race JNI critical
+        # regions (Arrow/netty buffers) under co-tenant CPU starvation —
+        # observed intermittently on 4x-scale builds with plenty of free
+        # heap. Raising the retry count is the documented mitigation; it
+        # changes nothing when allocations succeed first try.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "KESC_DRIVER_JAVA_OPTS",
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=128",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     # Shuffle/spill scratch: prefer RAM-backed scratch when present. On a
